@@ -1,0 +1,80 @@
+"""Text-analysis functions for training-data pipelines: token count,
+word count, language-ID heuristic, quality scoring, fingerprinting.
+
+All pure Catalyst expressions (JVM, whole-stage codegen) — every one
+of these runs over 100 TB of `documents.text`, so no Python crossing
+is acceptable here. Each has an ANSI-SQL twin in __spark_entry__
+oracle_sql() so DuckDB verifies the semantics.
+
+Word-count parity: the reference counts words as len(text.split())
+(/root/reference/python/sandcrawler/html_ingest.py:35,
+pdfextract.py:231-233).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, fixed English stopword list (shared verbatim with the SQL oracle)
+EN_STOPWORDS = (
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array (split on
+    '' yields [''], filtered out so counts match len(str.split()))."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def word_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_count_col(text: Column) -> Column:
+    return F.length(text)
+
+
+def stopword_ratio_col(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def mean_word_len_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id_en_score_col(text: Column) -> Column:
+    """n-gram-free language-ID heuristic: English stopword hit-rate.
+    Score in [0,1]; classify en if >= 0.08 on web text."""
+    return stopword_ratio_col(text)
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite document quality in [0,1]: length band + stopword
+    presence + punctuation sanity (C4-style web-text heuristics)."""
+    wc = word_count_col(text).cast("double")
+    len_score = F.least(wc / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio_col(text) / F.lit(0.2), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col(text) * 5)
+    return (len_score * 0.4 + stop_score * 0.4 + punct_pen * 0.2)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed,
+    punctuation-stripped text — the exact-dedupe key. md5 (not
+    xxhash64) so the DuckDB oracle computes the identical value."""
+    norm = F.lower(F.trim(text))
+    norm = F.regexp_replace(norm, r"[^\w\s]", "")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,192 @@
+"""Deduplication suite for large-scale text corpora.
+
+Beyond the reference's exact content identity (sha1hex everywhere;
+GROUP BY sha1sum + TOP(1) in pig/filter-cdx-paper-pdfs.pig:38-41),
+this adds the near-dup family a training-data pipeline needs:
+
+  exact_dedupe        — hash-groupBy on a normalized fingerprint
+  shingles_col        — word n-gram shingling (pure Catalyst)
+  minhash_signature   — k-way MinHash via md5(seed:shingle) minima
+                        (md5, not xxhash64, so the DuckDB oracle can
+                        compute identical values)
+  lsh_candidates      — band the signature, bucket-join within bands:
+                        candidate pairs meet in a small shuffle keyed
+                        by (band, band_key) instead of O(n²)
+  ngram_jaccard_pairs — exact verify on candidates (or small inputs)
+  simhash64           — 64-bit SimHash (vectorized pandas UDF) +
+                        hamming-distance near-dup pairs
+
+Scale notes: shingling multiplies rows (explode) — at 100 TB do LSH
+per partition-bucket of the fingerprint hash, never a global explode
+join; bands are the shuffle key so AQE handles hot buckets (a
+degenerate band key = all-identical docs — exactly what the slug
+denylist guards against in the scoring join).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sandcrawler_spark.functions.textstats import fingerprint_col, tokens_col
+
+
+def exact_dedupe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per normalized-text fingerprint."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_col(text, n: int = 5):
+    """Distinct word n-gram shingles as an array column (Catalyst-only:
+    sequence + transform + slice)."""
+    toks = tokens_col(F.lower(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signature(shingles, k: int = 16):
+    """Array of k MinHash values; hash_i(s) = md5('<i>:' || s)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via banded MinHash LSH."""
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles_col(F.col(text_col), n_shingle), k).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with jaccard >= threshold over
+    distinct word-n-gram shingle sets. If `candidates` given, verify
+    only those (LSH block-then-verify); else all pairs (small inputs /
+    oracle path)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        j = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        j.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized UDF — bit-twiddling is not Catalyst-friendly)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    out = []
+    for t in text:
+        if not t:
+            out.append(0)
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in set(t.lower().split()):
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            bits = (h >> np.arange(64)) & 1
+            votes += 2 * bits - 1
+        sig = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance. Blocking: 4 16-bit
+    chunks — any pair within hamming<=3 of 64 bits shares at least one
+    exact chunk (pigeonhole), so the join is equi on (chunk_idx,
+    chunk_value), never O(n²)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cidx"),
+                F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    blocked = sig.select("id", "sig", F.explode(chunks).alias("c")).select(
+        "id", "sig", F.col("c.cidx").alias("cidx"), F.col("c.cval").alias("cval")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, (F.col("a.cidx") == F.col("b.cidx")) & (F.col("a.cval") == F.col("b.cval")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — pure Catalyst (zip_with +
+aggregate), fully codegen'd, exact. Scale path: random-hyperplane LSH
+bucketing — candidates meet in an equi-join on the bucket signature;
+cosine verified only within buckets (IVF-style: probe multiple
+signatures by flipping low-confidence bits would be the next step).
+
+Planes are derived deterministically from a seed via md5 — no RNG at
+query time, so results are stable across runs/parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_sim_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a single query vector. The query is a
+    literal array (constant-folded); one scan, one partial top-k per
+    partition, tiny final sort — Catalyst's TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_sim_col(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors for each query row (queries side small =>
+    broadcast; the big side streams through one stage)."""
+    from pyspark.sql import Window
+
+    j = embeddings.join(F.broadcast(queries))
+    sim = cosine_sim_col(F.col(vec_col), F.col(q_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        j.select(F.col(q_id), F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _seeded_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5(seed, plane, j)."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        j = 0
+        while len(vals) < dim:
+            d = hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()
+            for off in range(0, 16, 4):
+                vals.append(int.from_bytes(d[off : off + 4], "big") / 2**31 - 1.0)
+            j += 1
+        out[p] = vals[:dim]
+    return out
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Signature string: one bit per hyperplane = sign(v · plane)."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the LSH signature, exact cosine
+    within buckets. Recall rises with fewer planes / multi-probe; the
+    bucket join shuffles only (sig) keys, so 10^9 vectors never meet a
+    cross join."""
+    from pyspark.sql import Window
+
+    planes = _seeded_planes(dim, n_planes, seed)
+    e = embeddings.withColumn("_sig", lsh_bucket_col(F.col(vec_col), planes))
+    qd = queries.withColumn("_sig", lsh_bucket_col(F.col(q_vec), planes))
+    j = qd.join(e, on="_sig", how="inner")
+    sim = cosine_sim_col(F.col(vec_col), F.col(q_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        j.select(F.col(q_id), F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,181 @@
+"""The crawl-round driver: frontier -> seen-filter -> politeness ->
+fetch-simulate -> extract -> persist, resumable per round.
+
+This is the Spark restatement of the reference's streaming ingest
+loop (SURVEY.md §3.1): one round == one Kafka micro-batch; the
+"offset store" (workers.py:558-561) becomes the rounds manifest +
+snapshot ids of the state tables, so a killed run resumes at the next
+round with identical results (tested: run(2)+run(2) == run(4)).
+
+Per-round lineage (seed -> frontier -> scheduled -> fetched ->
+extracted counts + snapshot ids) is recorded in rounds.json and in
+each table snapshot's lineage blob — the per-partition lineage the
+north rule asks for lives at round granularity here, partition
+granularity at the table layer (parquet file stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.biblio import biblio_udf
+from sandcrawler_spark.functions.extract_text import extract_text_udf
+from sandcrawler_spark.functions.hashes import with_file_meta
+from sandcrawler_spark.operators.fetch import fetch_simulate
+from sandcrawler_spark.operators.frontier import build_frontier
+from sandcrawler_spark.operators.politeness import schedule_politeness
+from sandcrawler_spark.operators.seen import unseen_exact
+from sandcrawler_spark.plans.tables import CrawlMetrics, SnapshotTable
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: dict[str, DataFrame],
+        state_dir: str,
+        now_expr: str = "timestamp'2024-02-01 00:00:00'",
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.state_dir = state_dir
+        self.now_expr = now_expr
+        os.makedirs(state_dir, exist_ok=True)
+        self.results = SnapshotTable(spark, os.path.join(state_dir, "ingest_file_result"), ["ingest_type", "base_url"])
+        self.seen = SnapshotTable(spark, os.path.join(state_dir, "url_seen"), ["canon_url"])
+        self.extraction = SnapshotTable(spark, os.path.join(state_dir, "extraction"), ["sha1hex"])
+        self.metrics = CrawlMetrics(spark)
+
+    # ---- round manifest -------------------------------------------------
+    @property
+    def _rounds_path(self) -> str:
+        return os.path.join(self.state_dir, "rounds.json")
+
+    def rounds_done(self) -> list[dict]:
+        if not os.path.exists(self._rounds_path):
+            return []
+        with open(self._rounds_path) as f:
+            return json.load(f)
+
+    def _record_round(self, entry: dict) -> None:
+        rounds = self.rounds_done()
+        rounds.append(entry)
+        tmp = self._rounds_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rounds, f, indent=1)
+        os.replace(tmp, self._rounds_path)
+
+    # ---- one round -------------------------------------------------------
+    def run_round(self) -> dict:
+        r = len(self.rounds_done())
+        frontier = build_frontier(
+            self.corpus["ingest_request"],
+            self.results.read(),
+            now_expr=self.now_expr,
+        )
+        seen_df = self.seen.read()
+        if seen_df is not None:
+            frontier = unseen_exact(frontier, seen_df, "canon_url")
+        frontier = frontier.persist()
+        n_frontier = frontier.count()
+
+        sched = schedule_politeness(frontier, self.corpus["robots"])
+        batch = sched.filter(F.col("crawl_round") == 0).persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            frontier.unpersist()
+            batch.unpersist()
+            entry = {"round": r, "frontier": n_frontier, "scheduled": 0, "done": True}
+            self._record_round(entry)
+            return entry
+
+        results = fetch_simulate(batch, self.corpus["cdx"], self.corpus["pages"])
+        results = results.withColumn("updated", F.expr(self.now_expr))
+
+        # extraction: content-addressed short-circuit (skip sha1s we
+        # already extracted — the HBase existence check, S6/J8)
+        hits = results.filter(F.col("hit")).select(
+            "terminal_url", "terminal_dt", "terminal_sha1hex"
+        ).distinct()
+        prior = self.extraction.read()
+        if prior is not None:
+            hits = hits.join(
+                prior.select(F.col("sha1hex").alias("terminal_sha1hex")),
+                on="terminal_sha1hex",
+                how="left_anti",
+            )
+        bodies = self.corpus["pages"].select(
+            F.col("url").alias("terminal_url"),
+            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("terminal_dt"),
+            "html",
+        )
+        to_extract = hits.join(bodies, on=["terminal_url", "terminal_dt"], how="inner")
+        extracted = (
+            with_file_meta(to_extract, "html")
+            .withColumn("_ex", extract_text_udf(F.col("html")))
+            .withColumn("_biblio", biblio_udf(F.col("html"), F.col("terminal_url")))
+            .select(
+                F.col("terminal_sha1hex").alias("sha1hex"),
+                F.col("sha256hex"),
+                F.col("md5hex"),
+                F.col("size_bytes"),
+                F.col("mimetype"),
+                F.col("_ex.text").alias("text"),
+                F.col("_ex.word_count").alias("word_count"),
+                F.col("_ex.extractor").alias("extractor"),
+                F.col("_biblio").alias("biblio"),
+            )
+        ).persist()
+        n_extracted = extracted.count()
+
+        lineage = {"round": r, "frontier": n_frontier, "scheduled": n_batch}
+        res_snap = self.results.merge(
+            results, dedupe_order=[F.desc("updated")], lineage=lineage
+        )
+        ext_snap = self.extraction.merge(
+            extracted, on_conflict="nothing", lineage=lineage
+        )
+        seen_snap = self.seen.merge(
+            batch.select("canon_url").distinct(), on_conflict="nothing", lineage=lineage
+        )
+        self.metrics.inc("rounds", 1)
+        self.metrics.inc("frontier_rows", n_frontier)
+        self.metrics.inc("scheduled_rows", n_batch)
+        self.metrics.inc("extracted_docs", n_extracted)
+
+        entry = {
+            "round": r,
+            "frontier": n_frontier,
+            "scheduled": n_batch,
+            "extracted": n_extracted,
+            "result_counts": res_snap["counts"],
+            "snapshots": {
+                "ingest_file_result": res_snap["id"],
+                "extraction": ext_snap["id"],
+                "url_seen": seen_snap["id"],
+            },
+            "done": False,
+            "wall_s": None,
+        }
+        frontier.unpersist()
+        batch.unpersist()
+        extracted.unpersist()
+        self._record_round(entry)
+        return entry
+
+    def run(self, max_rounds: int = 10) -> list[dict]:
+        out = []
+        for _ in range(max_rounds):
+            t0 = time.time()
+            entry = self.run_round()
+            entry["wall_s"] = round(time.time() - t0, 3)
+            out.append(entry)
+            if entry.get("done"):
+                break
+        self.metrics.flush(os.path.join(self.state_dir, "metrics.json"))
+        return out
