@@ -66,6 +66,9 @@ def similarity_col(a: Column, b: Column) -> Column:
     """Levenshtein similarity scaled to [0, 1000] over the max length
     (integer, like the reference's x1000 scaling)."""
     max_len = F.greatest(F.length(a), F.length(b))
+    # floor (not cast) so an ANSI-SQL oracle (CAST(FLOOR(..)) ) computes
+    # the identical integer; matches Scala Int division truncation for
+    # the non-negative range
     return F.when(max_len == 0, F.lit(1000)).otherwise(
-        ((max_len - F.levenshtein(a, b)) * 1000 / max_len).cast("int")
+        F.floor((max_len - F.levenshtein(a, b)) * 1000 / max_len).cast("int")
     )

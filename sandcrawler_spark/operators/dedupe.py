@@ -47,23 +47,27 @@ def exact_dedupe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 def shingles_col(text, n: int = 5):
     """Distinct word n-gram shingles as an array column (Catalyst-only:
-    sequence + transform + slice)."""
+    sequence + transform + slice). Texts shorter than n words yield an
+    empty array (sequence(1,0) would count DOWN by default — guard)."""
     toks = tokens_col(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_fn(prefix: str):
+    # single-parameter lambda: a two-arg lambda (e.g. `lambda s, i=i`)
+    # would be treated by Spark's transform() as an (element, index)
+    # lambda and bind the hash index to the array-index Column
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
 
 def minhash_signature(shingles, k: int = 16):
     """Array of k MinHash values; hash_i(s) = md5('<i>:' || s)."""
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(shingles, _minhash_fn(f"{i}:"))) for i in range(k)]
     )
 
 
@@ -148,10 +152,10 @@ def simhash64_udf(text: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
             continue
         votes = np.zeros(64, dtype=np.int64)
         for tok in set(t.lower().split()):
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
-            votes += 2 * bits - 1
-        sig = int("".join("1" if v > 0 else "0" for v in votes[::-1]), 2)
+            d8 = np.frombuffer(hashlib.md5(tok.encode("utf-8")).digest()[:8], dtype=np.uint8)
+            votes += 2 * np.unpackbits(d8).astype(np.int64) - 1
+        sig_bytes = np.packbits((votes > 0).astype(np.uint8)).tobytes()
+        sig = int.from_bytes(sig_bytes, "big")
         out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
     return pd.Series(out, dtype="int64")
 
@@ -159,18 +163,25 @@ def simhash64_udf(text: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance. Blocking: 4 16-bit
-    chunks — any pair within hamming<=3 of 64 bits shares at least one
-    exact chunk (pigeonhole), so the join is equi on (chunk_idx,
-    chunk_value), never O(n²)."""
+    """Near-dup pairs by SimHash hamming distance. Blocking: the 64-bit
+    signature is cut into (max_hamming+1) chunks — by pigeonhole any
+    pair within the hamming budget shares at least one exact chunk, so
+    the join is equi on (chunk_idx, chunk_value), never O(n²). More
+    chunks = higher recall budget but a bigger blocked self-join."""
+    n_chunks = min(max_hamming + 1, 16)
+    width = 64 // n_chunks
+    offsets = [c * width for c in range(n_chunks)]
+    widths = [width] * (n_chunks - 1) + [64 - width * (n_chunks - 1)]
     sig = df.select(F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig"))
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("cidx"),
-                F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cval"),
+                F.shiftrightunsigned(F.col("sig"), offsets[c])
+                .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                .alias("cval"),
             )
-            for c in range(4)
+            for c in range(n_chunks)
         ]
     )
     blocked = sig.select("id", "sig", F.explode(chunks).alias("c")).select(

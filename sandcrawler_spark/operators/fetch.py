@@ -116,12 +116,12 @@ def fetch_simulate(
     )
 
     done_parts: list[DataFrame] = []
-    cached: list[DataFrame] = []
     for _hop in range(max_hops + 1):
-        # persist per-round state: keeps the physical plan flat across
-        # iterations (bounded unroll, SURVEY.md §4 "hop-loop driver")
-        state = state.persist()
-        cached.append(state)
+        # checkpoint per-round state: truncates lineage so the plan
+        # stays flat across iterations (bounded unroll, SURVEY.md §4
+        # "hop-loop driver") — without this the tree depth grows
+        # superlinearly in hops and plan handling dominates wall-clock
+        state = state.localCheckpoint(eager=True)
 
         done_parts.append(state.filter(F.col("status").isNotNull()))
         active = state.filter(F.col("status").isNull())
@@ -278,8 +278,4 @@ def fetch_simulate(
     for part in done_parts[1:]:
         result = result.unionByName(part.select(*cols))
     result = result.withColumn("hit", F.col("status") == "success").select(*RESULT_COLS)
-    result = result.persist()
-    result.count()
-    for df in cached:
-        df.unpersist()
-    return result
+    return result.localCheckpoint(eager=True)

@@ -14,20 +14,32 @@ deterministic re-enqueue ordering RUNBOOK.md):
 The core primitive is rank-within-key over a skewed key (a hot host
 can hold 10-20% of a web-scale frontier — a plain
 Window.partitionBy(host) puts that host in ONE task and stalls the
-stage). `ranked_within_key` is the skew-proof two-pass version:
+stage). `ranked_within_key` does an explicit hot/cold split:
 
-  1. repartitionByRange(host, *order, uid) + sortWithinPartitions —
-     the range partitioner SPLITS a hot host across many partitions
-     while preserving global (host, order) sort order.
-  2. per-(partition, host) row counts — a tiny aggregate (≤ P·H rows)
-     — turned into running offsets per host.
-  3. broadcast offsets back; local row_number within (partition, host)
-     + offset = exact global rank within host.
+  1. host histogram (map-side-combined groupBy count) → the hot set
+     is the handful of hosts above `hot_threshold` rows (broadcast).
+  2. COLD hosts (~all of them): plain window rank ordered by
+     (priority desc, tiebreak) — each host group fits a partition.
+  3. HOT hosts: rows are salted into `n_salts` deterministic
+     sub-groups (pmod(xxhash64(tiebreak), n_salts) — data-derived,
+     NOT execution-derived, so the result is identical at any
+     parallelism). Rank order within a hot host is
+     (priority desc, salt asc, tiebreak asc): local rank inside each
+     (host, priority, salt) cell + an offset from the tiny
+     (host, priority, salt) count table (broadcast; ≤ hot_hosts ×
+     priorities × n_salts rows). The hot host's window work is spread
+     over n_salts × priorities tasks instead of one.
 
-This is the classic distributed-ranking (zipWithIndex) construction;
-wall-clock is bounded by partition size, not hottest-host size.
-`ranked_simple` (plain window) is kept as the semantic oracle; tests
-assert equality on skewed inputs.
+Within equal (host, priority) the hot path orders by (salt, tiebreak)
+rather than plain (tiebreak) — a documented, deterministic tiebreak
+choice (the reference's own queue order inside a priority class is
+explicitly arbitrary-but-reproducible: `shuf` with a saved ordering,
+reingest_weekly.sh:20 + RUNBOOK.md "sort is to ensure jobs are
+enqueued in the same order again").
+
+`ranked_simple` (plain window) is the semantic oracle; tests assert
+cold-path equality with it, bijectivity and priority-monotonicity of
+the hot path, and cross-parallelism determinism of both.
 """
 
 from __future__ import annotations
@@ -41,53 +53,68 @@ def ranked_simple(df: DataFrame, key: str, order_cols: list) -> DataFrame:
     return df.withColumn("rank_in_key", F.row_number().over(w) - 1)
 
 
-def ranked_within_key(df: DataFrame, key: str, order_cols: list, num_partitions: int | None = None) -> DataFrame:
-    """Exact 0-based rank of each row within its key group under
-    order_cols, skew-proof. order_cols must be a total order (include
-    a unique tiebreaker)."""
-    num_partitions = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    parted = (
-        df.repartitionByRange(int(num_partitions), F.col(key), *order_cols)
-        .sortWithinPartitions(F.col(key), *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+def ranked_within_key(
+    df: DataFrame,
+    key: str,
+    prio_col: str = "priority",
+    tiebreak: str = "url",
+    n_salts: int = 16,
+    hot_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Exact 0-based rank of each row within its key group, higher
+    `prio_col` first, deterministic and skew-proof. See module doc for
+    the hot/cold construction."""
+    prio = F.coalesce(F.col(prio_col), F.lit(0))
+
+    hist = df.groupBy(key).agg(F.count("*").alias("_n"))
+    hot_hosts = hist.filter(F.col("_n") > hot_threshold).select(key)
+
+    marked = df.join(
+        F.broadcast(hot_hosts.withColumn("_hot", F.lit(True))), on=key, how="left"
     )
-    # reuse one materialization for both passes
-    parted = parted.persist()
-    counts = parted.groupBy("_pid", key).count()
-    # offset for (pid, host) = total rows of same host in lower pids
-    w = (
+    cold = marked.filter(F.col("_hot").isNull()).drop("_hot")
+    hot = marked.filter(F.col("_hot")).drop("_hot")
+
+    cold_ranked = ranked_simple(cold, key, [prio.desc(), F.col(tiebreak).asc()])
+
+    salt = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(n_salts)).cast("int")
+    hot_s = hot.withColumn("_salt", salt)
+    cells = hot_s.groupBy(key, prio_col, "_salt").agg(F.count("*").alias("_cnt"))
+    cum_w = (
         Window.partitionBy(key)
-        .orderBy("_pid")
+        .orderBy(prio.desc(), F.col("_salt").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.withColumn("_offset", F.coalesce(F.sum("count").over(w), F.lit(0))).drop(
-        "count"
-    )
-    local_w = Window.partitionBy("_pid", key).orderBy(*order_cols)
-    out = (
-        parted.join(F.broadcast(offsets), on=["_pid", key], how="inner")
+    offsets = cells.withColumn(
+        "_offset", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
+    ).drop("_cnt")
+    local_w = Window.partitionBy(key, prio_col, "_salt").orderBy(F.col(tiebreak).asc())
+    hot_ranked = (
+        hot_s.join(F.broadcast(offsets), on=[key, prio_col, "_salt"], how="inner")
         .withColumn("rank_in_key", F.row_number().over(local_w) - 1 + F.col("_offset"))
-        .drop("_pid", "_offset")
+        .drop("_salt", "_offset")
     )
-    return out
+    return cold_ranked.unionByName(hot_ranked)
 
 
 def schedule_politeness(
     frontier: DataFrame,
     robots: DataFrame,
     host_col: str = "host",
-    order_cols: list | None = None,
+    prio_col: str = "priority",
+    tiebreak: str = "url",
     default_quota: int = 2,
     skew_safe: bool = True,
+    hot_threshold: int = 2_000_000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Assign (crawl_round, seq_in_round) per URL.
 
     robots: (host, max_parallel, disallow_prefixes, crawl_delay_s) —
     small dimension table, broadcast. URLs matching a disallow prefix
-    are excluded with status 'skip-robots' (kept, flagged, so lineage
+    are excluded with robots_excluded=true (kept, flagged, so lineage
     accounts for every input row).
     """
-    order_cols = order_cols or [F.desc("priority"), F.asc("url")]
     r = robots.select(
         F.col("host").alias(host_col),
         F.col("max_parallel"),
@@ -104,8 +131,14 @@ def schedule_politeness(
         "quota", F.coalesce(F.col("max_parallel"), F.lit(default_quota))
     )
     allowed = j.filter(~F.col("robots_excluded"))
-    ranker = ranked_within_key if skew_safe else ranked_simple
-    ranked = ranker(allowed, host_col, order_cols)
+    if skew_safe:
+        ranked = ranked_within_key(
+            allowed, host_col, prio_col, tiebreak, n_salts=n_salts, hot_threshold=hot_threshold
+        )
+    else:
+        ranked = ranked_simple(
+            allowed, host_col, [F.coalesce(F.col(prio_col), F.lit(0)).desc(), F.col(tiebreak).asc()]
+        )
     out = ranked.withColumn(
         "crawl_round", (F.col("rank_in_key") / F.col("quota")).cast("int")
     ).withColumn("seq_in_round", F.pmod(F.col("rank_in_key"), F.col("quota")).cast("int"))

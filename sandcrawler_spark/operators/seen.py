@@ -8,28 +8,29 @@ left-anti "dump ungrobided" job (scalding/.../DumpUnGrobidedJob.scala:
 against the full seen set every round, so the scale path is:
 
   1. BUILD: hash-bucket the seen keys (pmod(xxhash64(key), B)); one
-     applyInPandas per bucket builds a bloom bitmap; result is a tiny
-     table (B rows of ~m/8 bytes). For 10^10 keys @1% FPR: m ≈ 9.6e10
-     bits ≈ 12 GB total → B=4096 buckets of ~3 MB each; no single
-     bitmap ever exceeds a task's memory and the build is fully
-     parallel. The bloom table is itself snapshot-persisted and
-     incrementally mergeable (bitmaps OR together).
-  2. PROBE: candidates join the bloom table on bucket (broadcast —
-     per-bucket bitmaps are small and only the buckets candidates
-     hash into are read), a vectorized UDF tests membership.
+     mapInPandas pass per bucket-partition builds a bloom bitmap;
+     result is a tiny table (B rows of ~m/8 bytes). For 10^10 keys
+     @1% FPR: m ≈ 9.6e10 bits ≈ 12 GB total → B=4096 buckets of ~3 MB
+     each; no single bitmap ever exceeds a task's memory and the
+     build is fully parallel. The bloom table is snapshot-persisted
+     and incrementally mergeable (bitmaps OR together).
+  2. PROBE: candidates are grouped by bucket and COGROUPed with the
+     bloom table — each bucket's bitmap crosses Arrow ONCE PER
+     BUCKET-GROUP, never once per row (a broadcast equi-join would
+     duplicate the bitmap onto every candidate row). Membership test
+     is one vectorized numpy gather per batch.
   3. CORRECT: bloom "maybe-seen" rows get an exact left-anti join
      against the seen set — false positives are resolved, false
      negatives are impossible, so:  unseen(bloom+exact) == unseen(exact).
      The anti-join now touches only ~(hit-rate + FPR) of the frontier.
 
-Hash choice: md5(key) split into two 64-bit halves, positions =
-(h1 + i*h2) mod m — deterministic across Python/NumPy versions, no
-external deps, identical build/probe code path.
+Hashing is all JVM-side (two independent xxhash64 columns; positions
+= (h1 + i*h2) mod m, double-hashing) — no per-row Python anywhere;
+the Python tier only does numpy bit arithmetic on Arrow batches.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterable
 
 import numpy as np
@@ -48,16 +49,29 @@ BLOOM_SCHEMA = T.StructType(
     ]
 )
 
-
-def _positions(key: str, m_bits: int, k_hashes: int) -> np.ndarray:
-    d = hashlib.md5(key.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:], "big") | 1
-    return (h1 + np.arange(k_hashes, dtype=np.uint64) * np.uint64(h2)) % np.uint64(m_bits)
+_H2_SALT = "sc-bloom-h2"
 
 
 def bucket_col(key, n_buckets: int):
     return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+def _with_hashes(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    """Bucket + double-hash columns, all JVM-side (codegen'd)."""
+    k = F.col(key_col)
+    return (
+        df.withColumn("_bkt", bucket_col(k, n_buckets))
+        .withColumn("_h1", F.xxhash64(k))
+        .withColumn("_h2", F.xxhash64(F.lit(_H2_SALT), k))
+    )
+
+
+def _positions_np(h1: np.ndarray, h2: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) matrix of bit positions via double hashing — vectorized."""
+    h1u = h1.astype(np.uint64)
+    h2u = h2.astype(np.uint64) | np.uint64(1)
+    ks = np.arange(k_hashes, dtype=np.uint64)
+    return (h1u[:, None] + ks[None, :] * h2u[:, None]) % np.uint64(m_bits)
 
 
 def build_bloom(
@@ -70,7 +84,7 @@ def build_bloom(
 ) -> DataFrame:
     """seen keys -> one bloom bitmap row per bucket."""
     keyed = seen.select(F.col(key_col).alias("k")).where(F.col("k").isNotNull())
-    keyed = keyed.withColumn("bucket", bucket_col(F.col("k"), n_buckets))
+    keyed = _with_hashes(keyed, "k", n_buckets).select("_bkt", "_h1", "_h2")
 
     # size each bucket's bitmap for its expected load (uniform after hash
     # bucketing, so a global estimate is fine)
@@ -84,15 +98,21 @@ def build_bloom(
         acc: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}
         for pdf in pdf_iter:
-            for bkt, key in zip(pdf["bucket"].to_numpy(), pdf["k"]):
+            bkts = pdf["_bkt"].to_numpy()
+            h1 = pdf["_h1"].to_numpy()
+            h2 = pdf["_h2"].to_numpy()
+            for bkt in np.unique(bkts):
+                mask = bkts == bkt
                 bm = acc.get(bkt)
                 if bm is None:
                     bm = np.zeros(m_bits // 8, dtype=np.uint8)
-                    acc[bkt] = bm
-                    counts[bkt] = 0
-                pos = _positions(key, m_bits, k_hashes)
-                np.bitwise_or.at(bm, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
-                counts[bkt] += 1
+                    acc[int(bkt)] = bm
+                    counts[int(bkt)] = 0
+                pos = _positions_np(h1[mask], h2[mask], m_bits, k_hashes).ravel()
+                np.bitwise_or.at(
+                    bm, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+                )
+                counts[int(bkt)] += int(mask.sum())
         if acc:
             yield pd.DataFrame(
                 {
@@ -106,7 +126,7 @@ def build_bloom(
 
     # repartition by bucket so each task owns whole buckets
     return (
-        keyed.repartition(min(n_buckets, 256), "bucket")
+        keyed.repartition(min(n_buckets, 256), "_bkt")
         .mapInPandas(_build, schema=BLOOM_SCHEMA)
         .groupBy("bucket")
         .applyInPandas(_merge_bucket, schema=BLOOM_SCHEMA)
@@ -132,34 +152,99 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@F.pandas_udf(T.BooleanType())
-def _bloom_test_udf(
-    key: pd.Series, bitmap: pd.Series, m_bits: pd.Series, k_hashes: pd.Series
-) -> pd.Series:  # pragma: no cover - via Spark
-    out = []
-    for kk, bm, m, k in zip(key, bitmap, m_bits, k_hashes):
-        if bm is None:
-            out.append(False)
-            continue
-        arr = np.frombuffer(bm, dtype=np.uint8)
-        pos = _positions(kk, int(m), int(k))
-        out.append(bool(np.all(arr[(pos // 8).astype(np.int64)] & (1 << (pos % 8)).astype(np.uint8))))
-    return pd.Series(out)
+def probe_bloom(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Append `maybe_seen` to candidates.
+
+    strategy='broadcast' (default for small filters): bitmaps ride to
+    the workers once via closure broadcast and the probe is a NARROW
+    pandas UDF over JVM-computed hash columns — zero shuffle, zero
+    sort, 17 bytes/row through Arrow. The right plan whenever the
+    bloom fits in executor memory (≤ a few hundred MB).
+
+    strategy='cogroup': the 10^10-key path — bitmaps too big to
+    broadcast (12 GB at 10^10 keys / 4096 buckets); candidates
+    shuffle by bucket and meet their bucket's bitmap once per group.
+
+    'auto' picks broadcast iff the bloom's total bitmap bytes fit
+    under broadcast_max_bytes."""
+    if strategy == "auto":
+        stats = bloom.select(
+            F.count("*").alias("b"), F.first("m_bits").alias("m")
+        ).collect()[0]
+        total = (stats.b or 0) * ((stats.m or 0) // 8)
+        strategy = "broadcast" if total <= broadcast_max_bytes else "cogroup"
+    if strategy == "broadcast":
+        return _probe_bloom_broadcast(candidates, bloom, key_col, n_buckets)
+    return _probe_bloom_cogroup(candidates, bloom, key_col, n_buckets)
 
 
-def probe_bloom(candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
-    """Append `maybe_seen` to candidates. Bloom side is broadcast (B
-    rows); rows whose bucket has no bitmap are definitively unseen."""
-    c = candidates.withColumn("_bkt", bucket_col(F.col(key_col), n_buckets))
-    j = c.join(F.broadcast(bloom), c["_bkt"] == bloom["bucket"], "left")
+def _probe_bloom_broadcast(
+    candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int
+) -> DataFrame:
+    rows = bloom.collect()
+    bitmaps = {int(r.bucket): (bytes(r.bitmap), int(r.m_bits), int(r.k_hashes)) for r in rows}
+
+    @F.pandas_udf(T.BooleanType())
+    def _test(bkt: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:  # pragma: no cover
+        bkts = bkt.to_numpy()
+        h1n = h1.to_numpy()
+        h2n = h2.to_numpy()
+        out = np.zeros(len(bkts), dtype=bool)
+        for b in np.unique(bkts):
+            entry = bitmaps.get(int(b))
+            if entry is None:
+                continue
+            bm_bytes, m_bits, k_hashes = entry
+            bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+            mask = bkts == b
+            pos = _positions_np(h1n[mask], h2n[mask], m_bits, k_hashes)
+            hits = (bm[(pos // 8).astype(np.int64)] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            out[mask] = hits.all(axis=1)
+        return pd.Series(out)
+
+    c = _with_hashes(candidates, key_col, n_buckets)
+    return c.withColumn(
+        "maybe_seen", _test(F.col("_bkt"), F.col("_h1"), F.col("_h2"))
+    ).drop("_bkt", "_h1", "_h2")
+
+
+def _probe_bloom_cogroup(
+    candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int
+) -> DataFrame:
+    """Cogroup by bucket: each bucket's bitmap is deserialized once per
+    group and the membership test is a single vectorized numpy gather
+    over the whole Arrow batch. Rows whose bucket has no bitmap are
+    definitively unseen."""
+    base_cols = candidates.columns
+    c = _with_hashes(candidates, key_col, n_buckets)
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def _probe(cand: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
+        out = cand[base_cols].copy()
+        if len(bl) == 0:
+            out["maybe_seen"] = False
+            return out
+        bm = np.frombuffer(bl["bitmap"].iloc[0], dtype=np.uint8)
+        m_bits = int(bl["m_bits"].iloc[0])
+        k_hashes = int(bl["k_hashes"].iloc[0])
+        pos = _positions_np(cand["_h1"].to_numpy(), cand["_h2"].to_numpy(), m_bits, k_hashes)
+        hits = (bm[(pos // 8).astype(np.int64)] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        out["maybe_seen"] = hits.all(axis=1)
+        return out
+
     return (
-        j.withColumn(
-            "maybe_seen",
-            F.when(F.col("bitmap").isNull(), F.lit(False)).otherwise(
-                _bloom_test_udf(F.col(key_col), F.col("bitmap"), F.col("m_bits"), F.col("k_hashes"))
-            ),
-        )
-        .drop("bucket", "bitmap", "m_bits", "k_hashes", "n_keys", "_bkt")
+        c.groupBy("_bkt")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(_probe, schema=out_schema)
     )
 
 
@@ -171,12 +256,27 @@ def unseen_exact(frontier: DataFrame, seen: DataFrame, key_col: str) -> DataFram
 
 
 def unseen_bloom_exact(
-    frontier: DataFrame, seen: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int
+    frontier: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    strategy: str = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale path: bloom prefilter, then exact anti-join only on the
     maybe-seen slice. Equals unseen_exact() by construction (no false
-    negatives; false positives corrected)."""
-    probed = probe_bloom(frontier, bloom, key_col, n_buckets)
+    negatives; false positives corrected).
+
+    materialize=True checkpoints the probe result before branching: it
+    feeds two filter branches plus downstream passes, and the
+    broadcast probe is a NARROW op — without a materialization every
+    consumer re-runs the UDF over the full frontier (the cogroup
+    variant gets this from shuffle reuse). The probe is deterministic,
+    so materialize=False is merely a compute-vs-memory tradeoff."""
+    probed = probe_bloom(frontier, bloom, key_col, n_buckets, strategy=strategy)
+    if materialize:
+        probed = probed.localCheckpoint(eager=True)
     clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     rescued = unseen_exact(suspect, seen, key_col)

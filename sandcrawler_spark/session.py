@@ -33,12 +33,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory size coalesces UDF-heavy stages into a
+        # handful of fat tasks; 16m keeps post-shuffle parallelism near
+        # the core count for compute-dense (extraction) stages
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        # the idle reaper can kill pooled workers between micro-batch
+        # rounds and race with reuse ("Python worker exited
+        # unexpectedly" on the next UDF stage) — disable it
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative plans (hop loop, crawl rounds) can build deep trees;
+        # give JVM threads headroom so plan stringification never overflows
+        .config("spark.driver.extraJavaOptions", "-Xss64m")
+        .config("spark.executor.extraJavaOptions", "-Xss64m")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

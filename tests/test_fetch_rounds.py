@@ -1,0 +1,165 @@
+"""Fetch simulation (hop loop, status taxonomy) + snapshot tables
+(MERGE semantics, time travel) + crawl rounds (checkpoint/resume:
+run(2)+run(2) == run(4) — the reference's Kafka offset-store
+resumability restated).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.fetch import fetch_simulate
+from sandcrawler_spark.plans.tables import SnapshotTable
+from sandcrawler_spark.streaming.rounds import CrawlRunner
+
+
+def _requests(spark, rows):
+    return spark.createDataFrame(rows, "ingest_type string, base_url string")
+
+
+def test_fetch_status_taxonomy(spark, corpus):
+    reqs = [
+        ("pdf", "https://nowhere.example.net/missing"),  # no-capture
+        ("pdf", "https://x.com/cookieAbsent/1"),  # blocked-cookie
+        ("file", "https://nowhere.example.net/missing2"),  # 'file'->pdf, no-capture
+        ("spreadsheet", "https://x.com/x"),  # wrong-ingest-type
+        ("pdf", "https://siteloop.example.com/a"),  # redirect loop
+    ]
+    out = {r.base_url: r for r in fetch_simulate(_requests(spark, reqs), corpus["cdx"], corpus["pages"]).collect()}
+    assert out["https://nowhere.example.net/missing"].status == "no-capture"
+    assert out["https://x.com/cookieAbsent/1"].status == "blocked-cookie"
+    assert out["https://nowhere.example.net/missing2"].status == "no-capture"
+    assert out["https://nowhere.example.net/missing2"].ingest_type == "pdf"
+    assert out["https://x.com/x"].status == "wrong-ingest-type"
+    assert out["https://siteloop.example.com/a"].status == "redirect-loop"
+    for r in out.values():
+        assert r.hit is (r.status == "success")
+
+
+def test_fetch_landing_page_hop_to_pdf(spark, corpus, corpus_pd):
+    # pick a landing page from the corpus: /record/ urls carry a
+    # citation_pdf_url hop to a real pdf capture
+    landing = [u for u in corpus_pd["cdx"]["url"].unique() if "/record/" in u][:3]
+    assert landing
+    reqs = [("pdf", u) for u in landing]
+    out = fetch_simulate(_requests(spark, reqs), corpus["cdx"], corpus["pages"]).collect()
+    by_url = {r.base_url: r for r in out}
+    assert len(out) == len(landing)
+    for u in landing:
+        r = by_url[u]
+        assert r.status == "success", (u, r.status)
+        assert r.terminal_url.endswith(".pdf")
+        assert len(r.hops) == 2  # landing -> pdf
+        assert r.terminal_sha1hex is not None
+
+
+def test_fetch_one_result_per_request(spark, corpus):
+    # every request yields exactly one result row (lineage accounting)
+    reqs = corpus["ingest_request"].select("ingest_type", "base_url").limit(60)
+    n_in = reqs.count()
+    res = fetch_simulate(reqs, corpus["cdx"], corpus["pages"])
+    assert res.count() == n_in
+
+
+def test_fetch_html_ingest_direct(spark, corpus, corpus_pd):
+    arts = [u for u in corpus_pd["cdx"]["url"].unique() if "/articles/" in u][:3]
+    reqs = [("html", u) for u in arts]
+    out = fetch_simulate(_requests(spark, reqs), corpus["cdx"], corpus["pages"]).collect()
+    for r in out:
+        assert r.status == "success", (r.base_url, r.status)
+        assert len(r.hops) == 1
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tables
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_merge_update_and_nothing(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"])
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    s1 = t.merge(df1)
+    assert s1["counts"] == {"inserted": 2, "updated": 0, "total": 2}
+
+    df2 = spark.createDataFrame([("b", 20), ("c", 30)], ["k", "v"])
+    s2 = t.merge(df2)  # update mode: last write wins
+    assert s2["counts"] == {"inserted": 1, "updated": 1, "total": 3}
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+
+    df3 = spark.createDataFrame([("c", 999), ("d", 4)], ["k", "v"])
+    s3 = t.merge(df3, on_conflict="nothing")
+    assert s3["counts"]["inserted"] == 1
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {"a": 1, "b": 20, "c": 30, "d": 4}
+
+    # time travel: snapshot 1 still readable
+    old = {r.k: r.v for r in t.read_snapshot(s1["id"]).collect()}
+    assert old == {"a": 1, "b": 2}
+    # lineage chain intact
+    assert [s["parent"] for s in t.snapshots()] == [None, s1["id"], s2["id"]]
+
+
+def test_snapshot_merge_in_batch_dedupe(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t2"), ["k"])
+    batch = spark.createDataFrame([("a", 1), ("a", 2), ("a", 3)], ["k", "v"])
+    t.merge(batch, dedupe_order=[F.desc("v")])
+    got = t.read().collect()
+    assert len(got) == 1 and got[0].v == 3
+
+
+# ---------------------------------------------------------------------------
+# Crawl rounds: checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def _final_state(runner):
+    res = runner.results.read()
+    seen = runner.seen.read()
+    ext = runner.extraction.read()
+    return (
+        sorted((r.ingest_type, r.base_url, r.status) for r in res.collect()),
+        sorted(r.canon_url for r in seen.collect()),
+        sorted((r.sha1hex, r.word_count) for r in ext.collect()),
+    )
+
+
+def test_rounds_resume_equivalence(spark, corpus, tmp_path):
+    small = {
+        "ingest_request": corpus["ingest_request"].limit(40),
+        "cdx": corpus["cdx"],
+        "pages": corpus["pages"],
+        "robots": corpus["robots"],
+    }
+    r_a = CrawlRunner(spark, small, str(tmp_path / "a"))
+    r_a.run(max_rounds=4)
+
+    # killed-and-resumed run: 2 rounds, new runner object, 2 more
+    r_b1 = CrawlRunner(spark, small, str(tmp_path / "b"))
+    r_b1.run(max_rounds=2)
+    r_b2 = CrawlRunner(spark, small, str(tmp_path / "b"))  # fresh driver
+    assert len(r_b2.rounds_done()) == 2  # manifest survived
+    r_b2.run(max_rounds=2)
+
+    assert _final_state(r_a) == _final_state(r_b2)
+
+
+def test_rounds_progress_and_lineage(spark, corpus, tmp_path):
+    small = {
+        "ingest_request": corpus["ingest_request"].limit(30),
+        "cdx": corpus["cdx"],
+        "pages": corpus["pages"],
+        "robots": corpus["robots"],
+    }
+    runner = CrawlRunner(spark, small, str(tmp_path / "c"))
+    entries = runner.run(max_rounds=6)
+    # monotone progress: frontier shrinks (seen-set grows) until done
+    fronts = [e["frontier"] for e in entries if not e.get("done")]
+    assert all(f2 <= f1 for f1, f2 in zip(fronts, fronts[1:]))
+    assert entries[-1]["done"] or len(entries) == 6
+    # lineage recorded on every merge snapshot
+    for snap in runner.results.snapshots():
+        assert "round" in snap["lineage"]
+    assert os.path.exists(os.path.join(str(tmp_path / "c"), "metrics.json"))

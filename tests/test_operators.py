@@ -1,0 +1,303 @@
+"""Operator semantics: seen-set (bloom == exact), politeness
+(skew-safe rank == window oracle, deterministic across parallelism),
+frontier recrawl selection, best-capture ranking, CDX line scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.cdxfmt import parse_cdx_line_py, parse_cdx_lines
+from sandcrawler_spark.operators.bestcapture import lookup_best, lookup_closest
+from sandcrawler_spark.operators.frontier import build_frontier
+from sandcrawler_spark.operators.politeness import (
+    ranked_simple,
+    ranked_within_key,
+    schedule_politeness,
+)
+from sandcrawler_spark.operators.seen import (
+    build_bloom,
+    probe_bloom,
+    unseen_bloom_exact,
+    unseen_exact,
+)
+
+# ---------------------------------------------------------------------------
+# URL-seen set
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_equivalence(spark, corpus):
+    urls = corpus["cdx"].select(F.col("url")).distinct()
+    n = urls.count()
+    seen = urls.limit(n // 2).withColumnRenamed("url", "canon_url")
+    frontier = urls.withColumnRenamed("url", "canon_url")
+
+    bloom = build_bloom(seen, "canon_url", n_buckets=16)
+    truly_seen = {r.canon_url for r in seen.collect()}
+    exact = {r.canon_url for r in unseen_exact(frontier, seen, "canon_url").collect()}
+    for strategy in ("broadcast", "cogroup"):
+        probed = probe_bloom(frontier, bloom, "canon_url", n_buckets=16, strategy=strategy)
+        # no false negatives: every truly-seen key must probe maybe_seen
+        for r in probed.collect():
+            if r.canon_url in truly_seen:
+                assert r.maybe_seen, f"false negative ({strategy}): {r.canon_url}"
+        combo = {
+            r.canon_url
+            for r in unseen_bloom_exact(
+                frontier, seen, bloom, "canon_url", 16, strategy=strategy
+            ).collect()
+        }
+        assert combo == exact, strategy
+    assert len(exact) == n - len(truly_seen)
+
+
+def test_bloom_incremental_merge(spark):
+    a = spark.createDataFrame([(f"u{i}",) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(100)], ["k"])
+    both = a.union(b)
+    m = 2048  # fixed sizing so partial blooms are mergeable
+    bloom_a = build_bloom(a, "k", n_buckets=4, expected_keys_per_bucket=m)
+    bloom_b = build_bloom(b, "k", n_buckets=4, expected_keys_per_bucket=m)
+    bloom_ab = build_bloom(both, "k", n_buckets=4, expected_keys_per_bucket=m)
+    # merging partial blooms == building from the union
+    from sandcrawler_spark.operators.seen import BLOOM_SCHEMA, _merge_bucket
+
+    merged = (
+        bloom_a.unionByName(bloom_b)
+        .groupBy("bucket")
+        .applyInPandas(_merge_bucket, schema=BLOOM_SCHEMA)
+    )
+    got = {r.bucket: bytes(r.bitmap) for r in merged.collect()}
+    want = {r.bucket: bytes(r.bitmap) for r in bloom_ab.collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Politeness / skew-proof ranking
+# ---------------------------------------------------------------------------
+
+
+def _rank_df(spark, n_hosts=5, rows_per_host=(200, 50, 10, 3, 1)):
+    data = []
+    for h in range(n_hosts):
+        for i in range(rows_per_host[h]):
+            data.append((f"host{h}.com", f"https://host{h}.com/p{i:04d}", (i * 7) % 5))
+    return spark.createDataFrame(data, ["host", "url", "priority"])
+
+
+def test_ranked_cold_equals_window_oracle(spark):
+    df = _rank_df(spark)
+    order = [F.desc("priority"), F.asc("url")]
+    simple = {
+        (r.host, r.url): r.rank_in_key for r in ranked_simple(df, "host", order).collect()
+    }
+    # every host below the hot threshold -> identical to the plain window
+    cold = {
+        (r.host, r.url): r.rank_in_key
+        for r in ranked_within_key(df, "host", "priority", "url", hot_threshold=10**6).collect()
+    }
+    assert cold == simple
+
+
+def test_ranked_hot_path_invariants(spark):
+    from collections import defaultdict
+
+    df = _rank_df(spark)
+    # force every host through the salted hot path
+    for parts in (1, 8):
+        got = ranked_within_key(
+            df.repartition(parts), "host", "priority", "url", n_salts=4, hot_threshold=0
+        ).collect()
+        by_host = defaultdict(list)
+        for r in got:
+            by_host[r.host].append(r)
+        for host, grp in by_host.items():
+            ranks = sorted(r.rank_in_key for r in grp)
+            assert ranks == list(range(len(grp))), f"not a bijection for {host}"
+            grp.sort(key=lambda r: r.rank_in_key)
+            prios = [r.priority for r in grp]
+            assert all(a >= b for a, b in zip(prios, prios[1:])), f"priority order broken for {host}"
+        if parts == 1:
+            baseline = {(r.host, r.url): r.rank_in_key for r in got}
+        else:
+            assert {(r.host, r.url): r.rank_in_key for r in got} == baseline
+
+
+def test_schedule_politeness_invariants(spark, corpus):
+    frontier = build_frontier(corpus["ingest_request"], None)
+    sched = schedule_politeness(frontier, corpus["robots"]).persist()
+    rows = sched.filter(~F.col("robots_excluded")).collect()
+    assert rows
+    # quota respected: per (host, crawl_round) group size <= quota
+    from collections import defaultdict
+
+    per_round = defaultdict(list)
+    for r in rows:
+        per_round[(r.host, r.crawl_round)].append(r)
+    for (host, rnd), grp in per_round.items():
+        quota = grp[0].quota
+        assert len(grp) <= quota, (host, rnd, len(grp), quota)
+    # priority order within a host: a row in a later round never has
+    # strictly higher priority than any row in an earlier round
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r.host].append(r)
+    for host, grp in by_host.items():
+        grp.sort(key=lambda r: r.rank_in_key)
+        prios = [r.priority for r in grp]
+        assert prios == sorted(prios, reverse=True) or all(
+            p1 >= p2 for p1, p2 in zip(prios, prios[1:])
+        )
+    # input accounting: every allowed frontier row got a slot
+    n_allowed = sched.filter(~F.col("robots_excluded")).count()
+    n_excluded = sched.filter(F.col("robots_excluded")).count()
+    assert n_allowed + n_excluded == frontier.count()
+    sched.unpersist()
+
+
+def test_schedule_deterministic_across_parallelism(spark, corpus):
+    frontier = build_frontier(corpus["ingest_request"], None)
+    a = schedule_politeness(
+        frontier.repartition(1), corpus["robots"], skew_safe=True
+    )
+    b = schedule_politeness(
+        frontier.repartition(8), corpus["robots"], skew_safe=True
+    )
+    key = lambda r: (r.ingest_type, r.canon_url)
+    sa = {key(r): (r.crawl_round, r.seq_in_round) for r in a.collect()}
+    sb = {key(r): (r.crawl_round, r.seq_in_round) for r in b.collect()}
+    assert sa == sb
+
+
+def test_robots_disallow(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("pdf", "https://h.com/login/secret", "h.com", 1, "https://h.com/login/secret"),
+            ("pdf", "https://h.com/ok/page", "h.com", 1, "https://h.com/ok/page"),
+        ],
+        ["ingest_type", "base_url", "host", "priority", "url"],
+    )
+    robots = spark.createDataFrame(
+        [("h.com", 0.5, ["/login"], 2)],
+        ["host", "crawl_delay_s", "disallow_prefixes", "max_parallel"],
+    )
+    out = schedule_politeness(frontier, robots).collect()
+    by_url = {r.url: r for r in out}
+    assert by_url["https://h.com/login/secret"].robots_excluded
+    assert by_url["https://h.com/login/secret"].crawl_round is None
+    assert not by_url["https://h.com/ok/page"].robots_excluded
+
+
+# ---------------------------------------------------------------------------
+# Frontier / recrawl staleness
+# ---------------------------------------------------------------------------
+
+
+def test_frontier_dedupes_by_canonical_url(spark, corpus):
+    f = build_frontier(corpus["ingest_request"], None)
+    dups = (
+        f.groupBy("ingest_type", "canon_url").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+
+
+def test_frontier_recrawl_window(spark):
+    now = "timestamp'2024-02-01 00:00:00'"
+    reqs = spark.createDataFrame(
+        [
+            ("doi", "1", "pdf", "https://a.com/fresh", "bulk", None, None, 0, 0),
+            ("doi", "2", "pdf", "https://a.com/stale-retryable", "bulk", None, None, 0, 0),
+            ("doi", "3", "pdf", "https://a.com/too-old", "bulk", None, None, 0, 0),
+            ("doi", "4", "pdf", "https://a.com/success-done", "bulk", None, None, 0, 0),
+            ("doi", "5", "pdf", "https://a.com/never-tried", "bulk", None, None, 0, 0),
+        ],
+        "link_source string, link_source_id string, ingest_type string, base_url string,"
+        "ingest_request_source string, release_stage string, request string, priority int, link_depth int",
+    )
+    t = dt.datetime(2024, 2, 1)
+    results = spark.createDataFrame(
+        [
+            ("pdf", "https://a.com/fresh", "no-capture", t - dt.timedelta(hours=1)),
+            ("pdf", "https://a.com/stale-retryable", "no-capture", t - dt.timedelta(days=2)),
+            ("pdf", "https://a.com/too-old", "no-capture", t - dt.timedelta(days=30)),
+            ("pdf", "https://a.com/success-done", "success", t - dt.timedelta(days=2)),
+        ],
+        "ingest_type string, base_url string, status string, updated timestamp",
+    )
+    out = {r.base_url for r in build_frontier(reqs, results, now_expr=now).collect()}
+    # fresh failure -> wait; stale retryable -> retry; too old -> give up;
+    # success -> done; never tried -> crawl
+    assert out == {"https://a.com/stale-retryable", "https://a.com/never-tried"}
+
+
+def test_frontier_cap_deterministic(spark, corpus):
+    f1 = build_frontier(corpus["ingest_request"], None, cap=20)
+    f2 = build_frontier(corpus["ingest_request"], None, cap=20)
+    s1 = sorted(r.canon_url for r in f1.collect())
+    s2 = sorted(r.canon_url for r in f2.collect())
+    assert s1 == s2 and len(s1) == 20
+
+
+# ---------------------------------------------------------------------------
+# Best capture / as-of lookup
+# ---------------------------------------------------------------------------
+
+
+def test_lookup_best_prefers_200_right_mime_recent(spark):
+    rows = [
+        # url, datetime, mimetype, status, sha1hex, csize, warc_path
+        ("u", "20240101000000", "text/html", 200, "aa", 10, "X/1.warc.gz"),
+        ("u", "20240301000000", "application/pdf", 200, "bb", 10, "X/2.warc.gz"),
+        ("u", "20240201000000", "application/pdf", 200, "cc", 10, "X/3.warc.gz"),
+        ("u", "20240401000000", "application/pdf", 503, "dd", 10, "X/4.warc.gz"),
+        ("u", "20240501000000", "warc/revisit", 200, "bb", 0, "X/5.warc.gz"),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "url string, datetime string, mimetype string, status_code int, sha1hex string,"
+        "warc_csize long, warc_path string",
+    )
+    best = lookup_best(cdx, best_mimetype="application/pdf").collect()
+    assert len(best) == 1
+    # 200 + pdf + not-revisit + most recent datetime among those -> bb@2024-03
+    assert best[0].sha1hex == "bb" and best[0].datetime == "20240301000000"
+
+
+def test_lookup_closest_asof(spark):
+    cdx = spark.createDataFrame(
+        [
+            ("u", "20240101000000"),
+            ("u", "20240110000000"),
+            ("u", "20240120000000"),
+        ],
+        "url string, datetime string",
+    )
+    targets = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 9, 0, 0, 0))], "url string, target_dt timestamp"
+    )
+    got = lookup_closest(cdx, targets).collect()
+    assert len(got) == 1 and got[0].datetime == "20240110000000"
+
+
+# ---------------------------------------------------------------------------
+# CDX line scan
+# ---------------------------------------------------------------------------
+
+
+def test_parse_cdx_lines_matches_py(spark):
+    good = (
+        "com,example)/a 20200101000000 http://example.com/a application/pdf 200 "
+        "TZCYZ2ULEHYGESS4L3RNH75I23KKFSMC - - 1234 5678 CRAWL/x.warc.gz"
+    )
+    bad1 = "filedesc://x.warc 20200101000000 filedesc://x.warc warc/filedesc - - - - 0 0 x"
+    bad2 = "com,example)/b 20200101000000 http://example.com/b text/html 200 SHORT - - 1 2 y.warc.gz"
+    df = spark.createDataFrame([(good,), (bad1,), (bad2,)], ["value"])
+    out = parse_cdx_lines(df).collect()
+    assert len(out) == 1
+    want = parse_cdx_line_py(good)
+    got = out[0].asDict()
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)

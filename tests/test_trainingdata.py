@@ -1,0 +1,220 @@
+"""Training-data pipeline ops: dedupe family (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), embedding similarity search, text analysis,
+multimodal plumbing — over the driver testdata documents/embeddings
+tables when present, else synthetic frames.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.multimodal import extract_media_meta
+from sandcrawler_spark.operators.dedupe import (
+    exact_dedupe,
+    lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sandcrawler_spark.operators.score import self_group_works, slug_join_score
+from sandcrawler_spark.operators.similarity import ann_lsh, brute_topk, knn_join
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    p = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(p):
+        return spark.read.parquet(p)
+    rows = [(i, f"doc text number {i} common words here", "en", "synth", 30) for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    p = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(p):
+        return spark.read.parquet(p)
+    import math
+
+    rows = [(i, [math.sin(i * j + 1) for j in range(8)], f"l{i % 3}") for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+
+
+def test_exact_dedupe_groups_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The same   text here."),
+            (2, "the same text HERE"),  # same after normalization
+            (3, "different text entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_dups for r in exact_dedupe(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_finds_near_dups_and_subset_of_verify(spark, documents):
+    docs = documents.limit(80).select("doc_id", "text")
+    # plant a near-duplicate pair
+    base = docs.orderBy("doc_id").first()
+    dup = spark.createDataFrame(
+        [(999_999, base.text + " tiny suffix change")], ["doc_id", "text"]
+    )
+    all_docs = docs.union(dup)
+    cands = lsh_candidates(all_docs, k=16, bands=8)  # 8 bands of 2 -> high recall
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (base.doc_id, 999_999) in pairs
+    # verify stage: jaccard on candidates only, threshold filters
+    verified = ngram_jaccard_pairs(all_docs, threshold=0.5, candidates=cands)
+    vp = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert (base.doc_id, 999_999) in vp
+    assert all(0.5 <= j <= 1.0 for j in vp.values())
+    # block-then-verify is a subset of exhaustive verify
+    exhaustive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(all_docs, threshold=0.5).collect()
+    }
+    assert set(vp).issubset(set(exhaustive))
+    for k, v in vp.items():
+        assert exhaustive[k] == v
+
+
+def test_simhash_near_dup(spark):
+    words = (
+        "analysis corpus crawl data engine extraction frontier graph host index "
+        "journal knowledge lattice metadata network ontology paper query research "
+        "scholar text url vector web zettel archive batch capture dedupe entropy"
+    ).split()
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["zzz"])  # hamming(base, near) == 1
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, near),
+            (3, "completely unrelated words about something else entirely now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_brute_topk_and_knn(spark, embeddings):
+    first = embeddings.orderBy("vec_id").first()
+    q = [float(x) for x in first.embedding]
+    top = brute_topk(embeddings, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0].vec_id == first.vec_id  # self is its own nearest
+    assert abs(top[0].cosine - 1.0) < 1e-4
+    sims = [r.cosine for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+    queries = spark.createDataFrame(
+        [(int(first.vec_id), q)], "q_id long, q_vec array<double>"
+    )
+    knn = knn_join(queries, embeddings, k=5).collect()
+    assert {r.vec_id for r in knn} == {r.vec_id for r in top}
+
+
+def test_ann_lsh_recall_vs_brute(spark, embeddings):
+    emb = embeddings.limit(300).persist()
+    sample = emb.orderBy("vec_id").limit(5).collect()
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in sample],
+        "q_id long, q_vec array<double>",
+    )
+    dim = len(sample[0].embedding)
+    exact = knn_join(queries, emb, k=3)
+    approx = ann_lsh(queries, emb, dim=dim, k=3, n_planes=4)
+    ex = {(r.q_id, r.vec_id) for r in exact.collect()}
+    ap = {(r.q_id, r.vec_id) for r in approx.collect()}
+    # every query at least finds itself; recall over 5 queries >= 40%
+    for r in sample:
+        assert (r.vec_id, r.vec_id) in ap
+    assert len(ex & ap) / len(ex) >= 0.4
+    emb.unpersist()
+
+
+def test_slug_join_and_self_group(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "Deep Learning for Web Crawling"),
+            (2, "An Unrelated Treatise on Geology"),
+        ],
+        ["id", "title"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "Deep learning for WEB crawling!"),  # same slug
+            (11, "Another Thing Entirely Different"),
+        ],
+        ["id", "title"],
+    )
+    out = slug_join_score(left, right).collect()
+    assert len(out) == 1
+    assert (out[0].left_id, out[0].right_id) == (1, 10)
+    assert out[0].score >= 800  # case edits count, like the reference
+
+    both = spark.createDataFrame(
+        [
+            (1, "Deep Learning for Web Crawling"),
+            (2, "Deep learning for WEB crawling!"),
+            (3, "An Unrelated Treatise on Geology"),
+        ],
+        ["id", "title"],
+    )
+    grp = self_group_works(both, min_score=800).collect()
+    assert len(grp) == 1 and (grp[0].id_a, grp[0].id_b) == (1, 2)
+
+
+def test_textstats_on_documents(spark, documents):
+    from sandcrawler_spark.functions.textstats import (
+        lang_id_en_score_col,
+        quality_score_col,
+        word_count_col,
+    )
+
+    rows = (
+        documents.limit(100)
+        .select(
+            "text",
+            word_count_col(F.col("text")).alias("wc"),
+            quality_score_col(F.col("text")).alias("q"),
+            lang_id_en_score_col(F.col("text")).alias("en"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.wc == len(r.text.split())
+        assert 0.0 <= r.q <= 1.0
+        assert 0.0 <= r.en <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG\r\n" + bytes(range(64)), "image"),
+        (2, None, "image"),
+        (3, b"", "audio"),
+        (4, b"RIFFxxxxWAVE" + b"\x00" * 32, "audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, media_type string")
+    out = extract_media_meta(df, "content", "media_type").collect()
+    assert len(out) == len(rows)  # exactly one row per input
+    by_status = sorted(r.status for r in out)
+    assert by_status.count("null-body") == 2
+    ok = [r for r in out if r.status == "success-stub"]
+    for r in ok:
+        assert r.sha1hex and len(r.feature) == 8 and r.width >= 64
+    # deterministic across runs
+    out2 = extract_media_meta(df, "content", "media_type").collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+    from sandcrawler_spark.multimodal import decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"x")
