@@ -495,6 +495,80 @@ def q_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sha1_digest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1: the join-cdx-sha1.pig shape — capture index × DISTINCT digest
+    # list, inner join on the content hash
+    caps = _captures(spark, sf_dir)
+    digests = (
+        caps.filter(F.col("event_id") % 5 == 0).select("sha1hex").distinct()
+    )
+    return caps.join(digests, on="sha1hex", how="inner").select(
+        "sha1hex", "url", "datetime"
+    )
+
+
+def q_surt_seed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2: CDX × seed-URL join on the SURT key (seeds arrive in messy
+    # form; SURT canonicalization makes the equi-join land)
+    from sandcrawler_spark.functions.urls import surt_udf
+
+    urls = _urls(spark, sf_dir)
+    pk = F.col("o_orderkey")
+    sid = F.col("site_id").cast("string")
+    # seeds: uppercased/www'd variants of every 7th url
+    seeds = urls.filter(pk % 7 == 0).select(
+        F.concat(
+            F.lit("HTTP://WWW.site"), sid, F.lit(".Example.com/order/"), pk.cast("string")
+        ).alias("seed_url")
+    )
+    cdx_side = urls.select("url", surt_udf(F.col("url")).alias("surt"))
+    seed_side = seeds.select("seed_url", surt_udf(F.col("seed_url")).alias("surt")).distinct()
+    return cdx_side.join(seed_side, on="surt", how="inner").select("surt", "url", "seed_url")
+
+
+def q_union_lanes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1/U2: union of two result lanes + grouped count
+    o = _t(spark, sf_dir, "orders")
+    lane_a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", F.lit("bulk").alias("lane")
+    )
+    lane_b = o.filter(F.col("o_totalprice") > 150000.0).select(
+        "o_orderstatus", F.lit("priority").alias("lane")
+    )
+    return lane_a.unionByName(lane_b).groupBy("o_orderstatus", "lane").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_grobid_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C12/C19: mocked GROBID + TEI distill over corpus PDF bodies
+    # (rows-only: service stub + XML parse are engine-side)
+    from sandcrawler_spark.functions.hooks import with_grobid, with_pdftrio
+
+    c = _corpus(spark)
+    pdfs = c["pages"].filter(F.col("url").endswith(".pdf")).select("url", "html")
+    out = with_pdftrio(with_grobid(pdfs))
+    return out.select(
+        "url",
+        F.col("grobid.status").alias("grobid_status"),
+        F.col("grobid.doi").alias("doi"),
+        F.col("grobid.title").alias("title"),
+        F.round(F.col("pdftrio.ensemble_score"), 6).alias("ensemble_score"),
+    ).orderBy("url")
+
+
+def q_revisit_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J9 (rows-only): revisit captures resolved to original WARC records
+    from sandcrawler_spark.operators.sinks import resolve_revisits
+
+    c = _corpus(spark)
+    out = resolve_revisits(c["cdx"])
+    return out.groupBy((F.col("mimetype") == "warc/revisit").alias("is_revisit")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("orig_warc_path").isNotNull().cast("int")).alias("n_resolved"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal plumbing over binary columns (rows-only: stub decode)
     from sandcrawler_spark.multimodal import extract_media_meta
@@ -546,6 +620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_statuses": q_fetch_statuses,
         "extraction_roundtrip": q_extraction_roundtrip,
         "multimodal_meta": q_multimodal_meta,
+        "sha1_digest_join": q_sha1_digest_join,
+        "surt_seed_join": q_surt_seed_join,
+        "union_lanes": q_union_lanes,
+        "grobid_hook": q_grobid_hook,
+        "revisit_resolution": q_revisit_resolution,
     }
 
 
@@ -788,6 +867,26 @@ SELECT k.base_url,
        'com,example,site' || CAST(u.site_id AS VARCHAR) || ')/order/' || CAST(u.o_orderkey AS VARCHAR) AS surt,
        u.host
 FROM kept k JOIN urls u ON k.base_url = u.url
+""",
+        "sha1_digest_join": f"""
+WITH {_CAPTURES_CTE.strip()},
+digests AS (SELECT DISTINCT sha1hex FROM captures WHERE event_id % 5 = 0)
+SELECT c.sha1hex, c.url, c.datetime
+FROM captures c JOIN digests d ON c.sha1hex = d.sha1hex
+""",
+        "surt_seed_join": f"""
+WITH {_URLS_CTE.strip()}
+SELECT 'com,example,site' || CAST(site_id AS VARCHAR) || ')/order/' || CAST(o_orderkey AS VARCHAR) AS surt,
+       url,
+       'HTTP://WWW.site' || CAST(site_id AS VARCHAR) || '.Example.com/order/' || CAST(o_orderkey AS VARCHAR) AS seed_url
+FROM urls WHERE o_orderkey % 7 = 0
+""",
+        "union_lanes": """
+SELECT o_orderstatus, lane, COUNT(*) AS n FROM (
+  SELECT o_orderstatus, 'bulk' AS lane FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderstatus, 'priority' AS lane FROM orders WHERE o_totalprice > 150000.0
+) GROUP BY o_orderstatus, lane
 """,
     }
 

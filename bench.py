@@ -138,8 +138,10 @@ def frontier_round(spark, frontier, seen, bloom, robots, pages, n_pages) -> int:
     from sandcrawler_spark.operators.politeness import schedule_politeness
     from sandcrawler_spark.operators.seen import unseen_bloom_exact
 
+    # materialize the probe once: the politeness DAG reads it ~4x
+    # (host histogram, hot/cold branches, both rank paths)
     unseen = unseen_bloom_exact(
-        frontier, seen, bloom, "canon_url", 64, strategy="broadcast", materialize=False
+        frontier, seen, bloom, "canon_url", 64, strategy="broadcast", materialize=True
     )
     # low hot-threshold: every host goes through the salted skew-split
     # path (hosts × priorities × salts cells ≫ cores → even balance)
@@ -149,15 +151,17 @@ def frontier_round(spark, frontier, seen, bloom, robots, pages, n_pages) -> int:
         hot_threshold=10_000,
         n_salts=16,
     )
-    # explicit repartition before the UDF stage: AQE sizes post-shuffle
-    # partitions by shuffle BYTES, which under-parallelizes
-    # compute-dense extraction (it would coalesce to a handful of fat
-    # tasks); pin partitions to a multiple of the core count instead
+    # fetch join: BROADCAST the page store — the scheduled rows stream
+    # through narrowly and the multi-GB html column never shuffles.
+    # The explicit small-row repartition pins UDF parallelism (AQE
+    # sizes post-shuffle partitions by bytes and would coalesce the
+    # compute-dense extraction stage to a handful of fat tasks).
     par = spark.sparkContext.defaultParallelism * 4
     fetched = (
-        sched.withColumn("page_id", F.pmod(F.xxhash64("canon_url"), F.lit(n_pages)))
-        .repartition(par, "page_id")
-        .join(pages, on="page_id", how="inner")
+        sched.select("canon_url")
+        .repartition(par)
+        .withColumn("page_id", F.pmod(F.xxhash64("canon_url"), F.lit(n_pages)))
+        .join(F.broadcast(pages), on="page_id", how="inner")
     )
     extracted = fetched.select(
         "canon_url",

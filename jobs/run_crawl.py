@@ -1,0 +1,75 @@
+"""spark-submit entry point: run N crawl rounds against on-disk state.
+
+Cluster launch (the north-rule shape — multi-executor, --py-files):
+
+    cd /root/repo && zip -r /tmp/sandcrawler_spark.zip sandcrawler_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/sandcrawler_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        jobs/run_crawl.py --corpus-dir <dir> --state-dir <dir> --rounds 5
+
+Local smoke:
+
+    python jobs/run_crawl.py --corpus-dir <dir-with-parquet> \
+        --state-dir /tmp/crawl_state --rounds 2
+
+The corpus dir must hold pages/cdx/ingest_request/robots parquet
+(generate one with sandcrawler_spark.sources.synth.write_corpus_parquet).
+State dir accumulates snapshot tables + the rounds manifest; re-running
+resumes from the last committed round (kill-safe).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus-dir", required=True)
+    ap.add_argument("--state-dir", required=True)
+    ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--now", default="timestamp'2024-02-01 00:00:00'")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from sandcrawler_spark.streaming.rounds import CrawlRunner
+
+    if args.master:
+        from sandcrawler_spark.session import get_spark
+
+        spark = get_spark("sandcrawler_crawl", master=args.master)
+    else:
+        # under spark-submit the session config comes from --conf flags
+        spark = SparkSession.builder.appName("sandcrawler_crawl").getOrCreate()
+
+    corpus = {
+        name: spark.read.parquet(os.path.join(args.corpus_dir, f"{name}.parquet"))
+        for name in ("pages", "cdx", "ingest_request", "robots")
+    }
+    runner = CrawlRunner(spark, corpus, args.state_dir, now_expr=args.now)
+    done_before = len(runner.rounds_done())
+    entries = runner.run(max_rounds=args.rounds)
+    print(
+        json.dumps(
+            {
+                "resumed_at_round": done_before,
+                "rounds_run": len(entries),
+                "entries": entries,
+                "metrics": runner.metrics.as_dict(),
+            },
+            default=str,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
