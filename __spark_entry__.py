@@ -148,7 +148,10 @@ _CORPUS_CACHE: dict = {}
 
 
 def _corpus(spark: SparkSession):
-    key = id(spark)
+    # key by applicationId, not id(spark): a stopped session's address
+    # can be reused by a new SparkSession, which would then receive
+    # DataFrames bound to the dead JVM session
+    key = spark.sparkContext.applicationId
     if key not in _CORPUS_CACHE:
         from sandcrawler_spark.sources.synth import gen_corpus
 

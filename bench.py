@@ -174,7 +174,7 @@ def frontier_round(spark, frontier, seen, bloom, robots, pages, n_pages) -> int:
     return int(agg.n)
 
 
-def hardware_baseline(procs_list=(8, 32), n_iter: int = 20000) -> dict:
+def hardware_baseline(procs_list=(8, 32), n_iter: int = 20000, sf_dir: str = SF_DIR) -> dict:
     """Raw-multiprocessing extraction throughput — the BOX's own
     scaling ceiling, no Spark. On SMT-limited VMs N->4N logical cores
     yield well under 4x for ANY Python-heavy work; engine efficiency
@@ -189,7 +189,7 @@ def hardware_baseline(procs_list=(8, 32), n_iter: int = 20000) -> dict:
     texts = [
         r[0]
         for r in duckdb.connect()
-        .execute(f"select text from '{SF_DIR}/documents.parquet' limit 200")
+        .execute(f"select text from '{sf_dir}/documents.parquet' limit 200")
         .fetchall()
     ]
     htmls = [
@@ -316,7 +316,7 @@ def main() -> None:
         n_lo, n_hi = (int(x) for x in pair.split(","))
         lo = run_frontier_subprocess(n_lo, args.sf_dir)
         hi = run_frontier_subprocess(n_hi, args.sf_dir)
-        hw = hardware_baseline((n_lo, n_hi))
+        hw = hardware_baseline((n_lo, n_hi), sf_dir=args.sf_dir)
         speedup = hi["rows_per_sec"] / lo["rows_per_sec"]
         eff = speedup / (n_hi / n_lo)
         result["frontier_urls_per_sec"] = hi["rows_per_sec"]

@@ -140,6 +140,97 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: candidates -> verify -> connected components ->
+# representative selection (the reference-free end-to-end piece a
+# training-data pipeline needs on top of pairwise similarity)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, label) with label = min id of the node's connected component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — one equi-join + one
+    map-side-combined min-agg per round, converging in O(component
+    diameter) rounds. Near-dup clusters are shallow (dups of dups of one
+    original), so diameter is small in practice; for adversarially long
+    chains at web scale the large-star/small-star variant (halving path
+    lengths per round, O(log d)) drops in here without changing callers.
+    State is localCheckpoint'ed per round so the plan stays flat
+    (bounded unroll, same driver-loop shape as the fetch hop loop)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("_nb")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nb").alias("_nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min.withColumnRenamed("src", "id"), on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nb_min"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_dedupe(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH dedup: banded candidates -> exact jaccard
+    verify -> connected components over verified pairs -> keep the min-id
+    representative per duplicate cluster. One row per input doc:
+    (id_col, rep_id, is_rep). Never materializes an all-pairs join — the
+    only wide ops are the banded equi-join and the per-round CC joins."""
+    cands = lsh_candidates(df, id_col, text_col, n_shingle, k, bands)
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n_shingle, threshold, candidates=cands)
+    labels = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(labels, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", F.col("id")).alias("rep_id"),
+        )
+        .withColumn("is_rep", F.col(id_col) == F.col("rep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (vectorized UDF — bit-twiddling is not Catalyst-friendly)
 # ---------------------------------------------------------------------------
 
@@ -168,6 +259,11 @@ def simhash_pairs(
     pair within the hamming budget shares at least one exact chunk, so
     the join is equi on (chunk_idx, chunk_value), never O(n²). More
     chunks = higher recall budget but a bigger blocked self-join."""
+    if max_hamming > 15:
+        # 16 chunks is the most a 64-bit signature supports with >=4-bit
+        # chunks; beyond hamming 15 the pigeonhole guarantee (some chunk
+        # is untouched) would silently break -> refuse instead
+        raise ValueError(f"max_hamming={max_hamming} > 15 breaks the pigeonhole blocking guarantee")
     n_chunks = min(max_hamming + 1, 16)
     width = 64 // n_chunks
     offsets = [c * width for c in range(n_chunks)]

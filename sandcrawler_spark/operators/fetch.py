@@ -82,11 +82,16 @@ def fetch_simulate(
             "redirect_url",
         )
     )
+    # persist: the hop loop joins against cdx2 up to max_hops+1 times —
+    # without this every hop re-runs the full capture scan AND the
+    # clean_url pandas UDF over every capture row (at web scale that is
+    # max_hops redundant Python passes over the whole CDX index)
+    cdx2 = cdx2.persist()
     bodies = pages.select(
         F.col("url").alias("cap_url"),
         F.date_format("warc_ts", "yyyyMMddHHmmss").alias("datetime"),
         "html",
-    )
+    ).persist()
 
     # normalize ingest_type (legacy 'file' -> 'pdf'; persist.py:79-80)
     ing = F.when(F.col("ingest_type") == "file", "pdf").otherwise(F.col("ingest_type"))
@@ -278,4 +283,7 @@ def fetch_simulate(
     for part in done_parts[1:]:
         result = result.unionByName(part.select(*cols))
     result = result.withColumn("hit", F.col("status") == "success").select(*RESULT_COLS)
-    return result.localCheckpoint(eager=True)
+    result = result.localCheckpoint(eager=True)
+    cdx2.unpersist()
+    bodies.unpersist()
+    return result

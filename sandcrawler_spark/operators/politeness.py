@@ -77,22 +77,27 @@ def ranked_within_key(
 
     cold_ranked = ranked_simple(cold, key, [prio.desc(), F.col(tiebreak).asc()])
 
+    # materialize the coalesced priority ONCE and use it in the groupBy,
+    # both windows, and the join keys: a raw NULL priority would (a) never
+    # match its (key, prio, salt) cell in the equi-join (null keys don't
+    # match -> rows silently dropped) and (b) tie nondeterministically
+    # with a 0-priority cell in the cumulative-offset window
     salt = F.pmod(F.xxhash64(F.col(tiebreak)), F.lit(n_salts)).cast("int")
-    hot_s = hot.withColumn("_salt", salt)
-    cells = hot_s.groupBy(key, prio_col, "_salt").agg(F.count("*").alias("_cnt"))
+    hot_s = hot.withColumn("_salt", salt).withColumn("_prio", prio)
+    cells = hot_s.groupBy(key, "_prio", "_salt").agg(F.count("*").alias("_cnt"))
     cum_w = (
         Window.partitionBy(key)
-        .orderBy(prio.desc(), F.col("_salt").asc())
+        .orderBy(F.col("_prio").desc(), F.col("_salt").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = cells.withColumn(
         "_offset", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
     ).drop("_cnt")
-    local_w = Window.partitionBy(key, prio_col, "_salt").orderBy(F.col(tiebreak).asc())
+    local_w = Window.partitionBy(key, "_prio", "_salt").orderBy(F.col(tiebreak).asc())
     hot_ranked = (
-        hot_s.join(F.broadcast(offsets), on=[key, prio_col, "_salt"], how="inner")
+        hot_s.join(F.broadcast(offsets), on=[key, "_prio", "_salt"], how="inner")
         .withColumn("rank_in_key", F.row_number().over(local_w) - 1 + F.col("_offset"))
-        .drop("_salt", "_offset")
+        .drop("_salt", "_offset", "_prio")
     )
     return cold_ranked.unionByName(hot_ranked)
 

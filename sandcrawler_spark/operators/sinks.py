@@ -61,8 +61,12 @@ def resolve_revisits(cdx: DataFrame) -> DataFrame:
     WARC location via a self-join on sha1hex, picking the earliest
     non-revisit capture of the same content (the record the revisit
     points back to). Non-revisit rows pass through unchanged."""
+    # null-safe revisit test: with a raw `mimetype != 'warc/revisit'`
+    # predicate a NULL mimetype row would fail BOTH branches (NULL is
+    # not true) and vanish from the output entirely
+    is_revisit = F.coalesce(F.col("mimetype") == "warc/revisit", F.lit(False))
     originals = (
-        cdx.filter(F.col("mimetype") != "warc/revisit")
+        cdx.filter(~is_revisit)
         .select(
             F.col("sha1hex"),
             F.col("datetime").alias("orig_datetime"),
@@ -75,10 +79,10 @@ def resolve_revisits(cdx: DataFrame) -> DataFrame:
     best_orig = (
         originals.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    revisits = cdx.filter(F.col("mimetype") == "warc/revisit")
+    revisits = cdx.filter(is_revisit)
     resolved = revisits.join(best_orig, on="sha1hex", how="left")
     passthrough = (
-        cdx.filter(F.col("mimetype") != "warc/revisit")
+        cdx.filter(~is_revisit)
         .withColumn("orig_datetime", F.col("datetime"))
         .withColumn("orig_warc_path", F.col("warc_path"))
         .withColumn("orig_warc_offset", F.col("warc_offset"))
