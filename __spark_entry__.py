@@ -7,10 +7,20 @@ Crawl-domain inputs (URL frontier, capture index, robots budgets) are
 derived deterministically from the TPC-H-ish driver tables with
 SQL-expressible transforms so both engines see identical inputs.
 
-Queries with no oracle entry (hop-loop fetch, extraction round-trip,
-SimHash, ANN-LSH, multimodal) are non-SQL-expressible or rely on
-binary columns DuckDB views don't carry; pytest covers their
-semantics and the driver records a rows-only check.
+Every query has an oracle entry. Three oracle styles:
+  - true SQL twins (most queries): DuckDB recomputes the semantics
+    independently over the same parquet inputs;
+  - derived twins for the UDF families (simhash, ann_lsh): the md5
+    math behind the signatures is replayed in SQL bit arithmetic /
+    hex decoding, validated byte-exact against the Python tier;
+  - GOLDEN oracles for the four synthetic-corpus queries
+    (fetch_statuses, extraction_roundtrip, grobid_hook,
+    revisit_resolution): the corpus is seeded (seed=42) and
+    sf-independent, so the expected output is frozen as a VALUES
+    table. These pin the engine's behavior (any drift fails the
+    hash); they are regression goldens, not independent recomputation
+    — the hop-loop / service-stub semantics themselves are covered by
+    pytest.
 """
 
 from __future__ import annotations
@@ -138,6 +148,37 @@ shingled AS (
         FROM aug_docs)
 )
 """
+
+# shared MinHash-LSH candidate pipeline (k=8, bands=4, 3-gram shingles)
+# used by the minhash_lsh / jaccard_pairs / neardup_dedupe oracles
+_LSH_CTES = (
+    _AUG_DOCS_CTE.strip()
+    + ",\n"
+    + _SHINGLES_CTE.strip()
+    + """,
+sigs AS (
+  SELECT doc_id,
+         [list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s))) FOR i IN range(0, 8)] AS sig
+  FROM shingled WHERE len(sh) > 0
+),
+banded AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bkey
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM cands c
+  JOIN shingled a ON a.doc_id = c.id_a
+  JOIN shingled b ON b.doc_id = c.id_b
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -361,10 +402,23 @@ def q_fingerprint_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sandcrawler_spark.operators.dedupe import ngram_jaccard_pairs
+    # the SCALE path: LSH block -> exact jaccard verify only on
+    # candidates (the crossJoin fallback exists for tiny inputs but is
+    # deliberately not what the driver exercises)
+    from sandcrawler_spark.operators.dedupe import lsh_candidates, ngram_jaccard_pairs
 
     docs = _aug_docs(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5)
+    cands = lsh_candidates(docs, n_shingle=3, k=8, bands=4)
+    return ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5, candidates=cands)
+
+
+def q_neardup_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end near-dup dedup: LSH candidates -> jaccard verify ->
+    # connected components -> min-id representative per cluster
+    from sandcrawler_spark.operators.dedupe import neardup_dedupe
+
+    docs = _aug_docs(spark, sf_dir)
+    return neardup_dedupe(docs, n_shingle=3, k=8, bands=4, threshold=0.5)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +429,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: 64-bit vote accumulation is not sanely SQL-expressible
+    # oracle replays the md5 bit-vote in DuckDB (get_bit over unhex'd
+    # md5 + HUGEINT shifts), validated byte-exact vs the pandas UDF
     from sandcrawler_spark.operators.dedupe import simhash_pairs
 
     docs = _aug_docs(spark, sf_dir)
@@ -402,7 +457,8 @@ def q_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hyperplane signatures are library-internal
+    # oracle rebuilds the seeded md5 hyperplanes in SQL (hex->uint32)
+    # and replays the sign-bit bucketing + in-bucket cosine rank
     from sandcrawler_spark.operators.similarity import ann_lsh
 
     e = _t(spark, sf_dir, "embeddings")
@@ -613,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred_counts": q_lang_pred_counts,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
+        "neardup_dedupe": q_neardup_dedupe,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_knn": q_cosine_knn,
@@ -637,9 +694,12 @@ WITH {_URLS_CTE.strip()}
 SELECT url FROM urls WHERE o_orderkey % 3 <> 0
 """
     return {
+        # every aggregate is CAST to a fixed width: DuckDB SUM returns
+        # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
+        # value stringifier renders them differently
         "lineitem_rollup": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_rows,
        COUNT(DISTINCT l_partkey) AS n_parts
 FROM lineitem
@@ -651,7 +711,7 @@ SELECT event_type AS status, COUNT(*) AS n FROM events GROUP BY event_type
 """,
         "hit_rate_stats": """
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_hit,
+       CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        COUNT(*) AS n_total,
        COUNT(DISTINCT o_custkey) AS n_cust
 FROM orders GROUP BY o_orderstatus
@@ -777,29 +837,58 @@ SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM fp GROUP BY fingerprint
 """,
         "jaccard_pairs": f"""
-WITH {_AUG_DOCS_CTE.strip()},
-{_SHINGLES_CTE.strip()}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM shingled a, shingled b
-WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
-  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+WITH {_LSH_CTES}
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+        "neardup_dedupe": f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs
+),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS rep_id,
+       d.doc_id = least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS is_rep
+FROM aug_docs d LEFT JOIN reach r ON r.s = d.doc_id
+GROUP BY d.doc_id
 """,
         "minhash_lsh": f"""
+WITH {_LSH_CTES}
+SELECT id_a, id_b FROM cands
+""",
+        # derived twin: the md5 bit-vote behind simhash64_udf replayed in
+        # SQL (get_bit over unhex'd md5 digests + HUGEINT shifts); the
+        # pigeonhole blocking makes the blocked join == brute force, so
+        # the oracle verifies against the brute-force pair set
+        "simhash_pairs": f"""
 WITH {_AUG_DOCS_CTE.strip()},
-{_SHINGLES_CTE.strip()},
-sigs AS (
-  SELECT doc_id,
-         [list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s))) FOR i IN range(0, 8)] AS sig
-  FROM shingled WHERE len(sh) > 0
+toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM aug_docs
 ),
-banded AS (
-  SELECT doc_id, b AS band, md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS bkey
-  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN get_bit(unhex(md5(tok))::BIT, CAST(i AS INT)) = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(range(0, 64)) AS i) GROUP BY doc_id, i
+),
+sigs0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 AND i = 0 THEN -(1::HUGEINT << 63)
+                       WHEN v > 0 THEN (1::HUGEINT << (63 - CAST(i AS INT)))
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+sigs AS (SELECT d.doc_id, COALESCE(s.sig, 0) AS sig FROM aug_docs d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 7
 """,
         "cosine_knn": """
 WITH e AS (
@@ -817,6 +906,39 @@ SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM sims
 ) WHERE rank <= 5
+""",
+        # derived twin: rebuild the seeded md5 hyperplanes (hex->uint32 ->
+        # [-1,1)) and replay sign-bit bucketing + in-bucket cosine top-3;
+        # FP ops replay in the same order, so doubles match exactly
+        "ann_lsh": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), dims AS (
+  SELECT max(len(v)) AS dim FROM e
+), planes AS (
+  SELECT p, list_transform(range(0, dims.dim), c ->
+    CAST(CAST('0x' || substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(c // 4 AS VARCHAR)), (c % 4) * 8 + 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0
+  ) AS plane
+  FROM (SELECT unnest(range(0, 4)) AS p), dims
+), bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_reduce(list_transform(list_zip(e.v, pl.plane), z -> z[1] * z[2]), (a, b) -> a + b) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+), esig AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+), ev AS (
+  SELECT e.vec_id, e.v, s.sig FROM e JOIN esig s ON e.vec_id = s.vec_id
+), j AS (
+  SELECT q.vec_id AS q_id, x.vec_id,
+         round(list_reduce(list_transform(list_zip(x.v, q.v), z -> z[1] * z[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(x.v, t -> t * t), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(q.v, t -> t * t), (a, b) -> a + b))), 6) AS cosine
+  FROM ev x JOIN ev q ON x.sig = q.sig AND q.vec_id < 5
+)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM j
+) WHERE rn <= 3
 """,
         "slug_self_join": """
 WITH k AS (
@@ -890,6 +1012,50 @@ SELECT o_orderstatus, lane, COUNT(*) AS n FROM (
   UNION ALL
   SELECT o_orderstatus, 'priority' AS lane FROM orders WHERE o_totalprice > 150000.0
 ) GROUP BY o_orderstatus, lane
+""",
+        # true twin: the stub decode's status depends only on body
+        # emptiness, and sha1hex distinctness == content distinctness,
+        # so DuckDB can recompute the rollup without computing sha1
+        "multimodal_meta": """
+SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'null-body' ELSE 'success-stub' END AS status,
+       'image' AS media_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT CASE WHEN text IS NOT NULL AND length(text) > 0 THEN text END) AS n_distinct
+FROM documents
+GROUP BY 1, 2
+""",
+        # GOLDEN oracles: expected output of the seed=42 synthetic web
+        # corpus (sf-independent — the corpus does not read the driver
+        # tables). Frozen from a verified run; any engine drift fails
+        # the hash. Regenerate: python tools/regen_goldens.py
+        "fetch_statuses": """
+SELECT status, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('blocked-cookie', 3), ('no-capture', 12), ('no-pdf-link', 23),
+  ('success', 20), ('wrong-mimetype', 14)
+) t(status, n)
+""",
+        "extraction_roundtrip": """
+SELECT CAST(247 AS BIGINT) AS n_pages, CAST(247 AS BIGINT) AS n_byte_identical,
+       CAST(34317 AS BIGINT) AS total_words
+""",
+        "grobid_hook": """
+SELECT url, grobid_status, doi, title, CAST(ensemble_score AS DOUBLE) AS ensemble_score FROM (VALUES
+  ('https://journal0.example.org/fulltext/pdf/4.pdf', 'success', '10.1234/6a88be', 'Synthetic document 6a88be49', 0.415686),
+  ('https://journal0.example.org/fulltext/pdf/8.pdf', 'success', '10.1234/33a9a7', 'Synthetic document 33a9a795', 0.2),
+  ('https://repo.univ1.edu/fulltext/pdf/1.pdf', 'success', '10.1234/e1f7a0', 'Synthetic document e1f7a0f2', 0.882353),
+  ('https://repo.univ1.edu/fulltext/pdf/9.pdf', 'success', '10.1234/6dc72f', 'Synthetic document 6dc72f31', 0.427451),
+  ('https://site4.example.com/fulltext/pdf/0.pdf', 'success', '10.1234/9fccef', 'Synthetic document 9fccef90', 0.623529),
+  ('https://site4.example.com/fulltext/pdf/6.pdf', 'success', '10.1234/057940', 'Synthetic document 0579402c', 0.019608),
+  ('https://site4.example.com/fulltext/pdf/7.pdf', 'success', '10.1234/90dfad', 'Synthetic document 90dfaddb', 0.564706),
+  ('https://site6.example.com/fulltext/pdf/2.pdf', 'success', '10.1234/6bd6a4', 'Synthetic document 6bd6a49b', 0.419608),
+  ('https://www.revistas10.br/fulltext/pdf/5.pdf', 'success', '10.1234/96eaea', 'Synthetic document 96eaeae8', 0.588235),
+  ('https://www.revistas3.br/fulltext/pdf/3.pdf', 'success', '10.1234/d12d08', 'Synthetic document d12d08eb', 0.819608)
+) t(url, grobid_status, doi, title, ensemble_score)
+""",
+        "revisit_resolution": """
+SELECT CAST(is_revisit AS BOOLEAN) AS is_revisit, CAST(n AS BIGINT) AS n,
+       CAST(n_resolved AS BIGINT) AS n_resolved
+FROM (VALUES (false, 139, 139), (true, 117, 117)) t(is_revisit, n, n_resolved)
 """,
     }
 

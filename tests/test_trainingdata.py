@@ -218,3 +218,46 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_real(b"x")
+
+
+def test_simhash_max_hamming_guard(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash_pairs(df, max_hamming=16)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    # chain 1-2-3-4, pair 10-11, singleton 20 (no edges -> absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    labels = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_neardup_dedupe_end_to_end(spark, documents):
+    from sandcrawler_spark.operators.dedupe import neardup_dedupe
+
+    docs = documents.limit(40).select("doc_id", "text")
+    base = docs.orderBy("doc_id").first()
+    dups = spark.createDataFrame(
+        [
+            (999_001, base.text + " tiny suffix"),
+            (999_002, base.text + " other tiny suffix"),
+        ],
+        ["doc_id", "text"],
+    )
+    all_docs = docs.union(dups)
+    out = neardup_dedupe(all_docs, n_shingle=3, k=16, bands=8, threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    # one row per input doc
+    assert len(rows) == all_docs.count()
+    # the planted dups cluster with the base and the base is representative
+    assert rows[999_001].rep_id == base.doc_id
+    assert rows[999_002].rep_id == base.doc_id
+    assert rows[base.doc_id].is_rep and not rows[999_001].is_rep
+    # survivors: exactly the representatives
+    n_clusters = out.filter(F.col("is_rep")).count()
+    assert n_clusters == len({r.rep_id for r in rows.values()})
