@@ -554,6 +554,72 @@ def q_extraction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_biblio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C14: the meta-tag cascade over constructed HTML whose parse result
+    # is SQL-predictable — variant 0 uses highwire tags, 1 Dublin Core
+    # (incl. scheme=doi), 2 OpenGraph-only; pdf link via citation_pdf_url
+    # absolutized against the page URL
+    from sandcrawler_spark.functions.biblio import biblio_udf
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    base = F.concat(F.lit("https://pub"), (pk % 10).cast("string"), F.lit(".example.org/article/"), pks)
+    date_s = F.date_format(F.date_add(F.lit("2020-01-01").cast("date"), (pk % 28).cast("int")), "yyyy-MM-dd")
+    doi = F.concat(F.lit("10.1234/p"), pks)
+    head = (
+        F.when(pk % 3 == 0, F.concat(
+            F.lit('<meta name="citation_title" content="'), F.col("p_name"),
+            F.lit('"><meta name="citation_doi" content="'), doi,
+            F.lit('"><meta name="citation_author" content="Author A"><meta name="citation_author" content="Author B">'
+                  '<meta name="citation_publication_date" content="'), date_s, F.lit('">'),
+        ))
+        .when(pk % 3 == 1, F.concat(
+            F.lit('<meta name="DC.Title" content="'), F.col("p_name"),
+            F.lit('"><meta name="DC.Identifier" scheme="DOI" content="'), doi,
+            F.lit('"><meta name="DC.Creator" content="Author C"><meta name="DC.Date" content="'), date_s, F.lit('">'),
+        ))
+        .otherwise(F.concat(F.lit('<meta property="og:title" content="'), F.col("p_name"), F.lit('">')))
+    )
+    pdf_meta = F.when(
+        pk % 2 == 0, F.concat(F.lit('<meta name="citation_pdf_url" content="/files/'), pks, F.lit('.pdf">'))
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head>"), head, pdf_meta, F.lit("</head><body><p>x</p></body></html>"))
+    df = p.select(pk.alias("partkey"), base.alias("url"), F.encode(html, "utf-8").alias("html"))
+    b = df.withColumn("b", biblio_udf(F.col("html"), F.col("url")))
+    return b.select(
+        "partkey",
+        F.col("b.title").alias("title"),
+        F.col("b.doi").alias("doi"),
+        F.coalesce(F.size("b.contrib_names"), F.lit(0)).alias("n_authors"),
+        F.col("b.release_date").alias("release_date"),
+        F.col("b.pdf_fulltext_url").alias("pdf_url"),
+    )
+
+
+def q_sub_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C17: sub-resource extraction + adblock over constructed HTML —
+    # fonts.googleapis script and platform.twitter iframe are adblocked,
+    # so the oracle can enumerate the surviving resources directly
+    from sandcrawler_spark.functions.biblio import resources_udf
+
+    d = _t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org/a/"), ds)
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/css/'), ds,
+        F.lit('.css"><script src="https://fonts.googleapis.com/x.js"></script><script src="/js/app.js"></script></head><body>'),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit('<img src="/img/'), ds, F.lit('.png">'))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit('<iframe src="/inner.html"></iframe>')).otherwise(F.lit("")),
+        F.lit('<iframe src="https://platform.twitter.com/w.js"></iframe></body></html>'),
+    )
+    df = d.select(base.alias("url"), F.encode(html, "utf-8").alias("html"))
+    ex = df.select(F.explode(resources_udf(F.col("html"), F.col("url"))).alias("r"))
+    return ex.groupBy(F.col("r.type").alias("rtype")).agg(
+        F.count("*").alias("n"), F.countDistinct("r.url").alias("n_urls")
+    )
+
+
 def q_sha1_digest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J1: the join-cdx-sha1.pig shape — capture index × DISTINCT digest
     # list, inner join on the content hash
@@ -680,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_statuses": q_fetch_statuses,
         "extraction_roundtrip": q_extraction_roundtrip,
         "multimodal_meta": q_multimodal_meta,
+        "html_biblio": q_html_biblio,
+        "sub_resources": q_sub_resources,
         "sha1_digest_join": q_sha1_digest_join,
         "surt_seed_join": q_surt_seed_join,
         "union_lanes": q_union_lanes,
@@ -992,6 +1060,32 @@ SELECT k.base_url,
        'com,example,site' || CAST(u.site_id AS VARCHAR) || ')/order/' || CAST(u.o_orderkey AS VARCHAR) AS surt,
        u.host
 FROM kept k JOIN urls u ON k.base_url = u.url
+""",
+        "html_biblio": """
+SELECT p_partkey AS partkey,
+       p_name AS title,
+       CASE WHEN p_partkey % 3 IN (0, 1) THEN '10.1234/p' || CAST(p_partkey AS VARCHAR) END AS doi,
+       CAST(CASE WHEN p_partkey % 3 = 0 THEN 2 WHEN p_partkey % 3 = 1 THEN 1 ELSE 0 END AS INT) AS n_authors,
+       CASE WHEN p_partkey % 3 IN (0, 1)
+            THEN strftime(DATE '2020-01-01' + CAST(p_partkey % 28 AS INT), '%Y-%m-%d') END AS release_date,
+       CASE WHEN p_partkey % 2 = 0
+            THEN 'https://pub' || CAST(p_partkey % 10 AS VARCHAR) || '.example.org/files/' || CAST(p_partkey AS VARCHAR) || '.pdf' END AS pdf_url
+FROM part
+""",
+        "sub_resources": """
+SELECT rtype, CAST(COUNT(*) AS BIGINT) AS n, COUNT(DISTINCT url) AS n_urls FROM (
+  SELECT 'stylesheet' AS rtype,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/css/' || CAST(doc_id AS VARCHAR) || '.css' AS url
+  FROM documents
+  UNION ALL
+  SELECT 'script', 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/js/app.js' FROM documents
+  UNION ALL
+  SELECT 'image', 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/img/' || CAST(doc_id AS VARCHAR) || '.png'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'subdocument', 'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/inner.html'
+  FROM documents WHERE doc_id % 3 = 0
+) GROUP BY rtype
 """,
         "sha1_digest_join": f"""
 WITH {_CAPTURES_CTE.strip()},

@@ -1,23 +1,50 @@
-"""HTML biblio metadata + fulltext-URL + scope extraction.
+"""HTML biblio metadata, fulltext-URL discovery, platform/scope guess,
+and sub-resource extraction.
 
-Role parity with the reference's selectolax-based extractors:
-  - html_extract_biblio     (/root/reference/python/sandcrawler/
-    html_metadata.py:475-540; meta-tag pattern families 25-391)
-  - html_extract_fulltext_url (html_metadata.py:436-473) and the
-    landing-page -> PDF-link heuristics (html.py:15-296)
-  - scope/platform guess    (html_ingest.py:187-314)
+Role parity with the reference's selectolax/BeautifulSoup extractors:
+  - HEAD_META_PATTERNS cascade (~20 scalar families + 3 list families)
+    (/root/reference/python/sandcrawler/html_metadata.py:25-181)
+  - fulltext-URL pattern DBs: PDF 16 / XML 7 / HTML 4 patterns with
+    in_doc_url / in_fulltext_url gates, skip-list and self-link
+    deferral (html_metadata.py:183-473)
+  - landing-page -> PDF publisher heuristics, ~22 URL-keyed tricks
+    (html.py:15-296)
+  - platform + scope decision tree (html_ingest.py:187-314)
+  - sub-resource extraction + adblock filter (html_metadata.py:585-635,
+    rules 542-582)
 
-Reimplemented from scratch on the stdlib HTMLParser: a single pass
-collects <meta name/property content> pairs and <a href> candidates;
-a priority cascade then fills the BiblioMetadata struct. All of it is
-one vectorized pandas UDF returning a struct column (one Arrow
-crossing per body, no per-row Python in the plan).
+Reimplemented from scratch on the stdlib HTMLParser: ONE pass collects
+meta/link/a/iframe/embed/input/script/img/media nodes; data-driven
+pattern tables then run over the collected nodes (the reference runs
+CSS selectors per pattern over a parse tree — same semantics, flat
+scan here). Everything is vectorized pandas UDFs returning struct /
+array columns: one Arrow crossing per body, no per-row Python in the
+plan. Per-record SIGALRM budgets (functions/guard.py) bound
+pathological parses, emitting scope='timeout' rows like the
+reference's worker timeout (workers.py:56-83).
+
+Deliberate, documented divergences from the reference:
+  - date parsing is a deterministic format table (ISO, compact,
+    "12 March 2020", "March 12, 2020", bare year), not the
+    `dateparser` library: partial dates that dateparser would fill
+    with *today's* day are rejected instead (nondeterminism is wrong
+    for a reproducible pipeline).
+  - the reference's FULLTEXT_URL_PATTERNS_SKIP list has a missing-
+    comma bug that concatenates its 3 entries into one dead string;
+    we implement the intended 3 separate skip prefixes.
+  - adblock is the reference's explicit custom rule list plus a small
+    static tracker/widget domain set, not a full easylist engine.
+  - one reference PDF pattern (CSS sibling-combinator
+    ".AbsPdfFigTab img + a", html_metadata.py:362-369) needs tree
+    adjacency the flat collector doesn't keep; it is dropped.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from html.parser import HTMLParser
-from urllib.parse import urljoin
+from urllib.parse import urljoin, unquote
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -25,148 +52,910 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sandcrawler_spark.functions.extract_text import decode_body_py, extract_text_py
+from sandcrawler_spark.functions.guard import RecordTimeout, record_budget
+from sandcrawler_spark.functions.urls import url_fuzzy_equal_py
 
-# meta-tag priority cascades (name/property, lowercased)
-_TITLE_KEYS = ("citation_title", "eprints.title", "prism.title", "bepress_citation_title", "og:title", "dc.title")
-_DOI_KEYS = ("citation_doi", "bepress_citation_doi", "prism.doi", "dc.identifier.doi", "dc.identifier")
-_AUTHOR_KEYS = ("citation_author", "bepress_citation_author", "eprints.creators_name", "dc.creator", "dc.contributor")
-_DATE_KEYS = ("citation_publication_date", "citation_date", "prism.publicationdate", "dc.date")
-_PDF_KEYS = ("citation_pdf_url", "bepress_citation_pdf_url", "eprints.document_url")
-_XML_KEYS = ("citation_xml_url",)
-_GENERATOR_KEYS = ("generator",)
+# ---------------------------------------------------------------------------
+# Pattern tables (html_metadata.py:25-181). Entries are
+# (attr, value) or (attr, value, (extra_attr, extra_value)); matching
+# is case-insensitive on attribute values, first match in document
+# order wins, cascade order is preference order.
+# ---------------------------------------------------------------------------
 
-_PLATFORM_BY_GENERATOR = {
-    "open journal systems": "ojs",
-    "wordpress": "wordpress",
-    "drupal": "drupal",
-    "dspace": "dspace",
+HEAD_META_PATTERNS: dict[str, list[tuple]] = {
+    "title": [
+        ("name", "citation_title"), ("name", "eprints.title"), ("name", "prism.title"),
+        ("name", "bepress_citation_title"), ("name", "og:title"), ("property", "og:title"),
+        ("name", "dcterms.title"), ("name", "dc.title"),
+    ],
+    "subtitle": [("name", "prism.subtitle")],
+    "doi": [
+        ("name", "citation_doi"), ("name", "doi"), ("id", "doi"), ("name", "prism.doi"),
+        ("name", "bepress_citation_doi"), ("name", "dc.identifier.doi"),
+        ("name", "dc.identifier", ("scheme", "doi")),
+    ],
+    "pmid": [("name", "citation_pmid")],
+    "abstract": [
+        ("name", "citation_abstract"), ("name", "bepress_citation_abstract"),
+        ("name", "eprints.abstract"), ("name", "dcterms.abstract"), ("name", "prism.teaser"),
+        ("name", "dc.description"), ("name", "og:description"), ("property", "og:description"),
+    ],
+    "container_name": [
+        ("name", "citation_journal_title"), ("name", "bepress_citation_journal_title"),
+        ("name", "citation_conference_title"), ("name", "bepress_citation_conference_title"),
+        ("name", "prism.publicationname"), ("name", "eprints.publication"),
+        ("name", "dc.relation.ispartof"), ("name", "dc.source"), ("property", "og:site_name"),
+    ],
+    "container_abbrev": [("name", "citation_journal_abbrev")],
+    "raw_date": [
+        ("name", "citation_publication_date"), ("name", "bepress_citation_publication_date"),
+        ("name", "prism.publicationdate"), ("name", "citation_date"),
+        ("name", "bepress_citation_date"), ("name", "citation_online_date"),
+        ("name", "bepress_citation_online_date"), ("itemprop", "datepublished"),
+        ("name", "article:published"), ("name", "eprints.datestamp"), ("name", "eprints.date"),
+        ("name", "dc.date.created"), ("name", "dc.issued"), ("name", "dcterms.date"),
+        ("name", "dc.date"),
+    ],
+    "release_year": [("itemprop", "citation_year"), ("itemprop", "prism:copyrightyear")],
+    "first_page": [
+        ("name", "citation_firstpage"), ("name", "bepress_citation_firstpage"),
+        ("name", "prism.startingpage"), ("name", "dc.citation.spage"),
+    ],
+    "last_page": [
+        ("name", "citation_lastpage"), ("name", "bepress_citation_lastpage"),
+        ("name", "prism.endingpage"), ("name", "dc.citation.epage"),
+    ],
+    "issue": [
+        ("name", "citation_issue"), ("name", "bepress_citation_issue"),
+        ("name", "prism.issueidentifier"), ("name", "dc.citation.issue"),
+    ],
+    "volume": [
+        ("name", "citation_volume"), ("name", "bepress_citation_volume"),
+        ("name", "prism.volume"), ("name", "dc.citation.volume"),
+    ],
+    "number": [
+        ("name", "citation_technical_report_number"),
+        ("name", "bepress_citation_technical_report_number"), ("name", "citation_number"),
+        ("name", "bepress_citation_number"), ("name", "prism.number"),
+    ],
+    "container_issn": [
+        ("name", "citation_issn"), ("name", "bepress_citation_issn"), ("name", "prism.issn"),
+        ("name", "prism.eissn"), ("name", "eprints.issn"), ("name", "dc.source.issn"),
+    ],
+    "isbn": [
+        ("name", "citation_isbn"), ("name", "bepress_citation_isbn"), ("name", "prism.isbn"),
+    ],
+    "publisher": [
+        ("name", "citation_publisher"), ("name", "bepress_citation_publisher"),
+        ("name", "eprints.publisher"), ("name", "citation_technical_report_institution"),
+        ("name", "dcterms.publisher"), ("name", "dc.publisher"),
+    ],
+    "raw_release_type": [
+        ("name", "citation_article_type"), ("name", "bepress_citation_article_type"),
+        ("name", "prism.contenttype"), ("name", "eprints.type"), ("name", "dc.type"),
+    ],
+    "lang": [
+        ("name", "citation_language"), ("name", "bepress_citation_language"),
+        ("name", "dcterms.language"), ("name", "dc.language"), ("name", "og:locale"),
+        ("property", "og:locale"),
+    ],
 }
 
+HEAD_META_LIST_PATTERNS: dict[str, list[tuple]] = {
+    "contrib_names": [
+        ("name", "citation_author"), ("name", "bepress_citation_author"),
+        ("name", "eprints.creators_name"), ("name", "dcterms.creator"),
+        ("name", "article:author"), ("name", "dc.creator"), ("name", "dc.contributor"),
+    ],
+    "raw_references": [("name", "citation_reference")],
+    "raw_identifiers": [
+        ("name", "eprints.id_number"), ("name", "dcterms.identifier"), ("name", "dc.identifier"),
+    ],
+}
 
-class _HeadMetaParser(HTMLParser):
+# fulltext-URL pattern DBs (html_metadata.py:183-378). kind selects the
+# collected node family; cls matches class tokens; in_doc_url /
+# in_fulltext_url are substring gates before/after absolutization.
+PDF_FULLTEXT_PATTERNS: list[dict] = [
+    {"kind": "meta", "key": ("name", "citation_pdf_url"), "technique": "citation_pdf_url"},
+    {"kind": "meta", "key": ("name", "bepress_citation_pdf_url"), "technique": "citation_pdf_url"},
+    {"kind": "meta", "key": ("name", "wkhealth_pdf_url"), "in_doc_url": "journals.lww.com",
+     "technique": "wkhealth_pdf_url"},
+    {"kind": "meta", "key": ("property", "citation_pdf_url"), "technique": "citation_pdf_url (property)"},
+    {"kind": "meta", "key": ("name", "eprints.document_url"), "technique": "eprints.document_url"},
+    {"kind": "anchor", "cls": ["show-pdf"], "in_doc_url": "/doi/10.",
+     "in_fulltext_url": "/doi/pdf/", "technique": "SAGE/UTP show-pdf link"},
+    {"kind": "anchor", "attrs": {"title": "PDF"}, "in_doc_url": "/doi/10.",
+     "in_fulltext_url": "/doi/pdf/", "technique": "title=PDF link"},
+    {"kind": "anchor", "attrs": {"id": "pdfDownloadLink"}, "in_doc_url": "/article/view/",
+     "technique": "pdfDownloadLink link"},
+    {"kind": "anchor", "cls": ["show-pdf"], "in_fulltext_url": "/pdf/", "technique": "SAGE PDF link"},
+    {"kind": "anchor", "attrs": {"data-download-type": "pdf-article"},
+     "in_doc_url": "://elifesciences.org/articles/", "in_fulltext_url": "/download/",
+     "technique": "eLife PDF link"},
+    {"kind": "anchor", "cls": ["text-button"], "in_doc_url": "://www.jcancer.org/",
+     "in_fulltext_url": ".pdf", "technique": "jcancer PDF link"},
+    {"kind": "anchor", "cls": ["show-pdf"], "in_doc_url": "://www.tandfonline.com/doi/full/10.",
+     "in_fulltext_url": "/pdf/", "technique": "t+f show-pdf link"},
+    {"kind": "anchor", "cls": ["file", "pdf"], "in_doc_url": "article_id=",
+     "in_fulltext_url": "download.php", "technique": "pdf file link"},
+    {"kind": "anchor", "cls": ["pdf"], "attrs": {"title": "Download"}, "in_doc_url": "/content/10.",
+     "in_fulltext_url": "pdf", "technique": "pdf file link"},
+    {"kind": "embed", "attrs": {"type": "application/pdf"}, "technique": "PDF embed"},
+    {"kind": "anchor", "cls": ["download-pdf"], "in_doc_url": "/archive-detail/",
+     "in_fulltext_url": ".pdf", "technique": "PDF URL link"},
+]
+
+XML_FULLTEXT_PATTERNS: list[dict] = [
+    {"kind": "meta", "key": ("name", "citation_xml_url"), "technique": "citation_xml_url"},
+    {"kind": "meta", "key": ("name", "fulltext_xml"), "technique": "fulltext_xml"},
+    {"kind": "link", "attrs": {"rel": "alternate", "type": "application/xml"},
+     "technique": "alternate link"},
+    {"kind": "link", "attrs": {"rel": "alternate", "type": "text/xml"}, "technique": "alternate link"},
+    {"kind": "anchor", "attrs": {"target": "xml"}, "in_doc_url": "scielo",
+     "in_fulltext_url": "articleXML", "technique": "SciElo XML link"},
+    {"kind": "anchor", "cls": ["obj_galley_link"], "in_doc_url": "/article/view/",
+     "in_fulltext_url": "viewXML", "technique": "OJS Gallery XML link"},
+    {"kind": "anchor", "attrs": {"title": "XML"}, "in_fulltext_url": "/download/xml/",
+     "technique": "ARPHA XML link"},
+]
+
+HTML_FULLTEXT_PATTERNS: list[dict] = [
+    {"kind": "meta", "key": ("name", "citation_fulltext_html_url"),
+     "technique": "citation_fulltext_html_url"},
+    {"kind": "link", "attrs": {"rel": "alternate", "type": "text/html"}, "technique": "alternate link"},
+    {"kind": "iframe", "attrs": {"name": "htmlframe"}, "in_doc_url": "/article/view/",
+     "in_fulltext_url": "inline=1", "technique": "OJS HTML iframe"},
+    {"kind": "anchor", "attrs": {"id": "view-full-text"}, "in_doc_url": "dovepress.com",
+     "in_fulltext_url": "-fulltext-", "technique": "dovepress fulltext link"},
+]
+
+# intended semantics of the reference's skip list (see module doc)
+FULLTEXT_URL_SKIP = ("://onlinelibrary.wiley.com/doi/pdf/", "://doi.org/", "://dx.doi.org/")
+
+RELEASE_TYPE_MAP = {
+    "research article": "article-journal",
+    "text.serial.journal": "article-journal",
+}
+
+# landing-page regex tricks (html.py:9-12)
+_RESEARCHSQUARE_RE = re.compile(
+    r'"url":"(https://assets\.researchsquare\.com/files/.{1,50}/v\d+/Manuscript\.pdf)"'
+)
+_IEEEXPLORE_RE = re.compile(r'"pdfPath":"(/.*?\.pdf)"')
+_OVID_RE = re.compile(r'journalURL = "(http.*)";')
+_SCIENCEDIRECT_RE = re.compile(r"window.location = '(http.*)';")
+
+
+# ---------------------------------------------------------------------------
+# Single-pass document collector
+# ---------------------------------------------------------------------------
+
+_COLLECT_SRC = {"img": "image", "audio": "audio", "video": "media", "source": "media",
+                "track": "media"}
+
+
+class _DocCollector(HTMLParser):
+    """One pass over the document collecting the node families every
+    pattern table needs. Attribute NAMES and match-relevant values are
+    lowercased at collection time; urls/content values kept verbatim."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.meta: dict[str, list[str]] = {}
-        self.links: list[tuple[str, str]] = []  # (href, anchor-text)
-        self._a_href: str | None = None
+        self.metas: list[dict] = []
+        self.links: list[dict] = []
+        self.anchors: list[dict] = []
+        self.iframes: list[dict] = []
+        self.embeds: list[dict] = []
+        self.inputs: list[dict] = []
+        self.scripts: list[dict] = []
+        self.resources: list[tuple[str, str]] = []  # (url, type)
+        self.body_id: str | None = None
+        self.developed_by: str | None = None
+        self._a: dict | None = None
         self._a_text: list[str] = []
+        self._script: dict | None = None
+        self._script_text: list[str] = []
+        self._meta_idx: dict | None = None
+
+    def meta_index(self) -> dict:
+        if self._meta_idx is None:
+            self._meta_idx = _index_metas(self.metas)
+        return self._meta_idx
 
     def handle_starttag(self, tag, attrs):
-        d = dict(attrs)
+        d = {k.lower(): (v or "") for k, v in attrs}
         if tag == "meta":
-            key = (d.get("name") or d.get("property") or "").strip().lower()
-            content = (d.get("content") or "").strip()
-            if key and content:
-                self.meta.setdefault(key, []).append(content)
-        elif tag == "a" and d.get("href"):
-            self._a_href = d["href"]
+            self.metas.append(d)
+        elif tag == "link":
+            self.links.append(d)
+            if d.get("rel", "").lower() == "stylesheet" and d.get("href"):
+                self.resources.append((d["href"], "stylesheet"))
+        elif tag == "a":
+            self._a = d
             self._a_text = []
+        elif tag == "iframe":
+            self.iframes.append(d)
+            if d.get("src"):
+                self.resources.append((d["src"], "subdocument"))
+        elif tag == "embed":
+            self.embeds.append(d)
+            if d.get("src"):
+                self.resources.append((d["src"], "media"))
+        elif tag == "input":
+            self.inputs.append(d)
+        elif tag == "script":
+            self._script = d
+            self._script_text = []
+            if d.get("src"):
+                self.resources.append((d["src"], "script"))
+        elif tag in _COLLECT_SRC:
+            if d.get("src"):
+                self.resources.append((d["src"], _COLLECT_SRC[tag]))
+        elif tag == "body" and self.body_id is None:
+            self.body_id = d.get("id", "").lower()
 
     def handle_data(self, data):
-        if self._a_href is not None:
+        if self._a is not None:
             self._a_text.append(data)
+        if self._script is not None:
+            self._script_text.append(data)
 
     def handle_endtag(self, tag):
-        if tag == "a" and self._a_href is not None:
-            self.links.append((self._a_href, " ".join("".join(self._a_text).split()).lower()))
-            self._a_href = None
+        if tag == "a" and self._a is not None:
+            self._a["_text"] = " ".join("".join(self._a_text).split())
+            self.anchors.append(self._a)
+            if self._a.get("id", "").lower() == "developedby" and self.developed_by is None:
+                self.developed_by = self._a["_text"]
+            self._a = None
             self._a_text = []
+        elif tag == "script" and self._script is not None:
+            self._script["_text"] = "".join(self._script_text)
+            self.scripts.append(self._script)
+            self._script = None
+            self._script_text = []
 
 
-def _first(meta: dict[str, list[str]], keys) -> str | None:
-    for k in keys:
-        if k in meta:
-            return meta[k][0]
+def _collect(html_text: str) -> _DocCollector:
+    c = _DocCollector()
+    try:
+        c.feed(html_text)
+        c.close()
+    except Exception:
+        pass
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Meta cascade
+# ---------------------------------------------------------------------------
+
+_META_KEY_ATTRS = ("name", "property", "itemprop", "id")
+
+
+def _index_metas(metas: list[dict]) -> dict:
+    """(attr, lowered value) -> metas in document order. Built once per
+    document so each pattern lookup is O(1) instead of a scan — pages
+    carry hundreds of meta tags and the cascade has ~120 patterns."""
+    idx: dict = {}
+    for m in metas:
+        for attr in _META_KEY_ATTRS:
+            v = m.get(attr, "").strip().lower()
+            if v:
+                idx.setdefault((attr, v), []).append(m)
+    return idx
+
+
+def _meta_first(idx: dict, patterns: list[tuple]) -> str | None:
+    for pat in patterns:
+        for m in idx.get((pat[0], pat[1]), ()):
+            if len(pat) > 2:
+                extra_attr, extra_value = pat[2]
+                if m.get(extra_attr, "").strip().lower() != extra_value:
+                    continue
+            if m.get("content", "").strip():
+                return m["content"].strip()
     return None
 
 
-def _clean_doi(raw: str | None) -> str | None:
+def _meta_all(idx: dict, patterns: list[tuple]) -> list[str]:
+    # list semantics: first pattern with ANY match wins, ALL its
+    # matches are collected in document order (html_metadata.py:490-499)
+    for pat in patterns:
+        vals = [m["content"].strip() for m in idx.get((pat[0], pat[1]), ()) if m.get("content", "").strip()]
+        if vals:
+            return vals
+    return []
+
+
+# ---------------------------------------------------------------------------
+# Fulltext-URL pattern engine (html_extract_fulltext_url semantics:
+# first match wins; skip-list; self-links deferred to last resort)
+# ---------------------------------------------------------------------------
+
+def _class_tokens(node: dict) -> set[str]:
+    return set(node.get("class", "").lower().split())
+
+
+def _pattern_candidates(c: _DocCollector, pat: dict) -> list[str]:
+    kind = pat["kind"]
+    if kind == "meta":
+        v = _meta_first(c.meta_index(), [pat["key"]])
+        return [v] if v else []
+    nodes = {"link": c.links, "anchor": c.anchors, "iframe": c.iframes, "embed": c.embeds}[kind]
+    url_attr = "href" if kind in ("link", "anchor") else "src"
+    out = []
+    for n in nodes:
+        if "cls" in pat and not set(pat["cls"]).issubset(_class_tokens(n)):
+            continue
+        if "attrs" in pat and any(
+            n.get(k, "").strip().lower() != v.lower() for k, v in pat["attrs"].items()
+        ):
+            continue
+        val = n.get(url_attr, "").strip()
+        if val:
+            out.append(val)
+    return out
+
+
+def extract_fulltext_url_py(doc_url: str, c: _DocCollector, patterns: list[dict]) -> tuple[str, str] | None:
+    """(url, technique) from the first matching pattern, or None."""
+    self_doc: tuple[str, str] | None = None
+    for pat in patterns:
+        if pat.get("in_doc_url") and pat["in_doc_url"] not in doc_url:
+            continue
+        for raw in _pattern_candidates(c, pat):
+            val = urljoin(doc_url, raw)
+            if pat.get("in_fulltext_url") and pat["in_fulltext_url"] not in val:
+                continue
+            if any(s in val.lower() for s in FULLTEXT_URL_SKIP):
+                continue
+            if url_fuzzy_equal_py(doc_url, val):
+                self_doc = self_doc or (val, pat.get("technique", "unknown"))
+                continue
+            return (val, pat.get("technique", "unknown"))
+    return self_doc
+
+
+# ---------------------------------------------------------------------------
+# Landing-page publisher heuristics (html.py:15-296)
+# ---------------------------------------------------------------------------
+
+def landing_page_fulltext_py(doc_url: str, body_text: str, c: _DocCollector) -> dict:
+    """URL-keyed publisher tricks -> {pdf_url|next_url, technique,
+    release_stage?}. Runs after the generic pattern DBs (the highwire
+    meta cascade is covered there)."""
+    host_prefix = "/".join(doc_url.split("/")[:3])
+
+    if "researchsquare.com/article/" in doc_url:
+        m = _RESEARCHSQUARE_RE.search(body_text)
+        if m and len(m.group(1)) < 4096:
+            return {"pdf_url": m.group(1), "technique": "publisher", "release_stage": "manuscript"}
+
+    if "://linkinghub.elsevier.com/retrieve/pii/" in doc_url:
+        for inp in c.inputs:
+            if inp.get("name", "").lower() == "redirecturl" and "http" in inp.get("value", ""):
+                url = unquote(inp["value"].strip()).split("?via")[0]
+                return {"next_url": url, "technique": "elsevier-linkinghub"}
+
+    if "://www.sciencedirect.com/" in doc_url and doc_url.endswith(".pdf"):
+        m = _SCIENCEDIRECT_RE.search(body_text)
+        if m and len(m.group(1)) < 4000:
+            return {"pdf_url": m.group(1), "technique": "sciencedirect-bounce"}
+
+    if "://ieeexplore.ieee.org/document/" in doc_url:
+        m = _IEEEXPLORE_RE.search(body_text)
+        if m and len(m.group(1)) < 4096:
+            return {"pdf_url": host_prefix + m.group(1), "technique": "ieeexplore",
+                    "release_stage": "published"}
+    if "://ieeexplore.ieee.org/stamp/stamp.jsp?arnumber" in doc_url:
+        for fr in c.iframes:
+            if ".pdf" in fr.get("src", ""):
+                return {"pdf_url": fr["src"], "technique": "iframe"}
+
+    if "://insights.ovid.com/crossref" in doc_url:
+        m = _OVID_RE.search(body_text)
+        if m and len(m.group(1)) < 4096:
+            return {"next_url": m.group(1), "technique": "ovid"}
+
+    if "://osf.io/" in doc_url and "/download" not in doc_url:
+        sep = "" if doc_url.endswith("/") else "/"
+        return {"next_url": doc_url + sep + "download", "technique": "osf-by-url"}
+
+    if "://onlinelibrary.wiley.com/doi/pdf/" in doc_url and "/doi/pdfdirect/" in body_text:
+        return {"next_url": doc_url.replace("/doi/pdf/", "/doi/pdfdirect/"),
+                "technique": "wiley-pdfdirect"}
+
+    if "://arxiv.org/abs/" in doc_url:
+        return {"pdf_url": doc_url.replace("/abs/", "/pdf/"), "technique": "arxiv-url"}
+
+    if "://americanarchivist.org/doi/" in doc_url and "/doi/pdf" not in doc_url:
+        if "/doi/10." in doc_url:
+            return {"pdf_url": doc_url.replace("/doi/10.", "/doi/pdf/10."),
+                    "technique": "archivist-url"}
+        for a in c.anchors:
+            if a.get("target", "") == "_blank" and "/doi/pdf/" in a.get("href", ""):
+                url = a["href"].strip()
+                if url.startswith("/"):
+                    url = host_prefix + url
+                if url.startswith("http"):
+                    return {"pdf_url": url, "technique": "publisher-href"}
+
+    if "://www.protocols.io/view/" in doc_url and not doc_url.endswith(".pdf"):
+        return {"pdf_url": doc_url + ".pdf", "technique": "protocolsio-url"}
+
+    if "://www.degruyter.com/view/" in doc_url and doc_url.endswith(".xml"):
+        return {"pdf_url": doc_url.replace("/view/", "/downloadpdf/").replace(".xml", ".pdf"),
+                "technique": "degruyter-url"}
+
+    if "://www.ahajournals.org/doi/" in doc_url and "/doi/pdf/" not in doc_url \
+            and "/doi/pdf/10." in body_text:
+        return {"pdf_url": doc_url.replace("/doi/10.", "/doi/pdf/10.") + "?download=true",
+                "technique": "ahajournals-url"}
+
+    if "://ehp.niehs.nih.gov/doi/" in doc_url and "/doi/pdf/10." in body_text:
+        url = doc_url.replace("/doi/full/10.", "/doi/pdf/10.").replace("/doi/10.", "/doi/pdf/10.")
+        return {"pdf_url": url, "technique": "ehp.niehs.nih.gov-url"}
+
+    if "://www.cogentoa.com/article/" in doc_url and ".pdf" not in doc_url:
+        return {"pdf_url": doc_url + ".pdf", "technique": "cogentoa-url"}
+
+    if "://chemrxiv.org/articles/" in doc_url or ".figshare.org/articles/" in doc_url:
+        for s in c.scripts:
+            if s.get("id", "").lower() == "app-data" and s.get("type", "").lower() == "text/json":
+                try:
+                    url = json.loads(s.get("_text") or "{}").get("article", {}).get("exportPdfDownloadUrl")
+                except Exception:
+                    url = None
+                if url and url.startswith("http"):
+                    return {"pdf_url": url, "technique": "figshare-json"}
+
+    if "://en.gzbd.cnki.net/KCMS/detail/detail.aspx" in doc_url:
+        for a in c.anchors:
+            if a.get("id", "").lower() == "pdfdown" and a.get("href"):
+                url = a["href"].strip().replace("&#xA;", "")
+                if not url.startswith("http"):
+                    url = host_prefix + url
+                return {"pdf_url": url, "technique": "cnki-href"}
+
+    if "://publications.rwth-aachen.de/record/" in doc_url:
+        record_id = doc_url.split("/")[-1]
+        url = f"{doc_url}/files/{record_id}.pdf"
+        if record_id.isdigit() and url in body_text:
+            return {"pdf_url": url, "technique": "rwth-aachen-url"}
+
+    if "://physchemaspects.ru/" in doc_url:
+        for a in c.anchors:
+            if a.get("_text", "") == "download PDF file" and a.get("href"):
+                url = a["href"]
+                if url.startswith("/"):
+                    url = host_prefix + url
+                return {"pdf_url": url, "technique": "physchemaspects-href"}
+
+    gen = _generator(c)
+    if gen and gen.lower().startswith("open journal systems"):
+        for a in c.anchors:
+            if {"obj_galley_link", "file"}.issubset(_class_tokens(a)) \
+                    and "pdf" in a.get("_text", "").lower() and a.get("href"):
+                url = a["href"].strip()
+                if url.startswith("/"):
+                    url = host_prefix + url
+                return {"pdf_url": url, "technique": "ojs-galley-href"}
+
+    if "://www.e-periodica.ch/digbib/view" in doc_url:
+        url = doc_url.replace("digbib/view", "cntmng").split("#")[0]
+        if url in body_text:
+            return {"pdf_url": url, "technique": "href-eperiodica"}
+
+    if ".jmir.org/" in doc_url and "/pdf" not in doc_url and doc_url.endswith("/"):
+        return {"pdf_url": doc_url + "pdf", "technique": "jmir-url"}
+
+    # generic guess: current URL + .pdf, if present in the body
+    if ".pdf" not in doc_url:
+        url = doc_url + ".pdf"
+        if url in body_text:
+            return {"pdf_url": url, "technique": "guess-url-plus-pdf"}
+
+    # engine extension (kept from round 1; the synthetic corpus and many
+    # plain OA pages use bare "download pdf" anchors)
+    for a in c.anchors:
+        href = a.get("href", "")
+        text = a.get("_text", "").lower()
+        if href and (href.lower().endswith(".pdf") or "download pdf" in text or text == "pdf"):
+            return {"pdf_url": urljoin(doc_url, href), "technique": "anchor-text-heuristic"}
+
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# Cleanup helpers
+# ---------------------------------------------------------------------------
+
+def clean_doi_py(raw: str | None) -> str | None:
     if not raw:
         return None
     raw = raw.strip().lower()
-    for pre in ("doi:", "https://doi.org/", "http://doi.org/", "http://dx.doi.org/", "https://dx.doi.org/"):
+    for pre in ("doi:", "https://doi.org/", "http://doi.org/", "http://dx.doi.org/",
+                "https://dx.doi.org/"):
         if raw.startswith(pre):
             raw = raw[len(pre):]
     return raw if raw.startswith("10.") and "/" in raw else None
 
 
-def extract_biblio_py(blob: bytes, base_url: str = "") -> dict:
-    """HTML bytes -> biblio dict (title/doi/authors/date/fulltext urls/
-    platform/next-hop pdf link)."""
-    p = _HeadMetaParser()
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["january", "february", "march", "april", "may", "june", "july", "august",
+     "september", "october", "november", "december"])}
+_MONTHS.update({m[:3]: v for m, v in _MONTHS.items()})
+
+
+def parse_date_py(raw: str | None) -> str | None:
+    """Deterministic subset of dateparser: ISO / compact / textual
+    forms -> 'YYYY-MM-DD'. Partial dates return None (see module doc)."""
+    if not raw:
+        return None
+    raw = raw.strip()
+    y = m = d = None
+    mt = re.match(r"^(\d{4})[-/\.](\d{1,2})[-/\.](\d{1,2})(?:[T\s].*)?$", raw)
+    if mt:
+        y, m, d = int(mt.group(1)), int(mt.group(2)), int(mt.group(3))
+    if y is None:
+        mt = re.match(r"^(\d{4})(\d{2})(\d{2})$", raw)
+        if mt:
+            y, m, d = int(mt.group(1)), int(mt.group(2)), int(mt.group(3))
+    if y is None:
+        mt = re.match(r"^(\d{1,2})\s+([A-Za-z]+),?\s+(\d{4})$", raw)
+        if mt and mt.group(2).lower() in _MONTHS:
+            y, m, d = int(mt.group(3)), _MONTHS[mt.group(2).lower()], int(mt.group(1))
+    if y is None:
+        mt = re.match(r"^([A-Za-z]+)\s+(\d{1,2}),?\s+(\d{4})$", raw)
+        if mt and mt.group(1).lower() in _MONTHS:
+            y, m, d = int(mt.group(3)), _MONTHS[mt.group(1).lower()], int(mt.group(2))
+    if y is None or not (1 <= (m or 0) <= 12 and 1 <= (d or 0) <= 31):
+        return None
+    import datetime as _dt
+
     try:
-        p.feed(decode_body_py(blob))
-        p.close()
-    except Exception:
-        pass
-    meta = p.meta
-    pdf_url = _first(meta, _PDF_KEYS)
-    if not pdf_url:
-        # landing-page heuristic: anchor whose target or text smells like a PDF
-        for href, text in p.links:
-            if href.lower().endswith(".pdf") or "download pdf" in text or text == "pdf":
-                pdf_url = href
-                break
-    if pdf_url and base_url:
-        pdf_url = urljoin(base_url, pdf_url)
-    gen = (_first(meta, _GENERATOR_KEYS) or "").lower()
-    platform = None
-    for marker, name in _PLATFORM_BY_GENERATOR.items():
-        if marker in gen:
-            platform = name
-            break
-    return {
-        "title": _first(meta, _TITLE_KEYS),
-        "doi": _clean_doi(_first(meta, _DOI_KEYS)),
-        "contrib_names": meta.get("citation_author") or meta.get("dc.creator") or [],
-        "release_date": _first(meta, _DATE_KEYS),
-        "pdf_fulltext_url": pdf_url,
-        "xml_fulltext_url": _first(meta, _XML_KEYS),
-        "platform": platform,
-    }
+        return _dt.date(y, m, d).isoformat()
+    except ValueError:
+        return None
 
 
-def guess_scope_py(blob: bytes, word_count: int | None = None, pdf_url: str | None = None) -> str:
-    """Scope classification (html_ingest.py:228-314 semantics, reduced
-    to the decision boundaries our pipeline routes on)."""
-    if word_count is None:
-        word_count = len(extract_text_py(blob).split())
-    if word_count >= 50:
-        return "article-fulltext"
-    if pdf_url:
+def release_year_py(raw_date: str | None, year_meta: str | None) -> int | None:
+    if year_meta:
+        mt = re.search(r"\d{4}", year_meta)
+        if mt:
+            return int(mt.group(0))
+    if raw_date:
+        mt = re.search(r"\d{4}", raw_date)
+        if mt:
+            return int(mt.group(0))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Platform + scope (html_ingest.py:187-314)
+# ---------------------------------------------------------------------------
+
+def _generator(c: _DocCollector) -> str | None:
+    g = _meta_first(c.meta_index(), [("name", "generator")])
+    return g or c.developed_by
+
+
+def guess_platform_py(url: str, c: _DocCollector, body_text: str) -> str | None:
+    gen = (_generator(c) or "").lower()
+    if gen:
+        if "open journal systems 3" in gen:
+            return "ojs3"
+        if "open journal systems" in gen:
+            return "ojs"
+        if "plone" in gen:
+            return "plone"
+        if "wordpress" in gen:
+            return "wordpress"
+        if "drupal" in gen:
+            return "drupal"
+        if "dspace" in gen:
+            return "dspace"
+    if c.body_id == "pkp-common-openjournalsystems":
+        return "ojs"
+    if 'href="http://pkp.sfu.ca/ojs/">PKP OJS</a>' in body_text:
+        return "ojs"
+    if 'href="http://arphahub.com"' in body_text:
+        return "arpha"
+    if "content='http://cms.galenos.com.tr'" in body_text:
+        return "galenos"
+    for ln in c.links:
+        if ln.get("type", "").lower() == "image/x-icon":
+            href = ln.get("href", "")
+            if "journalssystem.com" in href:
+                return "journalssystem.com"
+            if "indexcopernicus.com" in href:
+                return "indexcopernicus"
+    if "scielo" in url:
+        return "scielo"
+    return None
+
+
+def guess_scope_py(
+    url: str,
+    c: _DocCollector,
+    body_text: str,
+    word_count: int | None,
+    biblio: dict | None = None,
+) -> str:
+    """Scope decision tree (html_ingest.py:228-314 semantics)."""
+    if url.endswith("/cookieAbsent"):
+        return "blocked-cookie"
+    if "://page-one.live.cf.public.springer.com" in url:
+        return "article-sample"
+    if "scielo" in url:
+        if "sci_abstract" in url:
+            return "landingpage"
+        if "sci_arttext" in url:
+            return "article-fulltext"
+    if "showcaptcha.asp" in url:
+        return "blocked-captcha"
+
+    platform = guess_platform_py(url, c, body_text)
+    biblio = biblio or {}
+
+    if biblio.get("html_fulltext_url"):
+        if url_fuzzy_equal_py(biblio["html_fulltext_url"], url):
+            return "article-fulltext"
         return "landingpage"
-    if word_count < 10:
-        return "blocked" if b"cookie" in blob[:2048].lower() else "unknown"
+
+    if platform in ("ojs", "ojs3"):
+        if biblio.get("title"):
+            if word_count and word_count > 1200:
+                return "fulltext"
+            return "landingpage"
+        if "/article/view/" in url and word_count and word_count > 600:
+            return "fulltext"
+        return "other"
+    if platform == "journalssystem.com":
+        if biblio.get("pdf_fulltext_url") and word_count and word_count < 1000:
+            return "landingpage"
+
+    if "karger.com/Article/Abstract" in url:
+        return "landingpage"
+    if "dergipark.gov.tr" in url and "download/article-file" not in url:
+        return "other"
+    if "<center><h1>403 Forbidden</h1></center>" in body_text:
+        return "blocked-forbidden"
+
+    if word_count is not None:
+        if word_count < 20:
+            return "stub"
+        if word_count > 1200:
+            return "article-fulltext"
     return "unknown"
 
+
+# ---------------------------------------------------------------------------
+# Biblio assembly
+# ---------------------------------------------------------------------------
+
+_BIBLIO_FIELDS = [
+    "title", "subtitle", "contrib_names", "release_date", "release_year", "release_type",
+    "lang", "volume", "issue", "number", "first_page", "last_page", "pages", "publisher",
+    "container_name", "container_abbrev", "container_issn", "isbn", "doi", "pmid",
+    "abstract", "raw_references", "pdf_fulltext_url", "html_fulltext_url",
+    "xml_fulltext_url", "pdf_technique", "next_url", "release_stage", "platform", "scope",
+]
+
+
+def extract_biblio_py(blob: bytes, base_url: str = "") -> dict:
+    """HTML bytes -> full biblio dict (meta cascade + fulltext pattern
+    DBs + landing-page heuristics + doi/isbn/date cleanup)."""
+    body_text = decode_body_py(blob)
+    return _assemble_biblio(base_url, body_text, _collect(body_text))
+
+
+def _assemble_biblio(base_url: str, body_text: str, c: _DocCollector) -> dict:
+    out: dict = {f: None for f in _BIBLIO_FIELDS}
+
+    idx = c.meta_index()
+    for field, pats in HEAD_META_PATTERNS.items():
+        out[field] = _meta_first(idx, pats)
+    for field, pats in HEAD_META_LIST_PATTERNS.items():
+        out[field] = _meta_all(idx, pats) or None
+
+    # fulltext URL pattern DBs
+    pdf = extract_fulltext_url_py(base_url, c, PDF_FULLTEXT_PATTERNS)
+    if pdf:
+        out["pdf_fulltext_url"], out["pdf_technique"] = pdf
+    xml = extract_fulltext_url_py(base_url, c, XML_FULLTEXT_PATTERNS)
+    if xml:
+        out["xml_fulltext_url"] = xml[0]
+    html_ft = extract_fulltext_url_py(base_url, c, HTML_FULLTEXT_PATTERNS)
+    if html_ft:
+        out["html_fulltext_url"] = html_ft[0]
+
+    # landing-page publisher tricks as fallback for the PDF link
+    if not out["pdf_fulltext_url"]:
+        trick = landing_page_fulltext_py(base_url, body_text, c)
+        if trick.get("pdf_url"):
+            out["pdf_fulltext_url"] = trick["pdf_url"]
+            out["pdf_technique"] = trick.get("technique")
+        if trick.get("next_url"):
+            out["next_url"] = trick["next_url"]
+            out["pdf_technique"] = out["pdf_technique"] or trick.get("technique")
+        if trick.get("release_stage"):
+            out["release_stage"] = trick["release_stage"]
+
+    # doi / identifier cleanup (html_metadata.py:512-527)
+    out["doi"] = clean_doi_py(out["doi"])
+    for ident in out.pop("raw_identifiers", None) or []:
+        il = ident.strip().lower()
+        if il.startswith("doi:10.") and not out["doi"]:
+            out["doi"] = clean_doi_py(il)
+        elif il.startswith("10.") and "/" in il and not out["doi"]:
+            out["doi"] = il
+        elif il.startswith("isbn:") and not out["isbn"]:
+            out["isbn"] = ident.strip()[5:]
+
+    raw_date = out.pop("raw_date", None)
+    out["release_date"] = parse_date_py(raw_date)
+    out["release_year"] = release_year_py(raw_date, out.get("release_year"))
+
+    raw_type = out.pop("raw_release_type", None)
+    if raw_type:
+        out["release_type"] = RELEASE_TYPE_MAP.get(raw_type.lower().strip())
+
+    if out.get("first_page") and out.get("last_page"):
+        out["pages"] = f"{out['first_page']}-{out['last_page']}"
+
+    out["platform"] = guess_platform_py(base_url, c, body_text)
+    return {f: out.get(f) for f in _BIBLIO_FIELDS}
+
+
+# ---------------------------------------------------------------------------
+# Sub-resources + adblock (html_metadata.py:585-635, rules 542-582)
+# ---------------------------------------------------------------------------
+
+# domain rules (match host or any subdomain) — the reference's explicit
+# braveblock custom rules plus its hardcoded tracker/widget hosts
+ADBLOCK_DOMAINS = (
+    "fonts.googleapis.com", "widgets.figshare.com", "crossmark-cdn.crossref.org",
+    "crossmark.crossref.org", "platform.twitter.com", "verify.nature.com",
+    "s7.addthis.com", "www.mendeley.com", "pbs.twimg.com", "badge.dimensions.ai",
+    "recaptcha.net",
+)
+# substring rules
+ADBLOCK_SUBSTRINGS = (
+    "/favicon.ico", "apis.google.com/js/plusone", "www.google.com/recaptcha/",
+    "js/_getUACode.js",
+)
+_ADBLOCK_RES = (re.compile(r"/resource/img/icon\..*\.16\.png"),)
+
+
+def adblock_check_py(url: str) -> bool:
+    """True if the resource URL should be DROPPED."""
+    try:
+        host = url.split("://", 1)[1].split("/", 1)[0].split(":")[0].lower()
+    except IndexError:
+        host = ""
+    for dom in ADBLOCK_DOMAINS:
+        if host == dom or host.endswith("." + dom):
+            return True
+    if any(s in url for s in ADBLOCK_SUBSTRINGS):
+        return True
+    return any(r.search(url) for r in _ADBLOCK_RES)
+
+
+def extract_resources_py(blob: bytes, base_url: str = "") -> list[dict]:
+    """All replay-relevant sub-resources of an article page:
+    script/stylesheet/image/audio/media/subdocument URLs, absolutized,
+    adblock-filtered, deduped."""
+    c = _collect(decode_body_py(blob))
+    seen = set()
+    out = []
+    for raw, rtype in c.resources:
+        url = urljoin(base_url, raw)
+        if adblock_check_py(url):
+            continue
+        key = (url, rtype)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append({"url": url, "type": rtype})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark tier
+# ---------------------------------------------------------------------------
 
 BIBLIO_SCHEMA = T.StructType(
     [
         T.StructField("title", T.StringType()),
-        T.StructField("doi", T.StringType()),
+        T.StructField("subtitle", T.StringType()),
         T.StructField("contrib_names", T.ArrayType(T.StringType())),
         T.StructField("release_date", T.StringType()),
+        T.StructField("release_year", T.IntegerType()),
+        T.StructField("release_type", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("issue", T.StringType()),
+        T.StructField("number", T.StringType()),
+        T.StructField("first_page", T.StringType()),
+        T.StructField("last_page", T.StringType()),
+        T.StructField("pages", T.StringType()),
+        T.StructField("publisher", T.StringType()),
+        T.StructField("container_name", T.StringType()),
+        T.StructField("container_abbrev", T.StringType()),
+        T.StructField("container_issn", T.StringType()),
+        T.StructField("isbn", T.StringType()),
+        T.StructField("doi", T.StringType()),
+        T.StructField("pmid", T.StringType()),
+        T.StructField("abstract", T.StringType()),
+        T.StructField("raw_references", T.ArrayType(T.StringType())),
         T.StructField("pdf_fulltext_url", T.StringType()),
+        T.StructField("html_fulltext_url", T.StringType()),
         T.StructField("xml_fulltext_url", T.StringType()),
+        T.StructField("pdf_technique", T.StringType()),
+        T.StructField("next_url", T.StringType()),
+        T.StructField("release_stage", T.StringType()),
         T.StructField("platform", T.StringType()),
         T.StructField("scope", T.StringType()),
     ]
 )
 
+RESOURCE_SCHEMA = T.ArrayType(
+    T.StructType([T.StructField("url", T.StringType()), T.StructField("type", T.StringType())])
+)
+
+# per-record parse budget (seconds); workers.py:56-83 analog
+BIBLIO_RECORD_BUDGET_S = 5.0
+
 
 @F.pandas_udf(BIBLIO_SCHEMA)
 def biblio_udf(blob: pd.Series, url: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
     rows = []
+    empty = {f.name: None for f in BIBLIO_SCHEMA.fields}
     for b, u in zip(blob, url):
         if b is None:
-            rows.append({f.name: None for f in BIBLIO_SCHEMA.fields})
+            rows.append(dict(empty))
             continue
-        bb = bytes(b)
-        d = extract_biblio_py(bb, u or "")
-        d["scope"] = guess_scope_py(bb, pdf_url=d["pdf_fulltext_url"])
+        try:
+            with record_budget(BIBLIO_RECORD_BUDGET_S):
+                bb = bytes(b)
+                body_text = decode_body_py(bb)
+                c = _collect(body_text)
+                d = _assemble_biblio(u or "", body_text, c)
+                wc = len(extract_text_py(bb).split())
+                d["scope"] = guess_scope_py(u or "", c, body_text, wc, d)
+        except RecordTimeout:
+            d = dict(empty)
+            d["scope"] = "timeout"
         rows.append(d)
     return pd.DataFrame(rows, columns=[f.name for f in BIBLIO_SCHEMA.fields])
 
 
+@F.pandas_udf(RESOURCE_SCHEMA)
+def resources_udf(blob: pd.Series, url: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    out = []
+    for b, u in zip(blob, url):
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            with record_budget(BIBLIO_RECORD_BUDGET_S):
+                out.append(extract_resources_py(bytes(b), u or ""))
+        except RecordTimeout:
+            out.append(None)
+    return pd.Series(out)
+
+
 def with_biblio(df: DataFrame, blob_col: str = "html", url_col: str = "url") -> DataFrame:
     return df.withColumn("biblio", biblio_udf(F.col(blob_col), F.col(url_col)))
+
+
+def with_resources(df: DataFrame, blob_col: str = "html", url_col: str = "url") -> DataFrame:
+    return df.withColumn("resources", resources_udf(F.col(blob_col), F.col(url_col)))
+
+
+def route_by_scope(df: DataFrame, keep=("article-fulltext", "fulltext"), scope_col: str = "biblio.scope") -> DataFrame:
+    """F10: scope routing filter — keep only rows whose extracted scope
+    is ingest-worthy (html_ingest routes wrong-scope to a skip status)."""
+    return df.filter(F.col(scope_col).isin(*keep))
