@@ -478,6 +478,35 @@ def q_slug_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return self_group_works(titled, min_score=0)
 
 
+def q_score_insertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 + F11/F12: quality-gated grobid x crossref slug-score join,
+    # then CDX metadata attach on the content hash
+    from sandcrawler_spark.operators.score import score_insertable_join
+
+    # partkey < 500: TPC-H part names draw 5 words from ~90 colors, so
+    # slugs collide heavily — the full table would blow the blocked
+    # join to ~1M pairs, noise for a correctness query
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    pk = F.col("p_partkey")
+    sha1 = F.md5(F.concat(F.col("p_name"), F.lit("|g")))
+    grobid = p.select(
+        sha1.alias("sha1hex"),
+        F.col("p_name").alias("title"),
+        F.when(pk % 11 == 0, 500).otherwise(200).alias("status_code"),
+    )
+    crossref = p.select(
+        pk.alias("id"),
+        F.col("p_name").alias("title"),
+        F.when(pk % 7 == 0, "component").otherwise("journal-article").alias("release_type"),
+    )
+    cdx = p.select(
+        sha1.alias("sha1hex"),
+        F.lit("application/pdf").alias("mimetype"),
+        (pk % 1000).cast("long").alias("warc_csize"),
+    ).distinct()
+    return score_insertable_join(grobid, crossref, cdx)
+
+
 def q_batch_dedupe_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J10: in-batch dedupe by PK, last-write-wins
     o = _t(spark, sf_dir, "orders")
@@ -741,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_knn": q_cosine_knn,
         "ann_lsh": q_ann_lsh,
         "slug_self_join": q_slug_self_join,
+        "score_insertable": q_score_insertable,
         "batch_dedupe_latest": q_batch_dedupe_latest,
         "recrawl_frontier": q_recrawl_frontier,
         "fetch_statuses": q_fetch_statuses,
@@ -1023,6 +1053,44 @@ SELECT a.slug, a.id AS id_a, b.id AS id_b,
                             / greatest(length(a.title), length(b.title))) END AS INT) AS score
 FROM s a JOIN s b ON a.slug = b.slug
 WHERE a.id < b.id
+""",
+        "score_insertable": """
+WITH g0 AS (
+  SELECT md5(p_name || '|g') AS sha1hex, p_name AS title,
+         CASE WHEN p_partkey % 11 = 0 THEN 500 ELSE 200 END AS status_code
+  FROM part WHERE p_partkey < 500
+), c0 AS (
+  SELECT p_partkey AS id, p_name AS title,
+         CASE WHEN p_partkey % 7 = 0 THEN 'component' ELSE 'journal-article' END AS release_type
+  FROM part WHERE p_partkey < 500
+), slugged_g AS (
+  SELECT sha1hex, title,
+         regexp_replace(lower(title), '[\\s!"#$%&''()*+,\\-./:;<=>?@\\[\\]\\\\^_`{|}~’‘“”«»„–—‒]', '', 'g') AS slug
+  FROM g0 WHERE status_code = 200 AND title IS NOT NULL AND length(title) BETWEEN 1 AND 1023
+), slugged_c AS (
+  SELECT id, title,
+         regexp_replace(lower(title), '[\\s!"#$%&''()*+,\\-./:;<=>?@\\[\\]\\\\^_`{|}~’‘“”«»„–—‒]', '', 'g') AS slug
+  FROM c0 WHERE release_type IN ('book','book-chapter','dataset','dissertation','journal-article','letter','monograph','posted-content','pre-print','proceedings-article','report','working-paper')
+    AND title IS NOT NULL AND length(title) BETWEEN 1 AND 1023
+), gs AS (
+  SELECT * FROM slugged_g WHERE length(slug) >= 8
+    AND slug NOT IN ('abstract','abstracts','archive','archives','article','articles','book','books','bookreview','bookreviews','conclusion','conclusions','contents','discussion','editorial','editorials','frontmatter','index','introduction','introductions','none','preface','references','results','review','reviews','summary','title','untitled')
+), cs AS (
+  SELECT * FROM slugged_c WHERE length(slug) >= 8
+    AND slug NOT IN ('abstract','abstracts','archive','archives','article','articles','book','books','bookreview','bookreviews','conclusion','conclusions','contents','discussion','editorial','editorials','frontmatter','index','introduction','introductions','none','preface','references','results','review','reviews','summary','title','untitled')
+), scored AS (
+  SELECT a.sha1hex, b.id AS crossref_id, a.slug,
+         CAST(CASE WHEN greatest(length(a.title), length(b.title)) = 0 THEN 1000
+                   ELSE FLOOR((greatest(length(a.title), length(b.title)) - levenshtein(a.title, b.title)) * 1000.0
+                              / greatest(length(a.title), length(b.title))) END AS INT) AS score
+  FROM gs a JOIN cs b ON a.slug = b.slug
+), cdx AS (
+  SELECT DISTINCT md5(p_name || '|g') AS sha1hex, 'application/pdf' AS mimetype,
+         CAST(p_partkey % 1000 AS BIGINT) AS warc_csize
+  FROM part WHERE p_partkey < 500
+)
+SELECT s.sha1hex, s.crossref_id, s.slug, s.score, x.mimetype, x.warc_csize
+FROM scored s JOIN cdx x ON s.sha1hex = x.sha1hex
 """,
         "batch_dedupe_latest": """
 SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y%m%d') AS order_day FROM (

@@ -173,6 +173,69 @@ def with_grobid(df: DataFrame, blob_col: str = "html", service=grobid_stub_servi
     return df.withColumn("grobid", _grobid(F.col(blob_col)))
 
 
+PDF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sha1hex", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("has_page0_thumbnail", T.BooleanType()),
+        T.StructField("page_count", T.IntegerType()),
+        T.StructField("word_count", T.IntegerType()),
+        T.StructField("page0_height", T.FloatType()),
+        T.StructField("page0_width", T.FloatType()),
+        T.StructField("permanent_id", T.StringType()),
+        T.StructField("pdf_version", T.StringType()),
+        T.StructField("page0_thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def pdf_meta_stub_service(blob: bytes) -> dict:
+    """Deterministic fake poppler pass: page count / page-0 dims /
+    thumbnail bytes derived from the content hash. The real decoder
+    (poppler render at 180x300, pdfextract.py:264-407) drops in here
+    on a production cluster; this sandbox pins the row shape, the
+    Arrow plumbing, and the status taxonomy (pdf_meta DDL
+    up.sql:91-115)."""
+    h = hashlib.sha1(blob).digest()
+    hhex = h.hex()
+    return {
+        "sha1hex": hhex,
+        "status": "success",
+        "has_page0_thumbnail": True,
+        "page_count": 1 + h[2] % 40,
+        "word_count": 100 + h[3] * 7,
+        "page0_height": 842.0,
+        "page0_width": 595.0,
+        "permanent_id": hhex[:32],
+        "pdf_version": f"1.{4 + h[4] % 4}",
+        "page0_thumbnail": h[:16],
+    }
+
+
+def with_pdf_meta(df: DataFrame, blob_col: str = "html", service=pdf_meta_stub_service) -> DataFrame:
+    """Append a `pdf_meta` struct column matching the reference's
+    pdf_meta table row (pdfextract.py:148-261 to_pdftext_dict + DDL).
+    Non-PDF / empty bodies produce the reference's error statuses."""
+
+    @F.pandas_udf(PDF_META_SCHEMA)
+    def _meta(blob: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
+        rows = []
+        empty = {f.name: None for f in PDF_META_SCHEMA.fields}
+        for b in blob:
+            if b is None or len(b) == 0:
+                rows.append({**empty, "status": "empty-blob", "has_page0_thumbnail": False})
+                continue
+            b = bytes(b)
+            if not b.startswith(b"%PDF"):
+                rows.append({**empty, "sha1hex": hashlib.sha1(b).hexdigest(),
+                             "status": "not-pdf", "has_page0_thumbnail": False})
+                continue
+            rows.append(service(b))
+        return pd.DataFrame(rows, columns=[f.name for f in PDF_META_SCHEMA.fields])
+
+    return df.withColumn("pdf_meta", _meta(F.col(blob_col)))
+
+
 def with_pdftrio(df: DataFrame, blob_col: str = "html", service=pdftrio_stub_service) -> DataFrame:
     @F.pandas_udf(PDFTRIO_SCHEMA)
     def _trio(blob: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark

@@ -52,6 +52,77 @@ def slug_join_score(
     )
 
 
+MAX_TITLE_LENGTH = 1023  # Scorable.scala:35
+
+# CrossrefScorable.scala:30-42 — release types worth fuzzy-matching
+CROSSREF_TYPE_WHITELIST = (
+    "book", "book-chapter", "dataset", "dissertation", "journal-article", "letter",
+    "monograph", "posted-content", "pre-print", "proceedings-article", "report",
+    "working-paper",
+)
+
+
+def grobid_keep_filter(
+    df: DataFrame, title_col: str = "title", status_code_col: str = "status_code"
+) -> DataFrame:
+    """F11: GROBID-side quality gate before the scoring join
+    (GrobidScorable.scala:29-52): extraction succeeded (status 200) and
+    the title exists with a sane length."""
+    return df.filter(
+        (F.col(status_code_col) == 200)
+        & F.col(title_col).isNotNull()
+        & (F.length(title_col) > 0)
+        & (F.length(title_col) <= MAX_TITLE_LENGTH)
+    )
+
+
+def crossref_keep_filter(
+    df: DataFrame, title_col: str = "title", type_col: str = "release_type"
+) -> DataFrame:
+    """F12: Crossref-side gate (CrossrefScorable.scala:29-56): release
+    type in the whitelist and a present, sane-length title."""
+    return df.filter(
+        F.col(type_col).isin(*CROSSREF_TYPE_WHITELIST)
+        & F.col(title_col).isNotNull()
+        & (F.length(title_col) > 0)
+        & (F.length(title_col) <= MAX_TITLE_LENGTH)
+    )
+
+
+def score_insertable_join(
+    grobid: DataFrame,
+    crossref: DataFrame,
+    cdx: DataFrame,
+    min_score: int = 0,
+) -> DataFrame:
+    """J5: the 3-way ScoreInsertableJob shape (ScoreInsertable.scala:
+    53-76): quality-filtered grobid × crossref slug-join scored by
+    title similarity, then the scored pairs join CDX capture metadata
+    on the grobid side's content hash.
+
+    Inputs: grobid(sha1hex, title, status_code), crossref(id, title,
+    release_type), cdx(sha1hex, mimetype, warc_csize). Both scoring
+    sides shuffle only on the slug block key; the final join is an
+    equi-join on sha1hex (AQE handles hot hashes)."""
+    g = grobid_keep_filter(grobid).select(
+        F.col("sha1hex"), F.col("title").alias("grobid_title")
+    )
+    c = crossref_keep_filter(crossref).select(
+        F.col("id").alias("crossref_id"), F.col("title").alias("crossref_title")
+    )
+    scored = slug_join_score(
+        g, c, left_title="grobid_title", right_title="crossref_title",
+        left_id="sha1hex", right_id="crossref_id", min_score=min_score,
+    ).select(
+        F.col("left_id").alias("sha1hex"),
+        F.col("right_id").alias("crossref_id"),
+        "slug",
+        "score",
+    )
+    meta = cdx.select("sha1hex", "mimetype", "warc_csize")
+    return scored.join(meta, on="sha1hex", how="inner")
+
+
 def self_group_works(
     df: DataFrame, title_col: str = "title", id_col: str = "id", min_score: int = 900
 ) -> DataFrame:
