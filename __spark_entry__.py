@@ -338,6 +338,39 @@ def q_paper_filter_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def q_tarball_filter_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 + A4 + W2: the filter-cdx-tarball.pig slice — archive mimetype
+    # + .tar.gz URL filter, one row per content hash, deterministic
+    # global (surt, datetime) order
+    from sandcrawler_spark.operators.cdxslice import cdx_variant_slice
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    suffix = (
+        F.when(pk % 4 == 0, ".tar.gz").when(pk % 4 == 1, ".pdf")
+        .when(pk % 4 == 2, ".py").otherwise("")
+    )
+    mime = (
+        F.when(pk % 5 == 0, "application/gzip")
+        .when(pk % 5 == 1, "application/octet-stream")
+        .when(pk % 5 == 2, "application/pdf")
+        .when(pk % 5 == 3, "text/plain")
+        .otherwise("application/x-gtar")
+    )
+    cdx = p.select(
+        F.concat(
+            F.lit("com,example,site"), (pk % 20).cast("string"), F.lit(")/files/"),
+            F.regexp_replace(F.col("p_name"), " ", "-"), suffix,
+        ).alias("surt"),
+        F.date_format(F.date_add(F.lit("2024-01-01").cast("date"), (pk % 365).cast("int")), "yyyyMMdd000000").alias("datetime"),
+        mime.alias("mimetype"),
+        F.when(pk % 13 == 0, 404).otherwise(200).alias("status_code"),
+        F.md5(F.concat(F.col("p_name"), F.lit("|"), (pk % 4).cast("string"))).alias("sha1hex"),
+    )
+    out = cdx_variant_slice(cdx, "tarball", n_partitions=8)
+    return out.select("surt", "datetime", "sha1hex")
+
+
 def q_surt_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C1/C3: clean_url + SURT + host over messy URL variants
     from sandcrawler_spark.functions.urls import clean_url_udf, host_col, surt_udf
@@ -758,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
+        "tarball_filter_slice": q_tarball_filter_slice,
         "surt_canonical": q_surt_canonical,
         "word_counts": q_word_counts,
         "quality_scores": q_quality_scores,
@@ -868,6 +902,27 @@ SELECT url, datetime, doc_hash FROM (
   WHERE regexp_matches(url, '/(pubs|research|publications|articles|papers|fulltext)/')
      OR regexp_matches(url, '/10\\.[0-9]{3,5}/')
 ) WHERE _prn = 1
+""",
+        "tarball_filter_slice": """
+WITH cdxish AS (
+  SELECT 'com,example,site' || CAST(p_partkey % 20 AS VARCHAR) || ')/files/' || replace(p_name, ' ', '-')
+         || CASE WHEN p_partkey % 4 = 0 THEN '.tar.gz' WHEN p_partkey % 4 = 1 THEN '.pdf'
+                 WHEN p_partkey % 4 = 2 THEN '.py' ELSE '' END AS surt,
+         strftime(DATE '2024-01-01' + CAST(p_partkey % 365 AS INT), '%Y%m%d000000') AS datetime,
+         CASE WHEN p_partkey % 5 = 0 THEN 'application/gzip' WHEN p_partkey % 5 = 1 THEN 'application/octet-stream'
+              WHEN p_partkey % 5 = 2 THEN 'application/pdf' WHEN p_partkey % 5 = 3 THEN 'text/plain'
+              ELSE 'application/x-gtar' END AS mimetype,
+         CASE WHEN p_partkey % 13 = 0 THEN 404 ELSE 200 END AS status_code,
+         md5(p_name || '|' || CAST(p_partkey % 4 AS VARCHAR)) AS sha1hex
+  FROM part
+)
+SELECT surt, datetime, sha1hex FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sha1hex ORDER BY surt, datetime) AS _trn
+  FROM cdxish
+  WHERE status_code = 200
+    AND regexp_matches(mimetype, '.*(octet|gzip|gtar|tgz).*')
+    AND regexp_matches(surt, '(?i).*\\.tar\\.gz.*')
+) WHERE _trn = 1
 """,
         "surt_canonical": f"""
 WITH {_URLS_CTE.strip()}

@@ -1,0 +1,71 @@
+"""CDX slice jobs: variant content filters + deterministic crawl order.
+
+Role parity (the reference's Pig slice family):
+  - F2  filter-cdx-paper-pdfs.pig (heuristic paper-URL regex)
+  - F4  filter-cdx-ps.pig (postscript mimetype),
+        filter-cdx-tarball.pig (archive mimetype + .tar.gz URL),
+        filter-cdx-source-code-crude.pig (text mimetype + source suffix)
+  - A4  DISTINCT-by-sha1 TOP(1) representative row
+  - W2  `ORDER cdx BY surt, timestamp PARALLEL 50` — the deterministic
+        global crawl order every slice ends with
+
+Spark shapes: the filters are pure Catalyst predicates (pushed to the
+parquet scan); the per-hash representative is a row_number window on
+the hash (hash-partitioned, no skew — sha1 is uniform); the global
+order is repartitionByRange on the sort key + sortWithinPartitions —
+Spark's distributed total sort (range exchange ≈ Pig's PARALLEL 50
+ordered store), files then read back in partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# variant -> (mimetype regex, url regex or None); filter-cdx-*.pig
+SLICE_VARIANTS: dict[str, tuple[str, str | None]] = {
+    "ps": (r".*postscript.*", None),
+    "tarball": (r".*(octet|gzip|gtar|tgz).*", r"(?i).*\.tar\.gz.*"),
+    "source": (r".*text.*", r".*\.(c|h|py|java)$"),
+    "pdf": (r".*pdf.*", None),
+}
+
+
+def crawl_order_dump(df: DataFrame, sort_cols: list[str], n_partitions: int | None = None) -> DataFrame:
+    """W2: deterministic GLOBAL ordering at scale — range-partition on
+    the sort key then sort within partitions; partition i's rows all
+    precede partition i+1's. A plain orderBy compiles to the same
+    exchange; this form pins the partition count like PARALLEL 50."""
+    cols = [F.col(c) for c in sort_cols]
+    out = df.repartitionByRange(n_partitions, *cols) if n_partitions else df.repartitionByRange(*cols)
+    return out.sortWithinPartitions(*cols)
+
+
+def distinct_by_hash(df: DataFrame, hash_col: str = "sha1hex", order_cols: list[str] | None = None) -> DataFrame:
+    """A4: one representative capture per content hash (GROUP BY sha1
+    + TOP(1)); deterministic representative via the order columns."""
+    order = [F.col(c) for c in (order_cols or ["surt", "datetime"])]
+    w = Window.partitionBy(hash_col).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def cdx_variant_slice(
+    cdx: DataFrame,
+    variant: str,
+    surt_col: str = "surt",
+    dt_col: str = "datetime",
+    status_col: str = "status_code",
+    mime_col: str = "mimetype",
+    hash_col: str = "sha1hex",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One Pig slice: status-200 + variant mimetype/URL filters ->
+    distinct-by-hash -> global (surt, datetime) order."""
+    if variant not in SLICE_VARIANTS:
+        raise ValueError(f"unknown slice variant {variant!r}; one of {sorted(SLICE_VARIANTS)}")
+    mime_re, url_re = SLICE_VARIANTS[variant]
+    out = cdx.filter((F.col(status_col) == 200) & F.col(mime_col).rlike(mime_re))
+    if url_re:
+        out = out.filter(F.col(surt_col).rlike(url_re))
+    out = distinct_by_hash(out, hash_col, [surt_col, dt_col])
+    return crawl_order_dump(out, [surt_col, dt_col], n_partitions)

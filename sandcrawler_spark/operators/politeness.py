@@ -112,6 +112,7 @@ def schedule_politeness(
     skew_safe: bool = True,
     hot_threshold: int = 2_000_000,
     n_salts: int = 16,
+    round_window_s: float = 60.0,
 ) -> DataFrame:
     """Assign (crawl_round, seq_in_round) per URL.
 
@@ -119,6 +120,14 @@ def schedule_politeness(
     small dimension table, broadcast. URLs matching a disallow prefix
     are excluded with robots_excluded=true (kept, flagged, so lineage
     accounts for every input row).
+
+    A host's per-round quota honors BOTH robots budgets: at most
+    max_parallel fetches per round, AND no more fetches than its
+    crawl-delay allows inside one `round_window_s` wall-clock window
+    (robots.txt Crawl-delay semantics — the reference enforces this as
+    per-host backpressure in its worker loop, workers.py:534-554;
+    here it is a static budget:  quota = min(max_parallel,
+    floor(round_window_s / crawl_delay_s)), floored at 1).
     """
     r = robots.select(
         F.col("host").alias(host_col),
@@ -132,9 +141,13 @@ def schedule_politeness(
         F.col("disallow_prefixes").isNotNull(),
         F.exists("disallow_prefixes", lambda p: path.startswith(p)),
     ).otherwise(F.lit(False))
-    j = j.withColumn("robots_excluded", disallowed).withColumn(
-        "quota", F.coalesce(F.col("max_parallel"), F.lit(default_quota))
+    delay_cap = F.when(
+        F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
+        F.greatest(F.floor(F.lit(round_window_s) / F.col("crawl_delay_s")), F.lit(1)),
     )
+    base_quota = F.coalesce(F.col("max_parallel"), F.lit(default_quota)).cast("long")
+    quota = F.when(delay_cap.isNotNull(), F.least(base_quota, delay_cap)).otherwise(base_quota)
+    j = j.withColumn("robots_excluded", disallowed).withColumn("quota", quota)
     allowed = j.filter(~F.col("robots_excluded"))
     if skew_safe:
         ranked = ranked_within_key(

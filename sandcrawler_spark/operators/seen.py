@@ -188,11 +188,19 @@ def probe_bloom(
 def _probe_bloom_broadcast(
     candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int
 ) -> DataFrame:
+    # ship the bitmaps as an EXPLICIT broadcast variable (torrent
+    # distribution, one copy per executor, spillable) — capturing a
+    # multi-hundred-MB dict in the UDF closure would serialize it into
+    # every task binary instead
+    spark = candidates.sparkSession
     rows = bloom.collect()
-    bitmaps = {int(r.bucket): (bytes(r.bitmap), int(r.m_bits), int(r.k_hashes)) for r in rows}
+    bc = spark.sparkContext.broadcast(
+        {int(r.bucket): (bytes(r.bitmap), int(r.m_bits), int(r.k_hashes)) for r in rows}
+    )
 
     @F.pandas_udf(T.BooleanType())
     def _test(bkt: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:  # pragma: no cover
+        bitmaps = bc.value
         bkts = bkt.to_numpy()
         h1n = h1.to_numpy()
         h2n = h2.to_numpy()

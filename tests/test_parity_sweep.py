@@ -143,3 +143,65 @@ def test_record_budget_guard():
             t0 = time.time()
             while time.time() - t0 < 2.0:
                 pass
+
+
+def test_crawl_order_dump_global_order(spark):
+    from pyspark.sql import functions as SF
+
+    from sandcrawler_spark.operators.cdxslice import crawl_order_dump
+
+    df = spark.range(0, 5000).select(
+        SF.concat(SF.lit("k"), SF.lpad((SF.col("id") * 7919 % 5000).cast("string"), 5, "0")).alias("surt"),
+        SF.lpad((SF.col("id") % 97).cast("string"), 4, "0").alias("datetime"),
+    )
+    out = crawl_order_dump(df, ["surt", "datetime"], n_partitions=8)
+    parts = out.rdd.glom().collect()
+    flat = []
+    for part in parts:  # partition order IS the global order
+        keyed = [(r.surt, r.datetime) for r in part]
+        assert keyed == sorted(keyed)  # sorted within each partition
+        flat.extend(keyed)
+    assert flat == sorted(flat)  # range partitioning: global order too
+    assert len(flat) == 5000
+
+
+def test_cdx_variant_slice_filters(spark):
+    from sandcrawler_spark.operators.cdxslice import cdx_variant_slice
+
+    rows = [
+        ("com,a)/x.tar.gz", "2024", "application/gzip", 200, "h1"),
+        ("com,a)/x.tar.gz", "2023", "application/gzip", 200, "h1"),  # dup hash, earlier dt
+        ("com,b)/y.pdf", "2024", "application/pdf", 200, "h2"),
+        ("com,c)/z.tar.gz", "2024", "application/gzip", 404, "h3"),  # bad status
+        ("com,d)/w.py", "2024", "text/plain", 200, "h4"),
+    ]
+    cdx = spark.createDataFrame(rows, ["surt", "datetime", "mimetype", "status_code", "sha1hex"])
+    tar = cdx_variant_slice(cdx, "tarball").collect()
+    assert [(r.surt, r.datetime) for r in tar] == [("com,a)/x.tar.gz", "2023")]
+    src = cdx_variant_slice(cdx, "source").collect()
+    assert [r.sha1hex for r in src] == ["h4"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdx_variant_slice(cdx, "nope")
+
+
+def test_politeness_crawl_delay_budget(spark):
+    from sandcrawler_spark.operators.politeness import schedule_politeness
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i%2}.org/p{j}", f"h{i%2}.org", 1) for i in range(2) for j in range(20)],
+        ["url", "host", "priority"],
+    )
+    robots = spark.createDataFrame(
+        [("h0.org", 8, 30.0, []), ("h1.org", 8, 0.5, [])],
+        "host string, max_parallel int, crawl_delay_s double, disallow_prefixes array<string>",
+    )
+    # 60s window: h0 delay 30s -> cap 2 (< max_parallel 8); h1 delay 0.5s -> cap 120 -> quota 8
+    out = schedule_politeness(frontier, robots, round_window_s=60.0)
+    quotas = {r.host: r.quota for r in out.select("host", "quota").distinct().collect()}
+    assert quotas == {"h0.org": 2, "h1.org": 8}
+    rounds = {r.host: r for r in out.groupBy("host").agg(
+        F.max("crawl_round").alias("mx")).collect()}
+    assert rounds["h0.org"].mx == 9  # 20 urls / quota 2
+    assert rounds["h1.org"].mx == 2  # 20 urls / quota 8
