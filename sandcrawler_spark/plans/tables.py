@@ -7,25 +7,32 @@ Role parity:
     264-285)
   - Kafka manual offset store = resumability (workers.py:558-561)
 
-Design: each table is a directory of immutable parquet snapshots plus
-an atomically-replaced manifest (_meta.json). MERGE semantics:
+Design: a table is a set of immutable parquet snapshots plus an
+atomically-replaced manifest (_meta.json). Rows are HASH-BUCKETED by
+key (pmod(xxhash64(keys), n_buckets)); a snapshot's manifest maps each
+bucket to the parquet directories holding its rows — directories are
+shared structurally with ancestor snapshots, exactly Iceberg's
+manifest-reuse model. MERGE semantics:
 
   merge(batch) ->
     1. in-batch dedupe by key (row_number()==1, db.py:124-128 analog)
-    2. split current into matched / unmatched by key (the anti-join)
-    3. new snapshot = unmatched ∪ upserted batch
-    4. manifest update records (snapshot_id, parent_id, inserted,
+    2. REWRITE ONLY THE BUCKETS THE BATCH TOUCHES: read those buckets,
+       anti-join out matched keys, union the upserted batch, write the
+       result as the new snapshot's bucket dirs. Untouched buckets are
+       INHERITED by reference from the parent snapshot — a round that
+       touches 1% of keys rewrites ~1% of the table, not all of it.
+    3. manifest update records (snapshot_id, parent_id, inserted,
        updated, operation, lineage) — the insert-vs-update counts the
        reference derives from xmax (db.py:157-161)
 
-On a real cluster this layer is `MERGE INTO iceberg_table ON key` +
-snapshot summary metrics, 1:1; the local implementation exists because
-the Iceberg runtime jar is not part of this sandbox. The API is
-format-agnostic so swapping the backend touches only this module.
+  append(batch) -> O(batch): the batch's files are ADDED to the bucket
+  map next to the inherited ones; nothing is rewritten.
 
-Rewrite cost note (scale): local MERGE rewrites the table; Iceberg
-does merge-on-read / partition-level rewrite. That is a backend
-property, not a plan property — callers only express keyed upserts.
+On a real cluster this layer is `MERGE INTO iceberg_table ON key` with
+partition-level rewrite + snapshot summary metrics, 1:1; the local
+implementation exists because the Iceberg runtime jar is not in this
+sandbox. The API is format-agnostic so swapping backends touches only
+this module.
 """
 
 from __future__ import annotations
@@ -37,13 +44,15 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], n_buckets: int = 64):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        self.default_n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # ---- manifest -----------------------------------------------------
@@ -53,7 +62,7 @@ class SnapshotTable:
 
     def _read_meta(self) -> dict:
         if not os.path.exists(self._meta_path):
-            return {"current": None, "snapshots": []}
+            return {"current": None, "snapshots": [], "n_buckets": self.default_n_buckets}
         with open(self._meta_path) as f:
             return json.load(f)
 
@@ -76,30 +85,63 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
+    def _read_dirs(self, rels: list[str], schema_json: str) -> DataFrame:
+        if not rels:
+            return self.spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_json)))
+        paths = [os.path.join(self.path, r) for r in rels]
+        # mergeSchema: inherited bucket dirs may predate added columns
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _snap_df(self, snap: dict) -> DataFrame:
+        rels = [r for dirs in snap["buckets"].values() for r in dirs]
+        return self._read_dirs(sorted(set(rels)), snap["schema"])
+
     def read(self) -> DataFrame | None:
         snap = self.current_snapshot()
         if snap is None:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, snap["dir"]))
+        return self._snap_df(snap)
 
     def read_snapshot(self, snapshot_id: str) -> DataFrame:
         snap = next(s for s in self.snapshots() if s["id"] == snapshot_id)
-        return self.spark.read.parquet(os.path.join(self.path, snap["dir"]))
+        return self._snap_df(snap)
 
     # ---- writes --------------------------------------------------------
-    def _commit(self, df: DataFrame, operation: str, counts: dict, lineage: dict | None) -> dict:
-        snap_id = uuid.uuid4().hex[:16]
-        rel = f"snap-{snap_id}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+    def _bucket_expr(self, n_buckets: int):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets)).cast("int")
+
+    def _write_bucketed(self, df: DataFrame, rel: str, n_buckets: int) -> dict[str, list[str]]:
+        """Write df under rel/ partitioned by key bucket; returns the
+        {bucket: [reldir]} map of what was actually written."""
+        out_dir = os.path.join(self.path, rel)
+        df.withColumn("_bucket", self._bucket_expr(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(out_dir)
+        buckets: dict[str, list[str]] = {}
+        for name in os.listdir(out_dir):
+            if name.startswith("_bucket="):
+                buckets[name.split("=", 1)[1]] = [f"{rel}/{name}"]
+        return buckets
+
+    def _commit(
+        self,
+        operation: str,
+        counts: dict,
+        lineage: dict | None,
+        buckets: dict[str, list[str]],
+        schema_json: str,
+    ) -> dict:
         meta = self._read_meta()
+        snap_id = uuid.uuid4().hex[:16]
         snap = {
             "id": snap_id,
-            "dir": rel,
             "parent": meta["current"],
             "operation": operation,
             "committed_at": time.time(),
             "counts": counts,
             "lineage": lineage or {},
+            "buckets": buckets,
+            "schema": schema_json,
         }
         meta["snapshots"].append(snap)
         meta["current"] = snap_id
@@ -111,16 +153,33 @@ class SnapshotTable:
         w = Window.partitionBy(*self.key_cols).orderBy(*order)
         return batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
+    def _full_write(self, df: DataFrame, operation: str, counts: dict, lineage: dict | None) -> dict:
+        nb = self._read_meta().get("n_buckets", self.default_n_buckets)
+        snap_id_rel = f"snap-{uuid.uuid4().hex[:16]}"
+        buckets = self._write_bucketed(df, snap_id_rel, nb)
+        return self._commit(operation, counts, lineage, buckets, df.schema.json())
+
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> dict:
         n = df.count()
-        return self._commit(df, "overwrite", {"inserted": n, "updated": 0, "total": n}, lineage)
+        return self._full_write(df, "overwrite", {"inserted": n, "updated": 0, "total": n}, lineage)
 
     def append(self, df: DataFrame, lineage: dict | None = None) -> dict:
-        cur = self.read()
-        out = df if cur is None else cur.unionByName(df, allowMissingColumns=True)
+        """O(batch): the new files JOIN the bucket map; nothing is
+        rewritten, inherited dirs are shared with the parent."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return self._full_write(df, "append", {"inserted": df.count(), "updated": 0,
+                                                   "total": df.count()}, lineage)
+        nb = self._read_meta().get("n_buckets", self.default_n_buckets)
         n_new = df.count()
-        total = out.count()
-        return self._commit(out, "append", {"inserted": n_new, "updated": 0, "total": total}, lineage)
+        rel = f"snap-{uuid.uuid4().hex[:16]}"
+        written = self._write_bucketed(df, rel, nb)
+        buckets = {b: list(dirs) for b, dirs in cur["buckets"].items()}
+        for b, dirs in written.items():
+            buckets.setdefault(b, []).extend(dirs)
+        total = cur["counts"]["total"] + n_new
+        return self._commit("append", {"inserted": n_new, "updated": 0, "total": total},
+                            lineage, buckets, df.schema.json())
 
     def merge(
         self,
@@ -129,32 +188,47 @@ class SnapshotTable:
         on_conflict: str = "update",
         lineage: dict | None = None,
     ) -> dict:
-        """Keyed upsert. on_conflict: 'update' (last write wins) or
+        """Keyed upsert, partition-level: only buckets containing batch
+        keys are rewritten. on_conflict: 'update' (last write wins) or
         'nothing' (keep existing row), mirroring the two ON CONFLICT
         modes in db.py."""
         batch = self._dedupe_batch(batch, dedupe_order)
-        cur = self.read()
+        cur = self.current_snapshot()
         if cur is None:
             n = batch.count()
-            return self._commit(batch, "merge", {"inserted": n, "updated": 0, "total": n}, lineage)
+            return self._full_write(batch, "merge", {"inserted": n, "updated": 0, "total": n}, lineage)
+
+        nb = self._read_meta().get("n_buckets", self.default_n_buckets)
         batch = batch.persist()
+        touched = sorted(
+            r._b for r in batch.select(self._bucket_expr(nb).alias("_b")).distinct().collect()
+        )
+        touched_rels = [r for b in touched for r in cur["buckets"].get(str(b), [])]
+        cur_touched = self._read_dirs(touched_rels, cur["schema"])
+        n_cur_touched = cur_touched.count()
+
         keys = batch.select(*self.key_cols)
-        untouched = cur.join(keys, on=self.key_cols, how="left_anti")
+        untouched_rows = cur_touched.join(keys, on=self.key_cols, how="left_anti")
         if on_conflict == "update":
-            updated = cur.join(keys, on=self.key_cols, how="left_semi").count()
-            out = untouched.unionByName(batch, allowMissingColumns=True)
+            updated = cur_touched.join(keys, on=self.key_cols, how="left_semi").count()
+            out = untouched_rows.unionByName(batch, allowMissingColumns=True)
             inserted = batch.count() - updated
         else:  # 'nothing': only genuinely new keys enter
-            new_rows = batch.join(cur.select(*self.key_cols), on=self.key_cols, how="left_anti")
+            new_rows = batch.join(cur_touched.select(*self.key_cols), on=self.key_cols, how="left_anti")
             inserted = new_rows.count()
             updated = 0
-            out = cur.unionByName(new_rows, allowMissingColumns=True)
-        total = out.count()
+            out = cur_touched.unionByName(new_rows, allowMissingColumns=True)
+        n_out = out.count()
+
+        rel = f"snap-{uuid.uuid4().hex[:16]}"
+        written = self._write_bucketed(out, rel, nb)
+        # inherited buckets by reference; touched buckets replaced wholesale
+        buckets = {b: list(dirs) for b, dirs in cur["buckets"].items() if int(b) not in set(touched)}
+        buckets.update(written)
+        total = cur["counts"]["total"] - n_cur_touched + n_out
         snap = self._commit(
-            out,
-            "merge",
-            {"inserted": inserted, "updated": updated, "total": total},
-            lineage,
+            "merge", {"inserted": inserted, "updated": updated, "total": total},
+            lineage, buckets, out.schema.json(),
         )
         batch.unpersist()
         return snap

@@ -205,3 +205,37 @@ def test_politeness_crawl_delay_budget(spark):
         F.max("crawl_round").alias("mx")).collect()}
     assert rounds["h0.org"].mx == 9  # 20 urls / quota 2
     assert rounds["h1.org"].mx == 2  # 20 urls / quota 8
+
+
+def test_snapshot_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    from sandcrawler_spark.plans.tables import SnapshotTable
+
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "tbl"), ["k"], n_buckets=16)
+    base = spark.range(0, 2000).select(F.col("id").alias("k"), F.lit("v0").alias("v"))
+    t.overwrite(base)
+    snap0 = t.current_snapshot()
+    # merge a single key -> exactly one bucket rewritten
+    batch = spark.createDataFrame([(7, "v1")], ["k", "v"])
+    res = t.merge(batch)
+    assert res["counts"] == {"inserted": 0, "updated": 1, "total": 2000}
+    snap1 = t.current_snapshot()
+    rewritten = {b for b in snap1["buckets"] if snap1["buckets"][b] != snap0["buckets"].get(b)}
+    assert len(rewritten) == 1  # 15 of 16 buckets inherited by reference
+    inherited = [b for b in snap1["buckets"] if b not in rewritten]
+    assert all(snap1["buckets"][b] == snap0["buckets"][b] for b in inherited)
+    # content correct
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[7] == "v1" and got[8] == "v0" and len(got) == 2000
+    # on_conflict='nothing' keeps the existing row; new key inserts
+    res2 = t.merge(spark.createDataFrame([(7, "v2"), (5000, "new")], ["k", "v"]), on_conflict="nothing")
+    assert res2["counts"]["inserted"] == 1 and res2["counts"]["updated"] == 0
+    got2 = {r.k: r.v for r in t.read().collect()}
+    assert got2[7] == "v1" and got2[5000] == "new" and res2["counts"]["total"] == 2001
+    # append is O(batch): bucket map grows, nothing rewritten
+    snap2 = t.current_snapshot()
+    t.append(spark.createDataFrame([(9999, "app")], ["k", "v"]))
+    snap3 = t.current_snapshot()
+    assert all(set(snap3["buckets"][b]) >= set(dirs) for b, dirs in snap2["buckets"].items())
+    assert t.read().count() == 2002
+    # time travel still works
+    assert t.read_snapshot(snap0["id"]).count() == 2000
