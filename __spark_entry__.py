@@ -265,6 +265,31 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-delay budget: quota = min(max_parallel, floor(window/delay))
+    # — hosts with long Crawl-delay get their per-round quota capped
+    from sandcrawler_spark.operators.politeness import schedule_politeness
+
+    urls = _urls(spark, sf_dir)
+    robots = (
+        urls.select("host", "site_id")
+        .distinct()
+        .select(
+            "host",
+            (F.lit(2) + (F.col("site_id") % 6)).cast("int").alias("max_parallel"),
+            (F.lit(10.0) * (1 + F.col("site_id") % 8)).alias("crawl_delay_s"),
+            F.array().cast("array<string>").alias("disallow_prefixes"),
+        )
+    )
+    sched = schedule_politeness(urls.select("url", "host", "priority"), robots, round_window_s=60.0)
+    return sched.select(
+        "url",
+        "host",
+        F.col("quota").cast("int").alias("quota"),
+        F.col("crawl_round").cast("int").alias("crawl_round"),
+    )
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6: frontier minus seen-set (exact left-anti path)
     from sandcrawler_spark.operators.seen import unseen_exact
@@ -786,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_counts": q_status_counts,
         "hit_rate_stats": q_hit_rate_stats,
         "politeness_schedule": q_politeness_schedule,
+        "politeness_delay": q_politeness_delay,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "best_capture": q_best_capture,
@@ -859,6 +885,23 @@ ranked AS (
 SELECT url, host, priority, quota,
        CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round,
        CAST(rk % quota AS INT) AS seq_in_round
+FROM ranked
+""",
+        "politeness_delay": f"""
+WITH {_URLS_CTE.strip()},
+quotas AS (
+  SELECT DISTINCT host,
+         least(CAST(2 + (site_id % 6) AS BIGINT),
+               greatest(CAST(FLOOR(60.0 / (10.0 * (1 + site_id % 8))) AS BIGINT), 1)) AS quota
+  FROM urls
+),
+ranked AS (
+  SELECT u.url, u.host, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.priority DESC, u.url) - 1 AS rk
+  FROM urls u JOIN quotas q ON u.host = q.host
+)
+SELECT url, host, CAST(quota AS INT) AS quota,
+       CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round
 FROM ranked
 """,
         "seen_antijoin": seen_sql,

@@ -276,16 +276,25 @@ def unseen_bloom_exact(
     maybe-seen slice. Equals unseen_exact() by construction (no false
     negatives; false positives corrected).
 
-    materialize=True checkpoints the probe result before branching: it
-    feeds two filter branches plus downstream passes, and the
-    broadcast probe is a NARROW op — without a materialization every
-    consumer re-runs the UDF over the full frontier (the cogroup
-    variant gets this from shuffle reuse). The probe is deterministic,
-    so materialize=False is merely a compute-vs-memory tradeoff."""
+    materialize=True checkpoints the FINAL union (one job, one
+    serialization pass): the result feeds the whole downstream round —
+    politeness alone reads it several times (host histogram, hot/cold
+    branches, excluded branch), and without a materialization each of
+    those jobs re-executes the probe + rescue anti-join (measured:
+    ~4-7s of fixed re-execution per downstream job at 3.2M rows, the
+    main reason rounds stopped scaling with cores). Inside that single
+    checkpoint job the broadcast probe UDF runs once per filter branch
+    (it is a cheap vectorized numpy pass over JVM-computed hashes);
+    the cogroup variant's probe is an exchange, so its branches get
+    shuffle reuse instead. The probe is deterministic, so
+    materialize=False is merely a compute-vs-memory tradeoff."""
     probed = probe_bloom(frontier, bloom, key_col, n_buckets, strategy=strategy)
-    if materialize:
+    if materialize and strategy == "cogroup":
         probed = probed.localCheckpoint(eager=True)
     clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     rescued = unseen_exact(suspect, seen, key_col)
-    return clean.unionByName(rescued)
+    out = clean.unionByName(rescued)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -40,11 +40,15 @@ class CrawlRunner:
         corpus: dict[str, DataFrame],
         state_dir: str,
         now_expr: str = "timestamp'2024-02-01 00:00:00'",
+        denylist: list[str] | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
         self.state_dir = state_dir
         self.now_expr = now_expr
+        # F9: poison-pill content hashes skipped before every extraction
+        # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
+        self.denylist = list(denylist or [])
         os.makedirs(state_dir, exist_ok=True)
         self.results = SnapshotTable(spark, os.path.join(state_dir, "ingest_file_result"), ["ingest_type", "base_url"])
         self.seen = SnapshotTable(spark, os.path.join(state_dir, "url_seen"), ["canon_url"])
@@ -102,6 +106,11 @@ class CrawlRunner:
         hits = results.filter(F.col("hit")).select(
             "terminal_url", "terminal_dt", "terminal_sha1hex"
         ).distinct()
+        if self.denylist:
+            from sandcrawler_spark.operators.denylist import split_denylist
+
+            hits, denied = split_denylist(hits, self.denylist, "terminal_sha1hex")
+            self.metrics.inc("denylist_skipped", denied.count())
         prior = self.extraction.read()
         if prior is not None:
             hits = hits.join(
@@ -132,6 +141,13 @@ class CrawlRunner:
             )
         ).persist()
         n_extracted = extracted.count()
+        # F10: scope routing — how many extracted docs are ingest-worthy
+        # fulltext (html_ingest routes other scopes to skip statuses)
+        from sandcrawler_spark.functions.biblio import route_by_scope
+
+        self.metrics.inc(
+            "fulltext_scope_docs", route_by_scope(extracted, scope_col="biblio.scope").count()
+        )
 
         lineage = {"round": r, "frontier": n_frontier, "scheduled": n_batch}
         res_snap = self.results.merge(

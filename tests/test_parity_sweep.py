@@ -239,3 +239,26 @@ def test_snapshot_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert t.read().count() == 2002
     # time travel still works
     assert t.read_snapshot(snap0["id"]).count() == 2000
+
+
+def test_crawl_round_denylist_and_scope_metrics(spark, corpus, tmp_path):
+    from sandcrawler_spark.streaming.rounds import CrawlRunner
+
+    # baseline round: learn one extracted sha1
+    r1 = CrawlRunner(spark, corpus, os.path.join(str(tmp_path), "s1"))
+    r1.run(max_rounds=1)
+    ext = r1.extraction.read()
+    assert ext is not None and ext.count() > 0
+    victim = ext.select("sha1hex").orderBy("sha1hex").first().sha1hex
+    n_base = ext.count()
+
+    # same round with the victim denylisted: one fewer extraction,
+    # denylist_skipped counts it
+    r2 = CrawlRunner(spark, corpus, os.path.join(str(tmp_path), "s2"), denylist=[victim])
+    r2.run(max_rounds=1)
+    ext2 = r2.extraction.read()
+    assert ext2.filter(F.col("sha1hex") == victim).count() == 0
+    assert ext2.count() == n_base - 1
+    m = r2.metrics.as_dict()
+    assert m["denylist_skipped"] == 1
+    assert "fulltext_scope_docs" in m
