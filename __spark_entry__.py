@@ -444,6 +444,40 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish LLM token budgeting — pure Catalyst regexp_count
+    from sandcrawler_spark.functions.textstats import bpe_token_count_col, word_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count_col(F.col("text")).cast("int").alias("n_bpe_tokens"),
+        word_count_col(F.col("text")).alias("n_words"),
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (rolling-hash) fingerprints as (doc, fingerprint) rows
+    from sandcrawler_spark.functions.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup: planted exact duplicates must pair with
+    # their originals at cosine 1.0 through the LSH-bucketed self-join
+    from sandcrawler_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(dups)
+    dim = len(e.select("embedding").first()[0])
+    return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
+
+
 def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandcrawler_spark.functions.textstats import lang_id_en_score_col
 
@@ -822,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "quality_scores": q_quality_scores,
         "lang_pred_counts": q_lang_pred_counts,
+        "token_counts": q_token_counts,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "embedding_neardup": q_embedding_neardup,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_dedupe": q_neardup_dedupe,
@@ -1022,6 +1059,63 @@ WITH t AS (
   FROM t
 )
 SELECT lang, pred, COUNT(*) AS n FROM r GROUP BY lang, pred
+""",
+        "token_counts": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INT) AS n_words
+FROM documents
+""",
+        "winnow_fingerprints": """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 100
+), g AS (
+  SELECT doc_id, length(norm) AS n,
+         list_transform(range(1, greatest(length(norm) - 4, 0) + 1),
+                        i -> substr(md5(substr(norm, CAST(i AS INT), 5)), 1, 8)) AS hashes
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CASE WHEN n >= 8
+              THEN list_distinct(list_transform(range(1, greatest(len(hashes) - 3, 0) + 1),
+                                                i -> list_min(hashes[i:i+3])))
+              ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+""",
+        "embedding_neardup": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM aug
+), dims AS (
+  SELECT max(len(v)) AS dim FROM e
+), planes AS (
+  SELECT p, list_transform(range(0, dims.dim), c ->
+    CAST(CAST('0x' || substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(c // 4 AS VARCHAR)), (c % 4) * 8 + 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0
+  ) AS plane
+  FROM (SELECT unnest(range(0, 8)) AS p), dims
+), bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_reduce(list_transform(list_zip(e.v, pl.plane), z -> z[1] * z[2]), (a, b) -> a + b) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+), esig AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+), ev AS (
+  SELECT e.vec_id, e.v, s.sig FROM e JOIN esig s ON e.vec_id = s.vec_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, t2 -> t2 * t2), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, t2 -> t2 * t2), (x, y) -> x + y))), 6) AS cosine
+  FROM ev a JOIN ev b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95
 """,
         "fingerprint_dedupe": """
 WITH fp AS (

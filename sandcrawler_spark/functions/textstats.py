@@ -70,6 +70,58 @@ def quality_score_col(text: Column) -> Column:
     return (len_score * 0.4 + stop_score * 0.4 + punct_pen * 0.2)
 
 
+# GPT-2-style pre-tokenizer, restricted to syntax RE2 (the DuckDB
+# oracle) and Java regex share: contractions | optional-space letters |
+# optional-space digits | optional-space punctuation run | whitespace
+# run. Both engines use leftmost-first alternation, so counts agree.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Approximate LLM token count: matches of the BPE-ish pre-token
+    regex (whitespace runs count one each, like tiktoken's pre-split).
+    Pure Catalyst (regexp_count is codegen'd) — the budget-estimation
+    pass over a whole corpus must not cross into Python."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
+
+
+def winnow_fingerprints(df, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every k-char gram (md5 prefix, so the SQL oracle replays it),
+    slide a w-hash window, keep each window's minimum, dedupe. The
+    selected fingerprint set is position-robust: near-duplicate
+    documents share most fingerprints even after local edits — the
+    containment-style near-dup key (vs fingerprint_col's exact key).
+
+    Returns (id_col, fingerprint) rows. Shape note: this is an
+    explode + window-min over gram positions, NOT nested array
+    lambdas — a transform-inside-transform column expression is an
+    optimizer trap (Catalyst inlines the producer expression into the
+    consumer lambda, re-evaluating the whole gram-hash array per
+    window: measured 116s vs 1s on 100 docs). The window partitions by
+    document, so parallelism is per-doc and no partition exceeds one
+    document's grams."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_n")).filter(
+        F.length("_n") >= k + w - 1
+    )
+    grams = base.select(
+        "_id", "_n", F.explode(F.sequence(F.lit(1), F.length("_n") - (k - 1))).alias("_i")
+    ).select(
+        "_id", "_i", F.substring(F.md5(F.col("_n").substr(F.col("_i"), F.lit(k))), 1, 8).alias("_h")
+    )
+    win = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, w - 1)
+    fps = grams.select(
+        "_id",
+        F.min("_h").over(win).alias("fingerprint"),
+        F.count("_h").over(win).alias("_wn"),
+    ).filter(F.col("_wn") == w)
+    return fps.select(F.col("_id").alias(id_col), "fingerprint").distinct()
+
+
 def fingerprint_col(text: Column) -> Column:
     """Document fingerprint: md5 of lowercased, whitespace-collapsed,
     punctuation-stripped text — the exact-dedupe key. md5 (not

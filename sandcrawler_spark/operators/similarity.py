@@ -108,6 +108,34 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b): hyperplane-LSH
+    bucket SELF-join, exact cosine verified only within buckets — the
+    same block-then-verify shape as MinHash-LSH text dedupe, so 10^9
+    embeddings never meet an all-pairs join. Recall is controlled by
+    n_planes (fewer planes = bigger buckets = higher recall); exact
+    duplicates and positive scalings always share a bucket (signs are
+    scale-invariant)."""
+    planes = _seeded_planes(dim, n_planes, seed)
+    e = embeddings.withColumn("_sig", lsh_bucket_col(F.col(vec_col), planes))
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig")
+    j = a.join(b, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), 6)
+    return (
+        j.select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_lsh(
     queries: DataFrame,
     embeddings: DataFrame,

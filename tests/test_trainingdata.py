@@ -261,3 +261,57 @@ def test_neardup_dedupe_end_to_end(spark, documents):
     # survivors: exactly the representatives
     n_clusters = out.filter(F.col("is_rep")).count()
     assert n_clusters == len({r.rep_id for r in rows.values()})
+
+
+def test_bpe_token_count(spark):
+    from sandcrawler_spark.functions.textstats import bpe_token_count_col
+
+    df = spark.createDataFrame(
+        [(1, "I'll see 2 dogs!"), (2, ""), (3, "word"), (4, "a  b")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", bpe_token_count_col(F.col("text")).alias("n")).collect()}
+    # "I" + "'ll" + " see" + " 2" + " dogs" + "!"
+    assert got[1] == 6
+    assert got[2] == 0 and got[3] == 1
+    # "a" + " " (unconsumed run) + " b" -> leftmost-first: " ?[A-Za-z]+" takes " b", leaving one space
+    assert got[4] == 3
+
+
+def test_winnow_fingerprints_near_dup_overlap(spark):
+    from sandcrawler_spark.functions.textstats import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("lazy", "hazy")  # one local edit
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "completely different content with other words"), (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert 4 not in by_doc  # below k+w-1 chars -> no fingerprints
+    # identical docs -> identical sets; local edit -> high overlap
+    j12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1] | by_doc[2])
+    j13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    assert j12 > 0.5 and j13 < 0.1
+    # deterministic
+    again = {r.doc_id: r.fingerprint for r in winnow_fingerprints(df, k=5, w=4).collect()}
+    assert set(fps.collect()) == set(winnow_fingerprints(df, k=5, w=4).collect())
+
+
+def test_embedding_neardup_pairs(spark, embeddings):
+    from sandcrawler_spark.operators.similarity import embedding_neardup_pairs
+
+    e = embeddings.select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    aug = e.union(dups)
+    dim = len(e.first().embedding)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8).collect()}
+    for i in range(5):
+        assert (i, i + 5000) in pairs and pairs[(i, i + 5000)] == 1.0
