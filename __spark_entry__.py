@@ -290,6 +290,36 @@ def q_politeness_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robots.txt parsing over SQL-constructed bodies: agent-specific
+    # group beats '*', crawl-delay floats, empty files permissive
+    from sandcrawler_spark.functions.robots import robots_udf
+
+    urls = _urls(spark, sf_dir)
+    hosts = urls.select("host", "site_id").distinct()
+    sid = F.col("site_id")
+    body = (
+        F.when(sid % 3 == 0, F.concat(
+            F.lit("User-agent: sandcrawler\nDisallow: /admin/\nCrawl-delay: "),
+            sid.cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /private/\nCrawl-delay: 99"),
+        ))
+        .when(sid % 3 == 1, F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp/\nDisallow: /p/"), sid.cast("string"), F.lit("/\n"),
+        ))
+        .otherwise(F.lit(""))
+    )
+    df = hosts.select("host", "site_id", F.encode(body, "utf-8").alias("body"))
+    p = df.select("host", robots_udf(F.col("body"), F.lit("sandcrawler/2.0")).alias("r"))
+    return p.select(
+        "host",
+        F.col("r.crawl_delay_s").alias("crawl_delay_s"),
+        F.size("r.disallow_prefixes").alias("n_disallow"),
+        F.try_element_at("r.disallow_prefixes", F.lit(1)).alias("first_disallow"),
+        F.col("r.n_groups").alias("n_groups"),
+    )
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6: frontier minus seen-set (exact left-anti path)
     from sandcrawler_spark.operators.seen import unseen_exact
@@ -846,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_rate_stats": q_hit_rate_stats,
         "politeness_schedule": q_politeness_schedule,
         "politeness_delay": q_politeness_delay,
+        "robots_parse": q_robots_parse,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "best_capture": q_best_capture,
@@ -940,6 +971,16 @@ ranked AS (
 SELECT url, host, CAST(quota AS INT) AS quota,
        CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round
 FROM ranked
+""",
+        "robots_parse": f"""
+WITH {_URLS_CTE.strip()},
+hosts AS (SELECT DISTINCT host, site_id FROM urls)
+SELECT host,
+       CASE WHEN site_id % 3 = 0 THEN CAST(site_id AS DOUBLE) END AS crawl_delay_s,
+       CAST(CASE WHEN site_id % 3 = 0 THEN 1 WHEN site_id % 3 = 1 THEN 2 ELSE 0 END AS INT) AS n_disallow,
+       CASE WHEN site_id % 3 = 0 THEN '/admin/' WHEN site_id % 3 = 1 THEN '/tmp/' END AS first_disallow,
+       CAST(CASE WHEN site_id % 3 = 0 THEN 2 WHEN site_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS n_groups
+FROM hosts
 """,
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,

@@ -262,3 +262,69 @@ def test_crawl_round_denylist_and_scope_metrics(spark, corpus, tmp_path):
     m = r2.metrics.as_dict()
     assert m["denylist_skipped"] == 1
     assert "fulltext_scope_docs" in m
+
+
+def test_parse_robots_groups_and_agent_matching():
+    from sandcrawler_spark.functions.robots import parse_robots_py
+
+    txt = """
+# comment
+Disallow: /ignored-before-group/
+
+User-agent: googlebot
+Disallow: /google-only/
+Crawl-delay: 5
+
+User-agent: sandcrawler-bot
+User-agent: otherbot
+Disallow: /api/
+Allow: /api/public/
+Crawl-delay: 2.5
+
+User-agent: *
+Disallow: /private/
+Crawl-delay: not-a-number
+"""
+    # most specific agent group wins over * (the UA line token must be
+    # contained in the crawler's product token, RFC 9309 style)
+    r = parse_robots_py(txt, "sandcrawler-bot/1.0")
+    assert r["crawl_delay_s"] == 2.5
+    assert r["disallow_prefixes"] == ["/api/"]
+    assert r["allow_prefixes"] == ["/api/public/"]
+    assert r["n_groups"] == 3
+    # unknown agent falls back to *
+    r2 = parse_robots_py(txt, "randombot")
+    assert r2["disallow_prefixes"] == ["/private/"]
+    assert r2["crawl_delay_s"] is None  # bad delay value ignored
+    # empty file -> permissive
+    r3 = parse_robots_py("", "any")
+    assert r3 == {"crawl_delay_s": None, "disallow_prefixes": [],
+                  "allow_prefixes": [], "n_groups": 0}
+    # empty Disallow means allow-all (not an empty-prefix rule)
+    r4 = parse_robots_py("User-agent: *\nDisallow:", "any")
+    assert r4["disallow_prefixes"] == []
+
+
+def test_robots_table_feeds_politeness(spark):
+    from sandcrawler_spark.functions.robots import robots_table
+    from sandcrawler_spark.operators.politeness import schedule_politeness
+
+    fetched = spark.createDataFrame(
+        [
+            ("a.org", b"User-agent: *\nDisallow: /blocked/\nCrawl-delay: 30"),
+            ("b.org", b"User-agent: *\nCrawl-delay: 0.5"),
+        ],
+        "host string, body binary",
+    )
+    robots = robots_table(fetched, default_max_parallel=8)
+    frontier = spark.createDataFrame(
+        [("https://a.org/ok/1", "a.org", 1), ("https://a.org/blocked/2", "a.org", 1),
+         ("https://b.org/x", "b.org", 1)],
+        ["url", "host", "priority"],
+    )
+    out = schedule_politeness(frontier, robots, round_window_s=60.0)
+    rows = {r.url: r for r in out.collect()}
+    assert rows["https://a.org/blocked/2"].robots_excluded
+    assert not rows["https://a.org/ok/1"].robots_excluded
+    assert rows["https://a.org/ok/1"].quota == 2   # 60s / 30s delay
+    assert rows["https://b.org/x"].quota == 8      # delay cap 120 > max_parallel
