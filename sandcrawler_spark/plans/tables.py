@@ -110,18 +110,26 @@ class SnapshotTable:
     def _bucket_expr(self, n_buckets: int):
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(n_buckets)).cast("int")
 
-    def _write_bucketed(self, df: DataFrame, rel: str, n_buckets: int) -> dict[str, list[str]]:
+    def _write_bucketed(
+        self, df: DataFrame, rel: str, n_buckets: int
+    ) -> tuple[dict[str, list[str]], dict[str, int]]:
         """Write df under rel/ partitioned by key bucket; returns the
-        {bucket: [reldir]} map of what was actually written."""
+        {bucket: [reldir]} map of what was written plus per-bucket row
+        counts (the partition-level lineage recorded in the manifest:
+        every snapshot knows how many rows each bucket holds and which
+        commit wrote them)."""
         out_dir = os.path.join(self.path, rel)
-        df.withColumn("_bucket", self._bucket_expr(n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
+        bucketed = df.withColumn("_bucket", self._bucket_expr(n_buckets))
+        bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        rows = {
+            str(r._bucket): r.n
+            for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        }
         buckets: dict[str, list[str]] = {}
         for name in os.listdir(out_dir):
             if name.startswith("_bucket="):
                 buckets[name.split("=", 1)[1]] = [f"{rel}/{name}"]
-        return buckets
+        return buckets, rows
 
     def _commit(
         self,
@@ -130,6 +138,7 @@ class SnapshotTable:
         lineage: dict | None,
         buckets: dict[str, list[str]],
         schema_json: str,
+        bucket_rows: dict[str, int] | None = None,
     ) -> dict:
         meta = self._read_meta()
         snap_id = uuid.uuid4().hex[:16]
@@ -141,6 +150,7 @@ class SnapshotTable:
             "counts": counts,
             "lineage": lineage or {},
             "buckets": buckets,
+            "bucket_rows": bucket_rows or {},
             "schema": schema_json,
         }
         meta["snapshots"].append(snap)
@@ -156,8 +166,8 @@ class SnapshotTable:
     def _full_write(self, df: DataFrame, operation: str, counts: dict, lineage: dict | None) -> dict:
         nb = self._read_meta().get("n_buckets", self.default_n_buckets)
         snap_id_rel = f"snap-{uuid.uuid4().hex[:16]}"
-        buckets = self._write_bucketed(df, snap_id_rel, nb)
-        return self._commit(operation, counts, lineage, buckets, df.schema.json())
+        buckets, rows = self._write_bucketed(df, snap_id_rel, nb)
+        return self._commit(operation, counts, lineage, buckets, df.schema.json(), rows)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> dict:
         n = df.count()
@@ -173,13 +183,16 @@ class SnapshotTable:
         nb = self._read_meta().get("n_buckets", self.default_n_buckets)
         n_new = df.count()
         rel = f"snap-{uuid.uuid4().hex[:16]}"
-        written = self._write_bucketed(df, rel, nb)
+        written, written_rows = self._write_bucketed(df, rel, nb)
         buckets = {b: list(dirs) for b, dirs in cur["buckets"].items()}
         for b, dirs in written.items():
             buckets.setdefault(b, []).extend(dirs)
+        bucket_rows = dict(cur.get("bucket_rows", {}))
+        for b, n in written_rows.items():
+            bucket_rows[b] = bucket_rows.get(b, 0) + n
         total = cur["counts"]["total"] + n_new
         return self._commit("append", {"inserted": n_new, "updated": 0, "total": total},
-                            lineage, buckets, df.schema.json())
+                            lineage, buckets, df.schema.json(), bucket_rows)
 
     def merge(
         self,
@@ -221,14 +234,19 @@ class SnapshotTable:
         n_out = out.count()
 
         rel = f"snap-{uuid.uuid4().hex[:16]}"
-        written = self._write_bucketed(out, rel, nb)
+        written, written_rows = self._write_bucketed(out, rel, nb)
         # inherited buckets by reference; touched buckets replaced wholesale
-        buckets = {b: list(dirs) for b, dirs in cur["buckets"].items() if int(b) not in set(touched)}
+        touched_set = set(touched)
+        buckets = {b: list(dirs) for b, dirs in cur["buckets"].items() if int(b) not in touched_set}
         buckets.update(written)
+        bucket_rows = {
+            b: n for b, n in cur.get("bucket_rows", {}).items() if int(b) not in touched_set
+        }
+        bucket_rows.update(written_rows)
         total = cur["counts"]["total"] - n_cur_touched + n_out
         snap = self._commit(
             "merge", {"inserted": inserted, "updated": updated, "total": total},
-            lineage, buckets, out.schema.json(),
+            lineage, buckets, out.schema.json(), bucket_rows,
         )
         batch.unpersist()
         return snap

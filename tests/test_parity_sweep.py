@@ -328,3 +328,20 @@ def test_robots_table_feeds_politeness(spark):
     assert not rows["https://a.org/ok/1"].robots_excluded
     assert rows["https://a.org/ok/1"].quota == 2   # 60s / 30s delay
     assert rows["https://b.org/x"].quota == 8      # delay cap 120 > max_parallel
+
+
+def test_snapshot_bucket_row_lineage(spark, tmp_path):
+    from sandcrawler_spark.plans.tables import SnapshotTable
+
+    t = SnapshotTable(spark, os.path.join(str(tmp_path), "lin"), ["k"], n_buckets=8)
+    t.overwrite(spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("v")))
+    s0 = t.current_snapshot()
+    assert sum(s0["bucket_rows"].values()) == 100 == s0["counts"]["total"]
+    t.merge(spark.createDataFrame([(1, "y"), (5000, "z")], ["k", "v"]))
+    s1 = t.current_snapshot()
+    # per-bucket lineage stays consistent with the total after a
+    # partition-level rewrite (inherited counts + rewritten counts)
+    assert sum(s1["bucket_rows"].values()) == s1["counts"]["total"] == 101
+    t.append(spark.createDataFrame([(7, "w")], ["k", "v"]))
+    s2 = t.current_snapshot()
+    assert sum(s2["bucket_rows"].values()) == s2["counts"]["total"] == 102
