@@ -591,6 +591,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(sample, e, dim=dim, k=3, n_planes=4, seed=42)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-quantizer ANN: id-mod centroids, nprobe=2 cells probed
+    from sandcrawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(sample, e, k=3, centroid_mod=25, nprobe=2)
+
+
 def q_slug_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 + C10/C11: self-join on title slug, Levenshtein-scored
     from sandcrawler_spark.operators.score import self_group_works
@@ -897,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_knn": q_cosine_knn,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
         "batch_dedupe_latest": q_batch_dedupe_latest,
@@ -1237,6 +1249,42 @@ SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM sims
 ) WHERE rank <= 5
+""",
+        "ann_ivf": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(e.v, t2 -> t2 * t2), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(c.cv, t2 -> t2 * t2), (x, y) -> x + y))), 6) DESC,
+             c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_reduce(list_transform(list_zip(q.v, c.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(q.v, t2 -> t2 * t2), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(c.cv, t2 -> t2 * t2), (x, y) -> x + y))), 6) DESC,
+             c.cent_id ASC) AS rn
+    FROM e q, cents c WHERE q.vec_id < 5
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_reduce(list_transform(list_zip(a.v, p.qv), z -> z[1] * z[2]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, t2 -> t2 * t2), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(p.qv, t2 -> t2 * t2), (x, y) -> x + y))), 6) AS cosine
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM cand
+) WHERE rn <= 3
 """,
         # derived twin: rebuild the seeded md5 hyperplanes (hex->uint32 ->
         # [-1,1)) and replay sign-bit bucketing + in-bucket cosine top-3;

@@ -108,6 +108,65 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 50,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer
+    (centroids = the id-mod sample of the corpus itself — no training
+    step, reproducible across runs) partitions vectors into cells by
+    nearest-centroid; each query probes its `nprobe` nearest cells and
+    ranks exact cosine only inside them.
+
+    Scale shape: centroids are tiny -> broadcast for both the
+    assignment pass and the query probe; the only shuffle is the
+    candidates equi-join on cent_id (cells ≈ corpus/centroid_mod rows
+    each; raise centroid_mod to shrink cells, raise nprobe to recover
+    recall). Trained k-means centroids drop in by replacing the
+    centroid DataFrame — the plan is unchanged."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    # assignment: nearest centroid per vector (rounded cosine + id
+    # tiebreak so the cell layout is engine-reproducible)
+    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    assigned = (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col(vec_col), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(asg_w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    probe_w = Window.partitionBy(q_id).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col(q_vec), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(q_id, q_vec, "cent_id")
+    )
+    cand = probes.join(assigned, on="cent_id")
+    top_w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.select(
+            q_id, id_col,
+            F.round(cosine_sim_col(F.col(vec_col), F.col(q_vec)), 6).alias("cosine"),
+        )
+        .withColumn("_rn", F.row_number().over(top_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -315,3 +315,22 @@ def test_embedding_neardup_pairs(spark, embeddings):
              embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8).collect()}
     for i in range(5):
         assert (i, i + 5000) in pairs and pairs[(i, i + 5000)] == 1.0
+
+
+def test_ivf_topk_recall_vs_brute(spark, embeddings):
+    from sandcrawler_spark.operators.similarity import ivf_topk, knn_join
+
+    e = embeddings.select("vec_id", "embedding")
+    qs = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = ivf_topk(qs, e, k=5, centroid_mod=10, nprobe=3)
+    exact = knn_join(qs, e, k=5)
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    b = {(r.q_id, r.vec_id) for r in exact.collect()}
+    # each query returns itself (cosine 1.0) and decent overall recall
+    for i in range(5):
+        assert (i, i) in a
+    assert len(a & b) / len(b) >= 0.4
+    # deterministic across runs
+    assert a == {(r.q_id, r.vec_id) for r in ivf_topk(qs, e, k=5, centroid_mod=10, nprobe=3).collect()}
