@@ -123,9 +123,21 @@ class CrawlRunner:
             F.date_format("warc_ts", "yyyyMMddHHmmss").alias("terminal_dt"),
             "html",
         )
+        # C18/C19 routing: PDF bodies go through the grobid + pdf_meta
+        # hooks; HTML bodies through text extraction + biblio (the
+        # reference's per-ingest-type worker split)
+        from sandcrawler_spark.functions.biblio import BIBLIO_SCHEMA
+        from sandcrawler_spark.functions.hooks import (
+            GROBID_SCHEMA,
+            PDF_META_SCHEMA,
+            with_grobid,
+            with_pdf_meta,
+        )
+
         to_extract = hits.join(bodies, on=["terminal_url", "terminal_dt"], how="inner")
-        extracted = (
-            with_file_meta(to_extract, "html")
+        is_pdf = F.substring(F.col("html"), 1, 4) == F.lit(b"%PDF")
+        html_ex = (
+            with_file_meta(to_extract.filter(~is_pdf), "html")
             .withColumn("_ex", extract_text_udf(F.col("html")))
             .withColumn("_biblio", biblio_udf(F.col("html"), F.col("terminal_url")))
             .select(
@@ -138,8 +150,27 @@ class CrawlRunner:
                 F.col("_ex.word_count").alias("word_count"),
                 F.col("_ex.extractor").alias("extractor"),
                 F.col("_biblio").alias("biblio"),
+                F.lit(None).cast(GROBID_SCHEMA).alias("grobid"),
+                F.lit(None).cast(PDF_META_SCHEMA).alias("pdf_meta"),
             )
-        ).persist()
+        )
+        pdf_ex = (
+            with_pdf_meta(with_grobid(with_file_meta(to_extract.filter(is_pdf), "html")))
+            .select(
+                F.col("terminal_sha1hex").alias("sha1hex"),
+                F.col("sha256hex"),
+                F.col("md5hex"),
+                F.col("size_bytes"),
+                F.col("mimetype"),
+                F.lit(None).cast("string").alias("text"),
+                F.col("pdf_meta.word_count").alias("word_count"),
+                F.lit("grobid").alias("extractor"),
+                F.lit(None).cast(BIBLIO_SCHEMA).alias("biblio"),
+                F.col("grobid"),
+                F.col("pdf_meta"),
+            )
+        )
+        extracted = html_ex.unionByName(pdf_ex).persist()
         n_extracted = extracted.count()
         # F10: scope routing — how many extracted docs are ingest-worthy
         # fulltext (html_ingest routes other scopes to skip statuses)

@@ -345,3 +345,20 @@ def test_snapshot_bucket_row_lineage(spark, tmp_path):
     t.append(spark.createDataFrame([(7, "w")], ["k", "v"]))
     s2 = t.current_snapshot()
     assert sum(s2["bucket_rows"].values()) == s2["counts"]["total"] == 102
+
+
+def test_crawl_round_routes_pdf_through_hooks(spark, corpus, tmp_path):
+    from sandcrawler_spark.streaming.rounds import CrawlRunner
+
+    r = CrawlRunner(spark, corpus, os.path.join(str(tmp_path), "pdfroute"))
+    r.run(max_rounds=2)
+    ext = r.extraction.read()
+    pdf_rows = ext.filter(F.col("grobid").isNotNull())
+    html_rows = ext.filter(F.col("grobid").isNull())
+    assert pdf_rows.count() > 0 and html_rows.count() > 0
+    p = pdf_rows.first()
+    assert p.extractor == "grobid" and p.text is None
+    assert p.grobid.status == "success" and p.grobid.doi.startswith("10.1234/")
+    assert p.pdf_meta.page_count >= 1 and p.pdf_meta.has_page0_thumbnail
+    h = html_rows.first()
+    assert h.text is not None and h.pdf_meta is None and h.biblio is not None
