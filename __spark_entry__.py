@@ -591,6 +591,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(sample, e, dim=dim, k=3, n_planes=4, seed=42)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-probe recall knob: every 1-bit-flipped signature probed too
+    from sandcrawler_spark.operators.similarity import ann_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dim = len(e.select("embedding").first()[0])
+    return ann_lsh(sample, e, dim=dim, k=3, n_planes=4, seed=42, multiprobe=True)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF coarse-quantizer ANN: id-mod centroids, nprobe=2 cells probed
     from sandcrawler_spark.operators.similarity import ivf_topk
@@ -908,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_knn": q_cosine_knn,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
@@ -1249,6 +1262,46 @@ SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM sims
 ) WHERE rank <= 5
+""",
+        "ann_lsh_multiprobe": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), dims AS (
+  SELECT max(len(v)) AS dim FROM e
+), planes AS (
+  SELECT p, list_transform(range(0, dims.dim), c ->
+    CAST(CAST('0x' || substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(c // 4 AS VARCHAR)), (c % 4) * 8 + 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0
+  ) AS plane
+  FROM (SELECT unnest(range(0, 4)) AS p), dims
+), bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_reduce(list_transform(list_zip(e.v, pl.plane), z -> z[1] * z[2]), (a, b) -> a + b) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+), esig AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id
+), ev AS (
+  SELECT e.vec_id, e.v, s.sig FROM e JOIN esig s ON e.vec_id = s.vec_id
+), qs AS (
+  SELECT vec_id AS q_id, v AS qv, sig FROM ev WHERE vec_id < 5
+), qprobe AS (
+  SELECT q_id, qv, sig FROM qs
+  UNION ALL
+  SELECT q_id, qv,
+         substr(sig, 1, CAST(i AS INT)) ||
+         (CASE WHEN substr(sig, CAST(i AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+         substr(sig, CAST(i AS INT) + 2) AS sig
+  FROM qs, (SELECT unnest(range(0, 4)) AS i)
+), cand AS (
+  SELECT DISTINCT p.q_id, x.vec_id,
+         round(list_reduce(list_transform(list_zip(x.v, p.qv), z -> z[1] * z[2]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(x.v, t2 -> t2 * t2), (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(p.qv, t2 -> t2 * t2), (a, b) -> a + b))), 6) AS cosine
+  FROM qprobe p JOIN ev x ON x.sig = p.sig
+)
+SELECT q_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM cand
+) WHERE rn <= 3
 """,
         "ann_ivf": """
 WITH e AS (

@@ -195,6 +195,12 @@ def embedding_neardup_pairs(
     )
 
 
+def _flip_bit(sig, i: int):
+    """Signature string with bit i flipped ('0'<->'1')."""
+    flipped = F.when(F.substring(sig, i + 1, 1) == "1", "0").otherwise("1")
+    return F.concat(F.substring(sig, 1, i), flipped, F.substring(sig, i + 2, 10**6))
+
+
 def ann_lsh(
     queries: DataFrame,
     embeddings: DataFrame,
@@ -202,26 +208,44 @@ def ann_lsh(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: bool = False,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: equi-join on the LSH signature, exact cosine
-    within buckets. Recall rises with fewer planes / multi-probe; the
-    bucket join shuffles only (sig) keys, so 10^9 vectors never meet a
-    cross join."""
+    within buckets. The bucket join shuffles only (sig) keys, so 10^9
+    vectors never meet a cross join.
+
+    Recall knobs: fewer planes = bigger buckets; multiprobe=True
+    additionally probes every 1-bit-flipped signature per query
+    (n_planes+1 buckets per query instead of 1 — standard multi-probe
+    LSH, catching neighbors that land one hyperplane away). Only the
+    QUERY side fans out; the corpus is still hashed once."""
     from pyspark.sql import Window
 
     planes = _seeded_planes(dim, n_planes, seed)
     e = embeddings.withColumn("_sig", lsh_bucket_col(F.col(vec_col), planes))
-    qd = queries.withColumn("_sig", lsh_bucket_col(F.col(q_vec), planes))
+    base_sig = lsh_bucket_col(F.col(q_vec), planes)
+    if multiprobe:
+        # materialize the base signature as a column FIRST: flipping
+        # references the attribute, so the n_planes dot products run
+        # once per query row, not once per probe variant
+        qd0 = queries.withColumn("_sig0", base_sig)
+        sig0 = F.col("_sig0")
+        probe_sigs = F.array(sig0, *[_flip_bit(sig0, i) for i in range(n_planes)])
+        qd = qd0.withColumn("_sig", F.explode(probe_sigs)).drop("_sig0")
+    else:
+        qd = queries.withColumn("_sig", base_sig)
     j = qd.join(e, on="_sig", how="inner")
     sim = cosine_sim_col(F.col(vec_col), F.col(q_vec))
+    cand = j.select(F.col(q_id), F.col(id_col), F.round(sim, 6).alias("cosine"))
+    if multiprobe:
+        cand = cand.distinct()  # a vector can meet a query via several probes
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        j.select(F.col(q_id), F.col(id_col), F.round(sim, 6).alias("cosine"))
-        .withColumn("_rn", F.row_number().over(w))
+        cand.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

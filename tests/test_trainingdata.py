@@ -334,3 +334,24 @@ def test_ivf_topk_recall_vs_brute(spark, embeddings):
     assert len(a & b) / len(b) >= 0.4
     # deterministic across runs
     assert a == {(r.q_id, r.vec_id) for r in ivf_topk(qs, e, k=5, centroid_mod=10, nprobe=3).collect()}
+
+
+def test_ann_lsh_multiprobe_recall(spark, embeddings):
+    from sandcrawler_spark.operators.similarity import ann_lsh, knn_join
+
+    e = embeddings.select("vec_id", "embedding")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dim = len(e.first().embedding)
+    exact = {(r.q_id, r.vec_id) for r in knn_join(qs, e, k=3).collect()}
+    plain = {(r.q_id, r.vec_id) for r in ann_lsh(qs, e, dim=dim, k=3, n_planes=6).collect()}
+    multi = {(r.q_id, r.vec_id) for r in
+             ann_lsh(qs, e, dim=dim, k=3, n_planes=6, multiprobe=True).collect()}
+    rec_plain = len(plain & exact) / len(exact)
+    rec_multi = len(multi & exact) / len(exact)
+    # probing 1-bit-away buckets can only widen the candidate set
+    assert rec_multi >= rec_plain
+    # every query still finds itself
+    for i in range(8):
+        assert (i, i) in multi
