@@ -362,3 +362,41 @@ def test_crawl_round_routes_pdf_through_hooks(spark, corpus, tmp_path):
     assert p.pdf_meta.page_count >= 1 and p.pdf_meta.has_page0_thumbnail
     h = html_rows.first()
     assert h.text is not None and h.pdf_meta is None and h.biblio is not None
+
+
+def test_frontier_store_round_partitions(spark, tmp_path):
+    from sandcrawler_spark.operators.politeness import schedule_politeness
+    from sandcrawler_spark.plans.frontier_store import (
+        read_round,
+        rounds_available,
+        write_frontier_rounds,
+    )
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i%3}.org/p{j:03d}", f"h{i%3}.org", j % 4)
+         for i in range(3) for j in range(12)],
+        ["url", "host", "priority"],
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.org", 3, 0.1, []) for i in range(3)],
+        "host string, max_parallel int, crawl_delay_s double, disallow_prefixes array<string>",
+    )
+    sched = schedule_politeness(frontier, robots).filter(F.col("crawl_round").isNotNull())
+    path = os.path.join(str(tmp_path), "frontier")
+    write_frontier_rounds(sched.select("url", "host", "priority", "crawl_round", "seq_in_round"), path)
+
+    rounds = rounds_available(path)
+    assert rounds == sorted({r.crawl_round for r in sched.select("crawl_round").distinct().collect()})
+
+    r0 = read_round(spark, path, 0)
+    # partition pruning: the scan carries a crawl_round partition filter
+    plan = r0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "crawl_round" in plan
+    # contents match the schedule's round 0, no host exceeds its quota
+    expected = {(r.url) for r in sched.filter(F.col("crawl_round") == 0).collect()}
+    got_rows = r0.collect()
+    assert {r.url for r in got_rows} == expected
+    per_host = {}
+    for r in got_rows:
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    assert all(n <= 3 for n in per_host.values())
