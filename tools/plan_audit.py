@@ -16,10 +16,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# queries where a crossJoin is by design (none currently — jaccard now
-# routes through LSH candidates; cosine_knn broadcasts a 3-row side as
-# an un-keyed join, which Spark plans as BroadcastNestedLoopJoin: allowed)
-ALLOW_BNLJ = {"cosine_knn", "ann_lsh"}
+# queries where an un-keyed broadcast join (planned as
+# BroadcastNestedLoopJoin) is by design: cosine_knn broadcasts a 3-row
+# query side; ann_ivf broadcasts the ~20-row centroid table for the
+# assignment/probe passes. Everything else must be keyed.
+ALLOW_BNLJ = {"cosine_knn", "ann_lsh", "ann_ivf"}
 
 AUDIT = [
     "lineitem_rollup", "status_counts", "politeness_schedule", "seen_antijoin",
@@ -27,7 +28,8 @@ AUDIT = [
     "fingerprint_dedupe", "jaccard_pairs", "minhash_lsh", "simhash_pairs",
     "cosine_knn", "embedding_neardup", "token_counts", "winnow_fingerprints",
     "recrawl_frontier", "sha1_digest_join", "union_lanes", "score_insertable",
-    "batch_dedupe_latest", "html_biblio", "sub_resources",
+    "batch_dedupe_latest", "html_biblio", "sub_resources", "ann_ivf",
+    "ann_lsh_multiprobe", "robots_parse", "politeness_delay",
 ]
 
 
