@@ -124,13 +124,19 @@ def build_bloom(
                 }
             )
 
-    # repartition by bucket so each task owns whole buckets
-    return (
-        keyed.repartition(min(n_buckets, 256), "_bkt")
-        .mapInPandas(_build, schema=BLOOM_SCHEMA)
-        .groupBy("bucket")
-        .applyInPandas(_merge_bucket, schema=BLOOM_SCHEMA)
+    # repartition by bucket: hash partitioning puts ALL rows of a
+    # bucket in one task, so each bucket yields exactly one complete
+    # bitmap — no cross-partition merge stage is needed at build time
+    # (_merge_bucket exists for incremental snapshot merges, where
+    # partials from different builds OR together). The result is
+    # eagerly checkpointed: bloom tables are tiny by construction
+    # (B rows of m/8 bytes) and every caller reads them at least twice
+    # (size stats + bitmap collect / cogroup) — without this each
+    # collect re-runs the whole build.
+    out = keyed.repartition(min(n_buckets, 256), "_bkt").mapInPandas(
+        _build, schema=BLOOM_SCHEMA
     )
+    return out.localCheckpoint(eager=True)
 
 
 def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
