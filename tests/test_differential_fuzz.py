@@ -1,0 +1,97 @@
+"""Differential fuzz tests: pure-Python twins checked against the
+engine implementations over randomized inputs (hypothesis where the
+function is pure-Python; one batched Spark job for column functions).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# parse_date_py: every supported rendering of a valid date round-trips
+# ---------------------------------------------------------------------------
+
+_MONTH_NAMES = ["January", "February", "March", "April", "May", "June", "July",
+                "August", "September", "October", "November", "December"]
+
+
+@given(st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2100, 12, 28)))
+@settings(max_examples=200, deadline=None)
+def test_parse_date_renderings_roundtrip(d):
+    from sandcrawler_spark.functions.biblio import parse_date_py
+
+    iso = d.isoformat()
+    renderings = [
+        iso,
+        f"{d.year}/{d.month}/{d.day}",
+        f"{d.year:04d}{d.month:02d}{d.day:02d}",
+        f"{d.day} {_MONTH_NAMES[d.month - 1]} {d.year}",
+        f"{_MONTH_NAMES[d.month - 1]} {d.day}, {d.year}",
+        f"{iso}T12:34:56Z",
+    ]
+    for r in renderings:
+        assert parse_date_py(r) == iso, r
+
+
+@given(st.text(alphabet=string.printable, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_parse_date_never_raises(s):
+    from sandcrawler_spark.functions.biblio import parse_date_py
+
+    out = parse_date_py(s)
+    assert out is None or re.fullmatch(r"\d{4}-\d{2}-\d{2}", out)
+
+
+# ---------------------------------------------------------------------------
+# robots parser: permuting group order never changes the selected group
+# ---------------------------------------------------------------------------
+
+@given(st.permutations(["g1", "g2", "star"]), st.integers(0, 1))
+@settings(max_examples=60, deadline=None)
+def test_robots_group_order_irrelevant(order, pick):
+    from sandcrawler_spark.functions.robots import parse_robots_py
+
+    blocks = {
+        "g1": "User-agent: alphabot\nDisallow: /a/\nCrawl-delay: 1",
+        "g2": "User-agent: betabot\nDisallow: /b/\nCrawl-delay: 2",
+        "star": "User-agent: *\nDisallow: /star/\nCrawl-delay: 9",
+    }
+    txt = "\n\n".join(blocks[k] for k in order)
+    agent = ["alphabot/1.0", "betabot/1.0"][pick]
+    r = parse_robots_py(txt, agent)
+    assert r["disallow_prefixes"] == ["/a/" if pick == 0 else "/b/"]
+    assert r["crawl_delay_s"] == float(pick + 1)
+    r_star = parse_robots_py(txt, "unknownbot")
+    assert r_star["disallow_prefixes"] == ["/star/"]
+
+
+# ---------------------------------------------------------------------------
+# BPE token pattern: Spark regexp_count vs Python re over random text
+# (Java regex and RE2/Python must agree on the restricted pattern —
+# one batched Spark job, not one per example)
+# ---------------------------------------------------------------------------
+
+def test_bpe_pattern_spark_vs_python_re(spark):
+    from sandcrawler_spark.functions.textstats import BPE_TOKEN_PATTERN, bpe_token_count_col
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + " \t\n.,;:!?'\"-_()[]{}@#$%^&*"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(300)
+    ]
+    texts += ["", "I'll we've they're can't", "   ", "a'b'c", "...", "x" * 500]
+    expected = [len(re.findall(BPE_TOKEN_PATTERN, t)) for t in texts]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {r.i: r.n for r in df.select("i", bpe_token_count_col(F.col("t")).alias("n")).collect()}
+    for i, e in enumerate(expected):
+        assert got[i] == e, (i, texts[i][:50], got[i], e)
