@@ -272,6 +272,12 @@ class _DocCollector(HTMLParser):
             if d.get("rel", "").lower() == "stylesheet" and d.get("href"):
                 self.resources.append((d["href"], "stylesheet"))
         elif tag == "a":
+            # Real publisher HTML often leaves anchors unclosed and
+            # HTMLParser does no implicit closing: flush any pending
+            # anchor before starting the new one so anchor-keyed
+            # PDF/XML patterns still see it.
+            if self._a is not None:
+                self.handle_endtag("a")
             self._a = d
             self._a_text = []
         elif tag == "iframe":

@@ -27,22 +27,46 @@ class RecordTimeout(Exception):
     """Raised inside a guarded section when the record budget expires."""
 
 
+# Gate for late alarm delivery: the handler only raises while a budget
+# window is armed. An alarm that fires after the guarded body completed
+# but before setitimer(0) lands (the disarm race) is dropped here
+# instead of surfacing as a bogus timeout for a record that parsed fine.
+_GATE = [False]
+
+
 def _alarm_handler(signum, frame):  # pragma: no cover - signal path
-    raise RecordTimeout()
+    if _GATE[0]:
+        raise RecordTimeout()
+    # Late alarm in the disarm window: swallow.
 
 
 @contextmanager
 def record_budget(seconds: float):
     """Context manager: raise RecordTimeout if the body runs longer
     than `seconds`. No-op when not on the main thread (signals can
-    only be delivered there) or when seconds is falsy."""
+    only be delivered there) or when seconds is falsy.
+
+    NOT reentrant: a nested record_budget replaces the outer timer and
+    does not rearm it on exit — guard one record at a time (which is
+    how the batch loops use it)."""
     if not seconds or threading.current_thread() is not threading.main_thread():
         yield
         return
     old = signal.signal(signal.SIGALRM, _alarm_handler)
+    _GATE[0] = True
     signal.setitimer(signal.ITIMER_REAL, seconds)
+    body_done = False
     try:
-        yield
-    finally:
-        signal.setitimer(signal.ITIMER_REAL, 0)
-        signal.signal(signal.SIGALRM, old)
+        try:
+            yield
+            body_done = True
+        finally:
+            _GATE[0] = False
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old)
+    except RecordTimeout:
+        if not body_done:
+            raise
+        # Alarm was delivered in the one-instruction window between the
+        # body completing and the gate closing: the record succeeded,
+        # drop the late timeout.

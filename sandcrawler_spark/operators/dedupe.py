@@ -146,60 +146,100 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, label) with label = min id of the node's connected component.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels — one equi-join + one
-    map-side-combined min-agg per round, converging in O(component
-    diameter) rounds. Near-dup clusters are shallow (dups of dups of one
-    original), so diameter is small in practice; for adversarially long
-    chains at web scale the large-star/small-star variant (halving path
-    lengths per round, O(log d)) drops in here without changing callers.
-    State is localCheckpoint'ed per round so the plan stays flat
-    (bounded unroll, same driver-loop shape as the fetch hop loop)."""
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+    Large-star / small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round halves
+    tree heights, so convergence is O(log d) rounds in the component
+    diameter d — a 10^4-node path converges in ~15 rounds where plain
+    min-label propagation needs 10^4. Per round: large-star emits
+    (v, min(N(u) ∪ {u})) for every strictly-larger neighbor v of every
+    node u; small-star re-points every smaller neighbor (and u itself)
+    at the minimum of u's smaller neighborhood. Both are one equi-join
+    + one map-side-combined min-agg over the edge set; edges stay in
+    canonical larger→smaller form throughout, and the per-round
+    localCheckpoint keeps the plan flat (bounded unroll, same
+    driver-loop shape as the fetch hop loop). Convergence is detected
+    by a (count, xxhash64-sum) signature of the edge set; if max_iter
+    is hit while still changing, a RuntimeError is raised rather than
+    silently returning unconverged labels (ADVICE r2: neardup_dedupe
+    would otherwise emit multiple representatives for one cluster).
+
+    Pass stats={} to receive {"rounds": n} back (used by the pytest
+    asserting O(log n) convergence)."""
+    raw = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    # Canonical directed edges u -> v with u > v.
+    e = (
+        raw.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_sig = None
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
-        nb_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("_nb")),
-                on="dst",
-            )
-            .groupBy("src")
-            .agg(F.min("_nb").alias("_nb_min"))
+        rounds += 1
+        # --- large-star: symmetric neighborhoods, re-point larger
+        # neighbors at min(N(u) ∪ {u}).
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(nb_min.withColumnRenamed("src", "id"), on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("_nb_min"), F.col("label"))).alias("label"),
-            )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # --- small-star: edges are larger→smaller; re-point each
+        # smaller neighborhood (plus u itself) at its minimum.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, on="u")
+            .select(F.col("v").alias("x"), F.col("m"))
+            .filter(F.col("x") != F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("x"), F.col("m")))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # bit_xor keeps the signature in 64 bits (ANSI-safe: a SUM of
+        # xxhash64 values overflows LongType); edges are distinct so
+        # the xor multiset-collision caveat does not apply.
+        sig_row = small.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        sig = (sig_row.n, sig_row.h)
+        e = small
+        if sig == prev_sig:
+            converged = True
             break
-    edges.unpersist()
-    return labels
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"raise max_iter (O(log n) rounds suffice for n nodes)"
+        )
+    # Fixpoint edges form stars: every non-root points at its component
+    # min; roots appear only on the v side.
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .unionByName(
+            e.select(F.col("v").alias("id"), F.col("v").alias("label")).distinct()
+        )
+        .distinct()
+    )
 
 
 def neardup_dedupe(

@@ -158,6 +158,25 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def resolve_bloom_strategy(
+    bloom: DataFrame,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
+) -> str:
+    """Resolve 'auto' to a concrete probe strategy: broadcast iff the
+    bloom's total bitmap bytes fit under broadcast_max_bytes. Callers
+    that branch on the strategy (e.g. unseen_bloom_exact's checkpoint
+    decision) resolve once here so their branch and probe_bloom's
+    agree."""
+    if strategy != "auto":
+        return strategy
+    stats = bloom.select(
+        F.count("*").alias("b"), F.first("m_bits").alias("m")
+    ).collect()[0]
+    total = (stats.b or 0) * ((stats.m or 0) // 8)
+    return "broadcast" if total <= broadcast_max_bytes else "cogroup"
+
+
 def probe_bloom(
     candidates: DataFrame,
     bloom: DataFrame,
@@ -180,12 +199,7 @@ def probe_bloom(
 
     'auto' picks broadcast iff the bloom's total bitmap bytes fit
     under broadcast_max_bytes."""
-    if strategy == "auto":
-        stats = bloom.select(
-            F.count("*").alias("b"), F.first("m_bits").alias("m")
-        ).collect()[0]
-        total = (stats.b or 0) * ((stats.m or 0) // 8)
-        strategy = "broadcast" if total <= broadcast_max_bytes else "cogroup"
+    strategy = resolve_bloom_strategy(bloom, strategy, broadcast_max_bytes)
     if strategy == "broadcast":
         return _probe_bloom_broadcast(candidates, bloom, key_col, n_buckets)
     return _probe_bloom_cogroup(candidates, bloom, key_col, n_buckets)
@@ -294,6 +308,10 @@ def unseen_bloom_exact(
     the cogroup variant's probe is an exchange, so its branches get
     shuffle reuse instead. The probe is deterministic, so
     materialize=False is merely a compute-vs-memory tradeoff."""
+    # Resolve 'auto' BEFORE branching: otherwise an auto that resolves
+    # to cogroup inside probe_bloom would skip the probe checkpoint and
+    # re-run the cogroup exchange per downstream filter branch.
+    strategy = resolve_bloom_strategy(bloom, strategy)
     probed = probe_bloom(frontier, bloom, key_col, n_buckets, strategy=strategy)
     if materialize and strategy == "cogroup":
         probed = probed.localCheckpoint(eager=True)

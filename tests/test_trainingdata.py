@@ -237,6 +237,28 @@ def test_connected_components_chain_and_islands(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_path_olog_rounds(spark):
+    """Adversarial 10^4-node path component: large-star/small-star must
+    converge in O(log n) rounds (min-label propagation would need 10^4)."""
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    stats = {}
+    labels = connected_components(pairs, max_iter=25, stats=stats)
+    assert stats["rounds"] <= 20  # ~log2(10^4) + slack, NOT O(n)
+    agg = labels.groupBy("label").count().collect()
+    assert len(agg) == 1 and agg[0].label == 0 and agg[0]["count"] == n
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    pairs = spark.range(63).selectExpr("id as id_a", "id + 1 as id_b")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+
+
 def test_neardup_dedupe_end_to_end(spark, documents):
     from sandcrawler_spark.operators.dedupe import neardup_dedupe
 
