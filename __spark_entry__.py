@@ -13,14 +13,15 @@ Every query has an oracle entry. Three oracle styles:
   - derived twins for the UDF families (simhash, ann_lsh): the md5
     math behind the signatures is replayed in SQL bit arithmetic /
     hex decoding, validated byte-exact against the Python tier;
-  - GOLDEN oracles for the four synthetic-corpus queries
+  - corpus twins for the four synthetic-corpus queries
     (fetch_statuses, extraction_roundtrip, grobid_hook,
-    revisit_resolution): the corpus is seeded (seed=42) and
-    sf-independent, so the expected output is frozen as a VALUES
-    table. These pin the engine's behavior (any drift fails the
-    hash); they are regression goldens, not independent recomputation
-    — the hop-loop / service-stub semantics themselves are covered by
-    pytest.
+    revisit_resolution): the seed=42 corpus is PERSISTED to parquet
+    once (fixtures/corpus_seed42/) and both engines read those same
+    files — Spark runs the operators, DuckDB independently recomputes
+    the semantics in SQL (the bounded hop loop as chained per-hop
+    CTEs, revisit resolution as a window + self-join, the grobid/
+    pdftrio stub arithmetic from the cdx-recorded sha1hex, extraction
+    word counts from the pinned text column).
 """
 
 from __future__ import annotations
@@ -187,6 +188,31 @@ verified AS (
 
 _CORPUS_CACHE: dict = {}
 
+_CORPUS_TABLES = ("pages", "cdx", "ingest_request", "robots")
+
+
+def _corpus_dir() -> str:
+    """Persist the seed=42 synthetic corpus as parquet (once) and
+    return the directory. Both engines read these SAME files: the
+    Spark queries via spark.read.parquet, the DuckDB oracles via
+    read_parquet() — which is what makes the four corpus oracles true
+    independent twins instead of frozen goldens."""
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "corpus_seed42")
+    if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in _CORPUS_TABLES):
+        return out
+    from sandcrawler_spark.sources.synth import write_corpus_parquet
+
+    # build into a tmp dir, then atomically move each file into place
+    # (concurrent builders produce byte-identical files; os.replace
+    # makes the race harmless)
+    tmp = f"{out}.tmp-{os.getpid()}"
+    write_corpus_parquet(tmp, seed=42, n_urls=120, n_hosts=12)
+    os.makedirs(out, exist_ok=True)
+    for t in _CORPUS_TABLES:
+        os.replace(os.path.join(tmp, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+    os.rmdir(tmp)
+    return out
+
 
 def _corpus(spark: SparkSession):
     # key by applicationId, not id(spark): a stopped session's address
@@ -194,12 +220,11 @@ def _corpus(spark: SparkSession):
     # DataFrames bound to the dead JVM session
     key = spark.sparkContext.applicationId
     if key not in _CORPUS_CACHE:
-        from sandcrawler_spark.sources.synth import gen_corpus
-
-        tables = gen_corpus(seed=42, n_urls=120, n_hosts=12)
+        cd = _corpus_dir()
         _CORPUS_CACHE.clear()
         _CORPUS_CACHE[key] = {
-            name: spark.createDataFrame(pdf) for name, pdf in tables.items()
+            name: spark.read.parquet(os.path.join(cd, f"{name}.parquet"))
+            for name in _CORPUS_TABLES
         }
     return _CORPUS_CACHE[key]
 
@@ -939,6 +964,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# True DuckDB twins for the synthetic-corpus queries: independent SQL
+# recomputation over the SAME persisted parquet files the Spark queries
+# read (fixtures/corpus_seed42/). No frozen VALUES goldens remain.
+# ---------------------------------------------------------------------------
+
+def _corpus_oracle_tables() -> str:
+    cd = _corpus_dir().replace("'", "''")
+    return f"""
+c_pages AS (SELECT * FROM read_parquet('{cd}/pages.parquet')),
+c_cdx AS (SELECT * FROM read_parquet('{cd}/cdx.parquet')),
+c_req AS (SELECT * FROM read_parquet('{cd}/ingest_request.parquet'))
+""".strip()
+
+
+def _fetch_statuses_oracle(max_hops: int = 4) -> str:
+    """The bounded fetch hop loop (operators/fetch.py) replayed as
+    chained per-hop CTEs: per hop, URL gates -> best-capture window ->
+    verdict CASE -> html-hop PDF-link lookup -> next state with loop/
+    budget checks. clean_url degenerates to 'prefix http:// when
+    scheme-less' for this corpus (hosts already lowercase, no ports/
+    fragments); the PDF-link extraction degenerates to the
+    citation_pdf_url meta (the only PDF pattern the corpus pages carry,
+    and the first pattern in the engine's cascade)."""
+    gates = (
+        "WHEN cur_url LIKE '%://blocked.example.com/%' OR cur_url LIKE '%/domain-squat/%' "
+        "THEN 'skip-url-blocklist' "
+        "WHEN cur_url LIKE '%/login.htm%' OR cur_url LIKE '%?SAMLRequest=%' THEN 'skip-wall' "
+        "WHEN cur_url LIKE '%/cookieAbsent%' OR cur_url LIKE '%cookieSet=1%' THEN 'blocked-cookie' "
+    )
+    parts = []
+    ctes = [
+        _corpus_oracle_tables(),
+        """
+cdx2 AS (
+  SELECT url AS canon_url, url AS cap_url, datetime, mimetype, status_code,
+         sha1hex, warc_csize, warc_path, redirect_url
+  FROM c_cdx
+)""",
+        """
+pdflink AS (
+  SELECT p.url AS cap_url, strftime(p.warc_ts, '%Y%m%d%H%M%S') AS datetime,
+         NULLIF(regexp_extract(decode(p.html),
+                 '<meta name="citation_pdf_url" content="([^"]*)"', 1), '') AS pdf_url
+  FROM c_pages p
+  JOIN c_cdx x ON x.url = p.url AND x.datetime = strftime(p.warc_ts, '%Y%m%d%H%M%S')
+  WHERE x.mimetype = 'text/html'
+)""",
+        """
+state_0 AS (
+  SELECT CASE WHEN ingest_type = 'file' THEN 'pdf' ELSE ingest_type END AS ingest_type,
+         base_url,
+         CASE WHEN base_url NOT LIKE '%://%' THEN 'http://' || base_url ELSE base_url END AS cur_url,
+         [CASE WHEN base_url NOT LIKE '%://%' THEN 'http://' || base_url ELSE base_url END] AS hops,
+         CASE WHEN (CASE WHEN ingest_type = 'file' THEN 'pdf' ELSE ingest_type END)
+                   NOT IN ('pdf', 'html', 'xml') THEN 'wrong-ingest-type' END AS status
+  FROM c_req
+)""",
+    ]
+    for k in range(max_hops + 1):
+        parts.append(f"SELECT status FROM state_{k} WHERE status IS NOT NULL")
+        parts.append(
+            f"SELECT CASE {gates} END AS status FROM state_{k} "
+            f"WHERE status IS NULL AND CASE {gates} END IS NOT NULL"
+        )
+        ctes.append(f"""
+best_{k} AS (
+  SELECT s.*, x.canon_url, x.cap_url, x.datetime, x.mimetype, x.status_code,
+         x.sha1hex, x.warc_csize, x.warc_path, x.redirect_url
+  FROM (SELECT * FROM state_{k}
+        WHERE status IS NULL AND CASE {gates} END IS NULL) s
+  LEFT JOIN cdx2 x ON s.cur_url = x.canon_url
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY s.ingest_type, s.base_url, s.cur_url
+    ORDER BY CAST(x.status_code IN (200, 226) AS INT) DESC NULLS LAST,
+             -COALESCE(x.status_code, 999) DESC NULLS LAST,
+             CAST(x.mimetype = (CASE s.ingest_type WHEN 'pdf' THEN 'application/pdf'
+                                WHEN 'html' THEN 'text/html' ELSE 'text/xml' END) AS INT) DESC NULLS LAST,
+             CAST(x.mimetype <> 'warc/revisit' AS INT) DESC NULLS LAST,
+             CAST(x.warc_path LIKE '%/%' AS INT) DESC NULLS LAST,
+             x.datetime DESC NULLS LAST) = 1
+)""")
+        ctes.append(f"""
+cls_{k} AS (
+  SELECT *, CASE
+    WHEN canon_url IS NULL THEN 'no-capture'
+    WHEN status_code IN (301, 302, 303, 307, 308) AND redirect_url IS NOT NULL THEN 'redirect'
+    WHEN status_code NOT IN (200, 226) THEN 'terminal-bad-status'
+    WHEN warc_csize = 0 THEN 'null-body'
+    WHEN ingest_type = 'pdf' AND mimetype = 'text/html' THEN 'html-hop'
+    WHEN (ingest_type = 'pdf' AND mimetype = 'application/pdf')
+      OR (ingest_type = 'html' AND mimetype IN ('text/html', 'application/xhtml+xml'))
+      OR (ingest_type = 'xml' AND mimetype IN ('text/xml', 'application/xml', 'application/jats+xml'))
+      THEN 'success'
+    ELSE 'wrong-mimetype' END AS verdict
+  FROM best_{k}
+)""")
+        parts.append(
+            f"SELECT verdict AS status FROM cls_{k} WHERE verdict NOT IN ('redirect', 'html-hop')"
+        )
+        ctes.append(f"""
+hopped_{k} AS (
+  SELECT c.ingest_type, c.base_url, c.hops,
+         CASE WHEN c.verdict = 'redirect' THEN c.redirect_url ELSE l.pdf_url END AS nxt,
+         CASE WHEN c.verdict = 'redirect' THEN 'redirect' ELSE 'html' END AS via
+  FROM cls_{k} c
+  LEFT JOIN pdflink l ON c.verdict = 'html-hop'
+       AND l.cap_url = c.cap_url AND l.datetime = c.datetime
+  WHERE c.verdict IN ('redirect', 'html-hop')
+)""")
+        parts.append(f"SELECT 'no-pdf-link' AS status FROM hopped_{k} WHERE via = 'html' AND nxt IS NULL")
+        ctes.append(f"""
+state_{k + 1} AS (
+  SELECT ingest_type, base_url,
+         CASE WHEN nxt NOT LIKE '%://%' THEN 'http://' || nxt ELSE nxt END AS cur_url,
+         list_append(hops, CASE WHEN nxt NOT LIKE '%://%' THEN 'http://' || nxt ELSE nxt END) AS hops,
+         CASE
+           WHEN list_contains(hops, CASE WHEN nxt NOT LIKE '%://%' THEN 'http://' || nxt ELSE nxt END)
+                THEN (CASE WHEN via = 'redirect' THEN 'redirect-loop' ELSE 'link-loop' END)
+           WHEN len(hops) >= {max_hops}
+                THEN (CASE WHEN via = 'redirect' THEN 'redirects-exceeded' ELSE 'max-hops-exceeded' END)
+         END AS status
+  FROM hopped_{k} WHERE nxt IS NOT NULL
+)""")
+    parts.append(
+        f"SELECT 'max-hops-exceeded' AS status FROM state_{max_hops + 1} WHERE status IS NULL"
+    )
+    union = "\n  UNION ALL ".join(f"({p})" for p in parts)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM ({union}) GROUP BY status ORDER BY status"
+    )
+
+
+def _extraction_roundtrip_oracle() -> str:
+    # n_byte_identical is the north-rule invariant: the engine's
+    # re-extraction must equal the pinned text column on EVERY page, so
+    # the twin asserts it equals COUNT(*); n_pages and total_words are
+    # recomputed from the persisted text (Python str.split() == regexp
+    # split on whitespace runs after trimming).
+    return f"""
+WITH {_corpus_oracle_tables()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_byte_identical,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS total_words
+FROM c_pages
+"""
+
+
+def _grobid_hook_oracle() -> str:
+    # The grobid/pdftrio stubs derive everything from sha1(body); the
+    # corpus build already recorded that hash per capture in cdx.sha1hex
+    # (computed by hashlib at fixture-build time, not by the engine), so
+    # the twin replays the stub arithmetic from the hex digits alone.
+    return f"""
+WITH {_corpus_oracle_tables()},
+pdfs AS (
+  SELECT DISTINCT p.url, x.sha1hex, x.mimetype
+  FROM c_pages p JOIN c_cdx x ON x.url = p.url
+  WHERE p.url LIKE '%.pdf'
+)
+SELECT url,
+       CASE WHEN mimetype = 'application/pdf' THEN 'success' ELSE 'error' END AS grobid_status,
+       CASE WHEN mimetype = 'application/pdf' THEN '10.1234/' || substr(sha1hex, 1, 6) END AS doi,
+       CASE WHEN mimetype = 'application/pdf' THEN 'Synthetic document ' || substr(sha1hex, 1, 8) END AS title,
+       CASE WHEN mimetype = 'application/pdf'
+            THEN ROUND(CAST(('0x' || substr(sha1hex, 1, 2))::INT AS DOUBLE) / 255.0, 6) END AS ensemble_score
+FROM pdfs ORDER BY url
+"""
+
+
+def _revisit_resolution_oracle() -> str:
+    # resolve_revisits (operators/sinks.py): originals pass through
+    # resolved-to-themselves; warc/revisit rows resolve via the earliest
+    # non-revisit capture of the same sha1hex.
+    return f"""
+WITH {_corpus_oracle_tables()},
+rv AS (SELECT *, COALESCE(mimetype = 'warc/revisit', FALSE) AS is_rv FROM c_cdx),
+best_orig AS (
+  SELECT sha1hex, warc_path AS orig_warc_path
+  FROM rv WHERE NOT is_rv
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sha1hex ORDER BY datetime, warc_path) = 1
+),
+resolved AS (
+  SELECT r.is_rv, CASE WHEN r.is_rv THEN b.orig_warc_path ELSE r.warc_path END AS orig_warc_path
+  FROM rv r LEFT JOIN best_orig b ON r.is_rv AND r.sha1hex = b.sha1hex
+)
+SELECT is_rv AS is_revisit, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN orig_warc_path IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved
+FROM resolved GROUP BY is_rv
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     seen_sql = f"""
 WITH {_URLS_CTE.strip()}
@@ -1520,39 +1739,12 @@ SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'null-body' ELSE 'success
 FROM documents
 GROUP BY 1, 2
 """,
-        # GOLDEN oracles: expected output of the seed=42 synthetic web
-        # corpus (sf-independent — the corpus does not read the driver
-        # tables). Frozen from a verified run; any engine drift fails
-        # the hash. Regenerate: python tools/regen_goldens.py
-        "fetch_statuses": """
-SELECT status, CAST(n AS BIGINT) AS n FROM (VALUES
-  ('blocked-cookie', 3), ('no-capture', 12), ('no-pdf-link', 23),
-  ('success', 20), ('wrong-mimetype', 14)
-) t(status, n)
-""",
-        "extraction_roundtrip": """
-SELECT CAST(247 AS BIGINT) AS n_pages, CAST(247 AS BIGINT) AS n_byte_identical,
-       CAST(34317 AS BIGINT) AS total_words
-""",
-        "grobid_hook": """
-SELECT url, grobid_status, doi, title, CAST(ensemble_score AS DOUBLE) AS ensemble_score FROM (VALUES
-  ('https://journal0.example.org/fulltext/pdf/4.pdf', 'success', '10.1234/6a88be', 'Synthetic document 6a88be49', 0.415686),
-  ('https://journal0.example.org/fulltext/pdf/8.pdf', 'success', '10.1234/33a9a7', 'Synthetic document 33a9a795', 0.2),
-  ('https://repo.univ1.edu/fulltext/pdf/1.pdf', 'success', '10.1234/e1f7a0', 'Synthetic document e1f7a0f2', 0.882353),
-  ('https://repo.univ1.edu/fulltext/pdf/9.pdf', 'success', '10.1234/6dc72f', 'Synthetic document 6dc72f31', 0.427451),
-  ('https://site4.example.com/fulltext/pdf/0.pdf', 'success', '10.1234/9fccef', 'Synthetic document 9fccef90', 0.623529),
-  ('https://site4.example.com/fulltext/pdf/6.pdf', 'success', '10.1234/057940', 'Synthetic document 0579402c', 0.019608),
-  ('https://site4.example.com/fulltext/pdf/7.pdf', 'success', '10.1234/90dfad', 'Synthetic document 90dfaddb', 0.564706),
-  ('https://site6.example.com/fulltext/pdf/2.pdf', 'success', '10.1234/6bd6a4', 'Synthetic document 6bd6a49b', 0.419608),
-  ('https://www.revistas10.br/fulltext/pdf/5.pdf', 'success', '10.1234/96eaea', 'Synthetic document 96eaeae8', 0.588235),
-  ('https://www.revistas3.br/fulltext/pdf/3.pdf', 'success', '10.1234/d12d08', 'Synthetic document d12d08eb', 0.819608)
-) t(url, grobid_status, doi, title, ensemble_score)
-""",
-        "revisit_resolution": """
-SELECT CAST(is_revisit AS BOOLEAN) AS is_revisit, CAST(n AS BIGINT) AS n,
-       CAST(n_resolved AS BIGINT) AS n_resolved
-FROM (VALUES (false, 139, 139), (true, 117, 117)) t(is_revisit, n, n_resolved)
-""",
+        # corpus twins: independent DuckDB recomputation over the same
+        # persisted seed=42 parquet fixture both engines read
+        "fetch_statuses": _fetch_statuses_oracle(max_hops=4),
+        "extraction_roundtrip": _extraction_roundtrip_oracle(),
+        "grobid_hook": _grobid_hook_oracle(),
+        "revisit_resolution": _revisit_resolution_oracle(),
     }
 
 

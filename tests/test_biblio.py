@@ -143,7 +143,8 @@ def test_release_type_and_references():
 
 def test_doi_cleaning():
     assert clean_doi_py("doi:10.1/a") == "10.1/a"
-    assert clean_doi_py("https://doi.org/10.1/B") == "10.1/b"
+    assert clean_doi_py("https://doi.org/10.1/B") == "10.1/B"  # case preserved (ref html_metadata.py:512)
+    assert clean_doi_py("DOI:10.7554/eLife.44753") == "10.7554/eLife.44753"
     assert clean_doi_py("not-a-doi") is None
     assert clean_doi_py("10.nope") is None
 

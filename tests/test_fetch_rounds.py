@@ -102,6 +102,29 @@ def test_snapshot_merge_update_and_nothing(spark, tmp_path):
     assert [s["parent"] for s in t.snapshots()] == [None, s1["id"], s2["id"]]
 
 
+def test_snapshot_append_chain_compacts(spark, tmp_path):
+    """20 appends must NOT grow bucket dir lists monotonically: every
+    bucket stays under compact_threshold dirs, rows are preserved, and
+    ancestor snapshots still time-travel."""
+    t = SnapshotTable(spark, str(tmp_path / "tc"), ["k"], n_buckets=4, compact_threshold=5)
+    snaps = []
+    for i in range(20):
+        batch = spark.createDataFrame([(f"k{i}-{j}", i) for j in range(5)], ["k", "v"])
+        snaps.append(t.append(batch))
+    cur = t.current_snapshot()
+    assert all(len(dirs) <= 5 for dirs in cur["buckets"].values()), cur["buckets"]
+    assert cur["counts"]["total"] == 100
+    assert t.read().count() == 100
+    assert sum(cur["bucket_rows"].values()) == 100
+    # time travel across a compaction boundary still works
+    assert t.read_snapshot(snaps[9]["id"]).count() == 50
+    # explicit full compaction: one dir per bucket, rows unchanged
+    t.compact()
+    cur = t.current_snapshot()
+    assert all(len(dirs) == 1 for dirs in cur["buckets"].values())
+    assert t.read().count() == 100
+
+
 def test_snapshot_merge_in_batch_dedupe(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t2"), ["k"])
     batch = spark.createDataFrame([("a", 1), ("a", 2), ("a", 3)], ["k", "v"])

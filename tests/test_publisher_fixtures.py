@@ -1,0 +1,196 @@
+"""Real-publisher HTML fixtures: biblio + resources extraction asserted
+against the REFERENCE's expected values.
+
+Fixtures are the public test pages shipped by the reference repo
+(/root/reference/python/tests/files/*.html); the expected values below
+are transcribed from /root/reference/python/tests/test_html_metadata.py:8-229.
+This is the round-2 VERDICT item 3: assert our extractor on real
+publisher markup (PLOS, eLife, PeerJ, Nature, OJS3 First Monday, D-Lib),
+not just synthetic HTML.
+"""
+
+from __future__ import annotations
+
+import os
+
+from sandcrawler_spark.functions.biblio import (
+    adblock_check_py,
+    extract_biblio_py,
+    extract_resources_py,
+)
+
+FILES = os.path.join(os.path.dirname(__file__), "files")
+
+
+def _biblio(name: str, url: str = "http://example.org") -> dict:
+    with open(os.path.join(FILES, name), "rb") as f:
+        return extract_biblio_py(f.read(), url)
+
+
+def _resources(name: str, url: str) -> list[dict]:
+    with open(os.path.join(FILES, name), "rb") as f:
+        return extract_resources_py(f.read(), url)
+
+
+def test_plos_article():
+    # expected: reference test_html_metadata.py:8-42
+    m = _biblio("plos_one_article.html")
+    assert m["title"] == (
+        "Assessment on reticuloendotheliosis virus infection in "
+        "specific-pathogen-free chickens based on detection of yolk antibody"
+    )
+    assert m["doi"] == "10.1371/journal.pone.0213978"
+    assert m["pdf_fulltext_url"] == (
+        "https://journals.plos.org/plosone/article/file?id=10.1371/"
+        "journal.pone.0213978&type=printable"
+    )
+    assert m["contrib_names"] == [
+        "Yang Li", "Tuanjie Wang", "Lin Wang", "Mingjun Sun", "Zhizhong Cui",
+        "Shuang Chang", "Yongping Wu", "Xiaodong Zhang", "Xiaohui Yu",
+        "Tao Sun", "Peng Zhao",
+    ]
+    assert m["container_name"] == "PLOS ONE"
+    assert m["container_abbrev"] == "PLOS ONE"
+    assert m["release_date"] == "2019-04-22"  # source form: "Apr 22, 2019"
+    assert m["first_page"] == "e0213978"
+    assert m["issue"] == "4"
+    assert m["volume"] == "14"
+    assert m["container_issn"] == "1932-6203"
+    assert m["publisher"] == "Public Library of Science"
+    assert m["release_type"] == "article-journal"
+    assert m["raw_references"] and any(
+        "citation_title=Reticuloendotheliosis virus sequences within the "
+        "genomes of field strains of fowlpox virus display variability;"
+        "citation_author=P Singh;citation_author=W. M. Schnitzlein;"
+        "citation_author=D. N. Tripathy;citation_journal_title=J. Virol;"
+        "citation_volume=77;citation_number=77;citation_first_page=5855;"
+        "citation_last_page=5862;citation_publication_date=2003;" in r
+        for r in m["raw_references"]
+    )
+
+
+def test_elife_article():
+    # expected: reference test_html_metadata.py:45-68
+    m = _biblio("elife_article.html", "https://elifesciences.org/articles/44753")
+    assert m["title"] == "Parallel visual circuitry in a basal chordate"
+    assert m["doi"] == "10.7554/eLife.44753"  # case preserved
+    assert m["contrib_names"] == [
+        "Matthew J Kourakis", "Cezar Borba", "Angela Zhang",
+        "Erin Newman-Smith", "Priscilla Salas", "B Manjunath", "William C Smith",
+    ]
+    assert m["container_name"] == "eLife"
+    assert m["release_date"] == "2019-04-18"
+    assert m["publisher"] == "eLife Sciences Publications Limited"
+    assert m["pdf_fulltext_url"] == (
+        "https://elifesciences.org/download/aHR0cHM6Ly9jZG4uZWxpZmVzY2llbmNlcy5v"
+        "cmcvYXJ0aWNsZXMvNDQ3NTMvZWxpZmUtNDQ3NTMtdjIucGRm/elife-44753-v2.pdf"
+        "?_hash=CfyqOqVryCR4OjcMTfcdpeIWAGZznmh9jXksYKYChCw%3D"
+    )
+
+
+def test_peerj_article():
+    # expected: reference test_html_metadata.py:71-93
+    m = _biblio("peerj_oa_article.html")
+    assert m["title"] == (
+        "The state of OA: a large-scale analysis of the prevalence and "
+        "impact of Open Access articles"
+    )
+    assert m["doi"] == "10.7717/peerj.4375"
+    assert m["contrib_names"] == [
+        "Heather Piwowar", "Jason Priem", "Vincent Larivière",
+        "Juan Pablo Alperin", "Lisa Matthias", "Bree Norlander",
+        "Ashley Farley", "Jevin West", "Stefanie Haustein",
+    ]
+    assert m["container_name"] == "PeerJ"
+    assert m["release_date"] == "2018-02-13"
+    assert m["xml_fulltext_url"] and ".xml" in m["xml_fulltext_url"]
+
+
+def test_nature_article():
+    # expected: reference test_html_metadata.py:96-115
+    m = _biblio("nature_article.html")
+    assert m["title"] == "More than 100 scientific journals have disappeared from the Internet"
+    assert m["doi"] == "10.1038/d41586-020-02610-z"
+    assert m["contrib_names"] == ["Diana Kwon"]
+    assert m["container_name"] == "Nature"
+    assert m["release_date"] == "2020-09-10"
+    assert m["publisher"] == "Nature Publishing Group"
+    # duplication is present in the source markup; kept verbatim like the reference
+    assert m["abstract"] == (
+        "Researchers have identified dozens of open-access journals that went "
+        "offline between 2000 and 2019, and hundreds more that could be at risk.  "
+        "Researchers have identified dozens of open-access journals that went "
+        "offline between 2000 and 2019, and hundreds more that could be at risk."
+    )
+
+
+def test_ojs3_landingpage():
+    # expected: reference test_html_metadata.py:118-138
+    m = _biblio("first_monday_ojs3_landingpage.html")
+    assert m["title"] == "Surveillance, stigma & sociotechnical design for HIV"
+    assert m["doi"] == "10.5210/fm.v25i10.10274"
+    assert m["contrib_names"] == ["Calvin Liang", "Jevan Alexander Hutson", "Os Keyes"]
+    assert m["container_name"] == "First Monday"
+    assert m["container_abbrev"] == "1"  # bad source metadata, kept verbatim
+    assert m["container_issn"] == "1396-0466"
+    assert m["release_date"] == "2020-09-10"  # source form: "2020/09/10"
+    assert m["lang"] == "en"
+    assert m["html_fulltext_url"] == (
+        "https://firstmonday.org/ojs/index.php/fm/article/view/10274/9729"
+    )
+    assert m["release_type"] == "article-journal"
+    assert m["abstract"].startswith(
+        "Online dating and hookup platforms have fundamentally changed"
+    )
+    assert m["platform"] == "ojs3"
+
+
+def test_dlib_article():
+    # expected: reference test_html_metadata.py:141-150
+    m = _biblio("dlib_05vanhyning.html")
+    assert m["doi"] == "10.1045/may2017-vanhyning"
+    assert m["release_date"] == "2017-05-15"
+
+
+def test_meta_name_case_insensitive():
+    # reference test_html_metadata.py:152-166
+    snippet = (
+        b'<html><head><meta name="DC.Citation.Issue" content="123"/></head>'
+        b"<body>Hi.</body></html>"
+    )
+    m = extract_biblio_py(snippet, "http://example.org")
+    assert m["issue"] == "123"
+
+
+def test_resources_dlib_and_adblock():
+    # reference test_html_metadata.py:172-189
+    res = _resources(
+        "dlib_05vanhyning.html", "http://www.dlib.org/dlib/may17/vanhyning/05vanhyning.html"
+    )
+    assert {"url": "http://www.dlib.org/style/style1.css", "type": "stylesheet"} in res
+    assert all("/ga.js" not in r["url"] for r in res)
+
+
+def test_resources_plos_custom_adblock():
+    # reference test_html_metadata.py:191-201: crossmark-cdn custom rule
+    res = _resources(
+        "plos_one_article.html",
+        "https://journals.plos.org/plosone/article?id=10.1371/journal.pone.0213978",
+    )
+    assert res, "plos page should yield sub-resources"
+    assert all("crossmark-cdn.crossref.org" not in r["url"] for r in res)
+    assert adblock_check_py("https://crossmark-cdn.crossref.org/widget/v2.0/widget.js")
+
+
+def test_resources_remaining_fixtures_no_crash():
+    # reference test_html_metadata.py:203-229: these pages must extract
+    # without error and never emit adblocked resources
+    for name, url in [
+        ("first_monday_ojs3_landingpage.html", "https://firstmonday.org/blah/"),
+        ("elife_article.html", "https://elife.org/blah/"),
+        ("nature_article.html", "https://nature.com/blah/"),
+        ("first_monday_ojs3_fulltext.html", "https://firstmonday.org/blah/"),
+        ("genders_g58_fairlie.html", "https://www.genders.org/blah/"),
+    ]:
+        res = _resources(name, url)
+        assert all(not adblock_check_py(r["url"]) for r in res)
