@@ -34,10 +34,142 @@ _TEI_NS = "{http://www.tei-c.org/ns/1.0}"
 # TEI-XML -> metadata dict (C12, grobid2json.py semantics, stdlib ET)
 # ---------------------------------------------------------------------------
 
+_XML_NS = "{http://www.w3.org/XML/1998/namespace}"
+
+
+def _tei_authors(elem) -> list[dict]:
+    """Author dicts with given_name/surname/affiliation (grobid2json.py
+    all_authors, 36-72): authors WITHOUT a persName are skipped (the
+    reference's element-truthiness check), affiliation orgNames keyed by
+    their type attr, address children mapped tag -> text."""
+    if elem is None:
+        return []
+    out = []
+    for author in elem.findall(f".//{_TEI_NS}author"):
+        pn = author.find(f"./{_TEI_NS}persName")
+        # mirror the reference's `if not pn` (childless persName skipped)
+        if pn is None or len(pn) == 0:
+            continue
+        given = pn.findtext(f"./{_TEI_NS}forename") or None
+        surname = pn.findtext(f"./{_TEI_NS}surname") or None
+        obj: dict = {"name": " ".join(pn.itertext())}
+        if given:
+            obj["given_name"] = given
+        if surname:
+            obj["surname"] = surname
+        ae = author.find(f"./{_TEI_NS}affiliation")
+        if ae is not None and len(ae):
+            affiliation: dict = {}
+            for on in ae.findall(f"./{_TEI_NS}orgName"):
+                if on.get("type"):
+                    affiliation[on.get("type")] = on.text
+            addr = ae.find(f"./{_TEI_NS}address")
+            if addr is not None and len(addr):
+                address = {t.tag.split("}")[-1]: t.text for t in addr}
+                if address:
+                    affiliation["address"] = address
+            obj["affiliation"] = affiliation
+        out.append(obj)
+    return out
+
+
+def _tei_journal(elem) -> dict:
+    """Container metadata from the header biblStruct (grobid2json.py
+    journal_info, 75-94); empty/null values dropped."""
+    j = {
+        "name": elem.findtext(f".//{_TEI_NS}monogr/{_TEI_NS}title"),
+        "publisher": elem.findtext(f".//{_TEI_NS}publicationStmt/{_TEI_NS}publisher") or None,
+        "issn": elem.findtext(f'.//{_TEI_NS}idno[@type="ISSN"]'),
+        "eissn": elem.findtext(f'.//{_TEI_NS}idno[@type="eISSN"]'),
+        "volume": elem.findtext(f'.//{_TEI_NS}biblScope[@unit="volume"]'),
+        "issue": elem.findtext(f'.//{_TEI_NS}biblScope[@unit="issue"]'),
+    }
+    return {k: v for k, v in j.items() if v}
+
+
+def _tei_citation(elem) -> dict:
+    """One back-matter reference (grobid2json.py biblio_info, 97-126),
+    including its quirks: `journal` key only present when the monogr
+    title exists, `date` is False (not None) when the published date
+    element is absent, trailing '.Lastaccessed' stripped from ptr urls."""
+    ref: dict = {"id": elem.attrib.get(f"{_XML_NS}id")}
+    ref["title"] = elem.findtext(f".//{_TEI_NS}analytic/{_TEI_NS}title")
+    other_title = elem.findtext(f".//{_TEI_NS}monogr/{_TEI_NS}title")
+    if other_title:
+        if ref["title"]:
+            ref["journal"] = other_title
+        else:
+            ref["journal"] = None
+            ref["title"] = other_title
+    ref["authors"] = _tei_authors(elem)
+    ref["publisher"] = elem.findtext(f".//{_TEI_NS}publicationStmt/{_TEI_NS}publisher") or None
+    date = elem.find(f'.//{_TEI_NS}date[@type="published"]')
+    ref["date"] = (date is not None) and date.attrib.get("when")
+    ref["volume"] = elem.findtext(f'.//{_TEI_NS}biblScope[@unit="volume"]')
+    ref["issue"] = elem.findtext(f'.//{_TEI_NS}biblScope[@unit="issue"]')
+    ptr = elem.find(f".//{_TEI_NS}ptr[@target]")
+    if ptr is not None:
+        url = ptr.attrib["target"]
+        if url.endswith(".Lastaccessed"):
+            url = url.replace(".Lastaccessed", "")
+        ref["url"] = url
+    else:
+        ref["url"] = None
+    return ref
+
+
+def teixml2json_py(tei_xml: str | bytes, encumbered: bool = True) -> dict:
+    """Full GROBID TEI distill, output-compatible with the reference's
+    grobid2json.teixml2json (grobid2json.py:129-186): header metadata +
+    grobid version/timestamp, author affiliations, journal block,
+    citations with context, language code, and (when encumbered=True)
+    abstract/body/acknowledgement/annex. Falsy top-level keys dropped,
+    like the reference."""
+    root = ET.fromstring(tei_xml)
+    info: dict = {}
+    header = root.find(f".//{_TEI_NS}teiHeader")
+    if header is None:
+        raise ValueError("XML does not look like TEI format")
+    apps = header.findall(f".//{_TEI_NS}appInfo/{_TEI_NS}application")
+    info["grobid_version"] = apps[0].attrib["version"].strip()
+    info["grobid_timestamp"] = apps[0].attrib["when"].strip()
+    info["title"] = header.findtext(f".//{_TEI_NS}analytic/{_TEI_NS}title")
+    info["authors"] = _tei_authors(header.find(f".//{_TEI_NS}sourceDesc/{_TEI_NS}biblStruct"))
+    info["journal"] = _tei_journal(header)
+    date = header.find(f'.//{_TEI_NS}date[@type="published"]')
+    info["date"] = (date is not None) and date.attrib.get("when")
+    info["fatcat_release"] = header.findtext(f'.//{_TEI_NS}idno[@type="fatcat"]')
+    info["doi"] = header.findtext(f'.//{_TEI_NS}idno[@type="DOI"]')
+    if info["doi"]:
+        info["doi"] = info["doi"].lower()
+    refs = []
+    for i, bs in enumerate(root.findall(f".//{_TEI_NS}listBibl/{_TEI_NS}biblStruct")):
+        ref = _tei_citation(bs)
+        ref["index"] = i
+        refs.append(ref)
+    info["citations"] = refs
+    text = root.find(f".//{_TEI_NS}text")
+    if text is not None and len(text) and text.attrib.get(f"{_XML_NS}lang"):
+        info["language_code"] = text.attrib[f"{_XML_NS}lang"]
+    if encumbered:
+        el = root.find(f".//{_TEI_NS}profileDesc/{_TEI_NS}abstract")
+        info["abstract"] = (el is not None and len(el) or None) and " ".join(el.itertext()).strip()
+        el = root.find(f".//{_TEI_NS}text/{_TEI_NS}body")
+        info["body"] = (el is not None and len(el) or None) and " ".join(el.itertext()).strip()
+        el = root.find(f'.//{_TEI_NS}back/{_TEI_NS}div[@type="acknowledgement"]')
+        info["acknowledgement"] = (
+            el is not None and len(el) or None
+        ) and " ".join(el.itertext()).strip()
+        el = root.find(f'.//{_TEI_NS}back/{_TEI_NS}div[@type="annex"]')
+        info["annex"] = (el is not None and len(el) or None) and " ".join(el.itertext()).strip()
+    return {k: v for k, v in info.items() if v}
+
+
 def teixml_to_json_py(tei_xml: str) -> dict:
-    """Distill a GROBID TEI document into the flat metadata dict the
-    persist layer stores (title, authors, doi, abstract, grobid body
-    presence) — the fields metadata() keeps, grobid.py:65-78."""
+    """Flat metadata distill the persist layer stores (title, authors,
+    doi, abstract, body word count — grobid.py:65-78 metadata()), now
+    derived from the FULL teixml2json_py distill plus the extended
+    fields (journal block, release date, grobid version, citations)."""
     out: dict = {
         "title": None,
         "authors": [],
@@ -45,30 +177,54 @@ def teixml_to_json_py(tei_xml: str) -> dict:
         "abstract": None,
         "body_word_count": None,
         "status": "success",
+        "journal_name": None,
+        "journal_publisher": None,
+        "journal_issn": None,
+        "volume": None,
+        "issue": None,
+        "release_date": None,
+        "grobid_version": None,
+        "grobid_timestamp": None,
+        "language_code": None,
+        "citations": [],
     }
     try:
-        root = ET.fromstring(tei_xml)
-    except ET.ParseError:
+        full = teixml2json_py(tei_xml)
+    except (ET.ParseError, ValueError, KeyError, IndexError):
         return {**out, "status": "invalid-teixml"}
-    header = root.find(f"{_TEI_NS}teiHeader")
-    if header is not None:
-        t = header.find(f".//{_TEI_NS}titleStmt/{_TEI_NS}title")
-        if t is not None and (t.text or "").strip():
-            out["title"] = t.text.strip()
-        for pers in header.findall(f".//{_TEI_NS}sourceDesc//{_TEI_NS}author/{_TEI_NS}persName"):
-            parts = [e.text.strip() for e in pers if e.text and e.text.strip()]
-            if parts:
-                out["authors"].append(" ".join(parts))
-        for idno in header.findall(f".//{_TEI_NS}idno"):
-            if idno.get("type", "").lower() == "doi" and idno.text:
-                out["doi"] = idno.text.strip().lower()
-    abstract = root.find(f".//{_TEI_NS}abstract")
-    if abstract is not None:
-        text = " ".join("".join(abstract.itertext()).split())
-        out["abstract"] = text or None
-    body = root.find(f".//{_TEI_NS}body")
-    if body is not None:
-        out["body_word_count"] = len("".join(body.itertext()).split())
+    t = (full.get("title") or "").strip()
+    out["title"] = t or None
+    out["authors"] = [a["name"] for a in full.get("authors", [])]
+    out["doi"] = full.get("doi")
+    abstract = " ".join((full.get("abstract") or "").split())
+    out["abstract"] = abstract or None
+    body = full.get("body")
+    out["body_word_count"] = len(body.split()) if body is not None else None
+    journal = full.get("journal", {})
+    out["journal_name"] = journal.get("name")
+    out["journal_publisher"] = journal.get("publisher")
+    out["journal_issn"] = journal.get("issn")
+    out["volume"] = journal.get("volume")
+    out["issue"] = journal.get("issue")
+    out["release_date"] = full.get("date") or None
+    out["grobid_version"] = full.get("grobid_version")
+    out["grobid_timestamp"] = full.get("grobid_timestamp")
+    out["language_code"] = full.get("language_code")
+    out["citations"] = [
+        {
+            "id": c.get("id"),
+            "index": c.get("index"),
+            "title": c.get("title"),
+            "journal": c.get("journal"),
+            "authors": [a["name"] for a in c.get("authors", [])],
+            "date": c.get("date") or None,
+            "volume": c.get("volume"),
+            "issue": c.get("issue"),
+            "url": c.get("url"),
+            "publisher": c.get("publisher"),
+        }
+        for c in full.get("citations", [])
+    ]
     return out
 
 
@@ -84,14 +240,23 @@ def grobid_stub_service(blob: bytes) -> dict:
         return {"status_code": 500, "status": "error", "error_msg": "not a PDF", "tei_xml": None}
     h = hashlib.sha1(blob).hexdigest()
     tei = (
-        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader>'
+        "<encodingDesc><appInfo>"
+        '<application version="0.7.3-sandbox" ident="GROBID" when="2024-01-01T00:00+0000"/>'
+        "</appInfo></encodingDesc><fileDesc>"
         f"<titleStmt><title>Synthetic document {h[:8]}</title></titleStmt>"
         "<sourceDesc><biblStruct><analytic>"
+        f'<title level="a" type="main">Synthetic document {h[:8]}</title>'
         "<author><persName><forename>Alex</forename><surname>"
         f"Author{h[8:10]}</surname></persName></author>"
         f'<idno type="DOI">10.1234/{h[:6]}</idno>'
-        "</analytic></biblStruct></sourceDesc></fileDesc></teiHeader>"
-        f"<text><body><p>body text {h[:12]} extracted deterministically</p></body></text></TEI>"
+        "</analytic><monogr>"
+        f"<title>Synthetic Journal {h[10:12]}</title>"
+        '<imprint><biblScope unit="volume">7</biblScope>'
+        '<date type="published" when="2024-01-15"/></imprint>'
+        "</monogr></biblStruct></sourceDesc></fileDesc></teiHeader>"
+        '<text xml:lang="en">'
+        f"<body><p>body text {h[:12]} extracted deterministically</p></body></text></TEI>"
     )
     return {"status_code": 200, "status": "success", "error_msg": None, "tei_xml": tei}
 
@@ -111,6 +276,21 @@ def pdftrio_stub_service(blob: bytes) -> dict:
 # Spark tier
 # ---------------------------------------------------------------------------
 
+CITATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("index", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("journal", T.StringType()),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("date", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("issue", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("publisher", T.StringType()),
+    ]
+)
+
 GROBID_SCHEMA = T.StructType(
     [
         T.StructField("status_code", T.IntegerType()),
@@ -121,6 +301,18 @@ GROBID_SCHEMA = T.StructType(
         T.StructField("doi", T.StringType()),
         T.StructField("abstract", T.StringType()),
         T.StructField("body_word_count", T.IntegerType()),
+        # grobid2json breadth (grobid2json.py:36-186): container block,
+        # release date, grobid provenance, citations with context
+        T.StructField("journal_name", T.StringType()),
+        T.StructField("journal_publisher", T.StringType()),
+        T.StructField("journal_issn", T.StringType()),
+        T.StructField("volume", T.StringType()),
+        T.StructField("issue", T.StringType()),
+        T.StructField("release_date", T.StringType()),
+        T.StructField("grobid_version", T.StringType()),
+        T.StructField("grobid_timestamp", T.StringType()),
+        T.StructField("language_code", T.StringType()),
+        T.StructField("citations", T.ArrayType(CITATION_SCHEMA)),
     ]
 )
 
@@ -156,18 +348,22 @@ def with_grobid(df: DataFrame, blob_col: str = "html", service=grobid_stub_servi
                 continue
             res = service(b)
             meta = teixml_to_json_py(res["tei_xml"]) if res.get("tei_xml") else {}
-            rows.append(
-                {
-                    "status_code": res["status_code"],
-                    "status": res["status"],
-                    "error_msg": res.get("error_msg"),
-                    "title": meta.get("title"),
-                    "authors": meta.get("authors") or [],
-                    "doi": meta.get("doi"),
-                    "abstract": meta.get("abstract"),
-                    "body_word_count": meta.get("body_word_count"),
-                }
+            row = {
+                f.name: meta.get(f.name)
+                for f in GROBID_SCHEMA.fields
+                if f.name not in ("status_code", "status", "error_msg")
+            }
+            row["authors"] = meta.get("authors") or []
+            row["citations"] = [
+                {cf.name: c.get(cf.name) for cf in CITATION_SCHEMA.fields}
+                for c in meta.get("citations") or []
+            ]
+            row.update(
+                status_code=res["status_code"],
+                status=res["status"],
+                error_msg=res.get("error_msg"),
             )
+            rows.append(row)
         return pd.DataFrame(rows, columns=[f.name for f in GROBID_SCHEMA.fields])
 
     return df.withColumn("grobid", _grobid(F.col(blob_col)))

@@ -34,6 +34,64 @@ def test_teixml_to_json():
     assert teixml_to_json_py("<not-xml")["status"] == "invalid-teixml"
 
 
+def test_teixml2json_reference_fixture_exact():
+    """Full distill == the reference's own expected JSON for its small
+    TEI fixture (tests/files/small.{xml,json}, from
+    /root/reference/python/tests/test_grobid2json.py:8-15)."""
+    import json
+
+    import pytest
+
+    from sandcrawler_spark.functions.hooks import teixml2json_py
+
+    files = os.path.join(os.path.dirname(__file__), "files")
+    with open(os.path.join(files, "small.xml")) as f:
+        tei = f.read()
+    with open(os.path.join(files, "small.json")) as f:
+        expected = json.load(f)
+    assert teixml2json_py(tei) == expected
+    # error contract parity (test_grobid2json.py:17-22)
+    import xml.etree.ElementTree as ET
+
+    with pytest.raises(ET.ParseError):
+        teixml2json_py("this is not XML")
+    with pytest.raises(ValueError):
+        teixml2json_py("<xml></xml>")
+
+
+def test_teixml2json_real_grobid_output():
+    """The reference's real GROBID TEI dump
+    (23b29ea36382680716be08fc71aa81bd226e8a85.xml) distills with full
+    breadth: provenance, authors, 100 citations with context."""
+    from sandcrawler_spark.functions.hooks import teixml2json_py
+
+    files = os.path.join(os.path.dirname(__file__), "files")
+    with open(os.path.join(files, "23b29ea36382680716be08fc71aa81bd226e8a85.xml"), "rb") as f:
+        info = teixml2json_py(f.read())
+    assert info["grobid_version"] == "0.5.1-SNAPSHOT"
+    assert info["grobid_timestamp"] == "2018-04-02T00:31+0000"
+    assert info["title"] == "DYNAMICS OF RAILWAY FREIGHT VEHICLES"
+    assert info["date"] == "2015"
+    assert info["language_code"] == "en"
+    assert len(info["authors"]) == 4
+    assert len(info["citations"]) == 100
+    c0 = info["citations"][0]
+    assert c0["index"] == 0 and c0["id"] == "b0"
+    assert info["body"] and len(info["body"]) > 1000
+
+
+def test_grobid_struct_breadth(spark):
+    """The Spark grobid struct carries the grobid2json breadth fields."""
+    df = spark.createDataFrame([(1, b"%PDF-1.4 content one")], "id long, html binary")
+    g = with_grobid(df).collect()[0].grobid
+    assert g.journal_name.startswith("Synthetic Journal")
+    assert g.volume == "7"
+    assert g.release_date == "2024-01-15"
+    assert g.grobid_version == "0.7.3-sandbox"
+    assert g.language_code == "en"
+    assert g.citations == []
+
+
 def test_with_grobid_and_pdftrio(spark):
     rows = [
         (1, b"%PDF-1.4 content one"),
