@@ -639,6 +639,53 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(sample, e, k=3, centroid_mod=25, nprobe=2)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of every ANN method vs the exact top-5 (the knobs'
+    # benefit measured as a driver query, not just asserted in pytest);
+    # ivf_trained uses deterministic 2-iteration k-means centroids
+    from sandcrawler_spark.operators.similarity import (
+        ann_lsh,
+        ivf_topk,
+        kmeans_centroids,
+        knn_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dim = len(e.select("embedding").first()[0])
+    truth = knn_join(sample, e, k=5).select("q_id", "vec_id")
+    km = kmeans_centroids(e, n_iters=2, centroid_mod=25)
+    methods = [
+        ("lsh", ann_lsh(sample, e, dim=dim, k=5, n_planes=4, seed=42)),
+        ("lsh_multiprobe", ann_lsh(sample, e, dim=dim, k=5, n_planes=4, seed=42, multiprobe=True)),
+        ("ivf", ivf_topk(sample, e, k=5, centroid_mod=25, nprobe=2)),
+        ("ivf_trained", ivf_topk(sample, e, k=5, centroid_mod=25, nprobe=2, centroids=km)),
+    ]
+    union = None
+    for name, df in methods:
+        part = df.select(F.lit(name).alias("method"), "q_id", "vec_id")
+        union = part if union is None else union.unionByName(part)
+    tn = truth.agg(F.count("*").alias("_nt"))
+    hits = (
+        union.join(truth, on=["q_id", "vec_id"], how="inner")
+        .groupBy("method")
+        .agg(F.count("*").alias("_nh"))
+    )
+    names = spark.createDataFrame([(n,) for n, _ in methods], ["method"])
+    return (
+        names.join(hits, on="method", how="left")
+        .crossJoin(tn)
+        .select(
+            "method",
+            F.col("_nt").cast("bigint").alias("n_truth"),
+            F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(F.coalesce("_nh", F.lit(0)) / F.col("_nt"), 4).alias("recall"),
+        )
+    )
+
+
 def q_slug_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 + C10/C11: self-join on title slug, Levenshtein-scored
     from sandcrawler_spark.operators.score import self_group_works
@@ -947,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
         "batch_dedupe_latest": q_batch_dedupe_latest,
@@ -962,6 +1010,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grobid_hook": q_grobid_hook,
         "revisit_resolution": q_revisit_resolution,
     }
+
+
+def _sql_cos(a: str, b: str, digits: int = 6) -> str:
+    """DuckDB cosine between two DOUBLE lists — same left-fold order as
+    the Spark F.aggregate tier, so doubles match exactly."""
+    return (
+        f"round(list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), (x, y) -> x + y)"
+        f" / (sqrt(list_reduce(list_transform({a}, t -> t * t), (x, y) -> x + y))"
+        f" * sqrt(list_reduce(list_transform({b}, t -> t * t), (x, y) -> x + y))), {digits})"
+    )
+
+
+def _ann_recall_oracle(n_q: int = 20, k: int = 5, n_planes: int = 4,
+                       mod: int = 25, nprobe: int = 2, kmeans_iters: int = 2) -> str:
+    """recall@k of every ANN method recomputed end-to-end in DuckDB:
+    exact truth, LSH bucket join, multi-probe fan-out, id-mod IVF, and
+    the 2-iteration k-means IVF. The k-means twin reproduces the
+    engine's determinism contract: assignment by rounded cosine with
+    cent_id tie-break, centroid update as a sorted-by-id left fold
+    (list(val ORDER BY vec_id) + list_reduce) divided by the cell size,
+    rounded to 6 — identical FP op order to the Spark tier."""
+    base = f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+dims AS (SELECT max(len(v)) AS dim FROM e),
+idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS pos),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {n_q}),
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY {_sql_cos('e.v', 'q.qv')} DESC, e.vec_id ASC) AS rn
+    FROM e, q) WHERE rn <= {k}
+),
+planes AS (
+  SELECT p, list_transform(range(0, dims.dim), c ->
+    CAST(CAST('0x' || substr(md5('42:' || CAST(p AS VARCHAR) || ':' || CAST(c // 4 AS VARCHAR)), (c % 4) * 8 + 1, 8) AS UBIGINT) AS DOUBLE) / 2147483648.0 - 1.0
+  ) AS plane
+  FROM (SELECT unnest(range(0, {n_planes})) AS p), dims
+),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN list_reduce(list_transform(list_zip(e.v, pl.plane), z -> z[1] * z[2]), (a, b) -> a + b) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM e, planes pl
+),
+esig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id),
+ev AS (SELECT e.vec_id, e.v, s.sig FROM e JOIN esig s ON e.vec_id = s.vec_id),
+qs AS (SELECT vec_id AS q_id, v AS qv, sig FROM ev WHERE vec_id < {n_q}),
+m_lsh AS (
+  SELECT q_id, vec_id FROM (
+    SELECT c.q_id, c.vec_id, ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY c.cosine DESC, c.vec_id ASC) AS rn
+    FROM (SELECT p.q_id, x.vec_id, {_sql_cos('x.v', 'p.qv')} AS cosine
+          FROM qs p JOIN ev x ON x.sig = p.sig) c) WHERE rn <= {k}
+),
+qprobe AS (
+  SELECT q_id, qv, sig FROM qs
+  UNION ALL
+  SELECT q_id, qv,
+         substr(sig, 1, CAST(i AS INT)) ||
+         (CASE WHEN substr(sig, CAST(i AS INT) + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+         substr(sig, CAST(i AS INT) + 2) AS sig
+  FROM qs, (SELECT unnest(range(0, {n_planes})) AS i)
+),
+m_mp AS (
+  SELECT q_id, vec_id FROM (
+    SELECT c.q_id, c.vec_id, ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY c.cosine DESC, c.vec_id ASC) AS rn
+    FROM (SELECT DISTINCT p.q_id, x.vec_id, {_sql_cos('x.v', 'p.qv')} AS cosine
+          FROM qprobe p JOIN ev x ON x.sig = p.sig) c) WHERE rn <= {k}
+),
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0)"""
+    # k-means chain + the two IVF variants (id-mod probes kc_0, trained
+    # probes the last iteration's centroids)
+    km = ""
+    for it in range(1, kmeans_iters + 1):
+        km += f""",
+kasg_{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, kc_{it - 1} c) WHERE rn = 1
+),
+kdim_{it} AS (
+  SELECT cent_id, pos, list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s, COUNT(*) AS n
+  FROM (SELECT a.cent_id, a.vec_id, i.pos, a.v[CAST(i.pos AS INT) + 1] AS val FROM kasg_{it} a, idx i)
+  GROUP BY cent_id, pos
+),
+kc_{it} AS (
+  SELECT cent_id, list(round(s / n, 6) ORDER BY pos) AS cv FROM kdim_{it} GROUP BY cent_id
+)"""
+
+    def ivf_method(tag: str, cents: str) -> str:
+        return f""",
+iasg_{tag} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, {cents} c) WHERE rn = 1
+),
+iprb_{tag} AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT q.q_id, q.qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM q, {cents} c) WHERE rn <= {nprobe}
+),
+m_{tag} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT c.q_id, c.vec_id, ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY c.cosine DESC, c.vec_id ASC) AS rn
+    FROM (SELECT p.q_id, a.vec_id, {_sql_cos('a.v', 'p.qv')} AS cosine
+          FROM iprb_{tag} p JOIN iasg_{tag} a ON p.cent_id = a.cent_id) c) WHERE rn <= {k}
+)"""
+
+    methods = km + ivf_method("ivf", "kc_0") + ivf_method("ivft", f"kc_{kmeans_iters}")
+    return f"""
+WITH {base}{methods},
+allm AS (
+  SELECT 'lsh' AS method, q_id, vec_id FROM m_lsh
+  UNION ALL SELECT 'lsh_multiprobe', q_id, vec_id FROM m_mp
+  UNION ALL SELECT 'ivf', q_id, vec_id FROM m_ivf
+  UNION ALL SELECT 'ivf_trained', q_id, vec_id FROM m_ivft
+),
+tn AS (SELECT COUNT(*) AS n_truth FROM truth),
+hits AS (
+  SELECT a.method, COUNT(*) AS n_hit
+  FROM allm a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+  GROUP BY a.method
+),
+names AS (SELECT unnest(['lsh', 'lsh_multiprobe', 'ivf', 'ivf_trained']) AS method)
+SELECT n.method, CAST(tn.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / tn.n_truth, 4) AS recall
+FROM names n LEFT JOIN hits h ON n.method = h.method, tn
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1739,6 +1918,7 @@ SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'null-body' ELSE 'success
 FROM documents
 GROUP BY 1, 2
 """,
+        "ann_recall": _ann_recall_oracle(),
         # corpus twins: independent DuckDB recomputation over the same
         # persisted seed=42 parquet fixture both engines read
         "fetch_statuses": _fetch_statuses_oracle(max_hops=4),

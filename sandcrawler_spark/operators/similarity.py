@@ -108,6 +108,69 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return F.concat(*bits)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_iters: int = 2,
+    centroid_mod: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeded k-means for the IVF coarse quantizer:
+    id-mod sample init, then `n_iters` Lloyd iterations. Returns
+    (cent_id, cent_vec) — drop-in for ivf_topk(centroids=...), plan
+    unchanged.
+
+    Determinism contract (what makes the DuckDB twin hash-exact): the
+    assignment uses ROUNDED cosine with cent_id tie-breaks, and the
+    centroid update folds each cell's values in sorted-id order
+    (array_sort(collect_list) + left fold) instead of a parallel
+    avg() — floating addition is not associative, so an unordered mean
+    is run-dependent. The ordered fold bounds memory by cell size; a
+    production cluster that does not need bit-reproducible centroids
+    swaps the fold for avg() with no plan change. Cells that lose all
+    members simply drop out (standard Lloyd degeneracy; fine for a
+    coarse quantizer)."""
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
+    )
+    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    for _ in range(n_iters):
+        assigned = (
+            embeddings.join(F.broadcast(cents))
+            .withColumn("_csim", F.round(cosine_sim_col(F.col(vec_col), F.col("cent_vec")), 6))
+            .withColumn("_rn", F.row_number().over(asg_w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cent_id")
+        )
+        ex = assigned.select(
+            "cent_id", "_id", F.posexplode(F.col("_v")).alias("pos", "val")
+        )
+        dimsum = ex.groupBy("cent_id", "pos").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_id"), F.col("val")))),
+                    lambda s: s["val"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        cents = (
+            dimsum.withColumn("m", F.round(F.col("s") / F.col("n"), 6))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cent_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     embeddings: DataFrame,
@@ -118,6 +181,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a deterministic coarse quantizer
     (centroids = the id-mod sample of the corpus itself — no training
@@ -129,13 +193,13 @@ def ivf_topk(
     assignment pass and the query probe; the only shuffle is the
     candidates equi-join on cent_id (cells ≈ corpus/centroid_mod rows
     each; raise centroid_mod to shrink cells, raise nprobe to recover
-    recall). Trained k-means centroids drop in by replacing the
-    centroid DataFrame — the plan is unchanged."""
+    recall). Pass centroids=kmeans_centroids(...) for trained cells —
+    the plan is unchanged."""
     from pyspark.sql import Window
 
-    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    cents = centroids if centroids is not None else embeddings.filter(
+        F.col(id_col) % centroid_mod == 0
+    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     # assignment: nearest centroid per vector (rounded cosine + id
     # tiebreak so the cell layout is engine-reproducible)
     asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))

@@ -226,6 +226,36 @@ def test_simhash_max_hamming_guard(spark):
         simhash_pairs(df, max_hamming=16)
 
 
+def test_kmeans_centroids_deterministic_and_recall(spark, embeddings):
+    """Trained IVF centroids: (a) bit-deterministic across runs (the
+    sorted-fold mean contract the DuckDB twin relies on), (b) recall at
+    the ann_recall query's parameters >= the untrained id-mod sample."""
+    from sandcrawler_spark.operators.similarity import ivf_topk, kmeans_centroids, knn_join
+
+    km1 = {r.cent_id: r.cent_vec for r in kmeans_centroids(embeddings, n_iters=2, centroid_mod=25).collect()}
+    km2 = {r.cent_id: r.cent_vec for r in kmeans_centroids(embeddings, n_iters=2, centroid_mod=25).collect()}
+    assert km1 == km2
+    # centroids moved off the raw sample vectors
+    raw = {r.vec_id: [float(x) for x in r.embedding]
+           for r in embeddings.filter(F.col("vec_id") % 25 == 0).collect()}
+    assert set(km1) <= set(raw)
+    assert any(km1[c] != raw[c] for c in km1)
+
+    sample = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {(r.q_id, r.vec_id) for r in knn_join(sample, embeddings, k=5).collect()}
+
+    def recall(df):
+        got = {(r.q_id, r.vec_id) for r in df.select("q_id", "vec_id").collect()}
+        return len(got & truth) / len(truth)
+
+    km = kmeans_centroids(embeddings, n_iters=2, centroid_mod=25)
+    r_trained = recall(ivf_topk(sample, embeddings, k=5, centroid_mod=25, nprobe=2, centroids=km))
+    r_idmod = recall(ivf_topk(sample, embeddings, k=5, centroid_mod=25, nprobe=2))
+    assert r_trained >= r_idmod
+
+
 def test_connected_components_chain_and_islands(spark):
     from sandcrawler_spark.operators.dedupe import connected_components
 
