@@ -315,6 +315,38 @@ def q_politeness_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event-time politeness enforcement: the static (round, seq) budget
+    # realized as planned fetch timestamps, rolled up by the event-time
+    # window layer — no host window may exceed its quota
+    from sandcrawler_spark.operators.politeness import planned_fetch_times, schedule_politeness
+    from sandcrawler_spark.streaming.eventtime import windowed_host_rates
+
+    urls = _urls(spark, sf_dir)
+    robots = (
+        urls.select("host", "site_id")
+        .distinct()
+        .select(
+            "host",
+            (F.lit(2) + (F.col("site_id") % 6)).cast("int").alias("max_parallel"),
+            (F.lit(10.0) * (1 + F.col("site_id") % 8)).alias("crawl_delay_s"),
+            F.array().cast("array<string>").alias("disallow_prefixes"),
+        )
+    )
+    sched = schedule_politeness(urls.select("url", "host", "priority"), robots, round_window_s=60.0)
+    timed = planned_fetch_times(sched, epoch="2024-01-01 00:00:00", round_window_s=60.0)
+    rates = windowed_host_rates(timed, ts_col="planned_ts", host_col="host", window="60 seconds")
+    quotas = sched.groupBy("host").agg(F.max("quota").alias("quota"))
+    epoch_s = F.to_timestamp(F.lit("2024-01-01 00:00:00")).cast("long")
+    return rates.join(quotas, on="host").select(
+        "host",
+        ((F.col("window_start").cast("long") - epoch_s) / 60).cast("int").alias("window_idx"),
+        F.col("n_fetched").cast("bigint").alias("n_fetched"),
+        F.col("quota").cast("int").alias("quota"),
+        (F.col("n_fetched") <= F.col("quota")).alias("ok"),
+    )
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robots.txt parsing over SQL-constructed bodies: agent-specific
     # group beats '*', crawl-delay floats, empty files permissive
@@ -971,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_rate_stats": q_hit_rate_stats,
         "politeness_schedule": q_politeness_schedule,
         "politeness_delay": q_politeness_delay,
+        "politeness_timing": q_politeness_timing,
         "robots_parse": q_robots_parse,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
@@ -1394,6 +1427,28 @@ ranked AS (
 SELECT url, host, CAST(quota AS INT) AS quota,
        CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round
 FROM ranked
+""",
+        # event-time twin: window_idx must equal crawl_round (every
+        # round's fetches fit inside its 60s window by construction:
+        # max offset = (quota-1)*delay <= 60-delay), so the rollup is
+        # the per-(host, round) count checked against the quota
+        "politeness_timing": f"""
+WITH {_URLS_CTE.strip()},
+quotas AS (
+  SELECT DISTINCT host,
+         least(CAST(2 + (site_id % 6) AS BIGINT),
+               greatest(CAST(FLOOR(60.0 / (10.0 * (1 + site_id % 8))) AS BIGINT), 1)) AS quota
+  FROM urls
+),
+ranked AS (
+  SELECT u.url, u.host, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.priority DESC, u.url) - 1 AS rk
+  FROM urls u JOIN quotas q ON u.host = q.host
+)
+SELECT host, CAST(FLOOR(rk * 1.0 / quota) AS INT) AS window_idx,
+       COUNT(*) AS n_fetched, CAST(quota AS INT) AS quota,
+       COUNT(*) <= quota AS ok
+FROM ranked GROUP BY host, FLOOR(rk * 1.0 / quota), quota
 """,
         "robots_parse": f"""
 WITH {_URLS_CTE.strip()},

@@ -182,6 +182,11 @@ PDF_FULLTEXT_PATTERNS: list[dict] = [
     {"kind": "anchor", "cls": ["pdf"], "attrs": {"title": "Download"}, "in_doc_url": "/content/10.",
      "in_fulltext_url": "pdf", "technique": "pdf file link"},
     {"kind": "embed", "attrs": {"type": "application/pdf"}, "technique": "PDF embed"},
+    # sibling-combinator pattern (".AbsPdfFigTab img[src='images/pdf-icon.jpg'] + a",
+    # html_metadata.py:362-369): anchor immediately after the pdf-icon
+    # img inside an AbsPdfFigTab-classed ancestor
+    {"kind": "anchor", "sibling_img_src": "images/pdf-icon.jpg", "anc_cls": "abspdffigtab",
+     "in_doc_url": "/html/", "in_fulltext_url": "create_pdf", "technique": "PDF URL link"},
     {"kind": "anchor", "cls": ["download-pdf"], "in_doc_url": "/archive-detail/",
      "in_fulltext_url": ".pdf", "technique": "PDF URL link"},
 ]
@@ -257,14 +262,41 @@ class _DocCollector(HTMLParser):
         self._script: dict | None = None
         self._script_text: list[str] = []
         self._meta_idx: dict | None = None
+        # minimal tree adjacency for sibling-combinator patterns
+        # (".AbsPdfFigTab img + a", html_metadata.py:362-369): a stack
+        # of open-element frames tracking ancestor class tokens and the
+        # immediately preceding sibling
+        self._stack: list[dict] = []
 
     def meta_index(self) -> dict:
         if self._meta_idx is None:
             self._meta_idx = _index_metas(self.metas)
         return self._meta_idx
 
+    _VOID_TAGS = frozenset(
+        "area base br col embed hr img input link meta param source track wbr".split()
+    )
+
     def handle_starttag(self, tag, attrs):
         d = {k.lower(): (v or "") for k, v in attrs}
+        # --- adjacency bookkeeping (kept before the per-tag dispatch) ---
+        parent = self._stack[-1] if self._stack else None
+        if tag == "a":
+            # remember the immediately preceding sibling when it is an
+            # <img> (CSS "img + a"), plus every ancestor's class tokens
+            if parent is not None and parent["last"] and parent["last"][0] == "img":
+                d["_prev_img_src"] = parent["last"][1]
+            anc = set()
+            for fr in self._stack:
+                anc |= fr["classes"]
+            d["_anc_cls"] = anc
+        if tag in self._VOID_TAGS:
+            if parent is not None:
+                parent["last"] = (tag, d.get("src", ""))
+        elif tag != "a":  # anchors tracked separately via self._a
+            self._stack.append(
+                {"tag": tag, "classes": _class_tokens(d), "last": None}
+            )
         if tag == "meta":
             self.metas.append(d)
         elif tag == "link":
@@ -308,6 +340,19 @@ class _DocCollector(HTMLParser):
             self._script_text.append(data)
 
     def handle_endtag(self, tag):
+        # adjacency bookkeeping: close the topmost matching frame (scan
+        # handles unclosed intermediate tags on malformed pages) and
+        # record the closed element as its parent's preceding sibling
+        if tag == "a":
+            if self._stack:
+                self._stack[-1]["last"] = ("a", "")
+        else:
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i]["tag"] == tag:
+                    del self._stack[i:]
+                    if self._stack:
+                        self._stack[-1]["last"] = (tag, "")
+                    break
         if tag == "a" and self._a is not None:
             self._a["_text"] = " ".join("".join(self._a_text).split())
             self.anchors.append(self._a)
@@ -397,6 +442,10 @@ def _pattern_candidates(c: _DocCollector, pat: dict) -> list[str]:
         if "attrs" in pat and any(
             n.get(k, "").strip().lower() != v.lower() for k, v in pat["attrs"].items()
         ):
+            continue
+        if "sibling_img_src" in pat and n.get("_prev_img_src") != pat["sibling_img_src"]:
+            continue
+        if "anc_cls" in pat and pat["anc_cls"] not in (n.get("_anc_cls") or set()):
             continue
         val = n.get(url_attr, "").strip()
         if val:
@@ -599,11 +648,30 @@ _MONTHS = {m: i + 1 for i, m in enumerate(
     ["january", "february", "march", "april", "may", "june", "july", "august",
      "september", "october", "november", "december"])}
 _MONTHS.update({m[:3]: v for m, v in _MONTHS.items()})
+# locale month names the corpus languages need (de/es/pt/fr); merged
+# into the same lookup so textual forms parse deterministically where
+# the reference leans on dateparser's locale tables
+for _loc_months in (
+    ["januar", "februar", "märz", "april", "mai", "juni", "juli", "august",
+     "september", "oktober", "november", "dezember"],
+    ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio", "agosto",
+     "septiembre", "octubre", "noviembre", "diciembre"],
+    ["janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho", "agosto",
+     "setembro", "outubro", "novembro", "dezembro"],
+    ["janvier", "février", "mars", "avril", "mai", "juin", "juillet", "août",
+     "septembre", "octobre", "novembre", "décembre"],
+):
+    for _i, _m in enumerate(_loc_months):
+        _MONTHS.setdefault(_m, _i + 1)
 
 
 def parse_date_py(raw: str | None) -> str | None:
-    """Deterministic subset of dateparser: ISO / compact / textual
-    forms -> 'YYYY-MM-DD'. Partial dates return None (see module doc)."""
+    """Deterministic subset of dateparser: ISO / compact / textual /
+    month-year / ISO-partial forms -> 'YYYY-MM-DD'. Partial dates
+    resolve to day 1 (dateparser's PREFER_DAY_OF_MONTH='first' — the
+    deterministic choice; its default fills the CURRENT day, which is
+    run-dependent and was rejected in round 1). Year-only strings still
+    return None (release_year keeps them)."""
     if not raw:
         return None
     raw = raw.strip()
@@ -616,13 +684,28 @@ def parse_date_py(raw: str | None) -> str | None:
         if mt:
             y, m, d = int(mt.group(1)), int(mt.group(2)), int(mt.group(3))
     if y is None:
-        mt = re.match(r"^(\d{1,2})\s+([A-Za-z]+),?\s+(\d{4})$", raw)
+        mt = re.match(r"^(\d{1,2})\s+([^\W\d_]+),?\s+(\d{4})$", raw, re.UNICODE)
         if mt and mt.group(2).lower() in _MONTHS:
             y, m, d = int(mt.group(3)), _MONTHS[mt.group(2).lower()], int(mt.group(1))
     if y is None:
-        mt = re.match(r"^([A-Za-z]+)\s+(\d{1,2}),?\s+(\d{4})$", raw)
+        mt = re.match(r"^([^\W\d_]+)\s+(\d{1,2}),?\s+(\d{4})$", raw, re.UNICODE)
         if mt and mt.group(1).lower() in _MONTHS:
             y, m, d = int(mt.group(3)), _MONTHS[mt.group(1).lower()], int(mt.group(2))
+    if y is None:
+        # month-year ("March 2020", "märz 2020") -> first of month
+        mt = re.match(r"^([^\W\d_]+),?\s+(\d{4})$", raw, re.UNICODE)
+        if mt and mt.group(1).lower() in _MONTHS:
+            y, m, d = int(mt.group(2)), _MONTHS[mt.group(1).lower()], 1
+    if y is None:
+        # ISO partial ("2020-03") -> first of month
+        mt = re.match(r"^(\d{4})[-/\.](\d{1,2})$", raw)
+        if mt:
+            y, m, d = int(mt.group(1)), int(mt.group(2)), 1
+    if y is None:
+        # European dotted D.M.Y ("15.05.2017")
+        mt = re.match(r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$", raw)
+        if mt:
+            y, m, d = int(mt.group(3)), int(mt.group(2)), int(mt.group(1))
     if y is None or not (1 <= (m or 0) <= 12 and 1 <= (d or 0) <= 31):
         return None
     import datetime as _dt

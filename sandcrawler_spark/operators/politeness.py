@@ -102,6 +102,32 @@ def ranked_within_key(
     return cold_ranked.unionByName(hot_ranked)
 
 
+def planned_fetch_times(
+    schedule: DataFrame,
+    epoch: str = "2024-01-01 00:00:00",
+    round_window_s: float = 60.0,
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Event-time realization of the static schedule: each URL's planned
+    fetch instant is epoch + crawl_round*round_window +
+    seq_in_round*crawl_delay. Because schedule_politeness caps quota at
+    floor(round_window / crawl_delay), every row of a round lands
+    STRICTLY inside its round's wall-clock window (max offset =
+    (quota-1)*delay <= round_window - delay) — so running these
+    timestamps through windowed_host_rates with window=round_window
+    must show no host window above its quota. That turns the static
+    per-round budget into validated event-time semantics (the
+    reference's backpressure is wall-clock, workers.py:534-554); the
+    politeness_timing driver query + oracle assert it."""
+    secs = (
+        F.col("crawl_round").cast("double") * F.lit(round_window_s)
+        + F.col("seq_in_round").cast("double") * F.coalesce(F.col(delay_col), F.lit(0.0))
+    )
+    return schedule.withColumn("planned_offset_s", secs).withColumn(
+        "planned_ts", F.to_timestamp(F.lit(epoch)) + F.make_dt_interval(secs=secs)
+    )
+
+
 def schedule_politeness(
     frontier: DataFrame,
     robots: DataFrame,

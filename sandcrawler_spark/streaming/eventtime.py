@@ -50,10 +50,14 @@ def windowed_host_rates(
     """Per-host fetch counts per tumbling event-time window, tolerant
     of records arriving up to `watermark` late. State for closed
     windows is dropped — the aggregation holds O(hosts x open windows)
-    state regardless of stream length."""
+    state regardless of stream length.
+
+    Works on batch DataFrames too (watermarks only apply to streams —
+    e.g. the politeness_timing validation rolls a batch of planned
+    fetch timestamps through the same window op)."""
+    src = pages.withWatermark(ts_col, watermark) if pages.isStreaming else pages
     return (
-        pages.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(host_col))
+        src.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(host_col))
         .agg(F.count("*").alias("n_fetched"))
         .select(
             F.col("win.start").alias("window_start"),

@@ -156,10 +156,40 @@ def test_date_parsing_table():
     assert parse_date_py("5 March 2020") == "2020-03-05"
     assert parse_date_py("March 5, 2020") == "2020-03-05"
     assert parse_date_py("2020-03-05T10:00:00Z") == "2020-03-05"
-    # deterministic subset: partial dates rejected, garbage rejected
-    assert parse_date_py("2020-03") is None
+    # month-year / ISO-partial -> deterministic first-of-month
+    assert parse_date_py("March 2020") == "2020-03-01"
+    assert parse_date_py("2020-03") == "2020-03-01"
+    assert parse_date_py("2020/09") == "2020-09-01"
+    # locale month names (de/es/pt/fr)
+    assert parse_date_py("15 märz 2020") == "2020-03-15"
+    assert parse_date_py("mayo 2019") == "2019-05-01"
+    assert parse_date_py("1 outubro 2018") == "2018-10-01"
+    assert parse_date_py("décembre 2021") == "2021-12-01"
+    # European dotted D.M.Y
+    assert parse_date_py("15.05.2017") == "2017-05-15"
+    # garbage / year-only still rejected
+    assert parse_date_py("2020") is None
     assert parse_date_py("2020-13-40") is None
     assert parse_date_py("sometime recently") is None
+
+
+def test_sibling_combinator_pdf_pattern():
+    # ".AbsPdfFigTab img[src='images/pdf-icon.jpg'] + a" (scielo-style
+    # pages, html_metadata.py:362-369): needs the adjacency the flat
+    # collector now keeps
+    html = """<html><body>
+      <div class="AbsPdfFigTab">
+        <img src="images/pdf-icon.jpg"><a href="/journal/create_pdf.aspx?id=1">PDF</a>
+      </div></body></html>"""
+    d = _biblio(html, url="http://www.aed.example.cn/nyzyyhjxb/html/2018/4/20180408.htm")
+    assert d["pdf_fulltext_url"] == "http://www.aed.example.cn/journal/create_pdf.aspx?id=1"
+    assert d["pdf_technique"] == "PDF URL link"
+    # no pdf-icon sibling -> the sibling pattern must NOT fire (the
+    # generic anchor-text fallback may still catch the 'PDF' anchor,
+    # but via its own technique)
+    html2 = html.replace('src="images/pdf-icon.jpg"', 'src="images/other.png"')
+    d2 = _biblio(html2, url="http://www.aed.example.cn/nyzyyhjxb/html/2018/4/20180408.htm")
+    assert d2["pdf_technique"] != "PDF URL link"
 
 
 # ---------------------------------------------------------------------------

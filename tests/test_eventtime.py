@@ -72,6 +72,62 @@ def test_windowed_host_rates_watermark(spark, tmp_path):
     assert r2 == {(9, "b.org"): 1}  # no update for window 0 / a.org
 
 
+def test_crawl_runner_feeds_stateful_budget(spark, corpus, tmp_path):
+    """Integration: CrawlRunner rounds drive the streaming host-budget
+    tracker. Each round's fetch attempts become events; the
+    applyInPandasWithState operator accumulates per-host totals across
+    rounds (checkpointed resume between rounds) and its over_budget
+    flags must match a batch recount of the SAME CrawlRunner output."""
+    from sandcrawler_spark.functions.urls import host_of_py
+    from sandcrawler_spark.streaming.eventtime import stateful_host_budget
+    from sandcrawler_spark.streaming.rounds import CrawlRunner
+
+    spark.conf.set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+    small = {
+        "ingest_request": corpus["ingest_request"].limit(40),
+        "cdx": corpus["cdx"],
+        "pages": corpus["pages"],
+        "robots": corpus["robots"],
+    }
+    runner = CrawlRunner(spark, small, str(tmp_path / "st"))
+    events_dir = os.path.join(str(tmp_path), "events")
+    ckpt = os.path.join(str(tmp_path), "budget_ckpt")
+    t0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    budget = 4
+    seen_keys: set = set()
+    cumulative: dict[str, int] = {}
+    rounds_with_events = 0
+    for _ in range(3):
+        entry = runner.run_round()
+        if entry.get("done"):
+            break
+        rows = [
+            (r.ingest_type, r.base_url)
+            for r in runner.results.read().select("ingest_type", "base_url").collect()
+        ]
+        new = [k for k in rows if k not in seen_keys]
+        seen_keys.update(rows)
+        if not new:
+            continue
+        rounds_with_events += 1
+        _write_pages(
+            spark, events_dir,
+            [(base_url, t0, host_of_py(base_url)) for _, base_url in new],
+        )
+        got = _run_stream(spark, events_dir, ckpt, "crawlbudget",
+                          lambda s: stateful_host_budget(s, budget=budget))
+        for base_url_host in (host_of_py(u) for _, u in new):
+            cumulative[base_url_host] = cumulative.get(base_url_host, 0) + 1
+        flags = {r.host: (r.total_fetched, r.over_budget) for r in got}
+        # every host updated this round reports its cumulative total
+        for _, u in new:
+            h = host_of_py(u)
+            assert flags[h] == (cumulative[h], cumulative[h] > budget)
+    assert rounds_with_events >= 2, "need multiple rounds to exercise cross-round state"
+    # at least one host must have crossed the budget by the end
+    assert any(n > budget for n in cumulative.values())
+
+
 def test_stateful_host_budget_accumulates(spark, tmp_path):
     from sandcrawler_spark.streaming.eventtime import stateful_host_budget
 
