@@ -395,7 +395,15 @@ def q_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _urls(spark, sf_dir)
     frontier = urls.select(F.col("url").alias("canon_url"))
     seen = urls.filter(F.col("o_orderkey") % 3 == 0).select(F.col("url").alias("canon_url"))
-    bloom = build_bloom(seen, "canon_url", n_buckets=32)
+    # size the bloom from the parquet row count (footer-stats-only job)
+    # instead of letting build_bloom count the filtered/projected seen
+    # set — sizing only needs an estimate (the exact rescue corrects
+    # any extra false positives)
+    n_orders = _t(spark, sf_dir, "orders").count()
+    bloom = build_bloom(
+        seen, "canon_url", n_buckets=32,
+        expected_keys_per_bucket=max(64, n_orders // 3 // 32 + 1),
+    )
     return unseen_bloom_exact(frontier, seen, bloom, "canon_url", 32).select(
         F.col("canon_url").alias("url")
     )

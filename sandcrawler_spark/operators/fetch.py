@@ -125,12 +125,16 @@ def fetch_simulate(
         # checkpoint per-round state: truncates lineage so the plan
         # stays flat across iterations (bounded unroll, SURVEY.md §4
         # "hop-loop driver") — without this the tree depth grows
-        # superlinearly in hops and plan handling dominates wall-clock
-        state = state.localCheckpoint(eager=True)
+        # superlinearly in hops and plan handling dominates wall-clock.
+        # LAZY checkpoint + count: one job materializes the checkpoint
+        # AND answers the continue/stop question (the eager-checkpoint
+        # + isEmpty pair was two driver actions per hop — fixed costs
+        # that don't shrink with cores).
+        state = state.localCheckpoint(eager=False)
 
         done_parts.append(state.filter(F.col("status").isNotNull()))
         active = state.filter(F.col("status").isNull())
-        if active.isEmpty():
+        if active.count() == 0:
             break
 
         # --- per-hop URL gates (checked EVERY hop, ingest.py:481-525) ---

@@ -184,6 +184,7 @@ def probe_bloom(
     n_buckets: int,
     strategy: str = "auto",
     broadcast_max_bytes: int = 256 * 1024 * 1024,
+    bloom_bc=None,
 ) -> DataFrame:
     """Append `maybe_seen` to candidates.
 
@@ -201,22 +202,33 @@ def probe_bloom(
     under broadcast_max_bytes."""
     strategy = resolve_bloom_strategy(bloom, strategy, broadcast_max_bytes)
     if strategy == "broadcast":
-        return _probe_bloom_broadcast(candidates, bloom, key_col, n_buckets)
+        return _probe_bloom_broadcast(candidates, bloom, key_col, n_buckets, bloom_bc=bloom_bc)
     return _probe_bloom_cogroup(candidates, bloom, key_col, n_buckets)
 
 
+def prepare_bloom_broadcast(bloom: DataFrame):
+    """Collect the bloom's bitmaps and ship them as an explicit Spark
+    broadcast variable. A long-lived driver loop (bench rounds,
+    CrawlRunner) calls this ONCE and passes the handle to
+    probe_bloom/unseen_bloom_exact via bloom_bc= — otherwise every
+    round pays a collect + re-broadcast of the identical bitmaps (a
+    fixed per-round driver action that erodes scaling efficiency: the
+    compute shrinks 4x at 4N cores, the fixed cost doesn't)."""
+    spark = bloom.sparkSession
+    rows = bloom.collect()
+    return spark.sparkContext.broadcast(
+        {int(r.bucket): (bytes(r.bitmap), int(r.m_bits), int(r.k_hashes)) for r in rows}
+    )
+
+
 def _probe_bloom_broadcast(
-    candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int
+    candidates: DataFrame, bloom: DataFrame, key_col: str, n_buckets: int, bloom_bc=None
 ) -> DataFrame:
     # ship the bitmaps as an EXPLICIT broadcast variable (torrent
     # distribution, one copy per executor, spillable) — capturing a
     # multi-hundred-MB dict in the UDF closure would serialize it into
     # every task binary instead
-    spark = candidates.sparkSession
-    rows = bloom.collect()
-    bc = spark.sparkContext.broadcast(
-        {int(r.bucket): (bytes(r.bitmap), int(r.m_bits), int(r.k_hashes)) for r in rows}
-    )
+    bc = bloom_bc if bloom_bc is not None else prepare_bloom_broadcast(bloom)
 
     @F.pandas_udf(T.BooleanType())
     def _test(bkt: pd.Series, h1: pd.Series, h2: pd.Series) -> pd.Series:  # pragma: no cover
@@ -291,6 +303,7 @@ def unseen_bloom_exact(
     n_buckets: int,
     strategy: str = "auto",
     materialize: bool = True,
+    bloom_bc=None,
 ) -> DataFrame:
     """Scale path: bloom prefilter, then exact anti-join only on the
     maybe-seen slice. Equals unseen_exact() by construction (no false
@@ -312,7 +325,7 @@ def unseen_bloom_exact(
     # to cogroup inside probe_bloom would skip the probe checkpoint and
     # re-run the cogroup exchange per downstream filter branch.
     strategy = resolve_bloom_strategy(bloom, strategy)
-    probed = probe_bloom(frontier, bloom, key_col, n_buckets, strategy=strategy)
+    probed = probe_bloom(frontier, bloom, key_col, n_buckets, strategy=strategy, bloom_bc=bloom_bc)
     if materialize and strategy == "cogroup":
         probed = probed.localCheckpoint(eager=True)
     clean = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
