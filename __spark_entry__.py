@@ -608,6 +608,146 @@ def q_neardup_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_dedupe(docs, n_shingle=3, k=8, bands=4, threshold=0.5)
 
 
+def _structured_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic multi-line structure: the synth
+    corpus has no newlines, so line/paragraph operators get text
+    rebuilt as 4 lines — two content slices (the second repeating the
+    doc's opening words, planting intra-doc n-gram repetition), a
+    boilerplate line shared by EVERY doc (cross-doc paragraph dup),
+    and for every third doc the boilerplate repeated (intra-doc line
+    dup). Mirrored exactly by the _STRUCT_DOCS_CTE DuckDB twin."""
+    boiler = "cookie notice accept all cookies"
+    t = F.col("text")
+    structured = F.concat(
+        F.substring(t, 1, 60), F.lit("\n"),
+        F.lit(boiler), F.lit("\n"),
+        F.substring(t, 61, 120), F.lit(" "), F.substring(t, 1, 30), F.lit("\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(boiler)).otherwise(
+            F.substring(t, 121, 60)
+        ),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", structured.alias("text"))
+
+
+_STRUCT_DOCS_CTE = """
+struct_docs AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) ||
+         'cookie notice accept all cookies' || chr(10) ||
+         substr(text, 61, 120) || ' ' || substr(text, 1, 30) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'cookie notice accept all cookies'
+              ELSE substr(text, 121, 60) END AS text
+  FROM documents
+)
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher repetition gates (dup lines / top 2-gram / dup 5-grams)
+    # over the structured corpus — explode+groupBy shapes, no nested
+    # array-lambda O(n^2) traps
+    from sandcrawler_spark.functions.repetition import gopher_repetition
+
+    return gopher_repetition(_structured_docs(spark, sf_dir), top_n=2, dup_n=5)
+
+
+def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-global paragraph dedupe: first occurrence (doc_id, pos)
+    # wins; every doc keeps its surviving paragraphs in order
+    from sandcrawler_spark.operators.dedupe import paragraph_dedupe
+
+    return paragraph_dedupe(_structured_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plant deterministic PII on every 4th doc, count + redact; output
+    # the redacted text's md5 so byte-level redaction is oracle-checked
+    from sandcrawler_spark.functions.pii import pii_counts, redact_pii_col
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +14155550"),
+            (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77"),
+        ),
+    ).otherwise(F.col("text"))
+    d = d.select("doc_id", planted.alias("text"))
+    cnts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        cnts["n_emails"].cast("int").alias("n_emails"),
+        cnts["n_phones"].cast("int").alias("n_phones"),
+        cnts["n_ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(redact_pii_col(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC codec end-to-end: build multi-record WARC files JVM-side
+    # (Catalyst concat/encode), parse them back with the mapInPandas
+    # record scanner, emit per-record fields incl. byte offsets; the
+    # oracle recomputes every field (offsets included) from documents
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length("text").cast("string"), F.lit("\r\n\r\n"), F.col("text"),
+    )
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: 2020-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:md5:"),
+        F.md5(F.concat(url, F.lit(" 2020-01-01T00:00:00Z"))),
+        F.lit(">\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        F.octet_length(http).cast("string"), F.lit("\r\n\r\n"),
+    )
+    recs = d.select(
+        (F.col("doc_id") % 8).alias("file_id"),
+        "doc_id",
+        F.concat(head, http, F.lit("\r\n\r\n")).alias("rec"),
+    )
+    blobs = (
+        recs.groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select(
+            F.concat(F.lit("warc/part-"), F.col("file_id").cast("string"),
+                     F.lit(".warc")).alias("path"),
+            F.encode("blob_str", "utf-8").alias("content"),
+        )
+    )
+    return scan_warc_blobs(blobs).select(
+        "path", "rec_offset", "target_uri", "warc_date",
+        "http_status", "mime", "rec_content_length", "payload_md5",
+    )
+
+
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: flag docs sharing any 8-gram with the
+    # "benchmark" slice (docs 0-4); bench gram-set broadcasts
+    from sandcrawler_spark.operators.dedupe import benchmark_decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    return benchmark_decontaminate(docs, bench, n=8, min_hits=1)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandcrawler_spark.operators.dedupe import lsh_candidates
 
@@ -1029,6 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "neardup_dedupe": q_neardup_dedupe,
+        "gopher_repetition": q_gopher_repetition,
+        "paragraph_dedupe": q_paragraph_dedupe,
+        "pii_scrub": q_pii_scrub,
+        "warc_roundtrip": q_warc_roundtrip,
+        "benchmark_decontaminate": q_benchmark_decontaminate,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_knn": q_cosine_knn,
@@ -1656,6 +1801,174 @@ FROM fp GROUP BY fingerprint
         "jaccard_pairs": f"""
 WITH {_LSH_CTES}
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+        "gopher_repetition": f"""
+WITH {_STRUCT_DOCS_CTE.strip()},
+lines AS (
+  SELECT doc_id, trim(rawline) AS line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS rawline FROM struct_docs
+  ) WHERE trim(rawline) <> ''
+),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+  FROM lines GROUP BY doc_id, line
+),
+linestats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         round(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_line_frac,
+         round(CAST(SUM((cnt - 1) * len) AS DOUBLE) / CAST(SUM(cnt * len) AS DOUBLE), 6) AS dup_line_char_frac
+  FROM per_line GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, length(text) AS nchar,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM struct_docs
+),
+g2 AS (
+  SELECT doc_id, nchar, gram, COUNT(*) AS cnt FROM (
+    SELECT doc_id, nchar,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> array_to_string(toks[i:i+1], ' '))) AS gram
+    FROM toks WHERE len(toks) >= 2
+  ) GROUP BY doc_id, nchar, gram
+),
+top2 AS (
+  SELECT doc_id, gram AS top_gram,
+         round(CAST(cnt * length(gram) AS DOUBLE) / CAST(nchar AS DOUBLE), 6) AS top_2gram_char_frac
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rk FROM g2)
+  WHERE rk = 1
+),
+g5 AS (
+  SELECT doc_id, nw, gram, COUNT(*) AS cnt FROM (
+    SELECT doc_id, len(toks) AS nw,
+           unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                                 i -> array_to_string(toks[i:i+4], ' '))) AS gram
+    FROM toks WHERE len(toks) >= 5
+  ) GROUP BY doc_id, nw, gram
+),
+dup5 AS (
+  SELECT doc_id,
+         round(least(CAST(SUM(cnt - 1) * 5 AS DOUBLE) / CAST(nw AS DOUBLE), 1.0), 6) AS dup_5gram_word_frac
+  FROM g5 GROUP BY doc_id, nw
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+       t.top_gram, t.top_2gram_char_frac, d.dup_5gram_word_frac
+FROM linestats l
+JOIN top2 t ON t.doc_id = l.doc_id
+JOIN dup5 d ON d.doc_id = l.doc_id
+""",
+        "paragraph_dedupe": f"""
+WITH {_STRUCT_DOCS_CTE.strip()},
+p0 AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS para,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM struct_docs
+),
+p AS (
+  SELECT doc_id, trim(para) AS para, pos FROM p0 WHERE trim(para) <> ''
+),
+k AS (
+  SELECT doc_id, para, pos,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rk
+  FROM p
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras FROM p GROUP BY doc_id),
+keptagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text_deduped
+  FROM k WHERE rk = 1 GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       coalesce(ka.n_kept, 0) AS n_kept,
+       coalesce(ka.text_deduped, '') AS text_deduped
+FROM tot t LEFT JOIN keptagg ka ON ka.doc_id = t.doc_id
+""",
+        "pii_scrub": """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.org or +14155550'
+                   || CAST(100 + doc_id % 900 AS VARCHAR)
+                   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\+[0-9]{7,14}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+[0-9]{7,14}', '<PHONE>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+       ) AS redacted_md5
+FROM planted
+""",
+        "warc_roundtrip": """
+WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+rec AS (
+  SELECT doc_id, doc_id % 8 AS file_id,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'HTTP/1.1 200 OK' || c || 'Content-Type: text/html' || c
+           || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR) || c || c || text AS http,
+         text
+  FROM documents, crlf WHERE doc_id < 200
+),
+rec2 AS (
+  SELECT doc_id, file_id, url, http,
+         'WARC/1.0' || c || 'WARC-Type: response' || c
+           || 'WARC-Target-URI: ' || url || c
+           || 'WARC-Date: 2020-01-01T00:00:00Z' || c
+           || 'WARC-Record-ID: <urn:md5:' || md5(url || ' 2020-01-01T00:00:00Z') || '>' || c
+           || 'Content-Type: application/http; msgtype=response' || c
+           || 'Content-Length: ' || CAST(strlen(http) AS VARCHAR) || c || c AS head,
+         md5(text) AS payload_md5
+  FROM rec, crlf
+),
+sized AS (
+  SELECT doc_id, file_id, url, payload_md5,
+         strlen(http) AS rec_content_length,
+         strlen(head) + strlen(http) + 4 AS rec_size
+  FROM rec2
+)
+SELECT 'warc/part-' || CAST(file_id AS VARCHAR) || '.warc' AS path,
+       CAST(coalesce(SUM(rec_size) OVER (PARTITION BY file_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS rec_offset,
+       url AS target_uri,
+       '2020-01-01T00:00:00Z' AS warc_date,
+       CAST(200 AS INT) AS http_status,
+       'text/html' AS mime,
+       CAST(rec_content_length AS BIGINT) AS rec_content_length,
+       payload_md5
+FROM sized
+""",
+        "benchmark_decontaminate": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+                                      i -> array_to_string(toks[i:i+7], ' '))) AS sh
+  FROM toks
+),
+bset AS (SELECT DISTINCT unnest(sh) AS g FROM grams WHERE doc_id < 5),
+hits AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(sh) AS g FROM grams) e
+  JOIN bset ON bset.g = e.g
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0) AS n_contaminated_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """,
         "neardup_dedupe": f"""
 WITH RECURSIVE {_LSH_CTES},

@@ -337,3 +337,106 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def paragraph_dedupe(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-global paragraph-level exact dedupe (the ExactSubstr-lite
+    pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at paragraph granularity): split each
+    document on newlines, keep only the globally-FIRST occurrence of
+    each distinct trimmed paragraph (first = smallest (doc id, position
+    in doc)), and reassemble each document from its surviving
+    paragraphs in original order.
+
+    Returns (id_col, n_paras, n_kept, text_deduped) — one row per input
+    document; a document whose every paragraph already appeared
+    elsewhere keeps an empty text_deduped.
+
+    Scale shape: explode to per-(paragraph-hash) rows, one shuffle
+    keyed by md5(paragraph) — far finer-grained than per-doc, no skew
+    ceiling (boilerplate paragraphs concentrate on one key each, but a
+    single key only carries its occurrence list, and the rank-1 window
+    is a partial TopK under AQE). Reassembly groups by doc id. No
+    suffix array needed at paragraph granularity: equality IS the
+    match predicate, so hash-partitioning replaces the reference-free
+    O(corpus) suffix sort that made ExactSubstr single-node-bound.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn("para", F.trim("para")).filter(F.col("para") != "")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("para")).orderBy("_id", "pos")
+    kept = paras.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+
+    totals = paras.groupBy("_id").agg(F.count("*").cast("long").alias("n_paras"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            "\n",
+        ).alias("text_deduped"),
+    )
+    return (
+        totals.join(rebuilt, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
+def benchmark_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word n-gram with an evaluation benchmark (the GPT-3 appendix-C /
+    PaLM "13-gram overlap" protocol, with n configurable).
+
+    `bench` is a DataFrame with `text_col` holding benchmark passages.
+    Returns (id_col, n_contaminated_ngrams, contaminated) for EVERY
+    corpus document.
+
+    Scale shape: the benchmark side is tiny next to the corpus (MBs vs
+    100 TB) — its distinct gram hashes BROADCAST, so the corpus-side
+    explode streams map-side through a broadcast hash join and only
+    per-doc hit counts shuffle (keyed by doc id, partial-aggregated).
+    The corpus is never re-partitioned by gram.
+    """
+    def gram_rows(d: DataFrame, keep_id: bool):
+        cols = [F.col(id_col).alias("_id")] if keep_id else []
+        return (
+            d.select(*cols, shingles_col(F.col(text_col), n=n).alias("_sh"))
+            .select(*(["_id"] if keep_id else []), F.explode("_sh").alias("gram"))
+            .select(*(["_id"] if keep_id else []), F.md5("gram").alias("gram_h"))
+        )
+
+    bench_grams = gram_rows(bench, keep_id=False).distinct()
+    hits = (
+        gram_rows(docs, keep_id=True)
+        .join(F.broadcast(bench_grams), on="gram_h", how="inner")
+        .groupBy("_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(hits, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

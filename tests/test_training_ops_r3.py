@@ -1,0 +1,231 @@
+"""Round-3 training-data operators: Gopher repetition filters,
+paragraph-level global dedupe, PII scrub, WARC codec, benchmark
+decontamination. Hand-built micro-corpora with exact expected values
+(the reference's golden-assert test style, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition
+# ---------------------------------------------------------------------------
+
+
+def test_line_repetition_exact(spark):
+    from sandcrawler_spark.functions.repetition import line_repetition
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 'dup' twice: dup_line_frac 1/4; chars 3+5+3+4=15, dup chars 3
+            (1, "dup\nalpha\ndup\n  beta "),
+            (2, "only\none\n\n   \n"),  # blank/whitespace lines dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in line_repetition(df).collect()}
+    assert rows[1].n_lines == 4
+    assert rows[1].dup_line_frac == 0.25
+    assert rows[1].dup_line_char_frac == round(3 / 15, 6)
+    assert rows[2].n_lines == 2
+    assert rows[2].dup_line_frac == 0.0
+
+
+def test_top_ngram_and_dup_ngram(spark):
+    from sandcrawler_spark.functions.repetition import (
+        dup_ngram_word_frac,
+        top_ngram_char_frac,
+    )
+
+    # "a b a b a b" -> top 2-gram "a b" appears 3x (overlapping "b a" 2x)
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    top = top_ngram_char_frac(df, n=2).collect()[0]
+    assert top.top_gram == "a b"
+    assert top.top_2gram_char_frac == round(3 * 3 / 11, 6)
+
+    # 8 words, the 5-gram "w w w w w" repeats (cnt=4 -> excess 3),
+    # excess*5/8 capped at 1.0
+    df2 = spark.createDataFrame([(1, "w w w w w w w w")], ["doc_id", "text"])
+    dup = dup_ngram_word_frac(df2, n=5).collect()[0]
+    assert dup.dup_5gram_word_frac == 1.0
+
+    # no repeated 5-gram -> 0.0
+    df3 = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    assert dup_ngram_word_frac(df3, n=5).collect()[0].dup_5gram_word_frac == 0.0
+
+
+def test_gopher_repetition_short_docs_omitted(spark):
+    from sandcrawler_spark.functions.repetition import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "too short")], ["doc_id", "text"]
+    )
+    out = gopher_repetition(df).collect()
+    assert [r.doc_id for r in out] == [1]  # doc 2 has < 5 words
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedupe
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedupe_global_first_occurrence(spark):
+    from sandcrawler_spark.operators.dedupe import paragraph_dedupe
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma\nboiler"),  # 'boiler' already seen in doc 1
+            (3, "boiler"),  # fully deduped away
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in paragraph_dedupe(df).collect()}
+    assert rows[1].n_paras == 3 and rows[1].n_kept == 3
+    assert rows[1].text_deduped == "alpha\nboiler\nbeta"
+    assert rows[2].n_paras == 3 and rows[2].n_kept == 1
+    assert rows[2].text_deduped == "gamma"
+    assert rows[3].n_paras == 1 and rows[3].n_kept == 0
+    assert rows[3].text_deduped == ""
+
+
+def test_paragraph_dedupe_order_and_trim(spark):
+    from sandcrawler_spark.operators.dedupe import paragraph_dedupe
+
+    df = spark.createDataFrame([(7, "  z last \n\n a first ")], ["doc_id", "text"])
+    r = paragraph_dedupe(df).collect()[0]
+    # original order preserved (position sort, not lexicographic), values trimmed
+    assert r.text_deduped == "z last\na first"
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    from sandcrawler_spark.functions.pii import pii_counts, redact_pii_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk call +4915112345678 ip 10.0.0.1 end"),
+            (2, "no pii here, just words and 12345"),
+        ],
+        ["doc_id", "text"],
+    )
+    c = pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", c["n_emails"].alias("e"), c["n_phones"].alias("p"),
+            c["n_ipv4"].alias("i"), redact_pii_col(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (1, 1, 1)
+    assert out[1].red == "mail <EMAIL> call <PHONE> ip <IP> end"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 0, 0)
+    assert out[2].red == "no pii here, just words and 12345"
+
+
+def test_pii_email_digits_not_eaten_by_phone(spark):
+    # the '+' inside an email local-part must be redacted as EMAIL (order)
+    from sandcrawler_spark.functions.pii import redact_pii_col
+
+    df = spark.createDataFrame([(1, "a+1234567@x.org")], ["doc_id", "text"])
+    assert df.select(redact_pii_col(F.col("text")).alias("r")).collect()[0].r == "<EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# WARC codec
+# ---------------------------------------------------------------------------
+
+
+def test_warc_build_parse_python_roundtrip():
+    from sandcrawler_spark.sources.warcfmt import (
+        build_warc_file,
+        build_warc_response,
+        parse_warc_blob_rows,
+    )
+
+    recs = [
+        build_warc_response(
+            f"https://h{i}.org/p", "2021-06-01T12:00:00Z", f"payload-{i}".encode(),
+            status=200 if i % 2 == 0 else 404, mime="application/pdf",
+        )
+        for i in range(4)
+    ]
+    blob = build_warc_file(recs)
+    rows = parse_warc_blob_rows(blob, path="f.warc")
+    assert len(rows) == 4
+    offsets = [r["rec_offset"] for r in rows]
+    assert offsets[0] == 0 and offsets == sorted(offsets)
+    for i, r in enumerate(rows):
+        assert r["target_uri"] == f"https://h{i}.org/p"
+        assert r["http_status"] == (200 if i % 2 == 0 else 404)
+        assert r["mime"] == "application/pdf"
+        assert r["payload_bytes"] == f"payload-{i}".encode()
+        assert r["payload_md5"] == hashlib.md5(f"payload-{i}".encode()).hexdigest()
+    # truncated trailing record is dropped, parsed prefix survives
+    assert len(parse_warc_blob_rows(blob + recs[0][:50])) == 4
+    # garbage prefix parses nothing
+    assert parse_warc_blob_rows(b"not a warc" + blob) == []
+
+
+def test_scan_warc_blobs_spark(spark):
+    from sandcrawler_spark.sources.warcfmt import (
+        build_warc_file,
+        build_warc_response,
+        scan_warc_blobs,
+    )
+
+    files = []
+    for f in range(3):
+        recs = [
+            build_warc_response(
+                f"https://site{f}.org/{i}", "2022-01-01T00:00:00Z",
+                (f"body {f}-{i}" * 10).encode(),
+            )
+            for i in range(5)
+        ]
+        files.append((f"part-{f}.warc", bytearray(build_warc_file(recs))))
+    df = spark.createDataFrame(files, ["path", "content"])
+    out = scan_warc_blobs(df).collect()
+    assert len(out) == 15
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r.path, []).append(r)
+    for f in range(3):
+        rows = sorted(by_path[f"part-{f}.warc"], key=lambda r: r.rec_offset)
+        assert [r.target_uri for r in rows] == [f"https://site{f}.org/{i}" for i in range(5)]
+        assert all(r.http_status == 200 and r.mime == "text/html" for r in rows)
+        assert rows[0].payload_md5 == hashlib.md5((f"body {f}-0" * 10).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_benchmark_decontaminate(spark):
+    from sandcrawler_spark.operators.dedupe import benchmark_decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog tonight",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram run (several overlapping 8-grams)
+            (1, "prefix the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "totally unrelated content with eight plus words in it for sure"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in benchmark_decontaminate(docs, bench, n=8).collect()}
+    assert rows[1].contaminated and rows[1].n_contaminated_ngrams == 3
+    assert not rows[2].contaminated and rows[2].n_contaminated_ngrams == 0
+    assert not rows[3].contaminated  # < n words -> no grams -> clean
