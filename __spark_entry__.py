@@ -687,13 +687,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # WARC codec end-to-end: build multi-record WARC files JVM-side
-    # (Catalyst concat/encode), parse them back with the mapInPandas
-    # record scanner, emit per-record fields incl. byte offsets; the
-    # oracle recomputes every field (offsets included) from documents
-    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs
-
+def _warc_build(spark: SparkSession, sf_dir: str):
+    """Deterministic WARC files from documents (Catalyst concat/encode,
+    8 files × 25 records) plus the CDX-style index a crawler writes at
+    archive time: (path, offset, url, digest) per record, offsets from
+    a window cumulative sum. Returns (blobs, cdx)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     url = F.concat(
         F.lit("https://site"), (F.col("doc_id") % 10).cast("string"),
@@ -713,6 +711,8 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = d.select(
         (F.col("doc_id") % 8).alias("file_id"),
         "doc_id",
+        url.alias("url"),
+        F.md5("text").alias("digest"),
         F.concat(head, http, F.lit("\r\n\r\n")).alias("rec"),
     )
     blobs = (
@@ -732,9 +732,75 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("blob_str", "utf-8").alias("content"),
         )
     )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("file_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdx = recs.select(
+        F.concat(F.lit("warc/part-"), F.col("file_id").cast("string"),
+                 F.lit(".warc")).alias("path"),
+        F.coalesce(F.sum(F.octet_length("rec")).over(win), F.lit(0)).alias("offset"),
+        "url", "digest",
+    )
+    return blobs, cdx
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC codec end-to-end: build multi-record WARC files JVM-side,
+    # parse them back with the mapInPandas record scanner, emit
+    # per-record fields incl. byte offsets; the oracle recomputes every
+    # field (offsets included) from documents
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs
+
+    blobs, _ = _warc_build(spark, sf_dir)
     return scan_warc_blobs(blobs).select(
         "path", "rec_offset", "target_uri", "warc_date",
         "http_status", "mime", "rec_content_length", "payload_md5",
+    )
+
+
+def q_warc_fetch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's petabox fetch addressing (ia.py fetch_petabox:
+    # look up a record by (warc_path, offset), verify the CDX digest
+    # against the fetched payload) as a distributed equi-join between
+    # the CDX index and the parsed WARC records
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs
+
+    blobs, cdx = _warc_build(spark, sf_dir)
+    parsed = scan_warc_blobs(blobs).select(
+        F.col("path").alias("p_path"), "rec_offset",
+        "http_status", "mime", "payload_md5",
+    )
+    return cdx.join(
+        parsed,
+        (cdx["path"] == parsed["p_path"]) & (cdx["offset"] == parsed["rec_offset"]),
+        "inner",
+    ).select(
+        "url", "path", "offset",
+        (F.col("digest") == F.col("payload_md5")).alias("digest_ok"),
+        "http_status", "mime",
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic stratified corpus sampling: level every language to
+    # ~20 docs; every keep decision is md5-replayable in the oracle
+    from sandcrawler_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample_rates,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = stratified_sample_rates(d, "lang", target_per_key=20)
+    out = deterministic_sample(d, rates, key_col="lang", id_col="doc_id")
+    return out.select(
+        "doc_id", "lang",
+        F.round("rate", 6).alias("rate"),
+        F.round("u", 6).alias("u"),
+        "kept",
     )
 
 
@@ -1173,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedupe": q_paragraph_dedupe,
         "pii_scrub": q_pii_scrub,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_fetch_join": q_warc_fetch_join,
+        "corpus_sample": q_corpus_sample,
         "benchmark_decontaminate": q_benchmark_decontaminate,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -1946,6 +2014,47 @@ SELECT 'warc/part-' || CAST(file_id AS VARCHAR) || '.warc' AS path,
        CAST(rec_content_length AS BIGINT) AS rec_content_length,
        payload_md5
 FROM sized
+""",
+        "warc_fetch_join": """
+WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+rec AS (
+  SELECT doc_id, doc_id % 8 AS file_id,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'HTTP/1.1 200 OK' || c || 'Content-Type: text/html' || c
+           || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR) || c || c || text AS http,
+         text
+  FROM documents, crlf WHERE doc_id < 200
+),
+rec2 AS (
+  SELECT doc_id, file_id, url, http,
+         'WARC/1.0' || c || 'WARC-Type: response' || c
+           || 'WARC-Target-URI: ' || url || c
+           || 'WARC-Date: 2020-01-01T00:00:00Z' || c
+           || 'WARC-Record-ID: <urn:md5:' || md5(url || ' 2020-01-01T00:00:00Z') || '>' || c
+           || 'Content-Type: application/http; msgtype=response' || c
+           || 'Content-Length: ' || CAST(strlen(http) AS VARCHAR) || c || c AS head
+  FROM rec, crlf
+)
+SELECT url,
+       'warc/part-' || CAST(file_id AS VARCHAR) || '.warc' AS path,
+       CAST(coalesce(SUM(strlen(head) + strlen(http) + 4) OVER (PARTITION BY file_id
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+       true AS digest_ok,
+       CAST(200 AS INT) AS http_status,
+       'text/html' AS mime
+FROM rec2
+""",
+        "corpus_sample": """
+WITH rates AS (
+  SELECT lang, least(1.0, 20.0 / COUNT(*)) AS rate FROM documents GROUP BY lang
+),
+draws AS (
+  SELECT d.doc_id, d.lang, r.rate,
+         CAST(CAST('0x' || substr(md5('sample:42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM documents d JOIN rates r ON r.lang = d.lang
+)
+SELECT doc_id, lang, round(rate, 6) AS rate, round(u, 6) AS u, u < rate AS kept
+FROM draws
 """,
         "benchmark_decontaminate": """
 WITH toks AS (

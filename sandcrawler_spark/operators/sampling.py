@@ -1,0 +1,59 @@
+"""Deterministic corpus sampling / mixing for pretraining pipelines.
+
+A 100 TB corpus is never trained on uniformly: each stratum (language,
+source, quality band) gets a target share, and the sampler must be
+DETERMINISTIC so reruns, resumes, and multi-team reproductions pick
+the identical subset — no rand(), no seed-per-partition Monte Carlo.
+The keep decision is a pure function of (seed, doc id): the first 8
+hex chars of md5(seed || ':' || id) as a uniform u in [0,1), kept iff
+u < rate. md5 (not xxhash64) so the DuckDB oracle in
+__spark_entry__.oracle_sql() ("corpus_sample") replays every decision.
+
+Scale shape: rates come from one small per-stratum aggregate (a few
+hundred rows — languages × sources), broadcast back onto the corpus;
+the corpus itself is touched by exactly one map-side pass (hash +
+compare), no extra shuffle, no sort, no sample() nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample_rates(
+    df: DataFrame, key_col: str, target_per_key: int
+) -> DataFrame:
+    """Per-stratum keep rates that level every stratum to ~target_per_key
+    docs: rate = min(1, target / count). Returns (key_col, n_docs, rate)."""
+    return df.groupBy(key_col).agg(F.count("*").alias("n_docs")).select(
+        key_col,
+        "n_docs",
+        F.least(F.lit(1.0), F.lit(float(target_per_key)) / F.col("n_docs")).alias("rate"),
+    )
+
+
+def sample_uniform_col(id_col, seed: str):
+    """Deterministic uniform in [0,1): first 32 bits of
+    md5(seed:id) / 2^32. conv() parses the hex JVM-side (codegen)."""
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    seed: str = "sample:42",
+) -> DataFrame:
+    """Tag every row with its stratum rate, uniform draw, and keep
+    decision. Returns the input columns + (rate, u, kept) — callers
+    filter on kept; keeping the rejected rows visible makes the
+    decision auditable (and oracle-checkable) row by row."""
+    return (
+        df.join(F.broadcast(rates.select(key_col, "rate")), on=key_col, how="left")
+        .withColumn("rate", F.coalesce("rate", F.lit(0.0)))
+        .withColumn("u", sample_uniform_col(id_col, seed))
+        .withColumn("kept", F.col("u") < F.col("rate"))
+    )

@@ -30,6 +30,8 @@ AUDIT = [
     "recrawl_frontier", "sha1_digest_join", "union_lanes", "score_insertable",
     "batch_dedupe_latest", "html_biblio", "sub_resources", "ann_ivf",
     "ann_lsh_multiprobe", "robots_parse", "politeness_delay",
+    "gopher_repetition", "paragraph_dedupe", "pii_scrub", "warc_roundtrip",
+    "benchmark_decontaminate", "warc_fetch_join", "corpus_sample",
 ]
 
 
