@@ -409,6 +409,36 @@ def q_seen_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seen_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the deletable seen-set half of the north star's "bloom/cuckoo"
+    # pair: build over seen, EVICT the recrawl-due slice (orderkey%9 —
+    # the delete a bloom cannot do), then prefilter+exact-rescue. The
+    # oracle is the plain anti-join vs (seen minus evicted).
+    from sandcrawler_spark.operators.cuckoo import (
+        build_cuckoo,
+        delete_cuckoo,
+        unseen_cuckoo_exact,
+    )
+
+    urls = _urls(spark, sf_dir)
+    frontier = urls.select(F.col("url").alias("canon_url"))
+    seen0 = urls.filter(F.col("o_orderkey") % 3 == 0)
+    evicted = seen0.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("url").alias("canon_url")
+    )
+    seen0 = seen0.select(F.col("url").alias("canon_url"))
+    n_orders = _t(spark, sf_dir, "orders").count()
+    ck = build_cuckoo(
+        seen0, "canon_url", n_buckets=32,
+        expected_keys_per_bucket=max(64, n_orders // 3 // 32 + 1),
+    )
+    ck = delete_cuckoo(ck, evicted, "canon_url", 32)
+    seen1 = seen0.exceptAll(evicted)
+    return unseen_cuckoo_exact(frontier, seen1, ck, "canon_url", 32).select(
+        F.col("canon_url").alias("url")
+    )
+
+
 def q_best_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # W1: lookup_best composite ranking over the derived capture index
     from sandcrawler_spark.operators.bestcapture import lookup_best
@@ -1221,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
+        "seen_cuckoo": q_seen_cuckoo,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -1683,6 +1714,12 @@ FROM hosts
 """,
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,
+        # seen minus the evicted (recrawl-due) slice: orderkey%3==0 is
+        # seen, %9==0 was deleted from the filter AND the seen set
+        "seen_cuckoo": f"""
+WITH {_URLS_CTE.strip()}
+SELECT url FROM urls WHERE o_orderkey % 3 <> 0 OR o_orderkey % 9 = 0
+""",
         "best_capture": f"""
 WITH {_CAPTURES_CTE.strip()}
 SELECT url, datetime, event_id, status_code, mimetype FROM (

@@ -78,8 +78,21 @@ def lsh_candidates(
     n_shingle: int = 5,
     k: int = 16,
     bands: int = 4,
+    max_band_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a < b) via banded MinHash LSH."""
+    """Candidate near-dup pairs (a < b) via banded MinHash LSH.
+
+    max_band_size is the degenerate-bucket skew guard for the 100 TB
+    path: a band bucket with s members emits s^2/2 join rows, so one
+    boilerplate-heavy bucket (cookie walls, parked-domain pages) can
+    dominate the whole shuffle. With the cap set, buckets larger than
+    the cap are dropped BEFORE the self-join via a broadcast anti-join
+    against the (tiny) hot-bucket list. Recall note: members of a
+    dropped bucket still pair through their other bands; classes so
+    huge that EVERY band bucket trips the cap are exact/near-exact
+    duplicate classes, which exact_dedupe (cheaper, linear) should
+    collapse first — same block-then-verify division of labor as the
+    seen-set bloom+exact rescue."""
     rows = k // bands
     sig = df.select(
         F.col(id_col).alias("id"),
@@ -97,6 +110,14 @@ def lsh_candidates(
     banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    if max_band_size is not None:
+        hot = (
+            banded.groupBy("band", "bkey")
+            .count()
+            .filter(F.col("count") > max_band_size)
+            .select("band", "bkey")
+        )
+        banded = banded.join(F.broadcast(hot), on=["band", "bkey"], how="left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

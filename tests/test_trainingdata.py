@@ -83,6 +83,28 @@ def test_lsh_finds_near_dups_and_subset_of_verify(spark, documents):
         assert exhaustive[k] == v
 
 
+def test_lsh_band_cap_bounds_degenerate_buckets(spark):
+    # 60 identical boilerplate docs (one LSH bucket per band -> 60^2/2
+    # join rows uncapped) + one genuine near-dup pair among distinct docs
+    boiler = [(i, "cookie wall please enable javascript to continue reading") for i in range(60)]
+    uniq = [
+        (100, "a perfectly unique document about crawl frontiers and spark"),
+        (101, "a perfectly unique document about crawl frontiers and sparks"),
+        (102, "something else entirely different from the others here today"),
+    ]
+    df = spark.createDataFrame(boiler + uniq, ["doc_id", "text"])
+    uncapped = lsh_candidates(df, k=16, bands=8)
+    capped = lsh_candidates(df, k=16, bands=8, max_band_size=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 60 * 59 // 2  # degenerate blowup really happens
+    # cap drops the degenerate buckets entirely...
+    assert n_cap < 60 * 10
+    # ...but keeps the real near-dup pair (its buckets are small)
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped.collect()}
+    # and capped candidates are a subset of uncapped
+    assert capped.exceptAll(uncapped).count() == 0
+
+
 def test_simhash_near_dup(spark):
     words = (
         "analysis corpus crawl data engine extraction frontier graph host index "

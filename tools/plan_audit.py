@@ -32,6 +32,7 @@ AUDIT = [
     "ann_lsh_multiprobe", "robots_parse", "politeness_delay",
     "gopher_repetition", "paragraph_dedupe", "pii_scrub", "warc_roundtrip",
     "benchmark_decontaminate", "warc_fetch_join", "corpus_sample",
+    "seen_cuckoo",
 ]
 
 
