@@ -1051,6 +1051,162 @@ def q_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("base_url", "priority", F.col("retry").cast("int").alias("retry"), "surt", "host")
 
 
+# ---------------------------------------------------------------------------
+# Link-graph family: synthetic multi-tier page HTML -> outlink
+# extraction (Catalyst regexp) -> BFS link-depth -> fixed-point host
+# PageRank -> frontier priority blend. The Spark path goes through raw
+# HTML; the oracle recomputes the edge set RELATIONALLY from the same
+# tables (independent derivation, not a regex replay).
+# ---------------------------------------------------------------------------
+
+def _part_url(c):
+    return F.concat(
+        F.lit("https://site"), (c % 50).cast("int").cast("string"),
+        F.lit(".example.com/part/"), c.cast("string"),
+    )
+
+
+def _supp_url(c):
+    return F.concat(
+        F.lit("https://site"), (c % 50).cast("int").cast("string"),
+        F.lit(".example.com/supplier/"), c.cast("string"),
+    )
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, html:binary) four page tiers whose hrefs encode the
+    order -> part -> supplier -> nation -> region relations, plus a
+    root-relative '/about' link on every order page (exercises
+    relative resolution). Deterministic: link lists sorted by key."""
+    urls = _urls(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _agg_links(pairs: DataFrame, src: str, key: str, lnk) -> DataFrame:
+        return (
+            pairs.withColumn("_lnk", F.concat(F.lit('<a href="'), lnk, F.lit('">x</a>')))
+            .groupBy(src)
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col(key), F.col("_lnk")))),
+                        lambda s: s["_lnk"],
+                    ),
+                ).alias("_links")
+            )
+        )
+
+    op = _agg_links(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        "l_orderkey", "l_partkey", _part_url(F.col("l_partkey")),
+    )
+    order_pages = (
+        urls.join(op, urls["o_orderkey"] == op["l_orderkey"], "left")
+        .select(
+            "url",
+            F.concat(
+                F.lit('<html><body><a href="/about">about</a>'),
+                F.coalesce(F.col("_links"), F.lit("")),
+                F.lit("</body></html>"),
+            ).alias("page"),
+        )
+    )
+    ps = _agg_links(
+        li.select("l_partkey", "l_suppkey").distinct(),
+        "l_partkey", "l_suppkey", _supp_url(F.col("l_suppkey")),
+    )
+    part_pages = ps.select(
+        _part_url(F.col("l_partkey")).alias("url"),
+        F.concat(F.lit("<html><body>"), F.col("_links"), F.lit("</body></html>")).alias("page"),
+    )
+    supplier_pages = _t(spark, sf_dir, "supplier").select(
+        _supp_url(F.col("s_suppkey")).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://nation'),
+            F.col("s_nationkey").cast("string"), F.lit(".example.org/nation/"),
+            F.col("s_nationkey").cast("string"), F.lit('">n</a></body></html>'),
+        ).alias("page"),
+    )
+    nation_pages = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("https://nation"), F.col("n_nationkey").cast("string"),
+            F.lit(".example.org/nation/"), F.col("n_nationkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="https://region'),
+            F.col("n_regionkey").cast("string"), F.lit(".example.org/region/"),
+            F.col("n_regionkey").cast("string"), F.lit('">r</a></body></html>'),
+        ).alias("page"),
+    )
+    pages = (
+        order_pages.unionByName(part_pages)
+        .unionByName(supplier_pages)
+        .unionByName(nation_pages)
+    )
+    return pages.select("url", F.encode(F.col("page"), "utf-8").alias("html"))
+
+
+def _outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sandcrawler_spark.operators.linkgraph import extract_outlinks
+
+    return extract_outlinks(_link_pages(spark, sf_dir))
+
+
+def q_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # raw HTML -> href edges (codegen'd regexp + resolution); the
+    # oracle derives the same edges relationally from lineitem/
+    # supplier/nation — extraction must recover the relations exactly
+    return _outlink_edges(spark, sf_dir)
+
+
+def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BFS min link-depth from the urgent-order seed set over the
+    # extracted edge graph, bounded at 4 hops (crawl hop budget)
+    from sandcrawler_spark.operators.linkgraph import link_depth_bfs
+
+    seeds = _urls(spark, sf_dir).filter(F.col("priority") >= 5).select("url")
+    return link_depth_bfs(seeds, _outlink_edges(spark, sf_dir), max_depth=4)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-point weighted PageRank on the host contraction of the
+    # link graph (deterministic integer arithmetic, 5 iterations)
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_pagerank
+
+    return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
+
+
+def q_frontier_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north-star priority triple blended into one integer crawl
+    # score: request priority, BFS link depth, host-rank percentile
+    from sandcrawler_spark.operators.linkgraph import (
+        blend_priority,
+        host_graph,
+        host_pagerank,
+        link_depth_bfs,
+    )
+
+    urls = _urls(spark, sf_dir)
+    edges = _outlink_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = urls.filter(F.col("priority") >= 5).select("url")
+    depths = link_depth_bfs(seeds, edges, max_depth=4)
+    ranks = host_pagerank(host_graph(edges))
+    return blend_priority(
+        urls.select("url", "host", "priority"), depths, ranks, max_depth=4
+    )
+
+
+def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host distinct-URL estimate via the deterministic md5-HLL
+    # sketch (p=6 here: the small-SF per-host cardinalities sit above
+    # the raw estimator's ~2.5m bias floor at m=64; production default
+    # is p=10)
+    from sandcrawler_spark.operators.sketches import hll_cardinality
+
+    urls = _urls(spark, sf_dir).select("host", "url")
+    return hll_cardinality(urls, "url", ["host"], p=6)
+
+
 def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hop-loop fetch simulation over the synthetic web corpus (no
     # oracle: bounded iterative joins are not one SQL statement)
@@ -1252,6 +1408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "seen_cuckoo": q_seen_cuckoo,
+        "outlink_edges": q_outlink_edges,
+        "link_depth": q_link_depth,
+        "host_pagerank": q_host_pagerank,
+        "frontier_rank_blend": q_frontier_rank_blend,
+        "hll_host_cardinality": q_hll_host_cardinality,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -1622,11 +1783,92 @@ FROM resolved GROUP BY is_rv
 """
 
 
+# --- link-graph oracle CTEs: the edge set recomputed RELATIONALLY
+# (independent of the Spark path's html -> regexp extraction) ---
+
+_LINK_EDGES_CTE = """
+link_edges AS (
+  SELECT url AS src_url,
+         'https://site' || CAST(site_id AS VARCHAR) || '.example.com/about' AS dst_url
+  FROM urls
+  UNION
+  SELECT u.url AS src_url,
+         'https://site' || CAST(CAST(li.l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(li.l_partkey AS VARCHAR) AS dst_url
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+  JOIN urls u ON u.o_orderkey = li.l_orderkey
+  UNION
+  SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(l_partkey AS VARCHAR) AS src_url,
+         'https://site' || CAST(CAST(l_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(l_suppkey AS VARCHAR) AS dst_url
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  UNION
+  SELECT 'https://site' || CAST(CAST(s_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(s_suppkey AS VARCHAR) AS src_url,
+         'https://nation' || CAST(s_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(s_nationkey AS VARCHAR) AS dst_url
+  FROM supplier
+  UNION
+  SELECT 'https://nation' || CAST(n_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS src_url,
+         'https://region' || CAST(n_regionkey AS VARCHAR) || '.example.org/region/' || CAST(n_regionkey AS VARCHAR) AS dst_url
+  FROM nation
+)
+"""
+
+
+def _bfs_oracle_ctes(max_depth: int = 4) -> str:
+    """Unrolled BFS rounds: bfs{d} = labels after round d."""
+    parts = ["bfs0 AS (SELECT url, 0 AS depth FROM urls WHERE priority >= 5)"]
+    for d in range(1, max_depth + 1):
+        parts.append(f"""bfs{d} AS (
+  SELECT url, depth FROM bfs{d - 1}
+  UNION ALL
+  SELECT DISTINCT e.dst_url AS url, {d} AS depth
+  FROM link_edges e JOIN bfs{d - 1} f ON e.src_url = f.url AND f.depth = {d - 1}
+  WHERE e.dst_url NOT IN (SELECT url FROM bfs{d - 1})
+)""")
+    return ",\n".join(parts)
+
+
+def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
+    """Unrolled fixed-point PageRank (PR_SCALE = 1e12, floor division)
+    — replays operators/linkgraph.host_pagerank integer-for-integer."""
+    scale = 1_000_000_000_000
+    parts = [
+        """hedges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+)""",
+        "prhosts AS (SELECT src_host AS host FROM hedges UNION SELECT dst_host FROM hedges)",
+        "prn AS (SELECT COUNT(*) AS n FROM prhosts)",
+        "outw AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS outw FROM hedges GROUP BY src_host)",
+        "ew AS (SELECT e.src_host, e.dst_host, e.weight, w.outw FROM hedges e JOIN outw w USING (src_host))",
+        f"pr0 AS (SELECT host, CAST({scale} // (SELECT n FROM prn) AS BIGINT) AS rank FROM prhosts)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"dang{i} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM pr{i} "
+            "WHERE host NOT IN (SELECT src_host FROM outw))"
+        )
+        parts.append(f"""pr{i + 1} AS (
+  SELECT p.host,
+         CAST(({scale} * {den - num}) // ({den} * (SELECT n FROM prn))
+           + COALESCE((SELECT SUM((r.rank * {num} * e.weight) // ({den} * e.outw))
+                       FROM ew e JOIN pr{i} r ON e.src_host = r.host
+                       WHERE e.dst_host = p.host), 0)
+           + ({num} * (SELECT d FROM dang{i})) // ({den} * (SELECT n FROM prn)) AS BIGINT) AS rank
+  FROM prhosts p
+)""")
+    return ",\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
+    from sandcrawler_spark.operators.sketches import hll_oracle_sql
+
     seen_sql = f"""
 WITH {_URLS_CTE.strip()}
 SELECT url FROM urls WHERE o_orderkey % 3 <> 0
 """
+    link_base = f"WITH {_URLS_CTE.strip()},\n{_LINK_EDGES_CTE.strip()}"
     return {
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
@@ -1720,6 +1962,48 @@ FROM hosts
 WITH {_URLS_CTE.strip()}
 SELECT url FROM urls WHERE o_orderkey % 3 <> 0 OR o_orderkey % 9 = 0
 """,
+        # link-graph family: edges derived relationally (the Spark path
+        # extracts them from synthesized HTML via regexp — an
+        # independent derivation, not a replay)
+        "outlink_edges": f"""
+{link_base}
+SELECT src_url, dst_url FROM link_edges
+""",
+        "link_depth": f"""
+{link_base},
+{_bfs_oracle_ctes(4)}
+SELECT url, depth FROM bfs4
+""",
+        "host_pagerank": f"""
+{link_base},
+{_pagerank_oracle_ctes(5)}
+SELECT host, rank FROM pr5
+""",
+        "frontier_rank_blend": f"""
+{link_base},
+{_bfs_oracle_ctes(4)},
+{_pagerank_oracle_ctes(5)},
+pctl AS (
+  SELECT host,
+         CAST(FLOOR((RANK() OVER (ORDER BY rank, host) - 1) * 100
+              / GREATEST((SELECT n FROM prn) - 1, 1)) AS INT) AS host_pctl
+  FROM pr5
+)
+SELECT u.url, u.host, u.priority,
+       CAST(COALESCE(b.depth, 5) AS INT) AS link_depth,
+       COALESCE(p.host_pctl, 0) AS host_pctl,
+       u.priority * 10000 + (5 - CAST(COALESCE(b.depth, 5) AS INT)) * 1000
+         + COALESCE(p.host_pctl, 0) AS crawl_score
+FROM urls u
+LEFT JOIN bfs4 b ON u.url = b.url
+LEFT JOIN pctl p ON u.host = p.host
+""",
+        "hll_host_cardinality": hll_oracle_sql(
+            f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls",
+            "url",
+            ["host"],
+            p=6,
+        ),
         "best_capture": f"""
 WITH {_CAPTURES_CTE.strip()}
 SELECT url, datetime, event_id, status_code, mimetype FROM (

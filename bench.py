@@ -277,8 +277,11 @@ def main() -> None:
         # is the dominant error term in the scaling ratio (r2 verdict);
         # low-core rounds run ~4x longer, so noise averages out there
         # with fewer reps
-        n_warm = 2 if args.cpus >= 8 else 1
-        n_timed = 5 if args.cpus >= 8 else 3
+        # the low-core leg's rep sequence decays for longer (slower JIT
+        # warm-up at 2 cores: 208/160/145s observed) — give BOTH legs
+        # enough reps that min-of-N lands on the steady state
+        n_warm = 2
+        n_timed = 6 if args.cpus >= 8 else 4
         for _ in range(n_warm):  # warm-up (codegen, python workers, JIT)
             _clear_round_caches()
             frontier_round(spark, *state)

@@ -1,0 +1,269 @@
+"""Link-graph frontier prioritization: outlink extraction -> BFS
+link-depth -> host PageRank -> priority blend.
+
+Role parity / gap being closed: the reference's ingest requests carry
+a link-depth / priority notion (sandcrawler-db `ingest_request`
+priority lanes, /root/reference/python/sandcrawler/db.py and
+kafka/topics.md interactive-vs-bulk split) but the reference computes
+depth implicitly while hop-crawling one URL at a time
+(ingest.py hop loop). At 10^10-URL frontier scale the same signals
+have to come from a BATCH link graph: extract outlinks from every
+captured page, BFS from the seed list to get min link-depth, rank
+hosts by link mass, and blend (request priority, link depth, host
+rank, recrawl staleness) into the frontier ordering. Each stage below
+is a deterministic DataFrame op with a DuckDB-replayable twin.
+
+Scale notes (100 TB):
+  - `extract_outlinks` is pure Catalyst (decode + regexp_extract_all +
+    explode + string resolution) — whole-stage codegen, no Python, no
+    shuffle; scans stay column-pruned to (url, html).
+  - `link_depth_bfs` is the standard iterative frontier-expansion:
+    per round one equi-join on dst + min-agg, localCheckpoint keeps
+    the plan flat; rounds are bounded by max_depth (crawl hop budgets
+    are small constants: the reference caps redirect/hop chains too).
+    Join is shuffle-on-url; AQE handles the skewed mega-host keys.
+  - `host_pagerank` contracts the URL graph to hosts first (one
+    groupBy), so the iterated part runs on the ~10^8-row host graph,
+    not the 10^13-row URL graph. Fixed damping/iterations keep it
+    deterministic; sums are rounded before any cross-engine compare.
+  - `blend_priority` joins tiny per-host ranks via broadcast and is
+    otherwise narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HREF_RE = r'href="([^"]+)"'
+
+
+def extract_outlinks(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_url, dst_url) edges from raw HTML bytes, all JVM-side.
+
+    Resolution rules (deterministic subset of RFC 3986 — the cases a
+    synthetic/clean corpus produces; full resolution lives in the
+    fetch hop loop's clean_url):
+      - absolute http(s) URLs kept as-is;
+      - protocol-relative ('//host/...') resolved with the source's
+        scheme;
+      - root-relative (leading '/') resolved against the source's
+        scheme://host;
+      - anything else (fragments, javascript:, mailto:, dot-relative)
+        dropped.
+    """
+    doc = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)
+    scheme_host = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    raw = pages.select(
+        F.col(url_col).alias("src_url"),
+        scheme.alias("_sc"),
+        scheme_host.alias("_sh"),
+        F.explode(F.regexp_extract_all(doc, F.lit(HREF_RE), F.lit(1))).alias("_href"),
+    )
+    dst = (
+        F.when(F.col("_href").rlike(r"^https?://"), F.col("_href"))
+        .when(
+            F.col("_href").startswith("//"),
+            F.concat(F.col("_sc"), F.lit(":"), F.col("_href")),
+        )
+        .when(F.col("_href").startswith("/"), F.concat(F.col("_sh"), F.col("_href")))
+        .otherwise(F.lit(None))
+    )
+    return (
+        raw.select("src_url", dst.alias("dst_url"))
+        .where(F.col("dst_url").isNotNull())
+        .distinct()
+    )
+
+
+def link_depth_bfs(
+    seeds: DataFrame,
+    edges: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Min-hop link depth from the seed set, bounded by max_depth.
+
+    Iterative frontier expansion: depth d nodes join edges on src,
+    newly reached dsts get depth d+1 unless already labeled (left-anti
+    against the accumulated label set). One equi-join + one anti-join
+    per round, each round's frontier localCheckpointed so the unrolled
+    plan never deepens. Returns (url, depth) for every reached node —
+    the crawl-budget analog of the reference's per-request hop count
+    (ingest.py bounds hops the same way, one URL at a time)."""
+    e = edges.select(
+        F.col("src_url").alias("_s"), F.col("dst_url").alias("_d")
+    ).distinct()
+    labeled = (
+        seeds.select(F.col(url_col).alias("url"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labeled
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["url"] == e["_s"], "inner")
+            .select(F.col("_d").alias("url"))
+            .distinct()
+            .join(labeled.select("url"), on="url", how="left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return labeled
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """Contract URL edges to weighted host edges (self-loops dropped).
+    The one groupBy that takes the iterated stages from URL scale to
+    host scale."""
+    host = lambda c: F.regexp_extract(F.col(c), r"^https?://([^/]+)", 1)  # noqa: E731
+    return (
+        edges.select(host("src_url").alias("src_host"), host("dst_url").alias("dst_host"))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (1e-12 resolution)
+
+
+def host_pagerank(
+    host_edges: DataFrame,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over the host graph — FIXED-POINT integer
+    arithmetic, fixed iterations.
+
+    rank is carried as an integer in units of 1/PR_SCALE; damping is
+    the rational damping_num/damping_den (default 17/20 = 0.85):
+
+      r'(v) = (PR_SCALE*(den-num)) div (den*N)
+              + Σ_{u→v} (r(u) * num * w_uv) div (den * outw_u)
+              + (num * Σ_{dangling u} r(u)) div (den * N)
+
+    Why integers: float PageRank is summation-order dependent, so two
+    engines (or two runs with different partitioning) produce ranks
+    that differ in the last ulps — enough to SWAP crawl order between
+    near-tied hosts, which breaks the north rule's "identical crawl
+    ordering" requirement. Floor-divided integer arithmetic is exactly
+    reproducible on any engine (the DuckDB oracle replays it verbatim)
+    at a cost of < N*1e-12 leaked rank mass per iteration. Overflow
+    headroom: r <= PR_SCALE (1e12), * num (17) * w_uv — safe for edge
+    weights up to ~5e5; contract multi-edges before calling at scales
+    beyond that (weights only enter as the w/outw fraction).
+
+    Per iteration: one equi-join of ranks onto the edge list + one
+    sum-agg by dst + one dangling-mass scalar agg; ranks are one row
+    per host (the small side — broadcast-able at any corpus scale).
+    """
+    nodes = (
+        host_edges.select(F.col("src_host").alias("host"))
+        .unionByName(host_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_w = host_edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
+    e = (
+        host_edges.join(out_w, on="src_host")
+        .select("src_host", "dst_host", "weight", "outw")
+        .localCheckpoint(eager=True)
+    )
+    base = (PR_SCALE * (damping_den - damping_num)) // (damping_den * n)
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(out_w, ranks["host"] == out_w["src_host"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        dang_term = (damping_num * int(dangling)) // (damping_den * n)
+        contrib = (
+            e.join(ranks, e["src_host"] == ranks["host"], "inner")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr(
+                    f"(rank * CAST({damping_num} AS BIGINT) * weight) div "
+                    f"(CAST({damping_den} AS BIGINT) * outw)"
+                ).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, on="host", how="left")
+            .select(
+                "host",
+                (
+                    F.lit(base) + F.coalesce(F.col("c"), F.lit(0)) + F.lit(dang_term)
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def blend_priority(
+    frontier: DataFrame,
+    depths: DataFrame,
+    host_ranks: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Blend (request priority, link depth, host rank) into one integer
+    crawl score — the north-star priority triple materialized:
+
+      score = priority*10_000 + (max_depth+1 - depth)*1_000 + host_pctl
+
+    where host_pctl is the host's PageRank percentile (0-100, computed
+    on the rounded rank so it is engine-stable). Unreached URLs get
+    depth max_depth+1 (score contribution 0). Integer arithmetic end
+    to end — no float compare risk. host_ranks is per-host (tiny):
+    broadcast join; depths join is url-keyed shuffle."""
+    n_hosts = host_ranks.count()
+    pctl = host_ranks.select(
+        F.col("host").alias("_h"),
+        (
+            (F.rank().over(Window.orderBy("rank", "host")) - 1)
+            * 100
+            / F.lit(max(n_hosts - 1, 1))
+        )
+        .cast("int")
+        .alias("host_pctl"),
+    )
+    d = depths.select(F.col("url").alias("_u"), "depth")
+    out = (
+        frontier.join(d, frontier[url_col] == d["_u"], "left")
+        .drop("_u")
+        .join(F.broadcast(pctl), frontier[host_col] == pctl["_h"], "left")
+        .drop("_h")
+    )
+    depth_eff = F.coalesce(F.col("depth"), F.lit(max_depth + 1))
+    score = (
+        F.col(priority_col) * 10_000
+        + (F.lit(max_depth + 1) - depth_eff) * 1_000
+        + F.coalesce(F.col("host_pctl"), F.lit(0))
+    )
+    return out.select(
+        F.col(url_col),
+        F.col(host_col),
+        F.col(priority_col),
+        depth_eff.alias("link_depth"),
+        F.coalesce(F.col("host_pctl"), F.lit(0)).alias("host_pctl"),
+        score.alias("crawl_score"),
+    )

@@ -1,0 +1,151 @@
+"""Deterministic cardinality sketches (HyperLogLog) with
+cross-engine-replayable arithmetic.
+
+Why not `approx_count_distinct`: Spark's HLL++ and DuckDB's HLL use
+different hash functions and bias tables, so their estimates can never
+be compared value-for-value — useless under this repo's oracle gate,
+and just as useless in production when two engines must agree on a
+sketch (e.g. a crawl coordinator merging per-shard host stats computed
+by different systems). This module pins every step to md5-derived
+integer arithmetic both engines share (Flajolet et al., "HyperLogLog:
+the analysis of a near-optimal cardinality estimation algorithm",
+AofA 2007):
+
+  h       = first 15 hex chars of md5(key) as int64    (60 bits —
+            positive in a signed 64 everywhere, so no ANSI overflow /
+            unsigned-negation edge cases in either engine; md5 is
+            byte-identical everywhere, same trick as the simhash twin)
+  bucket  = h mod m                    (m = 2^p registers)
+  w       = h div m  (50 significant bits remain for p = 10)
+  rho     = trailing_zeros(w) + 1      = bit_count((w & -w) - 1) + 1,
+            capped at RHO_CAP; rho(0) = RHO_CAP. Trailing zeros of a
+            uniform word are geometric(1/2) exactly like the classic
+            leading-rank, and — unlike leading zeros — they reduce to
+            the two primitives every engine has: AND-negate and
+            bit_count.
+  M_j     = max rho per bucket         (integer registers)
+  S       = Σ_j 2^(RHO_CAP - M_j)      (EXACT integer; empty bucket
+            contributes 2^RHO_CAP). With m=1024 and RHO_CAP=40,
+            S <= 2^50 — no overflow, no float-summation order issues.
+  E       = alpha_m * m^2 * 2^RHO_CAP / S  — a single double division
+            by an exact integer: bit-identical in any IEEE-754 engine.
+
+No small-range linear-counting correction on purpose: it needs ln(),
+whose last-ulp behavior differs across libm builds — the raw estimator
+is documented as biased below ~2.5m and the tests pin the accuracy
+envelope instead. The whole pipeline is Catalyst expressions (codegen,
+no Python, map-side partial max-agg); the per-group state is m=2^p
+integers regardless of cardinality, which is the entire point at
+10^10 URLs: per-host distinct counts in one shuffle of bounded-size
+partial aggregates instead of a distinct-shuffle of the URLs
+themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RHO_CAP = 40
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_hash(key: Column) -> Column:
+    """Positive int64 from the first 15 hex chars of md5(key)."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def hll_register_cols(key: Column, p: int = 10) -> tuple[Column, Column]:
+    """(bucket, rho) Catalyst columns for one key."""
+    m = 1 << p
+    h = hll_hash(key)
+    bucket = F.pmod(h, F.lit(m))
+    w = F.shiftrightunsigned(h, p)  # h >= 0, so this is h div 2^p
+    lowbit = w.bitwiseAND(w * F.lit(-1))
+    rho = F.when(w == 0, F.lit(RHO_CAP)).otherwise(
+        F.least(F.bit_count(lowbit - F.lit(1)) + F.lit(1), F.lit(RHO_CAP))
+    )
+    return bucket, rho
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Per-group HLL distinct estimate of key_col.
+
+    Output: group_cols + (hll_registers_used, hll_estimate). Two
+    map-side-combinable aggregations: max(rho) per (group, bucket),
+    then the exact-integer harmonic sum per group. The estimate is a
+    double rounded to 2 decimals (one IEEE division — stable), the
+    register count is exact."""
+    m = 1 << p
+    group_cols = group_cols or []
+    bucket, rho = hll_register_cols(F.col(key_col), p)
+    regs = (
+        df.select(*group_cols, bucket.alias("_bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    # exact integer S: present buckets contribute 2^(CAP-M), the
+    # (m - used) empty buckets contribute 2^CAP each
+    # shiftleft's python wrapper wants a literal bit count; the SQL
+    # expression form accepts a column
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_CAP} - _m AS INT))")
+    est_const = _alpha(m) * m * m * float(1 << RHO_CAP)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("hll_registers_used"),
+        F.sum(pow2).alias("_s_used"),
+    )
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("hll_registers_used")) * F.lit(
+        float(1 << RHO_CAP)
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        F.col("hll_registers_used"),
+        F.round(F.lit(est_const) / s_total, 2).alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_exprs: list[str],
+    p: int = 10,
+) -> str:
+    """The DuckDB twin of hll_cardinality: identical arithmetic in
+    ANSI-ish SQL (md5 hex -> UBIGINT, trailing-zero rank via
+    bit_count, exact integer harmonic sum, one final division)."""
+    m = 1 << p
+    est_const = repr(_alpha(m) * m * m * float(1 << RHO_CAP))
+    gsel = ", ".join(group_exprs)
+    gpre = f"{gsel}, " if gsel else ""
+    gby = f"GROUP BY {gsel}" if gsel else ""
+    return f"""
+WITH _hll_keys AS (
+  SELECT {gpre}CAST('0x' || substr(md5({key_expr}), 1, 15) AS BIGINT) AS h
+  FROM ({source_sql})
+),
+_hll_regs AS (
+  SELECT {gpre}h % {m} AS bkt,
+         MAX(CASE WHEN h // {m} = 0 THEN {RHO_CAP}
+              ELSE LEAST(bit_count(((h // {m}) & (-(h // {m}))) - 1) + 1, {RHO_CAP})
+         END) AS mreg
+  FROM _hll_keys
+  GROUP BY {gpre}h % {m}
+)
+SELECT {gpre}
+       CAST(COUNT(*) AS BIGINT) AS hll_registers_used,
+       ROUND({est_const} / (SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - mreg))
+             + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {RHO_CAP})), 2)
+         AS hll_estimate
+FROM _hll_regs
+{gby}
+""".strip()

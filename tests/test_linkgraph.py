@@ -1,0 +1,147 @@
+"""Link-graph family: outlink extraction, BFS depth, fixed-point
+PageRank, priority blend, and the HLL sketch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.linkgraph import (
+    blend_priority,
+    extract_outlinks,
+    host_graph,
+    host_pagerank,
+    link_depth_bfs,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, ["url", "page"]).select(
+        "url", F.encode("page", "utf-8").alias("html")
+    )
+
+
+def test_extract_outlinks_resolution_rules(spark):
+    pages = _pages(spark, [
+        (
+            "https://a.example.com/x",
+            '<html><a href="https://b.example.com/y">1</a>'
+            '<a href="/rel">2</a>'
+            '<a href="nope.html">3</a>'
+            '<a href="javascript:void(0)">4</a>'
+            '<a href="//proto.example.com/z">5</a>'
+            '<a href="https://b.example.com/y">dup</a></html>',
+        ),
+    ])
+    got = {(r.src_url, r.dst_url) for r in extract_outlinks(pages).collect()}
+    assert got == {
+        ("https://a.example.com/x", "https://b.example.com/y"),
+        ("https://a.example.com/x", "https://a.example.com/rel"),
+        ("https://a.example.com/x", "https://proto.example.com/z"),
+    }
+
+
+def test_bfs_min_depth_and_bound(spark):
+    # chain a -> b -> c -> d -> e -> f, plus shortcut a -> d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("a", "d")],
+        ["src_url", "dst_url"],
+    )
+    seeds = spark.createDataFrame([("a",)], ["url"])
+    got = {r.url: r.depth for r in link_depth_bfs(seeds, edges, max_depth=3).collect()}
+    # shortcut wins: d at 1 not 3; f at depth 4 is beyond the bound
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2, "f": 3}
+
+
+def test_bfs_cycle_terminates(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], ["src_url", "dst_url"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["url"])
+    got = {r.url: r.depth for r in link_depth_bfs(seeds, edges, max_depth=4).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_host_graph_contracts_and_weights(spark):
+    edges = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/2", "https://b.com/y"),
+            ("https://a.com/1", "https://a.com/2"),  # self-host: dropped
+            ("https://b.com/x", "https://a.com/1"),
+        ],
+        ["src_url", "dst_url"],
+    )
+    got = {(r.src_host, r.dst_host): r.weight for r in host_graph(edges).collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def test_pagerank_deterministic_and_mass_conserving(spark):
+    he = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)],
+        ["src_host", "dst_host", "weight"],
+    )
+    r1 = {r.host: r.rank for r in host_pagerank(he).collect()}
+    r2 = {r.host: r.rank for r in host_pagerank(he).collect()}
+    assert r1 == r2  # integer fixed-point: bit-identical across runs
+    total = sum(r1.values())
+    # mass conserved up to floor-division leakage (< N per div site)
+    assert abs(total - 1_000_000_000_000) < 1000
+    # stationary: pi_a = pi_c, pi_b = 0.75*pi_a -> a and c outrank b
+    assert r1["a"] > r1["b"] and r1["c"] > r1["b"]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # b is dangling (no out-edges): its mass must flow back uniformly
+    he = spark.createDataFrame([("a", "b", 1)], ["src_host", "dst_host", "weight"])
+    ranks = {r.host: r.rank for r in host_pagerank(he, n_iter=2).collect()}
+    assert set(ranks) == {"a", "b"}
+    assert abs(sum(ranks.values()) - 1_000_000_000_000) < 1000
+
+
+def test_blend_priority_integer_score(spark):
+    frontier = spark.createDataFrame(
+        [("u1", "h1", 5), ("u2", "h2", 1), ("u3", "h1", 3)],
+        ["url", "host", "priority"],
+    )
+    depths = spark.createDataFrame([("u1", 0), ("u2", 2)], ["url", "depth"])
+    ranks = spark.createDataFrame([("h1", 100), ("h2", 900)], ["host", "rank"])
+    got = {r.url: (r.link_depth, r.host_pctl, r.crawl_score)
+           for r in blend_priority(frontier, depths, ranks, max_depth=4).collect()}
+    # h1 rank 100 -> pctl 0; h2 rank 900 -> pctl 100
+    assert got["u1"] == (0, 0, 5 * 10000 + 5 * 1000 + 0)
+    assert got["u2"] == (2, 100, 1 * 10000 + 3 * 1000 + 100)
+    assert got["u3"] == (5, 0, 3 * 10000 + 0 + 0)  # unreached -> depth 5
+
+
+def test_hll_accuracy_envelope(spark):
+    from sandcrawler_spark.operators.sketches import hll_cardinality
+
+    df = spark.range(50000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 2).alias("g"),
+    )
+    for p, tol in ((6, 0.30), (10, 0.10)):
+        got = {r.g: r.hll_estimate for r in hll_cardinality(df, "k", ["g"], p=p).collect()}
+        for g, est in got.items():
+            assert abs(est - 25000) / 25000 < tol, (p, g, est)
+
+
+def test_hll_duckdb_twin_parity(spark, tmp_path):
+    import duckdb
+
+    from sandcrawler_spark.operators.sketches import hll_cardinality, hll_oracle_sql
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+    )
+    pq = str(tmp_path / "u.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    got = {r.host: (r.hll_registers_used, r.hll_estimate)
+           for r in hll_cardinality(spark.read.parquet(pq), "url", ["host"]).collect()}
+    sql = hll_oracle_sql(
+        f"SELECT url, host FROM read_parquet('{pq}/*.parquet')", "url", ["host"]
+    )
+    want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want

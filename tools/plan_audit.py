@@ -32,7 +32,8 @@ AUDIT = [
     "ann_lsh_multiprobe", "robots_parse", "politeness_delay",
     "gopher_repetition", "paragraph_dedupe", "pii_scrub", "warc_roundtrip",
     "benchmark_decontaminate", "warc_fetch_join", "corpus_sample",
-    "seen_cuckoo",
+    "seen_cuckoo", "outlink_edges", "link_depth", "host_pagerank",
+    "frontier_rank_blend", "hll_host_cardinality",
 ]
 
 
