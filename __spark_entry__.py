@@ -689,6 +689,15 @@ def q_paragraph_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedupe(_structured_docs(spark, sf_dir))
 
 
+def q_span_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style global span dedupe at 8-gram granularity over
+    # the augmented corpus (planted full-text duplicates get their
+    # copied spans stripped; originals survive untouched)
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+
+    return span_dedupe(_aug_docs(spark, sf_dir), n=8)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant deterministic PII on every 4th doc, count + redact; output
     # the redacted text's md5 so byte-level redaction is oracle-checked
@@ -1207,6 +1216,26 @@ def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_cardinality(urls, "url", ["host"], p=6)
 
 
+def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-min sketch frequency estimates for part-URL fetches (the
+    # lineitem stream: one occurrence per order line), probed for the
+    # first 100 parts alongside the exact counts — estimate >= truth
+    # by construction, overshoot bounded by the sketch width
+    from sandcrawler_spark.operators.sketches import cms_build, cms_estimate
+
+    li = _t(spark, sf_dir, "lineitem").select(_part_url(F.col("l_partkey")).alias("url"))
+    probes = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100).select(
+        _part_url(F.col("p_partkey")).alias("url")
+    )
+    truth = li.groupBy("url").agg(F.count("*").cast("long").alias("true_count"))
+    est = cms_estimate(probes, cms_build(li, "url"), "url")
+    return (
+        probes.join(truth, on="url", how="left")
+        .join(est, on="url", how="inner")
+        .select("url", F.coalesce("true_count", F.lit(0)).alias("true_count"), "cms_estimate")
+    )
+
+
 def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hop-loop fetch simulation over the synthetic web corpus (no
     # oracle: bounded iterative joins are not one SQL statement)
@@ -1408,11 +1437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "seen_cuckoo": q_seen_cuckoo,
+        "span_dedupe": q_span_dedupe,
         "outlink_edges": q_outlink_edges,
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
         "frontier_rank_blend": q_frontier_rank_blend,
         "hll_host_cardinality": q_hll_host_cardinality,
+        "cms_part_counts": q_cms_part_counts,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -1862,7 +1893,7 @@ def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from sandcrawler_spark.operators.sketches import hll_oracle_sql
+    from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
 
     seen_sql = f"""
 WITH {_URLS_CTE.strip()}
@@ -1962,6 +1993,51 @@ FROM hosts
 WITH {_URLS_CTE.strip()}
 SELECT url FROM urls WHERE o_orderkey % 3 <> 0 OR o_orderkey % 9 = 0
 """,
+        # ExactSubstr-style span dedupe replayed over the same token /
+        # gram / rank / coverage pipeline in list-comprehension SQL
+        "span_dedupe": f"""
+WITH {_AUG_DOCS_CTE.strip()},
+tokd AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM aug_docs
+),
+toks AS (
+  SELECT doc_id, UNNEST(range(len(toks))) AS pos, toks FROM tokd
+),
+tok2 AS (
+  SELECT doc_id, pos, toks[pos + 1] AS tok, len(toks) AS ntok,
+         md5(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS gram_h
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram_h ORDER BY doc_id, pos) AS rk
+  FROM tok2 WHERE pos <= ntok - 8
+),
+covered AS (
+  SELECT DISTINCT r.doc_id, r.pos + u.i AS pos
+  FROM ranked r, (SELECT UNNEST(range(8)) AS i) u
+  WHERE r.rk > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok2 t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(MAX(ntok) AS BIGINT) AS n_tokens FROM tok2 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_tokens, 0) AS n_tokens,
+       COALESCE(t.n_tokens, 0) - COALESCE(r.n_kept, 0) AS n_dropped,
+       COALESCE(r.text_deduped, '') AS text_deduped
+FROM aug_docs d
+LEFT JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""",
         # link-graph family: edges derived relationally (the Spark path
         # extracts them from synthesized HTML via regexp — an
         # independent derivation, not a replay)
@@ -2004,6 +2080,28 @@ LEFT JOIN pctl p ON u.host = p.host
             ["host"],
             p=6,
         ),
+        "cms_part_counts": f"""
+WITH stream AS (
+  SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR)
+         || '.example.com/part/' || CAST(l_partkey AS VARCHAR) AS url
+  FROM lineitem
+),
+probes AS (
+  SELECT 'https://site' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR)
+         || '.example.com/part/' || CAST(p_partkey AS VARCHAR) AS url
+  FROM part WHERE p_partkey <= 100
+),
+truth AS (
+  SELECT url, CAST(COUNT(*) AS BIGINT) AS true_count FROM stream GROUP BY url
+),
+est AS (
+  SELECT * FROM ({cms_oracle_sql("SELECT url FROM stream", "url", "SELECT url FROM probes", "url")})
+)
+SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
+FROM probes p
+LEFT JOIN truth t ON p.url = t.url
+JOIN est e ON p.url = e.url
+""",
         "best_capture": f"""
 WITH {_CAPTURES_CTE.strip()}
 SELECT url, datetime, event_id, status_code, mimetype FROM (

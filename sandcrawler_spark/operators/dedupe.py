@@ -461,3 +461,79 @@ def benchmark_decontaminate(
             (F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def span_dedupe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Corpus-global exact SPAN dedupe at word-n-gram granularity —
+    the distributed stand-in for Lee et al. 2022's suffix-array
+    ExactSubstr pass: any window of >= n tokens that occurs verbatim
+    anywhere earlier in the corpus is removed, keeping the globally
+    first occurrence (first = smallest (doc id, token position)).
+
+    Semantics: a token is dropped iff it is inside some full n-gram
+    whose (doc, pos) occurrence is not that gram's global first.
+    Overlapping duplicated windows merge naturally (coverage is a
+    distinct position set), so a duplicated run of m >= n tokens is
+    removed wholesale, exactly like ExactSubstr with threshold n.
+    Returns one row per input document:
+    (id_col, n_tokens, n_dropped, text_deduped).
+
+    Scale shape (why this beats a suffix array at 100 TB): equality of
+    fixed-width grams IS the match predicate, so the corpus-wide
+    "find repeats" step is ONE shuffle keyed by md5(gram) with a
+    rank-1 window (partial TopK under AQE) — embarrassingly
+    hash-partitionable, where the reference-free suffix sort is
+    single-node-bound. Gram construction is a per-doc window of lead()
+    columns over the exploded token stream (NOT a nested higher-order
+    lambda: Catalyst inlines those and re-evaluates the token array
+    per element, the O(n^2) trap the winnowing operator hit) — one
+    sort per doc partition, shared by all n-1 leads. Coverage explode
+    emits n rows per duplicated gram occurrence, bounded by n * tokens
+    per doc."""
+    from pyspark.sql import Window
+
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = df.select(F.col(id_col).alias("_id"), F.posexplode(arr).alias("pos", "tok"))
+    wd = Window.partitionBy("_id").orderBy("pos")
+    wn = Window.partitionBy("_id")
+    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, n)]
+    toks2 = (
+        toks.withColumn("_ntok", F.count("*").over(wn))
+        .withColumn("gram_h", F.md5(F.concat_ws(" ", *gram_parts)))
+        .localCheckpoint(eager=True)  # read twice: gram ranking + rebuild
+    )
+    grams = toks2.filter(F.col("pos") <= F.col("_ntok") - n)  # full windows only
+    wg = Window.partitionBy("gram_h").orderBy("_id", "pos")
+    dup_occ = (
+        grams.withColumn("_rk", F.row_number().over(wg)).filter(F.col("_rk") > 1)
+    )
+    covered = dup_occ.select(
+        "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos")
+    ).distinct()
+    kept = toks2.join(covered, on=["_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    totals = toks2.groupBy("_id").agg(F.max("_ntok").cast("long").alias("n_tokens"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(totals, on="_id", how="left")
+        .join(rebuilt, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (F.coalesce("n_tokens", F.lit(0)) - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -114,6 +114,54 @@ def hll_cardinality(
     )
 
 
+def hll_partials(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Mergeable register table: group_cols + (bkt, mreg). The
+    persistable form of the sketch — one crawl round/snapshot each
+    writes its partials (<= 2^p rows per group), and any subset of
+    rounds can later be combined with hll_merge_estimate without
+    touching the raw keys again (max is idempotent/commutative, so
+    merge(shards) == sketch(union) exactly)."""
+    group_cols = group_cols or []
+    bucket, rho = hll_register_cols(F.col(key_col), p)
+    return (
+        df.select(*group_cols, bucket.alias("bkt"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bkt")
+        .agg(F.max("_rho").alias("mreg"))
+    )
+
+
+def hll_merge_estimate(
+    partials: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """Combine register tables (possibly a union of many rounds'
+    partials) into per-group estimates — same output contract as
+    hll_cardinality."""
+    m = 1 << p
+    group_cols = group_cols or []
+    regs = partials.groupBy(*group_cols, "bkt").agg(F.max("mreg").alias("_m"))
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_CAP} - _m AS INT))")
+    est_const = _alpha(m) * m * m * float(1 << RHO_CAP)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("hll_registers_used"),
+        F.sum(pow2).alias("_s_used"),
+    )
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("hll_registers_used")) * F.lit(
+        float(1 << RHO_CAP)
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        F.col("hll_registers_used"),
+        F.round(F.lit(est_const) / s_total, 2).alias("hll_estimate"),
+    )
+
+
 def hll_oracle_sql(
     source_sql: str,
     key_expr: str,
@@ -148,4 +196,127 @@ SELECT {gpre}
          AS hll_estimate
 FROM _hll_regs
 {gby}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005): engine-portable
+# frequency estimation. Linear sketch: counters of two CMSes over
+# disjoint data ADD, so per-partition / per-snapshot sketches merge by
+# summing (row, col) cells — bounded state (d*w counters) for per-host
+# fetch-frequency tracking across crawl rounds where the exact keyed
+# count would mean re-shuffling the full URL stream every round.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024
+CMS_D = 4
+
+
+def _cms_col(key: Column, row: int, w: int) -> Column:
+    """Row-salted md5 column index — same 15-hex-chars-to-int64
+    primitive as the HLL, so the DuckDB twin replays it verbatim."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(w))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(row, col, cnt) sketch cells. One scan: the d row-hashes explode
+    from an inline array, then ONE shuffle on (row, col) with map-side
+    partial sums — d*w cells total regardless of key cardinality."""
+    wgt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_col(F.col(key_col), i, w).alias("col")
+                )
+                for i in range(d)
+            ])
+        ).alias("rc"),
+        wgt.alias("_w"),
+    )
+    return (
+        cells.select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum cell-wise — CMS is a linear sketch."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Point estimates for the probe keys: min over the d row cells.
+    Guarantees: estimate >= true count always; overshoot <= 2N/w with
+    prob >= 1 - 2^-d. The sketch is d*w rows — broadcast side; probes
+    stream through narrowly."""
+    pk = probes.select(F.col(key_col).alias("_k")).distinct()
+    probed = pk.select(
+        "_k",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("row"), _cms_col(F.col("_k"), i, w).alias("col"))
+                for i in range(d)
+            ])
+        ).alias("rc"),
+    ).select("_k", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    est = (
+        probed.join(F.broadcast(cms), on=["row", "col"], how="left")
+        .groupBy("_k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate"))
+    )
+    return est.select(F.col("_k").alias(key_col), "cms_estimate")
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    probe_sql: str,
+    probe_key: str = "k",
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> str:
+    """DuckDB twin: same row-salted hashes, same (row,col) cells, same
+    min-over-rows estimate. source_sql yields the key stream (one row
+    per occurrence); probe_sql yields distinct probe keys as column
+    `probe_key`."""
+    row_sel = " UNION ALL ".join(
+        f"SELECT {i} AS row, CAST('0x' || substr(md5('cms{i}:' || k), 1, 15) AS BIGINT) % {w} AS col, k FROM _cms_src"
+        for i in range(d)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {probe_key} AS pk, {i} AS row, CAST('0x' || substr(md5('cms{i}:' || {probe_key}), 1, 15) AS BIGINT) % {w} AS col FROM _cms_probes"
+        for i in range(d)
+    )
+    return f"""
+WITH _cms_src AS (SELECT {key_expr} AS k FROM ({source_sql})),
+_cms_cells AS (
+  SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({row_sel}) GROUP BY row, col
+),
+_cms_probes AS (SELECT DISTINCT {probe_key} FROM ({probe_sql})),
+_cms_lookups AS ({probe_rows})
+SELECT l.pk AS {probe_key},
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_estimate
+FROM _cms_lookups l LEFT JOIN _cms_cells c ON l.row = c.row AND l.col = c.col
+GROUP BY l.pk
 """.strip()

@@ -145,3 +145,54 @@ def test_hll_duckdb_twin_parity(spark, tmp_path):
     )
     want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
     assert got == want
+
+
+def test_cms_estimate_dominates_truth_and_merges(spark):
+    from sandcrawler_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    # zipf-ish stream: key k occurs ~ 2000/k times
+    df = spark.range(20000).select(
+        F.concat(F.lit("k"), (F.col("id") % (F.col("id") % 97 + 1)).cast("string")).alias("k")
+    )
+    truth = {r.k: r.c for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    probes = df.select("k").distinct()
+    cms = cms_build(df, "k")
+    est = {r.k: r.cms_estimate for r in cms_estimate(probes, cms, "k").collect()}
+    n = sum(truth.values())
+    for k, t in truth.items():
+        assert est[k] >= t  # CMS never undercounts
+        assert est[k] - t <= 2 * n / 1024 * 4  # loose eps*N envelope
+    # linearity: sketch(first half) + sketch(second half) == sketch(all)
+    a, b = df.filter(F.col("k") < "k5"), df.filter(F.col("k") >= "k5")
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    est2 = {r.k: r.cms_estimate for r in cms_estimate(probes, merged, "k").collect()}
+    assert est == est2
+
+
+def test_hll_partials_merge_equals_whole(spark):
+    from sandcrawler_spark.operators.sketches import (
+        hll_cardinality,
+        hll_merge_estimate,
+        hll_partials,
+    )
+
+    df = spark.range(30000).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 4).alias("g"),
+    )
+    whole = {(r.g,): (r.hll_registers_used, r.hll_estimate)
+             for r in hll_cardinality(df, "k", ["g"]).collect()}
+    # three overlapping shards (rounds re-see some keys: max is idempotent)
+    shards = [
+        hll_partials(df.filter(F.col("id") < 15000), "k", ["g"]),
+        hll_partials(df.filter((F.col("id") >= 10000) & (F.col("id") < 25000)), "k", ["g"]),
+        hll_partials(df.filter(F.col("id") >= 20000), "k", ["g"]),
+    ]
+    u = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    merged = {(r.g,): (r.hll_registers_used, r.hll_estimate)
+              for r in hll_merge_estimate(u, ["g"]).collect()}
+    assert whole == merged

@@ -429,3 +429,36 @@ def test_ann_lsh_multiprobe_recall(spark, embeddings):
     # every query still finds itself
     for i in range(8):
         assert (i, i) in multi
+
+
+def test_span_dedupe_removes_copied_spans(spark):
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                                   # first occurrence: kept whole
+        (2, "intro words here " + base),             # copies the 10-token run
+        (3, "totally different text with no overlap at all here now"),
+        (4, "short doc"),                            # < n tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in span_dedupe(df, n=5).collect()}
+    assert got[1].n_dropped == 0 and got[1].text_deduped == base
+    # doc 2 keeps its own intro, loses the entire copied run
+    assert got[2].text_deduped == "intro words here"
+    assert got[2].n_dropped == 10
+    assert got[3].n_dropped == 0
+    assert got[4].n_dropped == 0 and got[4].text_deduped == "short doc"
+
+
+def test_span_dedupe_overlapping_windows_merge(spark):
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+
+    run = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, run), (2, "pre " + run + " post")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in span_dedupe(df, n=4).collect()}
+    # all 12 copied tokens drop in one merged span; sentinels survive
+    assert got[2].text_deduped == "pre post"
+    assert got[2].n_dropped == 12

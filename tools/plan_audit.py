@@ -33,7 +33,8 @@ AUDIT = [
     "gopher_repetition", "paragraph_dedupe", "pii_scrub", "warc_roundtrip",
     "benchmark_decontaminate", "warc_fetch_join", "corpus_sample",
     "seen_cuckoo", "outlink_edges", "link_depth", "host_pagerank",
-    "frontier_rank_blend", "hll_host_cardinality",
+    "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
+    "cms_part_counts",
 ]
 
 
