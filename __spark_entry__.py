@@ -589,6 +589,51 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d, k=5, w=4)
 
 
+def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inverted-index build, rolled up per term: (term, doc_freq,
+    # corpus_tf) for terms appearing in >= 10 docs
+    from sandcrawler_spark.operators.search import build_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        build_postings(d, min_doc_freq=10)
+        .groupBy("term")
+        .agg(
+            F.max("doc_freq").alias("doc_freq"),
+            F.sum("tf").cast("long").alias("corpus_tf"),
+        )
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 ranked retrieval: query = the corpus's own top-3
+    # non-stopword terms (self-contained + deterministic), k=15
+    from sandcrawler_spark.functions.textstats import EN_STOPWORDS
+    from sandcrawler_spark.operators.search import bm25_topk, top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, top_terms(d, n=3, exclude=EN_STOPWORDS), k=15)
+
+
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigram-LM perplexity filter: train on the corpus, score every
+    # doc's log-prob in integer micro-nats (CCNet-style quality gate)
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    bi, uni, vocab = train_bigram_lm(d)
+    return lm_score_docs(d, bi, uni, vocab)
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization of the event stream (session_window —
+    # the same operator runs stateful over a watermarked stream)
+    from sandcrawler_spark.streaming.eventtime import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, key_col="user_id", ts_col="ts", gap="30 minutes", value_col="value")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup: planted exact duplicates must pair with
     # their originals at cosine 1.0 through the LSH-bucketed self-join
@@ -1454,6 +1499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred_counts": q_lang_pred_counts,
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "postings_stats": q_postings_stats,
+        "bm25_search": q_bm25_search,
+        "lm_doc_scores": q_lm_doc_scores,
+        "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1893,6 +1942,9 @@ def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sandcrawler_spark.functions.textstats import EN_STOPWORDS
+    from sandcrawler_spark.operators.lm import lm_oracle_sql
+    from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
 
     seen_sql = f"""
@@ -2243,6 +2295,56 @@ WITH t AS (
   FROM g
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM w
+""",
+        "postings_stats": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM s GROUP BY term, doc_id)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS corpus_tf
+FROM p GROUP BY term HAVING COUNT(*) >= 10
+""",
+        "bm25_search": bm25_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            f"""
+SELECT term FROM (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({", ".join("'" + s + "'" for s in EN_STOPWORDS)})
+  GROUP BY term ORDER BY c DESC, term ASC LIMIT 3
+)
+""",
+            k=15,
+        ),
+        "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        # lag-gap-flag + running-sum session ids == session_window
+        # semantics (new session iff ts - prev_ts >= gap: Spark's
+        # session end bound is exclusive)
+        "user_sessions": """
+WITH l AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
 """,
         "embedding_neardup": """
 WITH aug AS (

@@ -73,10 +73,20 @@ def frontier_setup(spark, sf_dir: str, widen: int = 32):
         .drop("_rep")
     )
     seen = urls.filter(F.col("o_orderkey") % 3 == 0).select(F.col("url").alias("canon_url"))
-    frontier = urls.select(
-        F.col("url").alias("canon_url"), "host", "priority", "site_id"
-    ).localCheckpoint(eager=True)
-    seen = seen.localCheckpoint(eager=True)
+    # Lay the state out at a FIXED width, independent of this session's
+    # core count: the parquet source is a single small file, so without
+    # this the frontier inherits ~1 partition and every downstream
+    # narrow stage (bloom probe, politeness first stage) runs
+    # single-threaded at ANY parallelism level — a fixed ~18s term that
+    # capped the N->4N scaling measurement at ~0.75. At 100 TB the
+    # frontier arrives pre-partitioned from the distributed store;
+    # 64 matches the bloom bucket count.
+    frontier = (
+        urls.select(F.col("url").alias("canon_url"), "host", "priority", "site_id")
+        .repartition(64, "canon_url")
+        .localCheckpoint(eager=True)
+    )
+    seen = seen.repartition(64, "canon_url").localCheckpoint(eager=True)
     bloom = build_bloom(seen, "canon_url", n_buckets=64).localCheckpoint(eager=True)
     # collect + broadcast the bitmaps ONCE: production keeps the seen
     # filter resident across rounds; re-broadcasting identical bitmaps
@@ -114,6 +124,7 @@ def frontier_setup(spark, sf_dir: str, widen: int = 32):
                 "utf-8",
             ).alias("html"),
         )
+        .repartition(16)  # parallel broadcast-relation read (source is 1 file)
         .localCheckpoint(eager=True)
     )
     n_pages = pages.count()

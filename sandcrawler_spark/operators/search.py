@@ -1,0 +1,234 @@
+"""Full-text retrieval over the document corpus: inverted index build
+and BM25 ranked top-k — the query-side counterpart of the crawl: once
+100 TB of pages are fetched/extracted, "find the documents about X"
+is the first thing a corpus user asks of the engine.
+
+Scale shape:
+- `build_postings` is ONE shuffle keyed by (term) with map-side
+  partial aggregation — posting lists are (term, doc, tf) rows, never
+  driver-side lists, so a 10^11-token corpus partitions by term hash.
+- `bm25_topk` filters the exploded token stream to the query's terms
+  BEFORE any shuffle (a handful of terms -> the surviving rows are a
+  vanishing fraction of the corpus), aggregates tf per (term, doc),
+  broadcasts the per-term document frequencies (|query| rows), and
+  finishes with a TakeOrdered top-k. The only corpus-wide work is the
+  codegen'd tokenize+filter scan.
+
+Determinism / engine portability: per-(term,doc) BM25 contributions
+are rounded to integer MICRO-points (round(x * 1e6) as long) before
+the per-doc SUM, so the aggregate is integer arithmetic — independent
+of partitioning and float-summation order, and replayable exactly by
+the DuckDB oracle (same trick as the fixed-point PageRank in
+linkgraph.py). idf/length computations are IEEE double ops on
+identical inputs (exactly-rounded ops only: +,-,*,/), with ln() the
+single libm call — micro-rounding makes a cross-engine ulp flip
+astronomically unlikely.
+
+BM25 parameters are the classic k1=1.2, b=0.75 (Robertson et al.,
+TREC-3); idf is the +1-inside-the-log variant (Lucene-style), which
+keeps idf > 0 even for terms in more than half the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.textstats import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+SCORE_SCALE = 1_000_000
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Inverted index as a relation: one row per (term, doc) with the
+    term frequency and the term's first position in the doc (for
+    phrase/proximity follow-ups). Terms are lowercased whitespace
+    tokens — the same tokenization every text operator here uses.
+
+    Returns (term, doc_id, tf, first_pos, doc_freq) where doc_freq is
+    the term's corpus-wide document count (window over the term key —
+    same shuffle as the groupBy, no second pass), filtered to
+    doc_freq >= min_doc_freq."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias("pos", "term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+    w = Window.partitionBy("term")
+    out = postings.withColumn("doc_freq", F.count("*").over(w).cast("long"))
+    if min_doc_freq > 1:
+        out = out.filter(F.col("doc_freq") >= min_doc_freq)
+    return out.select("term", "doc_id", "tf", "first_pos", "doc_freq")
+
+
+def top_terms(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exclude: tuple[str, ...] = (),
+) -> DataFrame:
+    """The n most frequent corpus terms (deterministic tiebreak: term
+    asc) — used by the driver query to derive a self-contained query
+    term set from the corpus itself."""
+    toks = df.select(F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"))
+    if exclude:
+        toks = toks.filter(~F.col("term").isin(*exclude))
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("term").asc())
+        .limit(n)
+        .select("term")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: DataFrame | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 against the query term set (a
+    single-column DataFrame `term`, or a Python list). Returns
+    (doc_id, n_terms_hit, score_micro, rank) — score_micro is the
+    integer micro-scaled BM25 sum (see module doc)."""
+    from pyspark.sql import Window
+
+    if isinstance(query_terms, (list, tuple)):
+        spark = df.sparkSession
+        qt = spark.createDataFrame([(t.lower(),) for t in query_terms], ["term"])
+    else:
+        qt = query_terms.select(F.lower(F.col("term")).alias("term"))
+    qt = qt.distinct()
+
+    # corpus stats: N docs, total token count -> avgdl (exact double
+    # division of two longs: identical in any IEEE engine)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+
+    # token stream filtered to query terms BEFORE the shuffle: the
+    # broadcast semi-join keeps only query-term rows out of the scan
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    ).join(F.broadcast(qt), on="term", how="inner")
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+
+    # per-term document frequency over the (already tiny) tf relation
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(docs, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    contrib = idf * (F.col("tf") * (F.lit(k1) + 1.0)) / denom
+    per_term = scored.select(
+        "doc_id", F.round(contrib * SCORE_SCALE).cast("long").alias("_micro")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("_micro").cast("long").alias("score_micro"),
+    )
+    # top-k as sort+limit (Spark plans this as a distributed
+    # TakeOrdered — per-partition partial top-k, never a global
+    # single-task sort); the rank window then runs over k rows only
+    topk = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "n_terms_hit",
+        "score_micro",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def bm25_oracle_sql(
+    docs_sql: str,
+    terms_sql: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of bm25_topk: docs_sql yields (doc_id, text),
+    terms_sql yields (term). Same tokenization, same integer
+    micro-rounding per (term, doc), same deterministic top-k."""
+    return f"""
+WITH _bm_docs AS (SELECT doc_id, text FROM ({docs_sql})),
+_bm_terms AS (SELECT DISTINCT lower(term) AS term FROM ({terms_sql})),
+_bm_tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM _bm_docs
+),
+_bm_dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM _bm_tok),
+_bm_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM _bm_dl
+),
+_bm_all AS (SELECT doc_id, UNNEST(toks) AS term FROM _bm_tok),
+_bm_stream AS (
+  SELECT doc_id, term FROM _bm_all WHERE term IN (SELECT term FROM _bm_terms)
+),
+_bm_tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM _bm_stream GROUP BY term, doc_id
+),
+_bm_df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM _bm_tf GROUP BY term
+),
+_bm_contrib AS (
+  SELECT f.doc_id,
+         CAST(round(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (f.tf * ({k1} + 1.0))
+           / (f.tf + {k1} * (1.0 - {b} + {b} * (l.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+           * {SCORE_SCALE}
+         ) AS BIGINT) AS micro
+  FROM _bm_tf f
+  JOIN _bm_df d USING (term)
+  JOIN _bm_dl l USING (doc_id)
+  CROSS JOIN _bm_stats s
+),
+_bm_agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         CAST(SUM(micro) AS BIGINT) AS score_micro
+  FROM _bm_contrib GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, score_micro, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM _bm_agg
+)
+WHERE rank <= {k}
+""".strip()

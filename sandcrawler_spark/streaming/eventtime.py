@@ -115,3 +115,48 @@ def stateful_host_budget(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def sessionize(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+):
+    """Gap-based sessionization: consecutive events of one key closer
+    than `gap` belong to one session (session end = last event + gap
+    — Spark's session_window semantics). Works identically over a
+    batch DataFrame and a watermarked stream (session_window is a
+    native streaming-stateful operator: state per OPEN session only,
+    closed sessions emit and evict — bounded state at any scale, the
+    same reason the host-rate windows use withWatermark).
+
+    Returns one row per (key, session): key, session_start,
+    last_event, session_end (= last_event + gap), n_events, and
+    sum_value rounded to 2 decimals when value_col is given.
+
+    Scale shape: ONE shuffle on the key (session assembly is
+    partition-local merge of sorted runs inside Spark's
+    UpdatingSessionsExec); no self-join, no global sort. The DuckDB
+    twin replays it as lag-gap-flag + running-sum session ids — the
+    relational statement of the same semantics."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("last_event"),
+        F.count("*").cast("long").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    g = df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+    out = g.agg(*aggs)
+    return out.select(
+        key_col,
+        "session_start",
+        "last_event",
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        *(["sum_value"] if value_col is not None else []),
+    )

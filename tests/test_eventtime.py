@@ -155,3 +155,35 @@ def test_stateful_host_budget_accumulates(spark, tmp_path):
                        lambda s: stateful_host_budget(s, budget=3))
     r2 = {r.host: (r.total_fetched, r.over_budget) for r in got2}
     assert r2 == {"a.org": (4, True)}
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from sandcrawler_spark.streaming.eventtime import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions — 29-min gap keeps, 30-min gap splits
+        (1, ts(0), 1.0), (1, ts(29), 2.0),          # session A (gap < 30)
+        (1, ts(59), 4.0),                            # 30-min gap: NEW session
+        # user 2: single event
+        (2, ts(5), 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = sorted(
+        sessionize(df, gap="30 minutes", value_col="value").collect(),
+        key=lambda r: (r.user_id, r.session_start),
+    )
+    assert len(got) == 3
+    a, b, c = got
+    assert (a.user_id, a.n_events, a.sum_value) == (1, 2, 3.0)
+    assert a.session_start == ts(0) and a.last_event == ts(29)
+    assert a.session_end == ts(59)  # last event + gap
+    assert (b.user_id, b.n_events, b.sum_value) == (1, 1, 4.0)
+    assert b.session_start == ts(59)
+    assert (c.user_id, c.n_events, c.sum_value) == (2, 1, 10.0)

@@ -1,0 +1,216 @@
+"""Retrieval (inverted index + BM25) and n-gram LM perplexity scoring,
+plus the bucketed co-located join layout."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+def test_build_postings_tf_and_df(spark):
+    from sandcrawler_spark.operators.search import build_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark join"),
+            (2, "join order join"),
+            (3, "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r.term, r.doc_id): r for r in build_postings(df).collect()}
+    assert rows[("spark", 1)].tf == 2 and rows[("spark", 1)].first_pos == 0
+    assert rows[("join", 2)].tf == 2 and rows[("join", 2)].first_pos == 0
+    assert rows[("join", 1)].tf == 1 and rows[("join", 1)].first_pos == 3
+    # doc_freq is corpus-wide per term
+    assert rows[("spark", 1)].doc_freq == 2 and rows[("spark", 3)].doc_freq == 2
+    assert rows[("order", 2)].doc_freq == 1
+    # min_doc_freq prunes hapax terms
+    pruned = {r.term for r in build_postings(df, min_doc_freq=2).collect()}
+    assert pruned == {"spark", "join"}
+
+
+def test_bm25_ranks_tf_over_length(spark):
+    from sandcrawler_spark.operators.search import BM25_B, BM25_K1, bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),          # high tf for 'cat'
+            (2, "cat filler filler filler filler filler filler filler"),
+            (3, "dog dog"),
+            (4, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = bm25_topk(df, ["cat"], k=3).collect()
+    assert [r.doc_id for r in got] == [1, 2]  # doc 4/3 never hit
+    assert got[0].rank == 1 and got[1].rank == 2
+    assert got[0].score_micro > got[1].score_micro
+
+    # exact replay of the doc-1 score in python
+    n_docs, df_cat, tf1, dl1 = 4, 2, 3, 4
+    avgdl = (4 + 8 + 2 + 3) / n_docs
+    idf = math.log((n_docs - df_cat + 0.5) / (df_cat + 0.5) + 1.0)
+    denom = tf1 + BM25_K1 * (1 - BM25_B + BM25_B * dl1 / avgdl)
+    want = round(idf * tf1 * (BM25_K1 + 1) / denom * 1_000_000)
+    assert got[0].score_micro == want
+
+
+def test_bm25_accepts_terms_dataframe_and_multi_term(spark):
+    from sandcrawler_spark.operators.search import bm25_topk, top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha"),
+            (2, "beta gamma"),
+            (3, "alpha delta delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    qt = top_terms(df, n=2)  # alpha(4) beta(3)
+    assert {r.term for r in qt.collect()} == {"alpha", "beta"}
+    got = {r.doc_id: r for r in bm25_topk(df, qt, k=10).collect()}
+    assert got[1].n_terms_hit == 2  # doc 1 hits both terms
+    assert got[2].n_terms_hit == 1 and got[3].n_terms_hit == 1
+    assert got[1].score_micro > got[2].score_micro
+
+
+def test_bm25_duckdb_twin_parity(spark, tmp_path):
+    import duckdb
+
+    from sandcrawler_spark.operators.search import bm25_oracle_sql, bm25_topk
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("w"), (F.col("id") % 7).cast("string"),
+            F.lit(" w"), (F.col("id") % 3).cast("string"),
+            F.lit(" w"), (F.col("id") % 5).cast("string"),
+            F.lit(" filler"),
+        ).alias("text"),
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    terms = ["w1", "w2"]
+    got = {
+        (r.doc_id, r.rank): (r.n_terms_hit, r.score_micro)
+        for r in bm25_topk(spark.read.parquet(p), terms, k=10).collect()
+    }
+    sql = bm25_oracle_sql(
+        f"SELECT doc_id, text FROM '{p}/*.parquet'",
+        "SELECT 'w1' AS term UNION ALL SELECT 'w2'",
+        k=10,
+    )
+    want = {
+        (r[0], r[3]): (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def test_lm_score_known_value(spark):
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    bi, uni, vocab = train_bigram_lm(df)
+    got = {r.doc_id: r for r in lm_score_docs(df, bi, uni, vocab).collect()}
+    # corpus: unigrams a:3 b:3 c:1 (V=3); bigrams 'a b':3, 'b a':1
+    p_ab = (3 + 1) / (3 + 3)  # (c12+k)/(c1+kV)
+    p_ba = (1 + 1) / (3 + 3)
+    m_ab = round(math.log(p_ab) * 1_000_000)
+    m_ba = round(math.log(p_ba) * 1_000_000)
+    assert got[1].n_bigrams == 3 and got[1].logprob_micronat == 2 * m_ab + m_ba
+    assert got[2].n_bigrams == 1 and got[2].logprob_micronat == m_ab
+    assert got[3].n_bigrams == 0 and got[3].logprob_micronat == 0
+
+
+def test_lm_flags_gibberish_below_fluent(spark):
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+
+    fluent = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    gibber = [(100, "dog the over quick lazy fox brown jumps the")]
+    df = spark.createDataFrame(fluent + gibber, ["doc_id", "text"])
+    bi, uni, vocab = train_bigram_lm(df)
+    got = {r.doc_id: r for r in lm_score_docs(df, bi, uni, vocab).collect()}
+    per_bg_fluent = got[0].logprob_micronat / got[0].n_bigrams
+    per_bg_gibber = got[100].logprob_micronat / got[100].n_bigrams
+    assert per_bg_gibber < per_bg_fluent  # less probable per bigram
+
+
+def test_lm_duckdb_twin_parity(spark, tmp_path):
+    import duckdb
+
+    from sandcrawler_spark.operators.lm import (
+        lm_oracle_sql,
+        lm_score_docs,
+        train_bigram_lm,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("t"), (F.col("id") % 5).cast("string"),
+            F.lit(" t"), ((F.col("id") + 1) % 5).cast("string"),
+            F.lit(" t"), ((F.col("id") * 3) % 7).cast("string"),
+            F.when(F.col("id") % 4 == 0, F.lit(" end")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    sdf = spark.read.parquet(p)
+    bi, uni, vocab = train_bigram_lm(sdf)
+    got = {
+        r.doc_id: (r.n_bigrams, r.logprob_micronat)
+        for r in lm_score_docs(sdf, bi, uni, vocab).collect()
+    }
+    sql = lm_oracle_sql(f"SELECT doc_id, text FROM '{p}/*.parquet'")
+    want = {r[0]: (r[1], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    from sandcrawler_spark.plans.bucketed import (
+        bucketed_join,
+        executed_plan_string,
+        write_bucketed,
+    )
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    write_bucketed(left, "bkt_left", str(tmp_path / "l"), "k", n_buckets=8)
+    write_bucketed(right, "bkt_right", str(tmp_path / "r"), "k", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # small fixture would broadcast (which also disables the bucketed
+    # scan); at the sizes bucketing exists for, SMJ is the planner's
+    # own choice — force it here
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "bkt_left", "bkt_right", on="k")
+        plan = executed_plan_string(j)
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert "SortMergeJoin" in plan
+        # values match the plain (shuffled) join
+        plain = left.join(right, on="k")
+        assert j.exceptAll(plain).isEmpty() and plain.exceptAll(j).isEmpty()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # BroadcastNestedLoopJoin) is by design: cosine_knn broadcasts a 3-row
 # query side; ann_ivf broadcasts the ~20-row centroid table for the
 # assignment/probe passes. Everything else must be keyed.
-ALLOW_BNLJ = {"cosine_knn", "ann_lsh", "ann_ivf"}
+ALLOW_BNLJ = {
+    "cosine_knn", "ann_lsh", "ann_ivf",
+    # single-row corpus-stat broadcasts (crossJoin of an agg'd
+    # 1-row DF): the right plan — the "nested loop" runs once
+    "bm25_search", "lm_doc_scores",
+}
 
 AUDIT = [
     "lineitem_rollup", "status_counts", "politeness_schedule", "seen_antijoin",
@@ -34,7 +39,8 @@ AUDIT = [
     "benchmark_decontaminate", "warc_fetch_join", "corpus_sample",
     "seen_cuckoo", "outlink_edges", "link_depth", "host_pagerank",
     "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
-    "cms_part_counts",
+    "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
+    "user_sessions",
 ]
 
 
