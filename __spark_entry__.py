@@ -625,6 +625,27 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact distributed percentiles (linear interpolation — the same
+    # definition DuckDB's quantile_cont uses) per event type
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE tokenizer training: 6 merge rounds over the
+    # corpus vocabulary; each round's winner depends on the previous
+    # round's rebuilt state, so the oracle check compounds
+    from sandcrawler_spark.operators.bpe import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), k=6)
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization of the event stream (session_window —
     # the same operator runs stateful over a watermarked stream)
@@ -1502,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_stats": q_postings_stats,
         "bm25_search": q_bm25_search,
         "lm_doc_scores": q_lm_doc_scores,
+        "bpe_merges": q_bpe_merges,
+        "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
         "fingerprint_dedupe": q_fingerprint_dedupe,
@@ -1943,6 +1966,7 @@ def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
+    from sandcrawler_spark.operators.bpe import bpe_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
@@ -2320,9 +2344,18 @@ SELECT term FROM (
             k=15,
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        "bpe_merges": bpe_oracle_sql("SELECT text FROM documents", k=6),
+        "event_quantiles": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
         # lag-gap-flag + running-sum session ids == session_window
-        # semantics (new session iff ts - prev_ts >= gap: Spark's
-        # session end bound is exclusive)
+        # semantics (new session iff ts - prev_ts > gap, strictly:
+        # an event landing exactly at prev + gap still merges —
+        # verified by the pytest boundary case)
         "user_sessions": """
 WITH l AS (
   SELECT user_id, ts, value,
@@ -2331,7 +2364,7 @@ WITH l AS (
 ),
 f AS (
   SELECT user_id, ts, value,
-         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_s
   FROM l
 ),

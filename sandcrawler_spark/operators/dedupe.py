@@ -71,6 +71,37 @@ def minhash_signature(shingles, k: int = 16):
     )
 
 
+def band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bkey) banded MinHash keys — the blocking relation
+    both the batch self-join (lsh_candidates) and the streaming
+    incremental detector (streaming/lsh_stream.py) build on. Narrow
+    (no shuffle): per-row shingling + k md5 mins + band hashing."""
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles_col(F.col(text_col), n_shingle), k).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,23 +124,7 @@ def lsh_candidates(
     duplicate classes, which exact_dedupe (cheaper, linear) should
     collapse first — same block-then-verify division of labor as the
     seen-set bloom+exact rescue."""
-    rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles_col(F.col(text_col), n_shingle), k).alias("sig"),
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), ",")).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
-    )
+    banded = band_keys(df, id_col, text_col, n_shingle, k, bands)
     if max_band_size is not None:
         hot = (
             banded.groupBy("band", "bkey")

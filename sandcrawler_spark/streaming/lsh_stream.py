@@ -1,0 +1,155 @@
+"""Incremental near-duplicate detection at ingest time: as newly
+crawled documents stream in, flag those that near-duplicate anything
+ALREADY ACCEPTED into the corpus — so the 100 TB store stays deduped
+continuously instead of via periodic full-corpus LSH sweeps.
+
+Design (foreachBatch around the shared batch blocks):
+- a persistent BAND STORE on disk: (id, band, bkey) parquet rows for
+  every accepted document — the same banded-MinHash blocking relation
+  `operators.dedupe.band_keys` produces (and the batch lsh_candidates
+  self-joins). Appending per micro-batch keeps it incremental (at
+  production scale the store would be a bucketed/partitioned table on
+  (band, bkey) — plans/bucketed.py — so the candidate join co-locates
+  without shuffling the store).
+- per micro-batch: compute the batch's band keys (narrow), equi-join
+  them against the store on (band, bkey) → "new vs old" candidates,
+  plus the in-batch self-join for dups arriving together; emit
+  decisions (id, is_dup_candidate, n_matches, first_match) to the
+  result sink; append the band keys of ACCEPTED (non-candidate) docs
+  to the store — candidates are quarantined, not admitted, so a
+  burst of copies of one page yields exactly one accepted instance.
+- exactly-once/resume: rides Structured Streaming's foreachBatch
+  checkpointing; the store append is idempotent per batch because it
+  is written under batch-id subdirectories (re-processing a batch
+  overwrites its own subdir, never duplicates it).
+
+At 10^10 docs the store is bands × 10^10 small rows — the equi-join
+against each (tiny) micro-batch broadcasts the BATCH side, so the
+store is only ever scanned partition-pruned by band, never shuffled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.dedupe import band_keys
+
+BAND_SCHEMA = "id long, band int, bkey string"
+
+
+def _store_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "band_store")
+
+
+def read_band_store(
+    spark: SparkSession, state_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """All accepted band keys, optionally excluding one batch's own
+    subdirectory — a replayed batch must not see its previous
+    attempt's output, or its docs would match themselves and the
+    replay would quarantine (and drop) them."""
+    p = _store_path(state_dir)
+    try:
+        dirs = sorted(
+            os.path.join(p, d)
+            for d in os.listdir(p)
+            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+        )
+    except FileNotFoundError:
+        dirs = []
+    if not dirs:
+        return spark.createDataFrame([], BAND_SCHEMA)
+    return spark.read.schema(BAND_SCHEMA).parquet(*dirs)
+
+
+def process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """One micro-batch of the incremental detector (callable directly
+    for batch-mode dev parity). Returns the decision DataFrame AFTER
+    persisting it — (doc_id, is_dup_candidate, n_matches,
+    first_match) — and appends accepted docs' band keys to the
+    store under the batch's own subdirectory (idempotent on replay)."""
+    spark = batch_df.sparkSession
+    kb = band_keys(batch_df, id_col, text_col, n_shingle, k, bands).localCheckpoint(
+        eager=True
+    )
+    store = read_band_store(spark, state_dir, exclude_batch=batch_id)
+    # candidates vs the historical store: batch side broadcast — the
+    # store side stays where it is (partition-pruned scan, no shuffle)
+    vs_old = (
+        F.broadcast(kb).alias("n")
+        .join(store.alias("o"), on=["band", "bkey"], how="inner")
+        .select(F.col("n.id").alias("id"), F.col("o.id").alias("match_id"))
+    )
+    # in-batch dups: same band key arriving twice in one batch — keep
+    # the smaller id as the accepted instance
+    a, b = kb.alias("a"), kb.alias("b")
+    in_batch = (
+        a.join(b, on=["band", "bkey"], how="inner")
+        .filter(F.col("a.id") > F.col("b.id"))
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("match_id"))
+    )
+    matches = vs_old.unionByName(in_batch).distinct()
+    decisions = (
+        kb.select("id").distinct()
+        .join(
+            matches.groupBy("id").agg(
+                F.count("*").cast("long").alias("n_matches"),
+                F.min("match_id").alias("first_match"),
+            ),
+            on="id",
+            how="left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_matches").isNotNull().alias("is_dup_candidate"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "first_match",
+        )
+        .localCheckpoint(eager=True)
+    )
+    accepted = decisions.filter(~F.col("is_dup_candidate")).select(
+        F.col(id_col).alias("id")
+    )
+    out = os.path.join(_store_path(state_dir), f"batch={batch_id}")
+    kb.join(accepted, on="id", how="left_semi").write.mode("overwrite").parquet(out)
+    return decisions
+
+
+def neardup_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    result_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kw,
+):
+    """Wire the detector into a streaming query: decisions append to
+    result_dir parquet; the band store accumulates accepted docs.
+    Returns the StreamingQuery (caller picks the trigger)."""
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = process_batch(
+            batch_df, batch_id, state_dir, id_col, text_col, **lsh_kw
+        )
+        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            result_dir
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -168,9 +168,11 @@ def test_sessionize_gap_semantics(spark):
         return t0 + dt.timedelta(minutes=minutes)
 
     rows = [
-        # user 1: two sessions — 29-min gap keeps, 30-min gap splits
-        (1, ts(0), 1.0), (1, ts(29), 2.0),          # session A (gap < 30)
-        (1, ts(59), 4.0),                            # 30-min gap: NEW session
+        # user 1: a 30-min gap (exactly the gap) still MERGES — the
+        # split needs ts - prev_ts strictly greater than the gap
+        (1, ts(0), 1.0), (1, ts(29), 2.0),
+        (1, ts(59), 4.0),                            # exactly 30 min after: merges
+        (1, ts(90), 8.0),                            # 31-min gap: NEW session
         # user 2: single event
         (2, ts(5), 10.0),
     ]
@@ -181,9 +183,9 @@ def test_sessionize_gap_semantics(spark):
     )
     assert len(got) == 3
     a, b, c = got
-    assert (a.user_id, a.n_events, a.sum_value) == (1, 2, 3.0)
-    assert a.session_start == ts(0) and a.last_event == ts(29)
-    assert a.session_end == ts(59)  # last event + gap
-    assert (b.user_id, b.n_events, b.sum_value) == (1, 1, 4.0)
-    assert b.session_start == ts(59)
+    assert (a.user_id, a.n_events, a.sum_value) == (1, 3, 7.0)
+    assert a.session_start == ts(0) and a.last_event == ts(59)
+    assert a.session_end == ts(89)  # last event + gap
+    assert (b.user_id, b.n_events, b.sum_value) == (1, 1, 8.0)
+    assert b.session_start == ts(90)
     assert (c.user_id, c.n_events, c.sum_value) == (2, 1, 10.0)

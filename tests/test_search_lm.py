@@ -214,3 +214,60 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning
+# ---------------------------------------------------------------------------
+
+def test_bpe_learn_known_merges(spark):
+    from sandcrawler_spark.operators.bpe import bpe_learn, bpe_segment
+
+    # corpus: 'aaab' x3, 'ab' x2
+    df = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "aaab ab")], ["doc_id", "text"]
+    )
+    got = [(r.round, r.a, r.b, r.pair_count) for r in bpe_learn(df, k=3).collect()]
+    # r1: (a,a) 6 beats (a,b) 5; r2: (a,b) 5; r3: (aa,ab) 3
+    assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
+
+    seg = {r.word: r.units for r in bpe_segment(
+        df, [("a", "a"), ("a", "b"), ("aa", "ab")]
+    ).collect()}
+    assert seg["aaab"] == ["aaab"] and seg["ab"] == ["ab"]
+
+
+def test_bpe_greedy_run_semantics(spark):
+    from sandcrawler_spark.operators.bpe import bpe_learn
+
+    # 'aaaa': (a,a) counts all 3 adjacent pairs; the merge pass takes
+    # positions 1 and 3 of the run (greedy, non-overlapping)
+    df = spark.createDataFrame([(1, "aaaa aaaa cc")], ["doc_id", "text"])
+    got = [(r.round, r.a, r.b, r.pair_count) for r in bpe_learn(df, k=2).collect()]
+    assert got[0] == (1, "a", "a", 6)
+    # after merging: 'aaaa' -> [aa, aa]; next best pair is (aa, aa) 2 (beats (c,c) 1)
+    assert got[1] == (2, "aa", "aa", 2)
+
+
+def test_bpe_duckdb_twin_parity(spark, tmp_path):
+    import duckdb
+
+    from sandcrawler_spark.operators.bpe import bpe_learn, bpe_oracle_sql
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"), (F.col("id") % 6).cast("string"),
+            F.lit(" tok"), ((F.col("id") + 2) % 6).cast("string"),
+            F.lit(" word"), ((F.col("id") * 7) % 4).cast("string"),
+        ).alias("text"),
+    )
+    p = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(p)
+    got = [
+        (r.round, r.a, r.b, r.pair_count)
+        for r in bpe_learn(spark.read.parquet(p), k=5).collect()
+    ]
+    sql = bpe_oracle_sql(f"SELECT text FROM '{p}/*.parquet'", k=5)
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want

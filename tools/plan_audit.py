@@ -40,7 +40,7 @@ AUDIT = [
     "seen_cuckoo", "outlink_edges", "link_depth", "host_pagerank",
     "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
-    "user_sessions",
+    "user_sessions", "bpe_merges", "event_quantiles",
 ]
 
 
