@@ -625,6 +625,32 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # water-filling round-budget arbitration: per-host URL demand vs a
+    # global fetch budget of 10k — small hosts satisfied, big hosts
+    # capped at the common water level, exact integer total
+    from sandcrawler_spark.operators.budget import allocate_budget
+
+    demands = _urls(spark, sf_dir).groupBy("host").agg(
+        F.count("*").cast("long").alias("demand")
+    )
+    return allocate_budget(demands, 10_000)
+
+
+def q_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed global running total (range shuffle + partition
+    # cumsums + broadcast offsets — no single-task window stage);
+    # integer cents keep it engine-exact
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return global_cumsum(
+        e, [F.col("ts").asc(), F.col("event_id").asc()], "cents", out_col="cum_cents"
+    ).select("event_id", "cum_cents")
+
+
 def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact distributed percentiles (linear interpolation — the same
     # definition DuckDB's quantile_cont uses) per event type
@@ -1524,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "lm_doc_scores": q_lm_doc_scores,
         "bpe_merges": q_bpe_merges,
+        "host_budget_alloc": q_host_budget_alloc,
+        "cumulative_events": q_cumulative_events,
         "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
@@ -1967,6 +1995,7 @@ def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_oracle_sql
+    from sandcrawler_spark.operators.budget import budget_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
@@ -2345,6 +2374,19 @@ SELECT term FROM (
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
         "bpe_merges": bpe_oracle_sql("SELECT text FROM documents", k=6),
+        "host_budget_alloc": budget_oracle_sql(
+            f"""
+WITH {_URLS_CTE.strip()}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM urls GROUP BY host
+""",
+            10_000,
+        ),
+        "cumulative_events": """
+SELECT event_id,
+       SUM(CAST(round(value * 100) AS BIGINT))
+         OVER (ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS cum_cents
+FROM events
+""",
         "event_quantiles": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,

@@ -24,7 +24,7 @@ ALLOW_BNLJ = {
     "cosine_knn", "ann_lsh", "ann_ivf",
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
-    "bm25_search", "lm_doc_scores",
+    "bm25_search", "lm_doc_scores", "host_budget_alloc",
 }
 
 AUDIT = [
@@ -40,7 +40,8 @@ AUDIT = [
     "seen_cuckoo", "outlink_edges", "link_depth", "host_pagerank",
     "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
-    "user_sessions", "bpe_merges", "event_quantiles",
+    "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
+    "cumulative_events",
 ]
 
 
