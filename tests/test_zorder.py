@@ -1,0 +1,78 @@
+"""Z-order layout: correctness of the interleave + file-level pruning
+beats a single-dimension sort on the other dimension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_zvalue_interleaves_bits(spark):
+    from sandcrawler_spark.plans.zorder import zvalue_col
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3)], ["a", "b"]
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zvalue_col(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    # bit i of a -> z-bit 2i+1; bit i of b -> z-bit 2i
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 2
+    assert got[(0, 1)] == 1
+    assert got[(1, 1)] == 3
+    assert got[(2, 3)] == 0b1101  # a=10 -> z-bit 3 (8); b=11 -> z-bits 0,2 (1+4)
+
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    big = spark.createDataFrame([(513, 77), (65535, 65535)], ["a", "b"])
+    for r in big.select("a", "b", zvalue_col(F.col("a"), F.col("b")).alias("z")).collect():
+        assert r.z == morton(r.a, r.b)
+
+
+def test_zorder_prunes_both_dims_linear_does_not(spark, tmp_path):
+    from sandcrawler_spark.plans.zorder import pruned_files, pruned_read, write_zordered
+
+    # 64k points on a 256x256 grid, both dims uniform
+    df = spark.range(65536).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / 256).cast("int").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "x", "y", n_files=16)
+
+    # a 1/8 x 1/8 query box: z-layout opens a small fraction of files
+    files_x = pruned_files(spark, zpath, a_range=(0, 31))
+    files_y = pruned_files(spark, zpath, b_range=(0, 31))
+    files_box = pruned_files(spark, zpath, a_range=(0, 31), b_range=(0, 31))
+    assert len(files_box) <= 4          # 16 files total; box touches few
+    assert len(files_x) <= 8            # each single-dim slab still prunes
+    assert len(files_y) <= 8
+
+    # x-sorted layout: an x-slab prunes, but a y-slab touches EVERY file
+    lpath = str(tmp_path / "lin")
+    write_zordered(
+        df.withColumn("_zero", F.lit(0)), lpath, "x", "_zero", n_files=16
+    )
+    y_full = (
+        spark.read.parquet(lpath + "/data")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("y").alias("mn"), F.max("y").alias("mx"))
+        .filter((F.col("mn") > 31))
+        .count()
+    )
+    assert y_full == 0  # no file can be skipped for y <= 31 in x-sorted layout
+
+    # pruned read returns exactly the right rows (residual filter applied)
+    got = (
+        pruned_read(spark, zpath, a_range=(0, 31), b_range=(0, 31))
+        .filter((F.col("x") <= 31) & (F.col("y") <= 31))
+        .count()
+    )
+    assert got == 32 * 32
