@@ -144,9 +144,11 @@ def neardup_stream(
         decisions = process_batch(
             batch_df, batch_id, state_dir, id_col, text_col, **lsh_kw
         )
-        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            result_dir
-        )
+        # batch-id subdir + overwrite = idempotent on replay (a plain
+        # append would duplicate a replayed batch's decisions)
+        decisions.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(result_dir, f"batch={batch_id}"))
 
     return (
         stream_df.writeStream.foreachBatch(_fb)

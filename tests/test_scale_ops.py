@@ -1,0 +1,76 @@
+"""Design-scale runs of the round-3 primitives: global cumsum at 10^8
+rows and span dedupe at ~6M tokens. Gated behind
+SPARK_GRAFT_BIG_TESTS=1 (minutes of wall-clock); timings recorded in
+BENCH.md.
+
+  SPARK_GRAFT_BIG_TESTS=1 python -m pytest tests/test_scale_ops.py -q -s
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_BIG_TESTS") != "1",
+    reason="design-scale test: set SPARK_GRAFT_BIG_TESTS=1",
+)
+
+N_CUMSUM = int(os.environ.get("SPARK_GRAFT_CUMSUM_ROWS", 100_000_000))
+
+
+def test_global_cumsum_1e8(spark):
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    df = spark.range(N_CUMSUM).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 101).cast("long").alias("v")
+    )
+    t0 = time.time()
+    out = global_cumsum(df, [F.col("k").asc()], "v")
+    # spot-check: the LAST cumulative value equals the exact total sum
+    last = out.orderBy(F.col("k").desc()).limit(1).collect()[0]
+    wall = time.time() - t0
+    total = df.agg(F.sum("v")).collect()[0][0]
+    assert last.cum_value == total
+    # and a mid-stream point equals the closed-form prefix sum
+    mid_k = N_CUMSUM // 2
+    mid = out.filter(F.col("k") == mid_k).collect()[0]
+    prefix = sum(((i * 37) % 101) for i in range(mid_k + 1))
+    assert mid.cum_value == prefix
+    print(f"\nglobal_cumsum: {N_CUMSUM:,} rows in {wall:.1f}s "
+          f"({N_CUMSUM / wall / 1e6:.1f}M rows/s)")
+
+
+def test_span_dedupe_6m_tokens(spark):
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+
+    # 20k docs x 250 globally-unique tokens (w<id>_<j>: zero repeated
+    # grams by construction) + every 10th doc embeds the same 40-token
+    # boilerplate block -> ~5M tokens, ~2k planted duplicated spans —
+    # the web-boilerplate shape ExactSubstr exists for
+    block = " ".join(f"b{i}" for i in range(40))
+    unique_part = (
+        "array_join(transform(sequence(0, 249),"
+        " j -> concat('w', cast(id as string), '_', cast(j as string))), ' ')"
+    )
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % 10 == 0) & (F.col("id") > 0),
+            F.concat(F.expr(unique_part), F.lit(" " + block)),
+        ).otherwise(F.expr(unique_part)).alias("text"),
+    )
+    t0 = time.time()
+    out = span_dedupe(docs, n=13).localCheckpoint(eager=True)
+    wall = time.time() - t0
+    n_tokens = out.agg(F.sum("n_tokens")).collect()[0][0]
+    dropped = {r.doc_id: r.n_dropped for r in out.filter(F.col("n_dropped") > 0).collect()}
+    # every copier (id % 10 == 0, id > 0) loses its 40-token block...
+    copiers = [i for i in range(10, 20_000, 10)]
+    assert all(dropped.get(i, 0) >= 40 for i in copiers[1:])
+    print(f"\nspan_dedupe: {n_tokens:,} tokens in {wall:.1f}s "
+          f"({n_tokens / wall / 1e6:.2f}M tokens/s), "
+          f"{len(dropped):,} docs with dropped spans")
