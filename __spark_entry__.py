@@ -651,6 +651,35 @@ def q_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "cum_cents")
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-budget corpus packing: rank docs by quality (integer
+    # micro score, deterministic tiebreak), admit in rank order until
+    # the 20k-token budget is crossed — greedy mixture assembly as a
+    # global cumsum + threshold, no driver loop
+    from sandcrawler_spark.functions.textstats import (
+        quality_score_col,
+        word_count_col,
+    )
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score_col(F.col("text")) * 1_000_000)
+        .cast("long")
+        .alias("q_micro"),
+        word_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    c = global_cumsum(
+        d,
+        [F.col("q_micro").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return c.filter(F.col("cum_tokens") <= 20_000).select(
+        "doc_id", "q_micro", "n_tokens", "cum_tokens"
+    )
+
+
 def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact distributed percentiles (linear interpolation — the same
     # definition DuckDB's quantile_cont uses) per event type
@@ -719,6 +748,34 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _aug_docs(spark, sf_dir)
     cands = lsh_candidates(docs, n_shingle=3, k=8, bands=4)
     return ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5, candidates=cands)
+
+
+def q_dedupe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocking recall of banded LSH vs exact all-pairs jaccard truth
+    # (>= 0.5), for two band configs — the recall knob measured as a
+    # driver query (more bands of fewer rows => higher recall, more
+    # candidates). Integer micro recall keeps it engine-exact.
+    from sandcrawler_spark.operators.dedupe import lsh_candidates, ngram_jaccard_pairs
+
+    docs = _aug_docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5).select("id_a", "id_b")
+    rows = []
+    for label, bands in (("lsh_b4", 4), ("lsh_b8", 8)):
+        cands = lsh_candidates(docs, n_shingle=3, k=8, bands=bands)
+        found = truth.join(cands, on=["id_a", "id_b"], how="left_semi")
+        rows.append(
+            truth.agg(F.count("*").cast("long").alias("n_true"))
+            .crossJoin(found.agg(F.count("*").cast("long").alias("n_found")))
+            .select(
+                F.lit(label).alias("method"),
+                "n_true",
+                "n_found",
+                F.floor(F.col("n_found") * 1_000_000 / F.col("n_true"))
+                .cast("long")
+                .alias("recall_micro"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
 
 
 def q_neardup_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,11 +1609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "host_budget_alloc": q_host_budget_alloc,
         "cumulative_events": q_cumulative_events,
+        "corpus_pack": q_corpus_pack,
         "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedupe_recall": q_dedupe_recall,
         "neardup_dedupe": q_neardup_dedupe,
         "gopher_repetition": q_gopher_repetition,
         "paragraph_dedupe": q_paragraph_dedupe,
@@ -2387,6 +2446,35 @@ SELECT event_id,
          OVER (ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS cum_cents
 FROM events
 """,
+        "corpus_pack": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, x -> list_contains(['the','of','and','a','to','in','is','it','that','for','on','with','as','was','at','by','an','be','this','are'], x))) AS DOUBLE) AS n_stop,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_char
+  FROM t
+), s AS (
+  SELECT doc_id,
+         CAST(round((least(n_tok / 100.0, 1.0) * 0.4
+               + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) / 0.2, 1.0) * 0.4
+               + greatest(0.0, 1.0 - (CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END) * 5) * 0.2)
+               * 1000000) AS BIGINT) AS q_micro,
+         CAST(n_tok AS BIGINT) AS n_tokens
+  FROM r
+), c AS (
+  SELECT doc_id, q_micro, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY q_micro DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, q_micro, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000
+""",
         "event_quantiles": """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -2461,6 +2549,40 @@ WITH fp AS (
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM fp GROUP BY fingerprint
+""",
+        "dedupe_recall": f"""
+WITH {_LSH_CTES},
+allpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+truth AS (SELECT id_a, id_b FROM allpairs WHERE jaccard >= 0.5),
+banded8 AS (
+  SELECT doc_id, b AS band, md5(array_to_string(sig[b+1:b+1], ',')) AS bkey
+  FROM sigs, (SELECT unnest(range(0, 8)) AS b)
+),
+cands8 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded8 a JOIN banded8 b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+stats AS (
+  SELECT 'lsh_b4' AS method,
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN cands c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT) AS n_found
+  UNION ALL
+  SELECT 'lsh_b8',
+         CAST((SELECT COUNT(*) FROM truth) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM truth t
+               JOIN cands8 c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS BIGINT)
+)
+SELECT method, n_true, n_found,
+       CAST(FLOOR(n_found * 1000000 / n_true) AS BIGINT) AS recall_micro
+FROM stats
 """,
         "jaccard_pairs": f"""
 WITH {_LSH_CTES}

@@ -25,6 +25,9 @@ ALLOW_BNLJ = {
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
     "bm25_search", "lm_doc_scores", "host_budget_alloc",
+    # eval queries: exact ground truth needs all-pairs on the tiny
+    # fixture (150 docs) + 1-row count crossJoins
+    "dedupe_recall",
 }
 
 AUDIT = [
@@ -41,7 +44,7 @@ AUDIT = [
     "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
-    "cumulative_events",
+    "cumulative_events", "corpus_pack", "dedupe_recall",
 ]
 
 
