@@ -1,0 +1,138 @@
+"""spark-submit entry point: end-to-end LLM training-corpus build.
+
+Chains the engine's training-data operators into the standard web-text
+pipeline shape (C4/Gopher/CCNet lineage): exact dedupe → near-dup
+dedupe (MinHash-LSH + connected components) → Gopher repetition
+filters + quality gate → PII redaction → bigram-LM scoring →
+token-budget packing — and writes the packed corpus as parquet plus a
+one-line JSON stats report with per-stage lineage counts (the
+accumulator-metrics contract the crawl jobs follow).
+
+Cluster launch:
+
+    cd /root/repo && zip -r /tmp/sandcrawler_spark.zip sandcrawler_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/sandcrawler_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        jobs/build_corpus.py --sf-dir <dir> --out <dir> --token-budget 1000000
+
+Local smoke:
+
+    python jobs/build_corpus.py --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/corpus_out --token-budget 20000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    token_budget: int,
+    min_quality: float = 0.25,
+    max_dup_line_frac: float = 0.3,
+    max_top_ngram_char_frac: float = 0.2,
+    max_dup_ngram_word_frac: float = 0.3,
+) -> tuple[DataFrame, dict]:
+    """Run the pipeline over docs(doc_id, text); returns (packed
+    DataFrame, stage-count stats). Deterministic end to end."""
+    from sandcrawler_spark.functions.pii import redact_pii_col
+    from sandcrawler_spark.functions.repetition import gopher_repetition
+    from sandcrawler_spark.functions.textstats import quality_score_col, word_count_col
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+    from sandcrawler_spark.operators.dedupe import exact_dedupe, neardup_dedupe
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+
+    stats = {"input": docs.count()}
+
+    # 1. exact dedupe: keep the min-id representative per fingerprint
+    reps = exact_dedupe(docs).select("doc_id")
+    d1 = docs.join(reps, on="doc_id", how="left_semi").localCheckpoint(eager=True)
+    stats["after_exact_dedupe"] = d1.count()
+
+    # 2. near-dup dedupe (LSH block -> verify -> CC -> representative)
+    nd = neardup_dedupe(d1)
+    keep = nd.filter(F.col("is_rep")).select(F.col("doc_id"))
+    d2 = d1.join(keep, on="doc_id", how="left_semi").localCheckpoint(eager=True)
+    stats["after_neardup_dedupe"] = d2.count()
+
+    # 3. repetition + quality gates (Gopher-style)
+    rep = gopher_repetition(d2)  # top_n=2, dup_n=5 defaults
+    bad = rep.filter(
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("top_2gram_char_frac") > max_top_ngram_char_frac)
+        | (F.col("dup_5gram_word_frac") > max_dup_ngram_word_frac)
+    ).select("doc_id")
+    d3 = (
+        d2.join(bad, on="doc_id", how="left_anti")
+        .withColumn("q_micro", F.round(quality_score_col(F.col("text")) * 1_000_000).cast("long"))
+        .filter(F.col("q_micro") >= int(min_quality * 1_000_000))
+        .localCheckpoint(eager=True)
+    )
+    stats["after_quality_gates"] = d3.count()
+
+    # 4. PII redaction (byte-level, deterministic)
+    d4 = d3.withColumn("text", redact_pii_col(F.col("text")))
+
+    # 5. LM scoring over the surviving corpus (attached, not a gate —
+    # downstream consumers pick their own perplexity cut)
+    bi, uni, vocab = train_bigram_lm(d4)
+    scored = lm_score_docs(d4, bi, uni, vocab)
+    d5 = d4.join(scored, on="doc_id").withColumn(
+        "n_tokens", word_count_col(F.col("text")).cast("long")
+    )
+
+    # 6. token-budget packing by quality rank
+    packed = global_cumsum(
+        d5,
+        [F.col("q_micro").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    ).filter(F.col("cum_tokens") <= token_budget)
+    out = packed.select(
+        "doc_id", "text", "q_micro", "n_tokens", "cum_tokens",
+        "n_bigrams", "logprob_micronat",
+    ).localCheckpoint(eager=True)
+    stats["packed_docs"] = out.count()
+    stats["packed_tokens"] = (
+        out.agg(F.coalesce(F.sum("n_tokens"), F.lit(0))).collect()[0][0]
+    )
+    return out, stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--token-budget", type=int, default=1_000_000)
+    ap.add_argument("--min-quality", type=float, default=0.25)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    from sandcrawler_spark.session import get_spark
+
+    spark = get_spark("build_corpus", master=f"local[{args.cpus}]")
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    out, stats = build_corpus(
+        spark, docs, token_budget=args.token_budget, min_quality=args.min_quality
+    )
+    out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
+    stats["out"] = args.out
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
