@@ -34,8 +34,14 @@ EXTRACTOR_AGENT = f"sandcrawler_spark/{EXTRACTOR_VERSION}"
 # elements whose entire subtree is boilerplate / non-content
 _SKIP_SUBTREE = {
     "script", "style", "noscript", "nav", "header", "footer", "aside",
-    "form", "template", "svg", "iframe", "button", "select", "option",
-    "head", "title",
+    "template", "svg", "iframe", "button", "select", "option",
+    "head", "title", "textarea",
+    # NOT "form": 1990s-layout pages (e.g. dlib.org) wrap the ENTIRE
+    # article in a search <form>, so skipping the form subtree drops
+    # whole documents; only its control elements (button/select/
+    # textarea) are junk, and they are skipped individually. `input`
+    # is void (no subtree, no text) and must NOT be here — a start tag
+    # with no matching end tag would leak skip depth forever.
 }
 # elements that delimit a text block
 _BLOCK = {

@@ -194,3 +194,49 @@ def test_resources_remaining_fixtures_no_crash():
     ]:
         res = _resources(name, url)
         assert all(not adblock_check_py(r["url"]) for r in res)
+
+
+# ---------------------------------------------------------------------------
+# text extraction (C13) over the same real publisher pages: the
+# extractor is deterministic, survives 1990s-layout markup (article
+# wrapped in a search <form> — dlib), and captures known body passages
+# ---------------------------------------------------------------------------
+
+_EXTRACT_CASES = [
+    # (fixture, a phrase from the article BODY, a string that must NOT leak)
+    ("plos_one_article.html", "Click through the PLOS taxonomy", "function("),
+    ("elife_article.html", "Abstract", "var "),
+    ("nature_article.html", "limited support for CSS", "googletag"),
+    ("peerj_oa_article.html", "The state of OA", "$(document)"),
+    ("dlib_05vanhyning.html", "Archives through Crowdsourcing", "cgi-bin"),
+    ("first_monday_ojs3_fulltext.html", "Online dating and hookup platforms", "javascript"),
+    ("genders_g58_fairlie.html", "Reading Maeshowe", "stylesheet"),
+]
+
+
+def test_extract_text_real_publisher_pages():
+    from sandcrawler_spark.functions.extract_text import extract_text_py
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name, phrase, junk in _EXTRACT_CASES:
+        blob = open(os.path.join(here, "files", name), "rb").read()
+        t1 = extract_text_py(blob)
+        assert phrase in t1, f"{name}: body phrase missing"
+        assert junk not in t1, f"{name}: markup/script junk leaked"
+        assert len(t1) > 1000, f"{name}: implausibly short extraction"
+        assert t1 == extract_text_py(blob)  # deterministic
+
+
+def test_extract_text_survives_unclosed_form_wrapper():
+    from sandcrawler_spark.functions.extract_text import extract_text_py
+
+    # the dlib shape: the whole article inside a <form>; controls are
+    # still skipped, the text is not
+    html = (b"<html><head><title>t</title></head><body>"
+            b"<form action='/s'><input name='q'>"
+            b"<select><option>All</option></select>"
+            b"<p>The actual article text lives here.</p></form>"
+            b"</body></html>")
+    t = extract_text_py(html)
+    assert "The actual article text lives here." in t
+    assert "All" not in t  # select/option still skipped
