@@ -615,6 +615,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, top_terms(d, n=3, exclude=EN_STOPWORDS), k=15)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # positional phrase matching for the corpus's own most frequent
+    # bigram (deterministic tiebreak) — self-contained like bm25_search
+    from sandcrawler_spark.operators.lm import train_bigram_lm
+    from sandcrawler_spark.operators.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    bi, _, _ = train_bigram_lm(d)
+    top = bi.orderBy(F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()).take(1)[0]
+    return phrase_search(d, [top.w1, top.w2])
+
+
 def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram-LM perplexity filter: train on the corpus, score every
     # doc's log-prob in integer micro-nats (CCNet-style quality gate)
@@ -1605,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "postings_stats": q_postings_stats,
         "bm25_search": q_bm25_search,
+        "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
         "bpe_merges": q_bpe_merges,
         "host_budget_alloc": q_host_budget_alloc,
@@ -2432,6 +2445,29 @@ SELECT term FROM (
             k=15,
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        "phrase_search": """
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+posn AS (
+  SELECT doc_id, UNNEST(range(len(toks) - 1)) AS pos, toks
+  FROM tokd WHERE len(toks) >= 2
+),
+bigr AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos + 1] AS w1, toks[pos + 2] AS w2
+  FROM posn
+),
+best AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, COUNT(*) AS c FROM bigr GROUP BY w1, w2
+    ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1
+  )
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(MIN(b.pos) AS BIGINT) AS first_hit
+FROM bigr b JOIN best x ON b.w1 = x.w1 AND b.w2 = x.w2
+GROUP BY b.doc_id
+""",
         "bpe_merges": bpe_oracle_sql("SELECT text FROM documents", k=6),
         "host_budget_alloc": budget_oracle_sql(
             f"""

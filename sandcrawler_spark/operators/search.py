@@ -232,3 +232,60 @@ FROM (
 )
 WHERE rank <= {k}
 """.strip()
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via positional postings: returns
+    (doc_id, n_hits, first_hit) for documents containing the token
+    sequence `phrase` contiguously. A phrase start s satisfies
+    s + i ∈ positions(term_i) for every i, so the hit set is the
+    intersection of each term's position list shifted left by its
+    phrase offset — pure array algebra after the blocking join.
+
+    Scale shape: the token stream is filtered to the phrase's terms
+    BEFORE any shuffle (same broadcast-semi-join trick as bm25_topk);
+    per-term position lists group on (doc, term) and the k lists
+    join on doc_id — every join key is the document id, never a
+    cross product. Position lists are phrase-term-only, so their
+    size is the term frequency, not the document length."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("empty phrase")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias("pos", "term"),
+    ).filter(F.col("term").isin(*set(terms)))
+    plists = toks.groupBy("doc_id", "term").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    def _shift(col, off: int):
+        # single-param lambda closing over off: a two-param lambda
+        # (`lambda x, i=off`) would be bound by transform() as an
+        # (element, index) lambda and silently use the array index
+        return F.transform(col, lambda x: x - F.lit(off))
+
+    base = None
+    shifted = []
+    for i, t in enumerate(terms):
+        cur = plists.filter(F.col("term") == t).select(
+            "doc_id", F.col("ps").alias(f"_p{i}")
+        )
+        base = cur if base is None else base.join(cur, on="doc_id", how="inner")
+        shifted.append(_shift(F.col(f"_p{i}"), i) if i else F.col("_p0"))
+    hits = shifted[0]
+    for s in shifted[1:]:
+        hits = F.array_intersect(hits, s)
+    return (
+        base.select("doc_id", hits.alias("_hits"))
+        .filter(F.size("_hits") > 0)
+        .select(
+            "doc_id",
+            F.size("_hits").cast("long").alias("n_hits"),
+            F.array_min("_hits").cast("long").alias("first_hit"),
+        )
+    )

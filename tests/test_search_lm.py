@@ -271,3 +271,41 @@ def test_bpe_duckdb_twin_parity(spark, tmp_path):
     sql = bpe_oracle_sql(f"SELECT text FROM '{p}/*.parquet'", k=5)
     want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_exact_contiguity(spark):
+    from sandcrawler_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the quick brown dog"),
+            (2, "quick brown things everywhere"),
+            (3, "brown quick inverted order"),
+            (4, "the quick red brown fox"),  # not contiguous
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in phrase_search(df, ["quick", "brown"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_hits == 2 and got[1].first_hit == 1
+    assert got[2].n_hits == 1 and got[2].first_hit == 0
+
+    # three-term phrase, repeated term inside the phrase
+    got3 = {r.doc_id: r for r in phrase_search(df, ["the", "quick", "brown"]).collect()}
+    assert set(got3) == {1} and got3[1].n_hits == 2
+
+
+def test_phrase_search_repeated_word_phrase(spark):
+    from sandcrawler_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "buffalo buffalo buffalo end"), (2, "one buffalo only")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in phrase_search(df, ["buffalo", "buffalo"]).collect()}
+    assert set(got) == {1}
+    assert got[1].n_hits == 2 and got[1].first_hit == 0  # overlapping starts 0,1

@@ -44,7 +44,7 @@ AUDIT = [
     "frontier_rank_blend", "hll_host_cardinality", "span_dedupe",
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
-    "cumulative_events", "corpus_pack", "dedupe_recall",
+    "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
 ]
 
 
