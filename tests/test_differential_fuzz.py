@@ -95,3 +95,48 @@ def test_bpe_pattern_spark_vs_python_re(spark):
     got = {r.i: r.n for r in df.select("i", bpe_token_count_col(F.col("t")).alias("n")).collect()}
     for i, e in enumerate(expected):
         assert got[i] == e, (i, texts[i][:50], got[i], e)
+
+
+def _span_dedupe_py(docs: list[tuple[int, str]], n: int) -> dict[int, tuple[int, int, str]]:
+    """Pure-python reference for span_dedupe: a token is dropped iff it
+    lies inside some full n-gram whose (doc, pos) occurrence is not
+    that gram's global first (first = smallest (doc_id, pos))."""
+    toks = {d: t.split() for d, t in docs}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - n + 1):
+            g = tuple(ts[p:p + n])
+            first.setdefault(g, (d, p))
+    out = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if first[tuple(ts[p:p + n])] != (d, p):
+                covered.update(range(p, p + n))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_dedupe_differential_fuzz(spark):
+    import random
+
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n = rng.choice([2, 3, 5])
+        vocab = [f"t{i}" for i in range(rng.choice([3, 8]))]
+        docs = []
+        for d in range(12):
+            ln = rng.randrange(0, 14)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(ln))))
+        want = _span_dedupe_py(docs, n)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dropped, r.text_deduped)
+            for r in span_dedupe(df, n=n).collect()
+        }
+        assert got == want, f"trial {trial} (n={n}): {got} != {want}"
