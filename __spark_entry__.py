@@ -1397,6 +1397,23 @@ def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # phi-heavy-hitters over a skewed fetch stream (3 hot URLs + a
+    # cold tail): every true heavy hitter is returned (CMS never
+    # undercounts), candidates = distinct keys (partitioning-proof)
+    from sandcrawler_spark.operators.sketches import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_partkey") % 7 == 0,
+            F.concat(F.lit("https://hot.example.com/"), (F.col("l_partkey") % 3).cast("string")),
+        )
+        .otherwise(_part_url(F.col("l_partkey")))
+        .alias("url")
+    )
+    return cms_heavy_hitters(li, "url", phi=0.01)
+
+
 def q_fetch_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hop-loop fetch simulation over the synthetic web corpus (no
     # oracle: bounded iterative joins are not one SQL statement)
@@ -1605,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank_blend": q_frontier_rank_blend,
         "hll_host_cardinality": q_hll_host_cardinality,
         "cms_part_counts": q_cms_part_counts,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -2278,6 +2296,23 @@ SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
 FROM probes p
 LEFT JOIN truth t ON p.url = t.url
 JOIN est e ON p.url = e.url
+""",
+        "cms_heavy_hitters": f"""
+WITH stream AS (
+  SELECT CASE WHEN l_partkey % 7 = 0
+              THEN 'https://hot.example.com/' || CAST(CAST(l_partkey % 3 AS INT) AS VARCHAR)
+              ELSE 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR)
+                   || '.example.com/part/' || CAST(l_partkey AS VARCHAR)
+         END AS url
+  FROM lineitem
+),
+thresh AS (SELECT CAST(FLOOR(0.01 * COUNT(*)) AS BIGINT) AS t FROM stream),
+est AS (
+  SELECT * FROM ({cms_oracle_sql("SELECT url FROM stream", "url", "SELECT DISTINCT url FROM stream", "url")})
+)
+SELECT e.url, e.cms_estimate
+FROM est e CROSS JOIN thresh
+WHERE e.cms_estimate >= thresh.t
 """,
         "best_capture": f"""
 WITH {_CAPTURES_CTE.strip()}

@@ -320,3 +320,28 @@ SELECT l.pk AS {probe_key},
 FROM _cms_lookups l LEFT JOIN _cms_cells c ON l.row = c.row AND l.col = c.col
 GROUP BY l.pk
 """.strip()
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float = 0.01,
+    w: int = CMS_W,
+    d: int = CMS_D,
+    cms: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate phi-heavy-hitters: keys whose CMS estimate is at
+    least phi * N (N = stream length). Guarantees inherited from the
+    sketch: every TRUE heavy hitter (freq >= phi*N) is returned (the
+    estimate never undercounts); false positives are limited to keys
+    within eps*N of the threshold. The candidate set is the DISTINCT
+    key set — deterministic under any partitioning (per-partition
+    top-m candidate schemes are not), and cheaper than the exact
+    groupBy count when the sketch is reused across rounds (pass a
+    merged `cms` from cms_merge and only the distinct-key scan
+    remains). Returns (key_col, cms_estimate) for qualifying keys."""
+    built = cms if cms is not None else cms_build(df, key_col, w, d)
+    n = df.count()
+    thresh = int(phi * n)
+    est = cms_estimate(df.select(key_col).distinct(), built, key_col, w, d)
+    return est.filter(F.col("cms_estimate") >= F.lit(thresh))

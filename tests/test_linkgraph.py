@@ -196,3 +196,27 @@ def test_hll_partials_merge_equals_whole(spark):
     merged = {(r.g,): (r.hll_registers_used, r.hll_estimate)
               for r in hll_merge_estimate(u, ["g"]).collect()}
     assert whole == merged
+
+
+def test_cms_heavy_hitters_complete_and_partition_proof(spark):
+    from sandcrawler_spark.operators.sketches import cms_heavy_hitters
+
+    # 2 hot keys (~25% each), 50-key cold tail
+    df = spark.range(8000).select(
+        F.when(F.col("id") % 4 == 0, F.lit("hotA"))
+        .when(F.col("id") % 4 == 1, F.lit("hotB"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 50).cast("string")))
+        .alias("k")
+    )
+    hh = {r.k: r.cms_estimate for r in cms_heavy_hitters(df, "k", phi=0.1).collect()}
+    assert {"hotA", "hotB"} <= set(hh)        # completeness: no true HH missed
+    truth = {r.k: r.c for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    for k, est in hh.items():
+        assert est >= truth[k]                # CMS never undercounts
+        assert est >= 0.1 * 8000              # everything returned clears phi*N
+    # deterministic under arbitrary repartitioning
+    hh2 = {
+        r.k: r.cms_estimate
+        for r in cms_heavy_hitters(df.repartition(17), "k", phi=0.1).collect()
+    }
+    assert hh == hh2
