@@ -1397,6 +1397,35 @@ def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host sitemap XML built from the frontier, then parsed back
+    # through the codegen'd sitemap parser; the oracle derives the
+    # expected rows relationally from the base tables (independent
+    # path — it never touches XML)
+    from sandcrawler_spark.functions.sitemaps import build_urlset_xml, parse_sitemap
+
+    u = _urls(spark, sf_dir).filter(F.col("site_id") < 5)
+    block = build_urlset_xml(
+        F.col("url"),
+        F.col("o_orderdate").cast("string"),
+        F.concat(F.lit("0."), F.col("priority").cast("string")),
+    )
+    xml = u.select("host", F.col("o_orderkey"), block.alias("_b")).groupBy("host").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("o_orderkey", "_b"))),
+                    lambda s: s["_b"],
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return parse_sitemap(xml, "xml", keep_cols=["host"])
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phi-heavy-hitters over a skewed fetch stream (3 hot URLs + a
     # cold tail): every true heavy hitter is returned (CMS never
@@ -1623,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_host_cardinality": q_hll_host_cardinality,
         "cms_part_counts": q_cms_part_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "sitemap_roundtrip": q_sitemap_roundtrip,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -2296,6 +2326,16 @@ SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
 FROM probes p
 LEFT JOIN truth t ON p.url = t.url
 JOIN est e ON p.url = e.url
+""",
+        "sitemap_roundtrip": f"""
+WITH {_URLS_CTE.strip()}
+SELECT host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY o_orderkey) - 1 AS INT) AS seq,
+       url AS loc,
+       CAST(o_orderdate AS VARCHAR) AS lastmod,
+       '0.' || CAST(priority AS VARCHAR) AS priority,
+       'url' AS kind
+FROM urls WHERE site_id < 5
 """,
         "cms_heavy_hitters": f"""
 WITH stream AS (

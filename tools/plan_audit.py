@@ -45,7 +45,7 @@ AUDIT = [
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
     "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
-    "cms_heavy_hitters",
+    "cms_heavy_hitters", "sitemap_roundtrip",
 ]
 
 
