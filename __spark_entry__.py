@@ -1397,6 +1397,29 @@ def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-weighted mixture (count^0.7) over host strata +
+    # the deterministic md5-uniform keep pass; per-host audit row
+    from sandcrawler_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_sample_rates,
+    )
+
+    u = _urls(spark, sf_dir).select("url", "host")
+    rates = temperature_sample_rates(u, "host", total_budget=5_000, alpha=0.7)
+    tagged = deterministic_sample(u, rates, "host", id_col="url", seed="mix:42")
+    kept = tagged.groupBy("host").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept")
+    )
+    return rates.join(kept, on="host", how="left").select(
+        "host",
+        "n_docs",
+        "target",
+        F.round("rate", 9).alias("rate"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-host sitemap XML built from the frontier, then parsed back
     # through the codegen'd sitemap parser; the oracle derives the
@@ -1653,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_part_counts": q_cms_part_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "temperature_mix": q_temperature_mix,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -2326,6 +2350,32 @@ SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
 FROM probes p
 LEFT JOIN truth t ON p.url = t.url
 JOIN est e ON p.url = e.url
+""",
+        "temperature_mix": f"""
+WITH {_URLS_CTE.strip()},
+counts AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs FROM urls GROUP BY host),
+wtd AS (SELECT host, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS w FROM counts),
+tot AS (SELECT SUM(w) AS tw FROM wtd),
+rates AS (
+  SELECT host, n_docs,
+         CAST(round(5000.0 * w / tw) AS BIGINT) AS target,
+         least(1.0, CAST(CAST(round(5000.0 * w / tw) AS BIGINT) AS DOUBLE) / n_docs) AS rate
+  FROM wtd CROSS JOIN tot
+),
+draws AS (
+  SELECT u.host,
+         CAST(CAST('0x' || substr(md5('mix:42:' || u.url), 1, 8) AS UBIGINT) AS DOUBLE)
+           / 4294967296.0 AS uu,
+         r.rate
+  FROM urls u JOIN rates r ON u.host = r.host
+),
+kept AS (
+  SELECT host, CAST(SUM(CASE WHEN uu < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM draws GROUP BY host
+)
+SELECT r.host, r.n_docs, r.target, round(r.rate, 9) AS rate,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.host = k.host
 """,
         "sitemap_roundtrip": f"""
 WITH {_URLS_CTE.strip()}

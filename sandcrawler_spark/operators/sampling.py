@@ -57,3 +57,42 @@ def deterministic_sample(
         .withColumn("u", sample_uniform_col(id_col, seed))
         .withColumn("kept", F.col("u") < F.col("rate"))
     )
+
+
+def temperature_sample_rates(
+    df: DataFrame,
+    key_col: str,
+    total_budget: int,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-weighted mixture rates (multilingual-pretraining
+    style, e.g. mT5/XLM-R: sample stratum k with probability
+    proportional to count_k^alpha). alpha=1 reproduces the natural
+    distribution; alpha=0 gives uniform-per-stratum; 0<alpha<1
+    upweights tail strata without flattening the head entirely.
+
+    Returns (key_col, n_docs, target, rate): target_k =
+    round(total_budget * count_k^alpha / sum(count^alpha)) and
+    rate = min(1, target/count) — feed straight into
+    deterministic_sample. Engine-exact: pow/round on identical
+    doubles, and the final keep decisions are the same md5-uniform
+    rule as the stratified sampler.
+
+    Scale shape: one per-stratum aggregate + a 1-row sum broadcast —
+    the corpus is untouched until the (map-side) sampling pass."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.round(F.lit(float(total_budget)) * F.col("_w") / F.col("_tw")).cast("long"),
+        )
+        .withColumn(
+            "rate",
+            F.least(F.lit(1.0), F.col("target").cast("double") / F.col("n_docs")),
+        )
+        .select(key_col, "n_docs", "target", "rate")
+    )

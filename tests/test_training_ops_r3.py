@@ -266,3 +266,30 @@ def test_deterministic_sample_reproducible(spark):
     assert c != a  # a different seed picks a different subset
     # rate 0.25 -> kept count in a sane band (exact value pinned by the oracle)
     assert 60 <= len(a) <= 140
+
+
+def test_temperature_rates_alpha_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.sampling import temperature_sample_rates
+
+    # strata of 1000 / 100 / 10 docs
+    df = spark.range(1110).select(
+        F.when(F.col("id") < 1000, "big")
+        .when(F.col("id") < 1100, "mid")
+        .otherwise("small")
+        .alias("k")
+    )
+    # alpha=1: natural distribution (targets proportional to counts)
+    nat = {r.k: r.target for r in temperature_sample_rates(df, "k", 111, alpha=1.0).collect()}
+    assert nat == {"big": 100, "mid": 10, "small": 1}
+    # alpha=0: uniform per stratum
+    uni = {r.k: r.target for r in temperature_sample_rates(df, "k", 90, alpha=0.0).collect()}
+    assert uni == {"big": 30, "mid": 30, "small": 30}
+    # 0<alpha<1: tail upweighted relative to natural, head still ahead
+    t = {r.k: r.target for r in temperature_sample_rates(df, "k", 111, alpha=0.7).collect()}
+    assert t["big"] > t["mid"] > t["small"]
+    assert t["small"] / t["big"] > nat["small"] / nat["big"]
+    # rate caps at 1 (target can exceed stratum size)
+    r = {x.k: x.rate for x in temperature_sample_rates(df, "k", 10_000, alpha=0.0).collect()}
+    assert r["small"] == 1.0

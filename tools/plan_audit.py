@@ -24,7 +24,7 @@ ALLOW_BNLJ = {
     "cosine_knn", "ann_lsh", "ann_ivf",
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
-    "bm25_search", "lm_doc_scores", "host_budget_alloc",
+    "bm25_search", "lm_doc_scores", "host_budget_alloc", "temperature_mix",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
     "dedupe_recall",
@@ -45,7 +45,7 @@ AUDIT = [
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
     "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
-    "cms_heavy_hitters", "sitemap_roundtrip",
+    "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix",
 ]
 
 
