@@ -1329,6 +1329,14 @@ def q_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _outlink_edges(spark, sf_dir)
 
 
+def q_backlink_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reverse-graph frontier signals per target: in-degree, distinct
+    # referring hosts (spam-resistant), stable exemplar referrer
+    from sandcrawler_spark.operators.linkgraph import backlink_features
+
+    return backlink_features(_outlink_edges(spark, sf_dir))
+
+
 def q_link_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BFS min link-depth from the urgent-order seed set over the
     # extracted edge graph, bounded at 4 hops (crawl hop budget)
@@ -1395,6 +1403,22 @@ def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(est, on="url", how="inner")
         .select("url", F.coalesce("true_count", F.lit(0)).alias("true_count"), "cms_estimate")
     )
+
+
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-trap template detection over the mixed frontier: the
+    # /order/N template explodes per host (trap at cap 100), the
+    # /part/N template stays under it (control)
+    from sandcrawler_spark.operators.traps import detect_traps
+
+    u = _urls(spark, sf_dir).select("host", "url")
+    p = _t(spark, sf_dir, "part").select(
+        _part_url(F.col("p_partkey")).alias("url"),
+        F.concat(
+            F.lit("site"), (F.col("p_partkey") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+    )
+    return detect_traps(u.unionByName(p.select("host", "url")), max_urls_per_template=100)
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_cuckoo": q_seen_cuckoo,
         "span_dedupe": q_span_dedupe,
         "outlink_edges": q_outlink_edges,
+        "backlink_features": q_backlink_features,
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
         "frontier_rank_blend": q_frontier_rank_blend,
@@ -1677,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "sitemap_roundtrip": q_sitemap_roundtrip,
         "temperature_mix": q_temperature_mix,
+        "url_traps": q_url_traps,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -2294,6 +2320,14 @@ LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 {link_base}
 SELECT src_url, dst_url FROM link_edges
 """,
+        "backlink_features": f"""
+{link_base}
+SELECT dst_url,
+       CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+       CAST(COUNT(DISTINCT regexp_extract(src_url, '^[a-z]+://([^/]+)', 1)) AS BIGINT) AS n_ref_hosts,
+       MIN(src_url) AS top_referrer
+FROM link_edges GROUP BY dst_url
+""",
         "link_depth": f"""
 {link_base},
 {_bfs_oracle_ctes(4)}
@@ -2350,6 +2384,28 @@ SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
 FROM probes p
 LEFT JOIN truth t ON p.url = t.url
 JOIN est e ON p.url = e.url
+""",
+        "url_traps": f"""
+WITH {_URLS_CTE.strip()},
+mixed AS (
+  SELECT host, url FROM urls
+  UNION ALL
+  SELECT 'site' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR) || '.example.com' AS host,
+         'https://site' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR)
+         || '.example.com/part/' || CAST(p_partkey AS VARCHAR) AS url
+  FROM part
+),
+shaped AS (
+  SELECT host, url,
+         regexp_replace(regexp_replace(regexp_replace(lower(url),
+           '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+           '[0-9]+', 'N', 'g'),
+           '=[^&#]*', '=*', 'g') AS template
+  FROM mixed
+)
+SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       MIN(url) AS min_url, COUNT(*) > 100 AS is_trap
+FROM shaped GROUP BY host, template
 """,
         "temperature_mix": f"""
 WITH {_URLS_CTE.strip()},

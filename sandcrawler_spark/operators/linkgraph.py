@@ -267,3 +267,32 @@ def blend_priority(
         F.coalesce(F.col("host_pctl"), F.lit(0)).alias("host_pctl"),
         score.alias("crawl_score"),
     )
+
+
+def backlink_features(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Reverse-graph features per target URL — the frontier-priority
+    signals the forward pass cannot see: (dst_url, n_inlinks,
+    n_ref_hosts, top_referrer). n_ref_hosts (distinct referring
+    hosts) is the spam-resistant variant of raw in-degree (one
+    link-farm host inflates n_inlinks but not n_ref_hosts);
+    top_referrer = lexicographic min source, a stable exemplar.
+    One shuffle keyed by the target; distinct-host counting rides
+    the same aggregation."""
+    src_host = F.regexp_extract(F.col(src_col), r"^[a-z]+://([^/]+)", 1)
+    return (
+        edges.select(
+            F.col(dst_col).alias("dst_url"),
+            F.col(src_col).alias("_src"),
+            src_host.alias("_src_host"),
+        )
+        .groupBy("dst_url")
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.countDistinct("_src_host").cast("long").alias("n_ref_hosts"),
+            F.min("_src").alias("top_referrer"),
+        )
+    )

@@ -45,7 +45,8 @@ AUDIT = [
     "cms_part_counts", "postings_stats", "bm25_search", "lm_doc_scores",
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
     "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
-    "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix",
+    "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix", "url_traps",
+    "backlink_features",
 ]
 
 
