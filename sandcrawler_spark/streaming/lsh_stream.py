@@ -56,7 +56,8 @@ def read_band_store(
         dirs = sorted(
             os.path.join(p, d)
             for d in os.listdir(p)
-            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+            if (d.startswith("batch=") and d != f"batch={exclude_batch}")
+            or d.startswith("compacted-")
         )
     except FileNotFoundError:
         dirs = []
@@ -155,3 +156,35 @@ def neardup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def compact_band_store(
+    spark: SparkSession, state_dir: str, keep_if_under: int = 16
+) -> int:
+    """Fold the per-batch subdirectories into one consolidated dir
+    when their count exceeds keep_if_under (the same bounded-file-list
+    discipline as SnapshotTable's bucket compaction: an append-only
+    store otherwise degrades reads monotonically). Consolidation is
+    crash-safe: the merged dir is written under a fresh name first,
+    old dirs are removed only after the write commits, and a replayed
+    batch id stays excludable because compacted rows live under a
+    name no batch id ever takes. Returns the number of dirs folded
+    (0 = nothing to do)."""
+    import shutil
+
+    p = _store_path(state_dir)
+    try:
+        dirs = sorted(d for d in os.listdir(p) if d.startswith("batch="))
+    except FileNotFoundError:
+        return 0
+    if len(dirs) <= keep_if_under:
+        return 0
+    olds = [d for d in os.listdir(p) if d.startswith("compacted-")]
+    gen = max((int(d.split("-")[1]) for d in olds), default=-1) + 1
+    target = os.path.join(p, f"compacted-{gen}")
+    spark.read.schema(BAND_SCHEMA).parquet(
+        *(os.path.join(p, d) for d in dirs + olds)
+    ).coalesce(4).write.mode("overwrite").parquet(target)
+    for d in dirs + olds:
+        shutil.rmtree(os.path.join(p, d))
+    return len(dirs)

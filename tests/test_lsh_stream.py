@@ -92,3 +92,37 @@ def test_neardup_stream_end_to_end(spark, tmp_path):
     flagged = {r.doc_id: r for r in res.filter(F.col("is_dup_candidate")).collect()}
     assert set(flagged) == {10} and flagged[10].first_match == 1
     assert res.filter(~F.col("is_dup_candidate")).count() == 2  # docs 1, 2
+
+
+def test_band_store_compaction_preserves_detection(spark, tmp_path):
+    import os
+
+    from sandcrawler_spark.streaming.lsh_stream import (
+        compact_band_store,
+        process_batch,
+        read_band_store,
+    )
+
+    state = str(tmp_path / "state")
+    texts = [f"unique doc number {i} " + " ".join(f"w{i}_{j}" for j in range(8))
+             for i in range(6)]
+    for i, t in enumerate(texts):
+        process_batch(_mk(spark, [(i, t)]), i, state)
+    n_before = read_band_store(spark, state).count()
+
+    folded = compact_band_store(spark, state, keep_if_under=4)
+    assert folded == 6
+    store_dirs = os.listdir(os.path.join(state, "band_store"))
+    assert store_dirs == ["compacted-0"]
+    assert read_band_store(spark, state).count() == n_before
+
+    # detection against compacted history still works
+    d = process_batch(_mk(spark, [(100, texts[2])]), 100, state)
+    got = {r.doc_id: r for r in d.collect()}
+    assert got[100].is_dup_candidate and got[100].first_match == 2
+
+    # below threshold: no-op; above: folds compacted + new batch dirs
+    assert compact_band_store(spark, state, keep_if_under=4) == 0
+    assert compact_band_store(spark, state, keep_if_under=0) == 1
+    assert os.listdir(os.path.join(state, "band_store")) == ["compacted-1"]
+    assert read_band_store(spark, state).count() == n_before  # doc 100 quarantined
