@@ -309,3 +309,36 @@ def test_phrase_search_repeated_word_phrase(spark):
     got = {r.doc_id: r for r in phrase_search(df, ["buffalo", "buffalo"]).collect()}
     assert set(got) == {1}
     assert got[1].n_hits == 2 and got[1].first_hit == 0  # overlapping starts 0,1
+
+
+def test_new_ops_partitioning_invariance(spark):
+    """Integer-scaled scoring makes results independent of physical
+    layout: every operator must return identical rows for the same
+    input under a different partitioning."""
+    from sandcrawler_spark.operators.bpe import bpe_learn
+    from sandcrawler_spark.operators.dedupe import span_dedupe
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+    from sandcrawler_spark.operators.search import bm25_topk
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha w"), (F.col("id") % 9).cast("string"),
+            F.lit(" beta w"), ((F.col("id") + 3) % 9).cast("string"),
+            F.lit(" gamma tail"), (F.col("id") % 4).cast("string"),
+        ).alias("text"),
+    )
+    variants = [docs, docs.repartition(13), docs.repartition(1)]
+
+    def rows(df, fn):
+        return sorted(tuple(r) for r in fn(df).collect())
+
+    for fn in (
+        lambda d: bm25_topk(d, ["alpha", "beta"], k=10),
+        lambda d: span_dedupe(d, n=3),
+        lambda d: bpe_learn(d, k=3),
+        lambda d: (lambda t: lm_score_docs(d, *t))(train_bigram_lm(d)),
+    ):
+        base = rows(variants[0], fn)
+        for v in variants[1:]:
+            assert rows(v, fn) == base
