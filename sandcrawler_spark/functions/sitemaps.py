@@ -18,8 +18,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (?s): sitemap files are pretty-printed multi-line; non-greedy block
-# capture keeps sibling entries apart
-_BLOCK_PAT = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+# capture keeps sibling entries apart. The capture INCLUDES the
+# opening tag so kind is decided per block (a urlset blob that merely
+# mentions '<sitemapindex' in a comment must not flip its page entries
+# to index pointers). No backreference for the closing tag — the
+# pattern stays inside the RE2/Java shared subset for the oracle.
+_BLOCK_PAT = r"(?s)(<(?:url|sitemap)>.*?</(?:url|sitemap)>)"
 _LOC_PAT = r"(?s)<loc>\s*([^<\s][^<]*?)\s*</loc>"
 _LASTMOD_PAT = r"(?s)<lastmod>\s*([^<\s][^<]*?)\s*</lastmod>"
 _PRIORITY_PAT = r"(?s)<priority>\s*([^<\s][^<]*?)\s*</priority>"
@@ -37,14 +41,14 @@ def parse_sitemap(
     nullable strings — date parsing is the caller's policy
     (functions/biblio.parse_date_py)."""
     keep_cols = keep_cols or []
-    is_index = F.col("_blk_src").rlike(r"(?s)<sitemapindex")
     blocks = df.select(
         *keep_cols,
-        F.col(xml_col).alias("_blk_src"),
         F.posexplode(
             F.regexp_extract_all(F.col(xml_col), F.lit(_BLOCK_PAT), F.lit(1))
         ).alias("seq", "_blk"),
     )
+    # per-block, from the entry's own opening tag — never the file
+    is_index = F.col("_blk").startswith("<sitemap>")
     loc = F.regexp_extract(F.col("_blk"), _LOC_PAT, 1)
     lastmod = F.regexp_extract(F.col("_blk"), _LASTMOD_PAT, 1)
     prio = F.regexp_extract(F.col("_blk"), _PRIORITY_PAT, 1)

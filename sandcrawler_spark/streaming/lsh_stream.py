@@ -37,7 +37,15 @@ from pyspark.sql import functions as F
 
 from sandcrawler_spark.operators.dedupe import band_keys
 
+# Doc ids in the store are LONGs. band_keys accepts any id column, but
+# the persistent store needs one fixed schema across batches and
+# compaction generations; process_batch validates (not silently casts
+# — casting a string id yields NULLs and corrupts the store).
 BAND_SCHEMA = "id long, band int, bkey string"
+# Compacted generations additionally carry the originating batch id so
+# a replayed batch stays excludable AFTER its rows were folded in
+# (compaction may run while the newest batch is not yet checkpointed).
+COMPACTED_SCHEMA = BAND_SCHEMA + ", batch_id long"
 
 
 def _store_path(state_dir: str) -> str:
@@ -48,22 +56,35 @@ def read_band_store(
     spark: SparkSession, state_dir: str, exclude_batch: int | None = None
 ) -> DataFrame:
     """All accepted band keys, optionally excluding one batch's own
-    subdirectory — a replayed batch must not see its previous
-    attempt's output, or its docs would match themselves and the
-    replay would quarantine (and drop) them."""
+    output — a replayed batch must not see its previous attempt's
+    rows, or its docs would match themselves and the replay would
+    quarantine (and drop) them. Exclusion covers both the batch's own
+    subdirectory AND any compacted rows tagged with its batch_id."""
     p = _store_path(state_dir)
     try:
-        dirs = sorted(
-            os.path.join(p, d)
-            for d in os.listdir(p)
-            if (d.startswith("batch=") and d != f"batch={exclude_batch}")
-            or d.startswith("compacted-")
-        )
+        names = os.listdir(p)
     except FileNotFoundError:
-        dirs = []
-    if not dirs:
+        names = []
+    batch_dirs = sorted(
+        os.path.join(p, d)
+        for d in names
+        if d.startswith("batch=") and d != f"batch={exclude_batch}"
+    )
+    comp_dirs = sorted(os.path.join(p, d) for d in names if d.startswith("compacted-"))
+    parts = []
+    if batch_dirs:
+        parts.append(spark.read.schema(BAND_SCHEMA).parquet(*batch_dirs))
+    if comp_dirs:
+        comp = spark.read.schema(COMPACTED_SCHEMA).parquet(*comp_dirs)
+        if exclude_batch is not None:
+            comp = comp.filter(F.col("batch_id") != F.lit(exclude_batch))
+        parts.append(comp.drop("batch_id"))
+    if not parts:
         return spark.createDataFrame([], BAND_SCHEMA)
-    return spark.read.schema(BAND_SCHEMA).parquet(*dirs)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def process_batch(
@@ -82,9 +103,18 @@ def process_batch(
     first_match) — and appends accepted docs' band keys to the
     store under the batch's own subdirectory (idempotent on replay)."""
     spark = batch_df.sparkSession
-    kb = band_keys(batch_df, id_col, text_col, n_shingle, k, bands).localCheckpoint(
-        eager=True
-    )
+    id_type = dict(batch_df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"neardup stream requires an integral {id_col!r} column "
+            f"(got {id_type}): the persistent band store is schema'd "
+            f"`{BAND_SCHEMA}` — map string doc ids to longs upstream "
+            "(e.g. xxhash64/monotonic id) before wiring the stream"
+        )
+    kb = band_keys(batch_df, id_col, text_col, n_shingle, k, bands)
+    if id_type != "bigint":
+        kb = kb.withColumn("id", F.col("id").cast("long"))
+    kb = kb.localCheckpoint(eager=True)
     store = read_band_store(spark, state_dir, exclude_batch=batch_id)
     # candidates vs the historical store: batch side broadcast — the
     # store side stays where it is (partition-pruned scan, no shuffle)
@@ -166,10 +196,13 @@ def compact_band_store(
     discipline as SnapshotTable's bucket compaction: an append-only
     store otherwise degrades reads monotonically). Consolidation is
     crash-safe: the merged dir is written under a fresh name first,
-    old dirs are removed only after the write commits, and a replayed
-    batch id stays excludable because compacted rows live under a
-    name no batch id ever takes. Returns the number of dirs folded
-    (0 = nothing to do)."""
+    old dirs are removed only after the write commits, and every
+    compacted row carries its originating batch_id so a replayed
+    batch stays excludable even after its dir was folded — the newest
+    batch may belong to a micro-batch the stream has not yet
+    checkpointed, and read_band_store(exclude_batch=...) filters its
+    compacted rows exactly as it skips a live batch= dir. Returns the
+    number of dirs folded (0 = nothing to do)."""
     import shutil
 
     p = _store_path(state_dir)
@@ -182,9 +215,18 @@ def compact_band_store(
     olds = [d for d in os.listdir(p) if d.startswith("compacted-")]
     gen = max((int(d.split("-")[1]) for d in olds), default=-1) + 1
     target = os.path.join(p, f"compacted-{gen}")
-    spark.read.schema(BAND_SCHEMA).parquet(
-        *(os.path.join(p, d) for d in dirs + olds)
-    ).coalesce(4).write.mode("overwrite").parquet(target)
+    merged = None
+    for d in dirs:
+        tagged = (
+            spark.read.schema(BAND_SCHEMA)
+            .parquet(os.path.join(p, d))
+            .withColumn("batch_id", F.lit(int(d.split("=")[1])).cast("long"))
+        )
+        merged = tagged if merged is None else merged.unionByName(tagged)
+    for d in olds:
+        old = spark.read.schema(COMPACTED_SCHEMA).parquet(os.path.join(p, d))
+        merged = old if merged is None else merged.unionByName(old)
+    merged.coalesce(4).write.mode("overwrite").parquet(target)
     for d in dirs + olds:
         shutil.rmtree(os.path.join(p, d))
     return len(dirs)

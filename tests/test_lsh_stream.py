@@ -126,3 +126,41 @@ def test_band_store_compaction_preserves_detection(spark, tmp_path):
     assert compact_band_store(spark, state, keep_if_under=0) == 1
     assert os.listdir(os.path.join(state, "band_store")) == ["compacted-1"]
     assert read_band_store(spark, state).count() == n_before  # doc 100 quarantined
+
+
+def test_replay_excludable_after_compaction(spark, tmp_path):
+    """ADVICE r3: compaction may fold the newest batch's dir before the
+    stream checkpointed it; the replayed batch must still not see its
+    own previous attempt (else its docs match themselves and get
+    wrongly quarantined). Compacted rows carry batch_id for this."""
+    from sandcrawler_spark.streaming.lsh_stream import (
+        compact_band_store,
+        process_batch,
+        read_band_store,
+    )
+
+    state = str(tmp_path / "state")
+    process_batch(_mk(spark, [(1, BASE)]), 0, state)
+    # batch 1 writes its store dir, then the stream dies BEFORE the
+    # checkpoint commits — and compaction runs in between
+    process_batch(_mk(spark, [(2, OTHER)]), 1, state)
+    assert compact_band_store(spark, state, keep_if_under=0) == 2
+    # replay of batch 1: its own previous rows are excluded even
+    # though they now live inside compacted-0
+    full = read_band_store(spark, state).count()
+    assert read_band_store(spark, state, exclude_batch=1).count() == full // 2
+    d = {r.doc_id: r for r in process_batch(_mk(spark, [(2, OTHER)]), 1, state).collect()}
+    assert not d[2].is_dup_candidate  # would self-match without the fix
+    # and a genuinely new copy of doc 2 afterwards IS flagged
+    d2 = {r.doc_id: r for r in process_batch(_mk(spark, [(3, OTHER)]), 2, state).collect()}
+    assert d2[3].is_dup_candidate and d2[3].first_match == 2
+
+
+def test_string_doc_id_rejected(spark, tmp_path):
+    import pytest
+
+    from sandcrawler_spark.streaming.lsh_stream import process_batch
+
+    df = spark.createDataFrame([("a", BASE)], ["doc_id", "text"])
+    with pytest.raises(TypeError, match="integral"):
+        process_batch(df, 0, str(tmp_path / "state"))

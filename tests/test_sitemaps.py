@@ -54,3 +54,21 @@ def test_robots_sitemap_pointers(spark):
     got = [r.s for r in df.select(robots_sitemap_urls_col(F.col("body")).alias("s")).collect()]
     assert got[0] == ["https://a.org/sitemap.xml", "https://a.org/s2.xml"]
     assert got[1] == []
+
+
+def test_kind_is_per_block_not_per_file(spark):
+    """ADVICE r3: a urlset blob that merely CONTAINS the substring
+    '<sitemapindex' (comment, concatenated feed) must not flip its
+    page entries to index pointers — kind comes from each entry's own
+    opening tag."""
+    from sandcrawler_spark.functions.sitemaps import parse_sitemap
+
+    tricky = ("<!-- not a <sitemapindex really -->\n<urlset>"
+              "<url><loc>https://a.org/page</loc></url></urlset>")
+    mixed = ("<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc></sitemap>"
+             "</sitemapindex><urlset><url><loc>https://a.org/p9</loc></url></urlset>")
+    df = spark.createDataFrame([("t", tricky), ("m", mixed)], ["src", "xml"])
+    rows = {(r.src, r.seq): r for r in parse_sitemap(df, keep_cols=["src"]).collect()}
+    assert rows[("t", 0)].kind == "url"
+    assert rows[("m", 0)].kind == "index" and rows[("m", 0)].loc == "https://a.org/s1.xml"
+    assert rows[("m", 1)].kind == "url" and rows[("m", 1)].loc == "https://a.org/p9"
