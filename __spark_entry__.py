@@ -2659,8 +2659,9 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM urls GROUP BY host
         ),
         "cumulative_events": """
 SELECT event_id,
-       SUM(CAST(round(value * 100) AS BIGINT))
-         OVER (ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS cum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
 FROM events
 """,
         "corpus_pack": """

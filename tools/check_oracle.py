@@ -85,6 +85,24 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # the driver may pull DuckDB results through pandas/Arrow,
+            # where HUGEINT-family columns degrade to float64 and
+            # stringify differently than Spark longs even when every
+            # VALUE is identical (r3's only red row, cumulative_events,
+            # was exactly this: an uncast windowed SUM(BIGINT)).
+            # fetchall() masks it — so fail on the TYPE here.
+            otypes = [str(t) for t in con.sql(f"SELECT * FROM ({oracles[name]}) LIMIT 0").types]
+            bad_t = [
+                (c, t) for c, t in zip(ocols, otypes)
+                if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
+            ]
+            if bad_t:
+                print(
+                    f"FAIL  {name}: oracle column(s) {bad_t} are 128-bit/unsigned "
+                    "ints — pandas degrades these to float64; CAST to BIGINT"
+                )
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
