@@ -1679,7 +1679,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_politeness_schedule(spark, SF_DEFAULT)
 
 
+# Queries whose driver correctness row is oldest (or missing): listed
+# FIRST so a driver that samples a prefix of queries() re-checks the
+# entries with the stalest receipts. Never-driver-checked first, then
+# the 20 last sampled in round 2; everything below them was green in
+# round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
+_STALE_FIRST = [
+    "warc_roundtrip", "warc_fetch_join", "corpus_sample",
+    "benchmark_decontaminate", "ann_recall",
+    "minhash_lsh", "simhash_pairs", "cosine_knn", "ann_lsh",
+    "ann_lsh_multiprobe", "ann_ivf", "slug_self_join", "score_insertable",
+    "batch_dedupe_latest", "recrawl_frontier", "fetch_statuses",
+    "extraction_roundtrip", "multimodal_meta", "html_biblio",
+    "sub_resources", "sha1_digest_join", "surt_seed_join", "union_lanes",
+    "grobid_hook", "revisit_resolution",
+    # r4 additions with no driver history yet get appended here
+    "cumulative_events",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    qs = _all_queries()
+    out = {k: qs[k] for k in _STALE_FIRST if k in qs}
+    out.update((k, v) for k, v in qs.items() if k not in out)
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lineitem_rollup": q_lineitem_rollup,
         "status_counts": q_status_counts,

@@ -53,11 +53,17 @@ def build_postings(
     tokens — the same tokenization every text operator here uses.
 
     Returns (term, doc_id, tf, first_pos, doc_freq) where doc_freq is
-    the term's corpus-wide document count (window over the term key —
-    same shuffle as the groupBy, no second pass), filtered to
-    doc_freq >= min_doc_freq."""
-    from pyspark.sql import Window
+    the term's corpus-wide document count, filtered to
+    doc_freq >= min_doc_freq.
 
+    doc_freq is a groupBy(term) aggregate joined back on the SAME
+    term key — NOT a Window.partitionBy(term): a window materializes
+    every posting of a term inside one task, and a stopword's posting
+    list is ~the whole corpus at 100 TB (one straggler task holding
+    ~N rows). The aggregate ships one partial count per (partition,
+    term) instead, and the join reuses the term hash partitioning the
+    postings shuffle already established (no extra exchange of the
+    big side beyond the ones the two aggregations need)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens_col(F.lower(F.col(text_col)))).alias("pos", "term"),
@@ -66,10 +72,12 @@ def build_postings(
         F.count("*").cast("long").alias("tf"),
         F.min("pos").cast("long").alias("first_pos"),
     )
-    w = Window.partitionBy("term")
-    out = postings.withColumn("doc_freq", F.count("*").over(w).cast("long"))
+    doc_freq = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("doc_freq")
+    )
     if min_doc_freq > 1:
-        out = out.filter(F.col("doc_freq") >= min_doc_freq)
+        doc_freq = doc_freq.filter(F.col("doc_freq") >= min_doc_freq)
+    out = postings.join(doc_freq, on="term", how="inner")
     return out.select("term", "doc_id", "tf", "first_pos", "doc_freq")
 
 

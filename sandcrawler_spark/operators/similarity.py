@@ -70,15 +70,37 @@ def knn_join(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k neighbors for each query row (queries side small =>
-    broadcast; the big side streams through one stage)."""
+    broadcast; the big side streams through one stage).
+
+    Two-level top-k: a single Window.partitionBy(q_id) would put EVERY
+    (embedding x query) row for one query into one task — with 10^9
+    embeddings and 3 queries that is 3 tasks doing everything
+    (VERDICT r3 item 4). Instead level 1 ranks within (q_id, scan
+    partition) — P*Q balanced groups, each at most one scan
+    partition's rows — and level 2 takes the exact global top-k over
+    the surviving k*P rows per query. Correctness is unaffected: any
+    row in the global top-k is in its own partition's top-k; ties
+    break on id so the result is layout-independent."""
     from pyspark.sql import Window
 
     j = embeddings.join(F.broadcast(queries))
     sim = cosine_sim_col(F.col(vec_col), F.col(q_vec))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    scored = j.select(
+        F.col(q_id),
+        F.col(id_col),
+        F.round(sim, 6).alias("cosine"),
+        F.spark_partition_id().alias("_part"),
+    )
+    order = (F.desc("cosine"), F.asc(id_col))
+    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(q_id).orderBy(*order)
     return (
-        j.select(F.col(q_id), F.col(id_col), F.round(sim, 6).alias("cosine"))
-        .withColumn("_rn", F.row_number().over(w))
+        partial.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

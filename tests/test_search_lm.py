@@ -342,3 +342,18 @@ def test_new_ops_partitioning_invariance(spark):
         base = rows(variants[0], fn)
         for v in variants[1:]:
             assert rows(v, fn) == base
+
+
+def test_build_postings_plan_has_no_window(spark):
+    """VERDICT r3 item 3: doc_freq must come from an aggregate joined
+    back on term, never Window.partitionBy(term) — a stopword's
+    posting list is ~the whole corpus in one window buffer at scale."""
+    from sandcrawler_spark.operators.search import build_postings
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = build_postings(df)
+    out.collect()  # executed plan (AQE finalizes stages on execution)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
