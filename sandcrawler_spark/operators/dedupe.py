@@ -391,23 +391,31 @@ def paragraph_dedupe(
     elsewhere keeps an empty text_deduped.
 
     Scale shape: explode to per-(paragraph-hash) rows, one shuffle
-    keyed by md5(paragraph) — far finer-grained than per-doc, no skew
-    ceiling (boilerplate paragraphs concentrate on one key each, but a
-    single key only carries its occurrence list, and the rank-1 window
-    is a partial TopK under AQE). Reassembly groups by doc id. No
-    suffix array needed at paragraph granularity: equality IS the
-    match predicate, so hash-partitioning replaces the reference-free
-    O(corpus) suffix sort that made ExactSubstr single-node-bound.
+    keyed by md5(paragraph) — far finer-grained than per-doc, and
+    SKEW-PROOF: "globally first occurrence" is min(struct(_id, pos))
+    per hash, a plain aggregate with map-side partial combine, so a
+    boilerplate paragraph present in 50% of all documents reduces to
+    one tiny partial per input partition instead of one window group
+    buffering every occurrence in a single task (VERDICT r3 item 7;
+    a rank-1 Window.partitionBy(md5) was that buffer). Reassembly
+    groups by doc id. No suffix array needed at paragraph
+    granularity: equality IS the match predicate, so
+    hash-partitioning replaces the reference-free O(corpus) suffix
+    sort that made ExactSubstr single-node-bound.
     """
     paras = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
     ).withColumn("para", F.trim("para")).filter(F.col("para") != "")
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.md5("para")).orderBy("_id", "pos")
-    kept = paras.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    # min(struct) orders by (_id, pos) — para rides along (identical
+    # within a hash key up to md5 collision, as before)
+    kept = (
+        paras.groupBy(F.md5("para").alias("_h"))
+        .agg(F.min(F.struct("_id", "pos", "para")).alias("_f"))
+        .select(F.col("_f._id").alias("_id"), F.col("_f.pos").alias("pos"),
+                F.col("_f.para").alias("para"))
+    )
 
     totals = paras.groupBy("_id").agg(F.count("*").cast("long").alias("n_paras"))
     rebuilt = kept.groupBy("_id").agg(
@@ -500,10 +508,15 @@ def span_dedupe(
 
     Scale shape (why this beats a suffix array at 100 TB): equality of
     fixed-width grams IS the match predicate, so the corpus-wide
-    "find repeats" step is ONE shuffle keyed by md5(gram) with a
-    rank-1 window (partial TopK under AQE) — embarrassingly
-    hash-partitionable, where the reference-free suffix sort is
-    single-node-bound. Gram construction is a per-doc window of lead()
+    "find repeats" step is: (1) min(struct(_id, pos)) per gram hash —
+    a plain aggregate with map-side partial combine, skew-proof even
+    for a boilerplate gram present in 50% of docs (VERDICT r3 item 7;
+    the previous rank-1 window buffered every occurrence of a hot
+    gram in one task) — then (2) a left-anti join of all full-window
+    occurrences against those firsts on the FULL (gram_h, _id, pos)
+    key, whose composite shuffle key spreads a hot gram's occurrences
+    evenly across partitions. What survives the anti-join is exactly
+    the rank>1 occurrence set. Gram construction is a per-doc window of lead()
     columns over the exploded token stream (NOT a nested higher-order
     lambda: Catalyst inlines those and re-evaluates the token array
     per element, the O(n^2) trap the winnowing operator hit) — one
@@ -523,10 +536,13 @@ def span_dedupe(
         .localCheckpoint(eager=True)  # read twice: gram ranking + rebuild
     )
     grams = toks2.filter(F.col("pos") <= F.col("_ntok") - n)  # full windows only
-    wg = Window.partitionBy("gram_h").orderBy("_id", "pos")
-    dup_occ = (
-        grams.withColumn("_rk", F.row_number().over(wg)).filter(F.col("_rk") > 1)
+    firsts = (
+        grams.groupBy("gram_h")
+        .agg(F.min(F.struct("_id", "pos")).alias("_f"))
+        .select("gram_h", F.col("_f._id").alias("_id"), F.col("_f.pos").alias("pos"))
     )
+    # everything but each gram's global first occurrence (= rank > 1)
+    dup_occ = grams.join(firsts, on=["gram_h", "_id", "pos"], how="left_anti")
     covered = dup_occ.select(
         "_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos")
     ).distinct()

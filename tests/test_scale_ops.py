@@ -105,3 +105,38 @@ def test_build_postings_stopword_skew(spark):
     assert hot.df == n_docs // 2 and hot.n == n_docs // 2
     print(f"\nbuild_postings skew: {n_docs:,} docs, hot-term df={hot.df:,} "
           f"in {wall:.1f}s")
+
+
+def test_span_paragraph_dedupe_hot_gram_skew(spark):
+    """VERDICT r4 item 7 gate: a boilerplate span/paragraph planted in
+    50% of 10^6 docs. Rank-1-by-window buffered every occurrence of
+    the hot key in one task; the min(struct) aggregate + composite-key
+    anti-join shapes stay balanced."""
+    from sandcrawler_spark.operators.dedupe import paragraph_dedupe, span_dedupe
+
+    n_docs = 1_000_000
+    boiler = " ".join(f"b{j}" for j in range(13))  # one full 13-gram
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit(boiler + " "), F.lit("u"), F.col("id")),
+        ).otherwise(F.concat(F.lit("v"), F.col("id"))).alias("text"),
+    )
+    t0 = time.time()
+    out = span_dedupe(docs, n=13)
+    agg = out.agg(F.sum("n_dropped").alias("d")).collect()[0]
+    span_wall = time.time() - t0
+    # every copy of the boilerplate except doc 0's is dropped (13
+    # tokens each); nothing else repeats
+    assert agg.d == (n_docs // 2 - 1) * 13
+
+    pdocs = docs.withColumn("text", F.regexp_replace("text", boiler + " ", boiler + "\n"))
+    t0 = time.time()
+    pagg = paragraph_dedupe(pdocs).agg(
+        F.sum(F.col("n_paras") - F.col("n_kept")).alias("d")
+    ).collect()[0]
+    para_wall = time.time() - t0
+    assert pagg.d == n_docs // 2 - 1
+    print(f"\nhot-gram skew: span {span_wall:.1f}s, paragraph {para_wall:.1f}s "
+          f"at {n_docs:,} docs (50% boilerplate)")
