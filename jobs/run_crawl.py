@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--master", default=None)
     ap.add_argument("--now", default="timestamp'2024-02-01 00:00:00'")
+    ap.add_argument(
+        "--host-budget", type=int, default=None,
+        help="cumulative per-host fetch quota enforced across rounds by "
+        "the stateful_host_budget streaming operator (over-quota hosts "
+        "are deferred; state resumes from the budget checkpoint)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +61,10 @@ def main() -> None:
         name: spark.read.parquet(os.path.join(args.corpus_dir, f"{name}.parquet"))
         for name in ("pages", "cdx", "ingest_request", "robots")
     }
-    runner = CrawlRunner(spark, corpus, args.state_dir, now_expr=args.now)
+    runner = CrawlRunner(
+        spark, corpus, args.state_dir, now_expr=args.now,
+        host_budget=args.host_budget,
+    )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)
     print(

@@ -41,11 +41,18 @@ class CrawlRunner:
         state_dir: str,
         now_expr: str = "timestamp'2024-02-01 00:00:00'",
         denylist: list[str] | None = None,
+        host_budget: int | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
         self.state_dir = state_dir
         self.now_expr = now_expr
+        # §2.8 backpressure ENFORCEMENT (not just validation): when
+        # set, a per-host cumulative cap on scheduled fetch attempts,
+        # tracked across rounds by the stateful_host_budget streaming
+        # operator (streaming/eventtime.py) — the Spark-native twin of
+        # the reference's per-host backpressure (workers.py:534-554).
+        self.host_budget = host_budget
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -74,6 +81,98 @@ class CrawlRunner:
             json.dump(rounds, f, indent=1)
         os.replace(tmp, self._rounds_path)
 
+    # ---- host-budget backpressure -----------------------------------------
+    def _enforce_host_budget(self, batch: DataFrame, r: int):
+        """Defer scheduled rows whose host has exhausted its cumulative
+        fetch quota. The running per-host totals are OWNED by the
+        stateful_host_budget operator: each round's admitted rows are
+        spooled to disk and drained through an availableNow streaming
+        query whose applyInPandasWithState state (and file-source
+        offsets) live under the runner's state dir — so the totals
+        resume exactly like every other table here, and this round's
+        admission decisions read the operator's own emissions.
+
+        Admission: batch rows carry rank_in_key (deterministic per-host
+        politeness order), so host h admits rows with
+        prev_total + rank_in_key < budget and defers the rest. A host
+        over quota contributes nothing; when EVERY remaining frontier
+        row is deferred the crawl reports done (budget exhausted)
+        rather than spinning on rows it will never fetch.
+
+        Returns (admitted_rows, n_deferred)."""
+        from sandcrawler_spark.streaming.eventtime import stateful_host_budget
+
+        budget = self.host_budget
+        sink = os.path.join(self.state_dir, "budget_totals")
+        spool = os.path.join(self.state_dir, "budget_spool")
+        ckpt = os.path.join(self.state_dir, "budget_ckpt")
+        batch = batch.persist()
+        round_spool = os.path.join(spool, f"round={r}")
+        if os.path.isdir(round_spool):
+            # crashed-round replay: the spool is the authoritative
+            # admission record for this round (the sink may already
+            # include this round's drain — recomputing from it would
+            # admit a different set than the one already counted)
+            spooled = self.spark.read.schema(
+                "host string, canon_url string"
+            ).parquet(round_spool)
+            admitted = batch.join(
+                spooled.select("canon_url").distinct(), on="canon_url", how="left_semi"
+            )
+            n_deferred = batch.count() - admitted.count()
+        else:
+            prev = None
+            if os.path.isdir(sink) and any(
+                d.startswith("batch=") for d in os.listdir(sink)
+            ):
+                prev = (
+                    self.spark.read.schema(
+                        "host string, total_fetched long, over_budget boolean"
+                    )
+                    .parquet(*(os.path.join(sink, d) for d in os.listdir(sink)
+                               if d.startswith("batch=")))
+                    .groupBy("host")
+                    .agg(F.max("total_fetched").alias("_prev"))
+                )
+            joined = (
+                batch.join(F.broadcast(prev), on="host", how="left")
+                if prev is not None
+                else batch.withColumn("_prev", F.lit(None).cast("long"))
+            )
+            admit = (
+                F.coalesce(F.col("_prev"), F.lit(0)) + F.col("rank_in_key")
+                < F.lit(budget)
+            )
+            admitted = joined.filter(admit).drop("_prev")
+            n_deferred = joined.filter(~admit).count()
+            admitted.select("host", "canon_url").write.mode("overwrite").parquet(
+                round_spool
+            )
+        self.metrics.inc("budget_deferred", n_deferred)
+        # Spark 4.1: the state-commit validator false-positives for
+        # applyInPandasWithState driven from Python via foreachBatch
+        self.spark.conf.set(
+            "spark.sql.streaming.stateStore.commitValidation.enabled", "false"
+        )
+        stream = self.spark.readStream.schema("host string, canon_url string").parquet(
+            os.path.join(spool, "*")
+        )
+
+        def _sink(bdf: DataFrame, bid: int) -> None:
+            bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={bid}"))
+
+        q = (
+            stateful_host_budget(stream, budget=budget)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batch.unpersist()
+        return admitted, n_deferred
+
     # ---- one round -------------------------------------------------------
     def run_round(self) -> dict:
         r = len(self.rounds_done())
@@ -89,12 +188,19 @@ class CrawlRunner:
         n_frontier = frontier.count()
 
         sched = schedule_politeness(frontier, self.corpus["robots"])
-        batch = sched.filter(F.col("crawl_round") == 0).persist()
+        batch = sched.filter(F.col("crawl_round") == 0)
+        n_deferred = 0
+        if self.host_budget is not None:
+            batch, n_deferred = self._enforce_host_budget(batch, r)
+        batch = batch.persist()
         n_batch = batch.count()
         if n_batch == 0:
             frontier.unpersist()
             batch.unpersist()
-            entry = {"round": r, "frontier": n_frontier, "scheduled": 0, "done": True}
+            entry = {
+                "round": r, "frontier": n_frontier, "scheduled": 0,
+                "deferred": n_deferred, "done": True,
+            }
             self._record_round(entry)
             return entry
 
@@ -199,6 +305,7 @@ class CrawlRunner:
             "round": r,
             "frontier": n_frontier,
             "scheduled": n_batch,
+            "deferred": n_deferred,
             "extracted": n_extracted,
             "result_counts": res_snap["counts"],
             "snapshots": {
