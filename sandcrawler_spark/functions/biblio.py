@@ -32,11 +32,15 @@ Deliberate, documented divergences from the reference:
   - the reference's FULLTEXT_URL_PATTERNS_SKIP list has a missing-
     comma bug that concatenates its 3 entries into one dead string;
     we implement the intended 3 separate skip prefixes.
-  - adblock is the reference's explicit custom rule list plus a small
-    static tracker/widget domain set, not a full easylist engine.
-  - one reference PDF pattern (CSS sibling-combinator
-    ".AbsPdfFigTab img + a", html_metadata.py:362-369) needs tree
-    adjacency the flat collector doesn't keep; it is dropped.
+  - adblock is the reference's explicit custom rule list plus a
+    transcribed easylist-subset domain/path table (adblock_data.py),
+    not a braveblock-loaded full easylist engine (not installable in
+    this environment).
+  - the reference's CSS sibling-combinator PDF pattern
+    (".AbsPdfFigTab img + a", html_metadata.py:362-369) IS
+    implemented — the collector tracks the needed img->a sibling
+    adjacency (the sibling_img_src pattern entry around line 190 and
+    the preceding-sibling bookkeeping in _collect).
 """
 
 from __future__ import annotations
@@ -910,26 +914,29 @@ def _assemble_biblio(base_url: str, body_text: str, c: _DocCollector) -> dict:
 # ---------------------------------------------------------------------------
 
 # domain rules (match host or any subdomain) — the reference's explicit
-# braveblock custom rules plus its hardcoded tracker/widget hosts, plus
-# an easylist-subset of the tracker domains that actually appear on
-# publisher pages (the reference loads full easylist via braveblock,
-# html_metadata.py:542-560; this table covers the same fixture set)
+# braveblock custom rules plus its hardcoded tracker/widget hosts
+# (html_metadata.py:542-582), extended with the transcribed
+# easylist-subset domain-anchor table in adblock_data.py (the
+# reference loads full easylist via braveblock; braveblock is not
+# installable here, so the rules ship as data and the matcher below
+# stays the engine)
+from sandcrawler_spark.functions.adblock_data import (
+    EASYLIST_DOMAIN_ANCHORS,
+    EASYLIST_PATH_ANCHORS,
+)
+
 ADBLOCK_DOMAINS = (
     "fonts.googleapis.com", "widgets.figshare.com", "crossmark-cdn.crossref.org",
     "crossmark.crossref.org", "platform.twitter.com", "verify.nature.com",
     "s7.addthis.com", "www.mendeley.com", "pbs.twimg.com", "badge.dimensions.ai",
-    "recaptcha.net",
-    # easylist subset: analytics/ad/tracker hosts
-    "google-analytics.com", "googletagmanager.com", "googlesyndication.com",
-    "doubleclick.net", "scorecardresearch.com", "quantserve.com", "hotjar.com",
-    "connect.facebook.net", "stats.wp.com",
-)
+    "recaptcha.net", "stats.wp.com",
+) + EASYLIST_DOMAIN_ANCHORS
 # substring rules (easylist generic path rules subset)
 ADBLOCK_SUBSTRINGS = (
     "/favicon.ico", "apis.google.com/js/plusone", "www.google.com/recaptcha/",
     "js/_getUACode.js",
     "/ga.js", "/analytics.js", "/gtag/js", "/piwik.js", "/matomo.js",
-)
+) + EASYLIST_PATH_ANCHORS
 _ADBLOCK_RES = (re.compile(r"/resource/img/icon\..*\.16\.png"),)
 
 

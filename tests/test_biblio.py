@@ -407,3 +407,49 @@ def test_adblock_rules():
     assert adblock_check_py("https://apis.google.com/js/plusone.js")
     assert adblock_check_py("https://journals.plos.org/resource/img/icon.x.16.png")
     assert not adblock_check_py("https://journal.example.org/js/app.js")
+
+
+def test_adblock_easylist_subset_ad_heavy_page():
+    """VERDICT r3 item 8: the easylist-subset domain-anchor table
+    (adblock_data.py) drops ad/analytics/replay/chumbox resources on
+    an ad-heavy page while keeping the article's own assets."""
+    from sandcrawler_spark.functions.biblio import adblock_check_py, extract_resources_py
+
+    ad_urls = [
+        "https://securepubads.g.doubleclick.net/tag/js/gpt.js",
+        "https://c.amazon-adsystem.com/aax2/apstag.js",
+        "https://cdn.taboola.com/libtrc/site/loader.js",
+        "https://widgets.outbrain.com/outbrain.js",
+        "https://static.hotjar.com/c/hotjar-1.js",
+        "https://edge.fullstory.com/s/fs.js",
+        "https://cdn.segment.com/analytics.js/v1/x/analytics.min.js",
+        "https://sb.scorecardresearch.com/beacon.js",
+        "https://connect.facebook.net/en_US/fbevents.js",
+        "https://www.facebook.com/tr?id=1&ev=PageView",
+        "https://mc.yandex.ru/metrika/tag.js",
+        "https://ads.pubmatic.com/AdServer/js/pwt/1/pwt.js",
+        "https://js-agent.newrelic.com/nr-1216.min.js",
+        "https://tags.crwdcntrl.net/c/123/cc.js",
+        "https://example.org/pagead/show_ads.js",
+    ]
+    keep_urls = [
+        "https://journal.example.org/article/main.css",
+        "https://journal.example.org/figures/fig1.png",
+        "https://cdn.journal.example.org/static/reader.js",
+        "https://journal.example.org/downloads/supplement.pdf",
+    ]
+    for u in ad_urls:
+        assert adblock_check_py(u), f"should drop: {u}"
+    for u in keep_urls:
+        assert not adblock_check_py(u), f"should keep: {u}"
+
+    body = "<html><head>" + "".join(
+        f'<script src="{u}"></script>' for u in ad_urls
+    ) + '<link rel="stylesheet" href="/article/main.css">' + "</head><body>" + "".join(
+        f'<img src="{u}">' for u in ["/figures/fig1.png"]
+    ) + "</body></html>"
+    res = extract_resources_py(body.encode(), "https://journal.example.org/x")
+    urls = [r["url"] for r in res]
+    assert "https://journal.example.org/article/main.css" in urls
+    assert "https://journal.example.org/figures/fig1.png" in urls
+    assert not any("doubleclick" in u or "taboola" in u or "hotjar" in u for u in urls)

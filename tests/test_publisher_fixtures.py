@@ -240,3 +240,35 @@ def test_extract_text_survives_unclosed_form_wrapper():
     t = extract_text_py(html)
     assert "The actual article text lives here." in t
     assert "All" not in t  # select/option still skipped
+
+
+def test_html_ingest_ojs3_fulltext_success():
+    """Parity with the reference's own html-ingest expectation
+    (/root/reference/python/tests/test_html_ingest.py:7-13): the
+    first_monday OJS3 fulltext page extracts successfully. The
+    reference needs a doc[106:] DOCTYPE hack for firstmonday.org
+    (html_ingest.py:36-39); our parser takes the original bytes
+    directly."""
+    from sandcrawler_spark.functions.extract_text import extract_text_py
+
+    raw = open(os.path.join(FILES, "first_monday_ojs3_fulltext.html"), "rb").read()
+    text = extract_text_py(raw)
+    assert text and len(text.split()) > 1000
+    # the body, not the chrome: starts at the abstract
+    assert text.startswith("Online dating and hookup platforms")
+
+
+def test_teixml_body_word_count_parity():
+    """word_count semantics parity with the reference's
+    html_ingest.py:42-49 (teixml_body_text = ' '.join(body.itertext()),
+    word_count = len(split())): our TEI distill of the reference's
+    checked-in GROBID dump yields the same count the reference
+    algorithm computes on the same XML (10945, derived once with
+    ElementTree exactly as html_ingest.py does)."""
+    from sandcrawler_spark.functions.hooks import teixml2json_py
+
+    raw = open(
+        os.path.join(FILES, "23b29ea36382680716be08fc71aa81bd226e8a85.xml"), "rb"
+    ).read()
+    info = teixml2json_py(raw)
+    assert len(info["body"].split()) == 10945
