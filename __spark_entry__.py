@@ -1354,6 +1354,26 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-crawl rank maintenance: phase A ranks the graph as of
+    # "yesterday" (a deterministic md5 slice of the edges, 3 cold
+    # iterations), phase B folds in the new edges with 2 warm-started
+    # iterations instead of a full recompute. The oracle replays both
+    # phases CTE-for-CTE (tagged _pold / _pinc generators).
+    from sandcrawler_spark.operators.linkgraph import (
+        host_graph,
+        host_pagerank,
+        incremental_pagerank,
+    )
+
+    edges = _outlink_edges(spark, sf_dir)
+    old = edges.filter(
+        F.substring(F.md5(F.concat_ws("|", "src_url", "dst_url")), 1, 1) != "f"
+    )
+    prev = host_pagerank(host_graph(old), n_iter=3)
+    return incremental_pagerank(host_graph(edges), prev, n_iter=2)
+
+
 def q_frontier_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north-star priority triple blended into one integer crawl
     # score: request priority, BFS link depth, host-rank percentile
@@ -1679,6 +1699,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_politeness_schedule(spark, SF_DEFAULT)
 
 
+def q_recrawl_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive recrawl scheduling (Cho & Garcia-Molina): per-URL change
+    # rate from consecutive-capture digest flips over the event-derived
+    # capture stream; integer micro-rates + clamped interval days keep
+    # both engines exact (operators/recrawl.py)
+    from sandcrawler_spark.operators.recrawl import change_rate_schedule
+
+    e = _t(spark, sf_dir, "events")
+    caps = e.select(
+        F.concat(
+            F.lit("https://stream.example.org/u/"), F.col("user_id").cast("string")
+        ).alias("url"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                (F.col("event_id") % 3).cast("string"),
+            )
+        ).alias("sha1hex"),
+    )
+    return change_rate_schedule(caps, max_interval_days=64)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rendezvous-hash crawler-fleet sharding: every distinct host maps
+    # to argmax_i md5(host:i) with zero coordination; pure codegen map
+    # (operators/sharding.py)
+    from sandcrawler_spark.operators.sharding import assign_shards
+
+    hosts = _urls(spark, sf_dir).select("host").distinct()
+    return assign_shards(hosts, "host", n_shards=8).select(
+        "host", F.col("shard").cast("int").alias("shard")
+    )
+
+
 # Queries whose driver correctness row is oldest (or missing): listed
 # FIRST so a driver that samples a prefix of queries() re-checks the
 # entries with the stalest receipts. Never-driver-checked first, then
@@ -1694,7 +1750,8 @@ _STALE_FIRST = [
     "sub_resources", "sha1_digest_join", "surt_seed_join", "union_lanes",
     "grobid_hook", "revisit_resolution",
     # r4 additions with no driver history yet get appended here
-    "cumulative_events",
+    "cumulative_events", "recrawl_rates", "shard_assign",
+    "incremental_pagerank",
 ]
 
 
@@ -1782,6 +1839,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_lanes": q_union_lanes,
         "grobid_hook": q_grobid_hook,
         "revisit_resolution": q_revisit_resolution,
+        "recrawl_rates": q_recrawl_rates,
+        "shard_assign": q_shard_assign,
+        "incremental_pagerank": q_incremental_pagerank,
     }
 
 
@@ -2153,37 +2213,62 @@ def _bfs_oracle_ctes(max_depth: int = 4) -> str:
     return ",\n".join(parts)
 
 
-def _pagerank_oracle_ctes(n_iter: int = 5, num: int = 17, den: int = 20) -> str:
+def _pagerank_oracle_ctes(
+    n_iter: int = 5,
+    num: int = 17,
+    den: int = 20,
+    tag: str = "",
+    edges_src: str = "link_edges",
+    init_ranks_cte: str | None = None,
+) -> str:
     """Unrolled fixed-point PageRank (PR_SCALE = 1e12, floor division)
-    — replays operators/linkgraph.host_pagerank integer-for-integer."""
+    — replays operators/linkgraph.host_pagerank integer-for-integer.
+
+    tag: suffix for every CTE name (lets one oracle chain two phases);
+    edges_src: URL-edge relation to contract into the host graph;
+    init_ranks_cte: warm-start ranks (host, rank) — replays
+    incremental_pagerank's init (missing hosts -> uniform prior)."""
     scale = 1_000_000_000_000
+    H, P, N, O, E = (f"hedges{tag}", f"prhosts{tag}", f"prn{tag}",
+                     f"outw{tag}", f"ew{tag}")
+    pr = lambda i: f"pr{tag}{i}"  # noqa: E731
+    dang = lambda i: f"dang{tag}{i}"  # noqa: E731
     parts = [
-        """hedges AS (
+        f"""{H} AS (
   SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
     SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
            regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
-    FROM link_edges)
+    FROM {edges_src})
   WHERE src_host <> dst_host GROUP BY src_host, dst_host
 )""",
-        "prhosts AS (SELECT src_host AS host FROM hedges UNION SELECT dst_host FROM hedges)",
-        "prn AS (SELECT COUNT(*) AS n FROM prhosts)",
-        "outw AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS outw FROM hedges GROUP BY src_host)",
-        "ew AS (SELECT e.src_host, e.dst_host, e.weight, w.outw FROM hedges e JOIN outw w USING (src_host))",
-        f"pr0 AS (SELECT host, CAST({scale} // (SELECT n FROM prn) AS BIGINT) AS rank FROM prhosts)",
+        f"{P} AS (SELECT src_host AS host FROM {H} UNION SELECT dst_host FROM {H})",
+        f"{N} AS (SELECT COUNT(*) AS n FROM {P})",
+        f"{O} AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS outw FROM {H} GROUP BY src_host)",
+        f"{E} AS (SELECT e.src_host, e.dst_host, e.weight, w.outw FROM {H} e JOIN {O} w USING (src_host))",
     ]
+    if init_ranks_cte is None:
+        parts.append(
+            f"{pr(0)} AS (SELECT host, CAST({scale} // (SELECT n FROM {N}) AS BIGINT) AS rank FROM {P})"
+        )
+    else:
+        parts.append(f"""{pr(0)} AS (
+  SELECT p.host,
+         CAST(COALESCE(r.rank, {scale} // (SELECT n FROM {N})) AS BIGINT) AS rank
+  FROM {P} p LEFT JOIN {init_ranks_cte} r USING (host)
+)""")
     for i in range(n_iter):
         parts.append(
-            f"dang{i} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM pr{i} "
-            "WHERE host NOT IN (SELECT src_host FROM outw))"
+            f"{dang(i)} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM {pr(i)} "
+            f"WHERE host NOT IN (SELECT src_host FROM {O}))"
         )
-        parts.append(f"""pr{i + 1} AS (
+        parts.append(f"""{pr(i + 1)} AS (
   SELECT p.host,
-         CAST(({scale} * {den - num}) // ({den} * (SELECT n FROM prn))
+         CAST(({scale} * {den - num}) // ({den} * (SELECT n FROM {N}))
            + COALESCE((SELECT SUM((r.rank * {num} * e.weight) // ({den} * e.outw))
-                       FROM ew e JOIN pr{i} r ON e.src_host = r.host
+                       FROM {E} e JOIN {pr(i)} r ON e.src_host = r.host
                        WHERE e.dst_host = p.host), 0)
-           + ({num} * (SELECT d FROM dang{i})) // ({den} * (SELECT n FROM prn)) AS BIGINT) AS rank
-  FROM prhosts p
+           + ({num} * (SELECT d FROM {dang(i)})) // ({den} * (SELECT n FROM {N})) AS BIGINT) AS rank
+  FROM {P} p
 )""")
     return ",\n".join(parts)
 
@@ -2363,6 +2448,16 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "incremental_pagerank": f"""
+{link_base},
+edges_old AS (
+  SELECT * FROM link_edges
+  WHERE substr(md5(src_url || '|' || dst_url), 1, 1) <> 'f'
+),
+{_pagerank_oracle_ctes(3, tag="_pold", edges_src="edges_old")},
+{_pagerank_oracle_ctes(2, tag="_pinc", edges_src="link_edges", init_ranks_cte="pr_pold3")}
+SELECT host, rank FROM pr_pinc2
 """,
         "frontier_rank_blend": f"""
 {link_base},
@@ -3372,6 +3467,46 @@ GROUP BY 1, 2
         "extraction_roundtrip": _extraction_roundtrip_oracle(),
         "grobid_hook": _grobid_hook_oracle(),
         "revisit_resolution": _revisit_resolution_oracle(),
+        "recrawl_rates": """
+WITH caps AS (
+  SELECT 'https://stream.example.org/u/' || CAST(user_id AS VARCHAR) AS url,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         md5(CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 3 AS VARCHAR)) AS dg
+  FROM events
+), flagged AS (
+  SELECT url, ep, dg,
+         LAG(dg) OVER (PARTITION BY url ORDER BY ep, dg) AS prev
+  FROM caps
+), agg AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_caps,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> dg THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_s
+  FROM flagged GROUP BY url
+)
+SELECT url, n_caps, n_changes, span_s,
+       CAST(CASE WHEN span_s > 0
+                 THEN round(1000000.0 * 86400.0 * n_changes / span_s)
+                 ELSE 0 END AS BIGINT) AS rate_micro_per_day,
+       CAST(CASE WHEN n_changes = 0 THEN 64
+                 ELSE greatest(1, least(64, round((span_s / 86400.0) / n_changes)))
+            END AS BIGINT) AS interval_days
+FROM agg
+""",
+        "shard_assign": f"""
+WITH {_URLS_CTE.strip()},
+hosts AS (SELECT DISTINCT host FROM urls),
+w AS (
+  SELECT host, CAST(t.i AS INT) AS shard,
+         md5(host || ':' || CAST(t.i AS VARCHAR)) AS wgt
+  FROM hosts CROSS JOIN range(0, 8) t(i)
+)
+SELECT host, shard FROM (
+  SELECT host, shard,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY wgt DESC, shard DESC) AS rn
+  FROM w
+) WHERE rn = 1
+""",
     }
 
 

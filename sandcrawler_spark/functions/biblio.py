@@ -664,9 +664,17 @@ for _loc_months in (
      "setembro", "outubro", "novembro", "dezembro"],
     ["janvier", "février", "mars", "avril", "mai", "juin", "juillet", "août",
      "septembre", "octobre", "novembre", "décembre"],
+    # it / nl (r4: next two corpus locales down dateparser's long tail)
+    ["gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno", "luglio",
+     "agosto", "settembre", "ottobre", "novembre", "dicembre"],
+    ["januari", "februari", "maart", "april", "mei", "juni", "juli",
+     "augustus", "september", "oktober", "november", "december"],
 ):
     for _i, _m in enumerate(_loc_months):
         _MONTHS.setdefault(_m, _i + 1)
+
+# English ordinal day suffixes ("March 3rd, 2020", "21st March 2020")
+_ORDINAL_RE = re.compile(r"(?<=\d)(st|nd|rd|th)\b", re.IGNORECASE)
 
 
 def parse_date_py(raw: str | None) -> str | None:
@@ -679,6 +687,9 @@ def parse_date_py(raw: str | None) -> str | None:
     if not raw:
         return None
     raw = raw.strip()
+    # "3rd March 2020" / "March 3rd, 2020" -> strip the ordinal suffix
+    # and fall through to the plain textual-day forms
+    raw = _ORDINAL_RE.sub("", raw)
     y = m = d = None
     mt = re.match(r"^(\d{4})[-/\.](\d{1,2})[-/\.](\d{1,2})(?:[T\s].*)?$", raw)
     if mt:

@@ -1,0 +1,86 @@
+"""Adaptive recrawl scheduling from capture history — the principled
+upgrade of the reference's fixed staleness windows (its weekly /
+quarterly re-ingest dumps pick failed statuses in an 8h-8d window,
+sql/dump_reingest_weekly.sql:1-96): estimate each URL's content change
+rate from its own capture history (consecutive-capture digest flips,
+the observable a CDX index actually has) and derive a per-URL recrawl
+interval — frequently-changing pages recrawl sooner, static pages
+back off (Cho & Garcia-Molina, "Effective Page Refresh Policies for
+Web Crawlers", TODS 2003: refresh frequency should follow the page's
+estimated change frequency).
+
+Estimator (deterministic, engine-portable):
+  n_caps     = captures observed for the URL
+  n_changes  = consecutive capture pairs whose content digest differs
+  span_s     = last capture epoch - first capture epoch (seconds)
+  rate_micro_per_day = round(1e6 * 86400 * n_changes / span_s)
+      (integer micro-changes/day; 0 when span_s = 0 or single capture)
+  interval_days = max_interval if n_changes = 0
+                  else clamp(round(span_days / n_changes), 1, max_interval)
+      (the MLE mean inter-change time, capped to the backoff ceiling)
+
+All arithmetic after the counts is +,-,*,/ on identical doubles plus
+one round() — exactly replayable by the DuckDB oracle (same
+fixed-point discipline as host_pagerank / bm25).
+
+Scale shape: ONE shuffle keyed by url. The per-URL lag() window runs
+over a single URL's capture history — bounded by per-URL capture
+counts (CDX reality: tens to low thousands), never corpus-sized, so
+no hot-key ceiling. The aggregate that follows shares the same
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def change_rate_schedule(
+    captures: DataFrame,
+    url_col: str = "url",
+    epoch_col: str = "epoch_s",
+    digest_col: str = "sha1hex",
+    max_interval_days: int = 64,
+) -> DataFrame:
+    """(url, n_caps, n_changes, span_s, rate_micro_per_day,
+    interval_days) — one row per URL with >= 1 capture."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("_ep", "_dg")
+    flagged = (
+        captures.select(
+            F.col(url_col).alias("url"),
+            F.col(epoch_col).cast("long").alias("_ep"),
+            F.col(digest_col).alias("_dg"),
+        )
+        .withColumn("_prev", F.lag("_dg").over(w))
+        .withColumn(
+            "_changed",
+            (F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_dg"))).cast("long"),
+        )
+    )
+    agg = flagged.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_caps"),
+        F.sum("_changed").cast("long").alias("n_changes"),
+        (F.max("_ep") - F.min("_ep")).cast("long").alias("span_s"),
+    )
+    span_days = F.col("span_s") / F.lit(86400.0)
+    rate = F.when(
+        F.col("span_s") > 0,
+        F.round(F.lit(1_000_000.0) * F.lit(86400.0) * F.col("n_changes") / F.col("span_s")),
+    ).otherwise(F.lit(0))
+    interval = F.when(F.col("n_changes") == 0, F.lit(max_interval_days)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(max_interval_days), F.round(span_days / F.col("n_changes"))),
+        )
+    )
+    return agg.select(
+        "url",
+        "n_caps",
+        "n_changes",
+        "span_s",
+        rate.cast("long").alias("rate_micro_per_day"),
+        interval.cast("long").alias("interval_days"),
+    )

@@ -1,0 +1,70 @@
+"""Crawler-fleet shard assignment by rendezvous (highest-random-weight)
+hashing — how a 1000-executor crawl statically owns its hosts: every
+host deterministically maps to the shard with the highest
+md5(host ":" shard) weight, so (a) assignment needs no coordination
+or lookup table, (b) any observer recomputes it from the key alone,
+and (c) growing the fleet from N to N+1 shards moves ONLY the keys
+whose new shard wins — ~1/(N+1) of them — instead of rehashing the
+world (Thaler & Ravishankar, "Using Name-Based Mappings to Increase
+Hit Rates", ToN 1998; the same property consistent hashing buys, with
+exact minimal disruption and no ring metadata).
+
+Per-host (not per-URL) sharding keeps politeness local: one shard
+owns ALL of a host's URLs, so per-host rate limits and robots caches
+never need cross-executor coordination — the same reason the
+reference partitions its work queues by host.
+
+Scale shape: pure codegen map (n_shards md5s per key, argmax via
+array_max over (hash, shard) structs — no shuffle, no UDF); the
+balance rollup is one tiny groupBy(shard).
+
+Engine portability: md5 hex strings compare lexicographically the
+same everywhere; the DuckDB oracle replays the argmax relationally
+(unnest + row_number) over identical md5 values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rendezvous_shard_col(key: Column, n_shards: int) -> Column:
+    """Winning shard id for a key: argmax_i md5(key || ':' || i).
+    Ties (md5 collisions across shards of one key) are broken toward
+    the larger shard id by the struct comparison order — deterministic
+    either way."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(key, F.lit(f":{i}"))).alias("w"),
+                F.lit(i).alias("shard"),
+            )
+            for i in range(n_shards)
+        ]
+    )
+    return F.array_max(pairs)["shard"]
+
+
+def assign_shards(
+    df: DataFrame, key_col: str = "host", n_shards: int = 8, out_col: str = "shard"
+) -> DataFrame:
+    """df + out_col = rendezvous shard of key_col."""
+    return df.withColumn(out_col, rendezvous_shard_col(F.col(key_col), n_shards))
+
+
+def shard_balance(
+    df: DataFrame, key_col: str = "host", n_shards: int = 8
+) -> DataFrame:
+    """Load report per shard over the DISTINCT keys: (shard, n_keys,
+    n_rows). Balance quality is the caller's judgment; rendezvous over
+    md5 is uniform in expectation with no coordination."""
+    a = assign_shards(df, key_col, n_shards)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.countDistinct(key_col).cast("long").alias("n_keys"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select("shard", "n_keys", "n_rows")
+    )

@@ -25,16 +25,30 @@ from pyspark.sql import functions as F
 Z_BITS = 16  # per-dimension resolution: 2 dims x 16 bits = 32-bit z-value
 
 
-def zvalue_col(a: Column, b: Column, bits: int = Z_BITS) -> Column:
-    """Morton interleave of two ALREADY-NORMALIZED non-negative ints
+def zvalue_n_col(cols: list[Column], bits: int | None = None) -> Column:
+    """Morton interleave of k ALREADY-NORMALIZED non-negative ints
     (caller maps each dimension into [0, 2^bits) — rank, bucket, or
-    scaled value). Bit i of `a` lands at z-bit 2i+1, of `b` at 2i."""
+    scaled value). Bit i of dimension j lands at z-bit i*k + (k-1-j),
+    so dims earlier in the list take the more significant bit of each
+    group (for k=2 this is exactly the classic a-odd/b-even layout).
+    bits defaults to 62 // k, the max that keeps the z-value in a
+    signed long."""
+    k = len(cols)
+    if bits is None:
+        bits = 62 // k
+    assert k * bits <= 62, "z-value would overflow a signed long"
     z = F.lit(0).cast("long")
     for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
-        z = z + F.shiftleft(abit, 2 * i + 1) + F.shiftleft(bbit, 2 * i)
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * k + (k - 1 - j))
     return z
+
+
+def zvalue_col(a: Column, b: Column, bits: int = Z_BITS) -> Column:
+    """2-dim Morton interleave (bit i of `a` at z-bit 2i+1, of `b`
+    at 2i) — the k=2 case of zvalue_n_col."""
+    return zvalue_n_col([a, b], bits)
 
 
 def write_zordered(
@@ -97,6 +111,62 @@ def pruned_read(
     it does not filter rows). Returns an empty DataFrame with the
     right schema when nothing intersects."""
     files = pruned_files(spark, path, a_range, b_range)
+    full = spark.read.parquet(os.path.join(path, "data"))
+    if not files:
+        return full.limit(0)
+    return spark.read.schema(full.schema).parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# n-dimensional variant (r4): (host-bucket, time, depth, ...) at once
+# ---------------------------------------------------------------------------
+
+def write_zordered_nd(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    n_files: int = 16,
+    bits: int | None = None,
+) -> None:
+    """Write df z-ordered on k dimensions, with a per-file min/max box
+    manifest over ALL of them (columns min_<dim>/max_<dim>). Dims must
+    be non-negative ints < 2^bits (default bits = 62 // k)."""
+    z = zvalue_n_col([F.col(d) for d in dims], bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "data"))
+    )
+    spark = df.sparkSession
+    data = spark.read.parquet(os.path.join(path, "data"))
+    aggs = []
+    for d in dims:
+        aggs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
+    manifest = data.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_zmanifest")
+    )
+
+
+def pruned_files_nd(
+    spark: SparkSession, path: str, ranges: dict[str, tuple[int, int]]
+) -> list[str]:
+    """Files whose min/max box intersects the query box on every
+    constrained dimension (unconstrained dims don't prune)."""
+    m = spark.read.parquet(os.path.join(path, "_zmanifest"))
+    for d, (lo, hi) in ranges.items():
+        m = m.filter((F.col(f"max_{d}") >= lo) & (F.col(f"min_{d}") <= hi))
+    return [r.file for r in m.select("file").collect()]
+
+
+def pruned_read_nd(
+    spark: SparkSession, path: str, ranges: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Manifest-pruned scan over an n-dim z-ordered table."""
+    files = pruned_files_nd(spark, path, ranges)
     full = spark.read.parquet(os.path.join(path, "data"))
     if not files:
         return full.limit(0)

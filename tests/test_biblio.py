@@ -167,10 +167,21 @@ def test_date_parsing_table():
     assert parse_date_py("décembre 2021") == "2021-12-01"
     # European dotted D.M.Y
     assert parse_date_py("15.05.2017") == "2017-05-15"
+    # ordinal day suffixes (r4)
+    assert parse_date_py("March 3rd, 2020") == "2020-03-03"
+    assert parse_date_py("21st March 2020") == "2020-03-21"
+    assert parse_date_py("June 22nd, 1941") == "1941-06-22"
+    assert parse_date_py("4th July 1776") == "1776-07-04"
+    # it / nl locale months (r4)
+    assert parse_date_py("12 gennaio 2019") == "2019-01-12"
+    assert parse_date_py("dicembre 2020") == "2020-12-01"
+    assert parse_date_py("15 augustus 2018") == "2018-08-15"
+    assert parse_date_py("maart 2021") == "2021-03-01"
     # garbage / year-only still rejected
     assert parse_date_py("2020") is None
     assert parse_date_py("2020-13-40") is None
     assert parse_date_py("sometime recently") is None
+    assert parse_date_py("thisth") is None  # suffix strip only after a digit
 
 
 def test_sibling_combinator_pdf_pattern():

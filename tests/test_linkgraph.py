@@ -220,3 +220,47 @@ def test_cms_heavy_hitters_complete_and_partition_proof(spark):
         for r in cms_heavy_hitters(df.repartition(17), "k", phi=0.1).collect()
     }
     assert hh == hh2
+
+
+def test_incremental_pagerank_warm_start(spark):
+    """Warm-started incremental update on the grown graph lands closer
+    to the full fixed point than a cold run with the same iteration
+    budget, and is exactly deterministic."""
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.linkgraph import (
+        host_graph,
+        host_pagerank,
+        incremental_pagerank,
+    )
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src_url string, dst_url string")
+
+    old_rows = [
+        (f"https://h{i}.org/a", f"https://h{(i * 3 + 1) % 20}.org/b")
+        for i in range(60)
+    ]
+    new_rows = [
+        (f"https://h{i}.org/c", "https://newhub.org/x") for i in range(0, 20, 2)
+    ] + [("https://newhub.org/x", "https://h1.org/")]
+    all_e = host_graph(edges(old_rows + new_rows)).localCheckpoint(eager=True)
+
+    prev = host_pagerank(host_graph(edges(old_rows)), n_iter=3)
+    inc = incremental_pagerank(all_e, prev, n_iter=2)
+    cold2 = host_pagerank(all_e, n_iter=2)
+    truth = host_pagerank(all_e, n_iter=12)  # ~fixed point
+
+    t = {r.host: r.rank for r in truth.collect()}
+    d_inc = sum(abs(r.rank - t[r.host]) for r in inc.collect())
+    d_cold = sum(abs(r.rank - t[r.host]) for r in cold2.collect())
+    assert d_inc < d_cold, (d_inc, d_cold)
+
+    # new host is ranked; determinism across layouts
+    inc_rows = {r.host: r.rank for r in inc.collect()}
+    assert "newhub.org" in inc_rows
+    inc_b = {
+        r.host: r.rank
+        for r in incremental_pagerank(all_e.repartition(7), prev, n_iter=2).collect()
+    }
+    assert inc_rows == inc_b

@@ -76,3 +76,56 @@ def test_zorder_prunes_both_dims_linear_does_not(spark, tmp_path):
         .count()
     )
     assert got == 32 * 32
+
+
+def test_zorder_nd_prunes_and_matches_full_scan(spark, tmp_path):
+    """3-dim Morton layout: pruned read == full filter on every probe
+    box, and a selective box opens strictly fewer files."""
+    from sandcrawler_spark.plans.zorder import (
+        pruned_files_nd,
+        pruned_read_nd,
+        write_zordered_nd,
+        zvalue_n_col,
+    )
+
+    # k=2 n-dim layout reproduces the classic 2-dim interleave
+    two = spark.range(50).select(
+        zvalue_n_col([F.col("id"), F.col("id") * 3 % 16], 8).alias("znew"),
+    ).collect()
+    from sandcrawler_spark.plans.zorder import zvalue_col
+
+    legacy = spark.range(50).select(
+        zvalue_col(F.col("id"), F.col("id") * 3 % 16, 8).alias("zold")
+    ).collect()
+    assert [r.znew for r in two] == [r.zold for r in legacy]
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 64).alias("hostb"),
+        ((F.col("id") * 7) % 1024).alias("ts"),
+        ((F.col("id") * 13) % 8).alias("depth"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "z3")
+    write_zordered_nd(df, path, ["hostb", "ts", "depth"], n_files=32)
+
+    full = spark.read.parquet(path + "/data")
+    for ranges in (
+        {"hostb": (3, 9)},
+        {"ts": (100, 180)},
+        {"hostb": (10, 20), "ts": (0, 511), "depth": (2, 3)},
+        {"hostb": (63, 63), "depth": (0, 0)},
+    ):
+        cond = None
+        for d, (lo, hi) in ranges.items():
+            c = (F.col(d) >= lo) & (F.col(d) <= hi)
+            cond = c if cond is None else (cond & c)
+        want = sorted(r.payload for r in full.filter(cond).collect())
+        got = sorted(
+            r.payload
+            for r in pruned_read_nd(spark, path, ranges).filter(cond).collect()
+        )
+        assert got == want
+    # selectivity: a tight 3-dim box must not open every file
+    n_all = len(pruned_files_nd(spark, path, {}))
+    n_tight = len(pruned_files_nd(spark, path, {"hostb": (3, 4), "ts": (64, 96)}))
+    assert n_tight < n_all

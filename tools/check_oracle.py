@@ -4,6 +4,11 @@ sf dir; compare row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --json ORACLE_SWEEP_r4.json [sf_dir]
+           (also writes the per-query results as a JSON artifact — the
+           committed full-sweep correctness receipt VERDICT r3 asked
+           for, so every query has a current-round record even when
+           the driver samples)
 """
 
 from __future__ import annotations
@@ -47,8 +52,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -75,11 +86,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"ok": False, "err": f"spark: {type(e).__name__}"}
             failures += 1
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            results[name] = {"ok": True, "rows_only": True, "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -101,15 +114,23 @@ def main() -> int:
                     f"FAIL  {name}: oracle column(s) {bad_t} are 128-bit/unsigned "
                     "ints — pandas degrades these to float64; CAST to BIGINT"
                 )
+                results[name] = {"ok": False, "err": f"hugeint cols: {bad_t}"}
                 failures += 1
                 continue
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            results[name] = {"ok": False, "err": f"duckdb: {type(e).__name__}: {str(e)[:200]}"}
             failures += 1
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_hash = ok_cols and ok_count and value_hash(scols, srows) == value_hash(ocols, orows)
+        results[name] = {
+            "ok": bool(ok_cols and ok_count and ok_hash),
+            "rows_match": ok_count, "schema_match": ok_cols, "hash_match": ok_hash,
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "spark_s": round(spark_s, 2),
+        }
         if ok_cols and ok_count and ok_hash:
             print(f"OK    {name}: {len(srows)} rows [{spark_s:.1f}s]")
         else:
@@ -127,6 +148,18 @@ def main() -> int:
                 for a, b in diff:
                     print(f"        spark: {a[:160]}\n        duck : {b[:160]}")
     print("failures:", failures)
+    if json_out is not None:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_failures": failures,
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, default=str)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

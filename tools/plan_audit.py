@@ -46,7 +46,8 @@ AUDIT = [
     "user_sessions", "bpe_merges", "event_quantiles", "host_budget_alloc",
     "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
     "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix", "url_traps",
-    "backlink_features",
+    "backlink_features", "recrawl_rates", "shard_assign",
+    "incremental_pagerank",
 ]
 
 
