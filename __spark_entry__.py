@@ -1354,6 +1354,32 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AIMD per-host politeness adaptation: double on 429/503, additive
+    # decrease on clean rounds, clamp to [250ms, 64s]; pure integer
+    # CASE arithmetic (operators/politeness.py adapt_crawl_delays)
+    from sandcrawler_spark.operators.politeness import adapt_crawl_delays
+
+    e = _t(spark, sf_dir, "events")
+    results = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.when(F.col("event_id") % 97 == 0, 429)
+        .when(F.col("event_id") % 89 == 0, 503)
+        .when(F.col("event_id") % 11 == 0, 404)
+        .otherwise(200)
+        .alias("status_code"),
+    )
+    current = (
+        e.select((F.col("user_id") % 40).alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            (F.lit(250) * (1 + F.col("hid") % 8)).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return adapt_crawl_delays(results, current)
+
+
 def q_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous-crawl rank maintenance: phase A ranks the graph as of
     # "yesterday" (a deterministic md5 slice of the edges, 3 cold
@@ -1751,7 +1777,7 @@ _STALE_FIRST = [
     "grobid_hook", "revisit_resolution",
     # r4 additions with no driver history yet get appended here
     "cumulative_events", "recrawl_rates", "shard_assign",
-    "incremental_pagerank",
+    "incremental_pagerank", "adaptive_delay",
 ]
 
 
@@ -1842,6 +1868,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_rates": q_recrawl_rates,
         "shard_assign": q_shard_assign,
         "incremental_pagerank": q_incremental_pagerank,
+        "adaptive_delay": q_adaptive_delay,
     }
 
 
@@ -3492,6 +3519,33 @@ SELECT url, n_caps, n_changes, span_s,
                  ELSE greatest(1, least(64, round((span_s / 86400.0) / n_changes)))
             END AS BIGINT) AS interval_days
 FROM agg
+""",
+        "adaptive_delay": """
+WITH results AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         CASE WHEN event_id % 97 = 0 THEN 429
+              WHEN event_id % 89 = 0 THEN 503
+              WHEN event_id % 11 = 0 THEN 404
+              ELSE 200 END AS status_code
+  FROM events
+),
+current AS (
+  SELECT 'h' || CAST(hid AS VARCHAR) AS host,
+         CAST(250 * (1 + hid % 8) AS BIGINT) AS crawl_delay_ms
+  FROM (SELECT DISTINCT user_id % 40 AS hid FROM events)
+),
+obs AS (
+  SELECT host,
+         CAST(SUM(CASE WHEN status_code IN (429, 503) THEN 1 ELSE 0 END) AS BIGINT) AS n_throttle,
+         CAST(SUM(CASE WHEN status_code >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+  FROM results GROUP BY host
+)
+SELECT c.host,
+       CAST(greatest(250, least(64000,
+            CASE WHEN o.n_throttle > 0 THEN c.crawl_delay_ms * 2
+                 WHEN o.n_fail = 0 THEN c.crawl_delay_ms - 250
+                 ELSE c.crawl_delay_ms END)) AS BIGINT) AS crawl_delay_ms
+FROM current c LEFT JOIN obs o ON c.host = o.host
 """,
         "shard_assign": f"""
 WITH {_URLS_CTE.strip()},

@@ -192,3 +192,73 @@ def schedule_politeness(
         "seq_in_round", F.lit(None).cast("int")
     )
     return out.unionByName(excluded).drop("max_parallel", "disallow_prefixes")
+
+
+# ---------------------------------------------------------------------------
+# AIMD adaptive per-host delay (r4)
+# ---------------------------------------------------------------------------
+
+def adapt_crawl_delays(
+    results: DataFrame,
+    current: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status_code",
+    delay_ms_col: str = "crawl_delay_ms",
+    min_delay_ms: int = 250,
+    max_delay_ms: int = 64_000,
+    decrease_ms: int = 250,
+) -> DataFrame:
+    """Next-round per-host crawl delay from this round's observed fetch
+    outcomes — TCP-style AIMD, the adaptive layer on top of the static
+    robots Crawl-delay floor (which schedule_politeness keeps
+    enforcing; this only ever ADDS caution):
+
+      any 429/503 from a host this round -> delay doubles
+        (multiplicative increase on the explicit back-off signals the
+        reference reacts to with its blanket 40x5s sleep,
+        workers.py:534-554 — here per-host, so one throttling host
+        does not stall the fleet);
+      an all-successful round      -> delay decreases by decrease_ms
+        (additive decrease, probing back toward the floor);
+      other failures (404/5xx-mix) -> delay unchanged.
+
+    Delays are integer milliseconds clamped to [min, max] — the whole
+    update is integer CASE arithmetic, exactly replayable by the
+    DuckDB oracle. Hosts with no traffic this round keep their delay.
+
+    Scale shape: one host-keyed count aggregate over the round's
+    results + a broadcast-sized join against the per-host delay table
+    (hosts << rows; the delay table is the small side at any corpus
+    scale)."""
+    obs = results.groupBy(F.col(host_col).alias("host")).agg(
+        F.sum(
+            F.when(F.col(status_col).isin(429, 503), 1).otherwise(0)
+        ).cast("long").alias("n_throttle"),
+        F.sum(
+            F.when(F.col(status_col) >= 400, 1).otherwise(0)
+        ).cast("long").alias("n_fail"),
+    )
+    cur = current.select(
+        F.col(host_col).alias("host"), F.col(delay_ms_col).cast("long").alias("_d")
+    )
+    nxt = (
+        cur.join(obs, on="host", how="left")
+        .select(
+            "host",
+            F.when(F.col("n_throttle") > 0, F.col("_d") * 2)
+            .when(
+                F.col("n_fail") == 0,
+                F.col("_d") - F.lit(decrease_ms),
+            )
+            .otherwise(F.col("_d"))
+            .alias("_raw"),
+        )
+        .select(
+            "host",
+            F.greatest(
+                F.lit(min_delay_ms),
+                F.least(F.lit(max_delay_ms), F.col("_raw")),
+            ).cast("long").alias(delay_ms_col),
+        )
+    )
+    return nxt

@@ -80,3 +80,43 @@ def test_rendezvous_sharding_uniform_and_minimal_disruption(spark):
 
     bal = {r.shard: (r.n_keys, r.n_rows) for r in shard_balance(hosts, "host", n).collect()}
     assert sum(k for k, _ in bal.values()) == 2000
+
+
+def test_adapt_crawl_delays_aimd(spark):
+    from sandcrawler_spark.operators.politeness import adapt_crawl_delays
+
+    results = spark.createDataFrame(
+        [
+            ("throttled.org", 200), ("throttled.org", 429),
+            ("clean.org", 200), ("clean.org", 226),
+            ("flaky.org", 200), ("flaky.org", 404),
+            ("dead.org", 503),
+            ("floor.org", 200),
+            ("ceil.org", 429),
+        ],
+        "host string, status_code int",
+    )
+    current = spark.createDataFrame(
+        [
+            ("throttled.org", 1000), ("clean.org", 1000), ("flaky.org", 1000),
+            ("dead.org", 2000), ("idle.org", 3000),
+            ("floor.org", 250), ("ceil.org", 50_000),
+        ],
+        "host string, crawl_delay_ms long",
+    )
+    got = {r.host: r.crawl_delay_ms for r in adapt_crawl_delays(results, current).collect()}
+    assert got["throttled.org"] == 2000   # x2 on 429
+    assert got["dead.org"] == 4000        # x2 on 503
+    assert got["clean.org"] == 750        # -250 on clean round
+    assert got["flaky.org"] == 1000       # plain failures: hold
+    assert got["idle.org"] == 3000        # no traffic: hold
+    assert got["floor.org"] == 250        # clamped at the floor
+    assert got["ceil.org"] == 64_000      # clamped at the ceiling
+
+    # monotone convergence: repeated clean rounds walk down to the floor
+    d = current.select("host", "crawl_delay_ms")
+    clean = results.filter(F.col("status_code") < 400)
+    for _ in range(4):
+        d = adapt_crawl_delays(clean, d)
+    final = {r.host: r.crawl_delay_ms for r in d.collect()}
+    assert final["clean.org"] == 250 and final["floor.org"] == 250
