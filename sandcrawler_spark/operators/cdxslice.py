@@ -10,8 +10,9 @@ Role parity (the reference's Pig slice family):
         global crawl order every slice ends with
 
 Spark shapes: the filters are pure Catalyst predicates (pushed to the
-parquet scan); the per-hash representative is a row_number window on
-the hash (hash-partitioned, no skew — sha1 is uniform); the global
+parquet scan); the per-hash representative is a min(struct) aggregate
+on the hash (map-side partial combine — immune to one viral content
+hash with millions of captures, see distinct_by_hash); the global
 order is repartitionByRange on the sort key + sortWithinPartitions —
 Spark's distributed total sort (range exchange ≈ Pig's PARALLEL 50
 ordered store), files then read back in partition order.
@@ -19,7 +20,7 @@ ordered store), files then read back in partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # variant -> (mimetype regex, url regex or None); filter-cdx-*.pig
@@ -43,10 +44,24 @@ def crawl_order_dump(df: DataFrame, sort_cols: list[str], n_partitions: int | No
 
 def distinct_by_hash(df: DataFrame, hash_col: str = "sha1hex", order_cols: list[str] | None = None) -> DataFrame:
     """A4: one representative capture per content hash (GROUP BY sha1
-    + TOP(1)); deterministic representative via the order columns."""
-    order = [F.col(c) for c in (order_cols or ["surt", "datetime"])]
-    w = Window.partitionBy(hash_col).orderBy(*order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    + TOP(1)); deterministic representative via the order columns
+    (ties beyond them break on the remaining columns, so the pick is
+    total-order deterministic).
+
+    min(struct(order..., rest...)) per hash, NOT a rank-1 window: the
+    hash KEYS are uniform but one hash's GROUP is every capture of
+    that content — a viral page mirrored 10^6 times is one window
+    buffer in one task, while the aggregate form partial-combines
+    map-side (same skew discipline as paragraph/span dedupe).
+    Columns must be orderable (strings/numerics — true for CDX rows)."""
+    order = list(order_cols or ["surt", "datetime"])
+    rest = [c for c in df.columns if c not in order and c != hash_col]
+    rep = (
+        df.groupBy(hash_col)
+        .agg(F.min(F.struct(*order, *rest)).alias("_f"))
+        .select(hash_col, "_f.*")
+    )
+    return rep.select(*df.columns)
 
 
 def cdx_variant_slice(
