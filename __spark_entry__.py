@@ -1354,6 +1354,18 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperBall neighborhood function + harmonic centrality over the
+    # host graph (per-node HLL ball sketches iterated along edges —
+    # |V| BFS runs collapsed into 3 joins; operators/hyperball.py)
+    from sandcrawler_spark.operators.hyperball import hyperball
+    from sandcrawler_spark.operators.linkgraph import host_graph
+
+    return hyperball(
+        host_graph(_outlink_edges(spark, sf_dir)), n_iter=3, p=8, direction="in"
+    )
+
+
 def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AIMD per-host politeness adaptation: double on 429/503, additive
     # decrease on clean rounds, clamp to [250ms, 64s]; pure integer
@@ -1777,7 +1789,7 @@ _STALE_FIRST = [
     "grobid_hook", "revisit_resolution",
     # r4 additions with no driver history yet get appended here
     "cumulative_events", "recrawl_rates", "shard_assign",
-    "incremental_pagerank", "adaptive_delay",
+    "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
 ]
 
 
@@ -1869,6 +1881,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "incremental_pagerank": q_incremental_pagerank,
         "adaptive_delay": q_adaptive_delay,
+        "hyperball_centrality": q_hyperball_centrality,
     }
 
 
@@ -2240,6 +2253,64 @@ def _bfs_oracle_ctes(max_depth: int = 4) -> str:
     return ",\n".join(parts)
 
 
+def _hyperball_oracle_ctes(n_iter: int = 3, p: int = 8) -> str:
+    """Unrolled HyperBall twin: per-host HLL register tables iterated
+    along the host graph — identical md5/rank/harmonic-sum arithmetic
+    to operators/sketches.py (same constants as hll_oracle_sql), with
+    the same precomputed linear-counting table the Spark side embeds
+    for the small-range correction."""
+    from sandcrawler_spark.operators.hyperball import _lc_table
+    from sandcrawler_spark.operators.sketches import RHO_CAP, _alpha
+
+    m = 1 << p
+    est_const = repr(_alpha(m) * m * m * float(1 << RHO_CAP))
+    lc_vals = ", ".join(
+        f"({z}, {v!r})" for z, v in enumerate(_lc_table(m), start=1)
+    )
+    parts = [
+        """hbedges AS (
+  SELECT DISTINCT src_host AS f, dst_host AS t FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+)""",
+        "hbnodes AS (SELECT f AS host FROM hbedges UNION SELECT t FROM hbedges)",
+        f"""hbregs0 AS (
+  SELECT host, h % {m} AS bkt,
+         CASE WHEN h // {m} = 0 THEN {RHO_CAP}
+              ELSE LEAST(bit_count(((h // {m}) & (-(h // {m}))) - 1) + 1, {RHO_CAP})
+         END AS mreg
+  FROM (SELECT host, CAST('0x' || substr(md5(host), 1, 15) AS BIGINT) AS h FROM hbnodes)
+)""",
+        f"hblc(z, lc) AS (SELECT * FROM (VALUES {lc_vals}))",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""hbregs{t} AS (
+  SELECT host, bkt, MAX(mreg) AS mreg FROM (
+    SELECT host, bkt, mreg FROM hbregs{t - 1}
+    UNION ALL
+    SELECT e.t AS host, p.bkt, p.mreg
+    FROM hbedges e JOIN hbregs{t - 1} p ON p.host = e.f
+  ) GROUP BY host, bkt
+)""")
+    for t in range(n_iter + 1):
+        parts.append(f"""hbest{t} AS (
+  SELECT host,
+         CASE WHEN zeros > 0 AND raw <= {2.5 * m!r}
+              THEN (SELECT lc FROM hblc WHERE z = greatest(zeros, 1))
+              ELSE ROUND(raw, 2) END AS ball_{t}
+  FROM (
+    SELECT host,
+           CAST({m} - COUNT(*) AS INT) AS zeros,
+           {est_const} / (SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - mreg))
+             + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {RHO_CAP})) AS raw
+    FROM hbregs{t} GROUP BY host
+  )
+)""")
+    return ",\n".join(parts)
+
+
 def _pagerank_oracle_ctes(
     n_iter: int = 5,
     num: int = 17,
@@ -2475,6 +2546,20 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "hyperball_centrality": f"""
+{link_base},
+{_hyperball_oracle_ctes(3, 8)}
+SELECT e0.host, e0.ball_0, e1.ball_1, e2.ball_2, e3.ball_3,
+       CAST(
+         (CAST(round(e1.ball_1 * 100) AS BIGINT) - CAST(round(e0.ball_0 * 100) AS BIGINT)) * 1000000 // 100
+         + (CAST(round(e2.ball_2 * 100) AS BIGINT) - CAST(round(e1.ball_1 * 100) AS BIGINT)) * 1000000 // 200
+         + (CAST(round(e3.ball_3 * 100) AS BIGINT) - CAST(round(e2.ball_2 * 100) AS BIGINT)) * 1000000 // 300
+       AS BIGINT) AS harmonic_micro
+FROM hbest0 e0
+JOIN hbest1 e1 USING (host)
+JOIN hbest2 e2 USING (host)
+JOIN hbest3 e3 USING (host)
 """,
         "incremental_pagerank": f"""
 {link_base},

@@ -264,3 +264,34 @@ def test_incremental_pagerank_warm_start(spark):
         for r in incremental_pagerank(all_e.repartition(7), prev, n_iter=2).collect()
     }
     assert inc_rows == inc_b
+
+
+def test_hyperball_matches_exact_bfs_on_line_graph(spark):
+    """On a tiny path graph the HLL balls are near-exact (few distinct
+    members), so ball growth and harmonic ordering must track the true
+    BFS neighborhood function; also layout-invariance."""
+    from sandcrawler_spark.operators.hyperball import hyperball
+
+    # a -> b -> c -> d (host-level edges)
+    e = spark.createDataFrame(
+        [("a.org", "b.org", 1), ("b.org", "c.org", 1), ("c.org", "d.org", 1)],
+        "src_host string, dst_host string, weight long",
+    )
+    out = {r.host: r for r in hyperball(e, n_iter=3, p=8, direction="in").collect()}
+    # in-balls: |{u: d(u,v) <= t}|; HLL at p=8 on <=4 members is near-exact
+    def approx(v, n):
+        assert abs(v - n) / n < 0.15, (v, n)
+
+    approx(out["a.org"].ball_3, 1)   # nothing reaches a
+    approx(out["d.org"].ball_1, 2)   # {d, c}
+    approx(out["d.org"].ball_2, 3)
+    approx(out["d.org"].ball_3, 4)
+    # harmonic centrality strictly increases down the chain
+    hs = [out[h].harmonic_micro for h in ("a.org", "b.org", "c.org", "d.org")]
+    assert hs[0] == 0 and hs == sorted(hs)
+
+    out2 = {
+        r.host: r.harmonic_micro
+        for r in hyperball(e.repartition(5), n_iter=3, p=8).collect()
+    }
+    assert out2 == {h: r.harmonic_micro for h, r in out.items()}

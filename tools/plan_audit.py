@@ -47,7 +47,7 @@ AUDIT = [
     "cumulative_events", "corpus_pack", "dedupe_recall", "phrase_search",
     "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix", "url_traps",
     "backlink_features", "recrawl_rates", "shard_assign",
-    "incremental_pagerank", "adaptive_delay",
+    "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
 ]
 
 
