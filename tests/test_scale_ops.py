@@ -140,3 +140,40 @@ def test_span_paragraph_dedupe_hot_gram_skew(spark):
     assert pagg.d == n_docs // 2 - 1
     print(f"\nhot-gram skew: span {span_wall:.1f}s, paragraph {para_wall:.1f}s "
           f"at {n_docs:,} docs (50% boilerplate)")
+
+
+def test_hyperball_1e5_node_graph(spark):
+    """HyperBall at design shape: 10^5 hosts, ~3x10^5 edges, p=6 (64
+    registers/host -> 6.4M register rows per iteration). Two hops of
+    ball growth + centrality in bounded wall-clock; hub node must rank
+    above the median leaf."""
+    from sandcrawler_spark.operators.hyperball import hyperball
+
+    n = 100_000
+    # ring + chords + one mega-hub that everything points at
+    base = spark.range(n)
+    e = (
+        base.select(
+            F.concat(F.lit("h"), F.col("id")).alias("src_host"),
+            F.concat(F.lit("h"), (F.col("id") + 1) % n).alias("dst_host"),
+        )
+        .unionByName(base.select(
+            F.concat(F.lit("h"), F.col("id")).alias("src_host"),
+            F.concat(F.lit("h"), (F.col("id") * 7919) % n).alias("dst_host"),
+        ))
+        .unionByName(base.filter(F.col("id") % 3 == 0).select(
+            F.concat(F.lit("h"), F.col("id")).alias("src_host"),
+            F.lit("h0").alias("dst_host"),
+        ))
+        .withColumn("weight", F.lit(1))
+        .filter(F.col("src_host") != F.col("dst_host"))
+    )
+    t0 = time.time()
+    out = hyperball(e, n_iter=2, p=6, direction="in")
+    rows = {r.host: r for r in out.filter(F.col("host").isin("h0", "h77777")).collect()}
+    wall = time.time() - t0
+    hub, leaf = rows["h0"], rows["h77777"]
+    assert hub.harmonic_micro > 100 * leaf.harmonic_micro
+    assert hub.ball_1 > 10_000  # ~n/3 in-neighbors sketch-estimated
+    print(f"\nhyperball: {n:,} hosts, 2 hops in {wall:.1f}s "
+          f"(hub ball_1≈{hub.ball_1:,.0f})")
