@@ -1354,6 +1354,22 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable decimal-HDR histogram percentiles (bounded-state
+    # monitoring path next to the exact event_quantiles rollup);
+    # pure string/integer bucketing, no libm (operators/histq.py)
+    from sandcrawler_spark.operators.histq import (
+        decimal_histogram,
+        histogram_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    h = decimal_histogram(e, "cents", ["event_type"])
+    return histogram_quantiles(h, [0.5, 0.9, 0.99], ["event_type"])
+
+
 def q_hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperBall neighborhood function + harmonic centrality over the
     # host graph (per-node HLL ball sketches iterated along edges —
@@ -1790,6 +1806,7 @@ _STALE_FIRST = [
     # r4 additions with no driver history yet get appended here
     "cumulative_events", "recrawl_rates", "shard_assign",
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
+    "histogram_quantiles",
 ]
 
 
@@ -1882,6 +1899,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pagerank": q_incremental_pagerank,
         "adaptive_delay": q_adaptive_delay,
         "hyperball_centrality": q_hyperball_centrality,
+        "histogram_quantiles": q_histogram_quantiles,
     }
 
 
@@ -2546,6 +2564,36 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "histogram_quantiles": """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+hist AS (
+  SELECT event_type,
+         CAST(length(CAST(v AS VARCHAR)) - 1 AS INT) AS e,
+         CAST(CASE WHEN v < 10 THEN v
+                   ELSE CAST(substr(CAST(v AS VARCHAR), 1, 2) AS INT)
+              END AS INT) AS sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, e, sub,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY e, sub
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n,
+         CASE WHEN e = 0 THEN CAST(sub AS BIGINT)
+              ELSE CAST(sub || repeat('0', e - 1) AS BIGINT) END AS low
+  FROM hist
+),
+qs(q) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.9), (0.99)) t(x))
+SELECT c.event_type, qs.q,
+       CAST(MAX(c.n) AS BIGINT) AS n,
+       CAST(MIN(c.low) AS BIGINT) AS est
+FROM cum c CROSS JOIN qs
+WHERE c.c >= greatest(ceil(qs.q * c.n), 1)
+GROUP BY c.event_type, qs.q
 """,
         "hyperball_centrality": f"""
 {link_base},

@@ -120,3 +120,44 @@ def test_adapt_crawl_delays_aimd(spark):
         d = adapt_crawl_delays(clean, d)
     final = {r.host: r.crawl_delay_ms for r in d.collect()}
     assert final["clean.org"] == 250 and final["floor.org"] == 250
+
+
+def test_decimal_histogram_quantiles(spark):
+    """Sketch quantiles land within one 2-significant-digit bucket of
+    the exact order statistic; shard-merge == whole-stream sketch."""
+    from sandcrawler_spark.operators.histq import (
+        decimal_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    vals = [(i % 3, (i * 37) % 9973 + 1) for i in range(6000)]
+    df = spark.createDataFrame(vals, "g int, v long")
+    h = decimal_histogram(df, "v", ["g"])
+    got = {(r.g, r.q): r for r in histogram_quantiles(h, [0.5, 0.99], ["g"]).collect()}
+    import math
+
+    per_g = {}
+    for g, v in vals:
+        per_g.setdefault(g, []).append(v)
+    for g, xs in per_g.items():
+        xs.sort()
+        for q in (0.5, 0.99):
+            exact = xs[max(math.ceil(q * len(xs)), 1) - 1]
+            est = got[(g, q)].est
+            assert est <= exact  # bucket lower bound never overshoots
+            assert exact <= est * 1.1 + 10  # within one 2-digit bucket
+            assert got[(g, q)].n == len(xs)
+
+    # mergeability: two shard sketches merge to the whole-stream sketch
+    a = decimal_histogram(df.filter(F.col("v") % 2 == 0), "v", ["g"])
+    b = decimal_histogram(df.filter(F.col("v") % 2 == 1), "v", ["g"])
+    merged = sorted((r.g, r.e, r.sub, r.cnt) for r in merge_histograms(a, b).collect())
+    whole = sorted((r.g, r.e, r.sub, r.cnt) for r in h.collect())
+    assert merged == whole
+
+    # singleton low buckets are exact
+    tiny = spark.createDataFrame([(0, v) for v in [0, 1, 2, 3, 9]], "g int, v long")
+    th = decimal_histogram(tiny, "v", ["g"])
+    tq = {r.q: r.est for r in histogram_quantiles(th, [0.5, 1.0], ["g"]).collect()}
+    assert tq[0.5] == 2 and tq[1.0] == 9

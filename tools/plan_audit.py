@@ -48,6 +48,7 @@ AUDIT = [
     "cms_heavy_hitters", "sitemap_roundtrip", "temperature_mix", "url_traps",
     "backlink_features", "recrawl_rates", "shard_assign",
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
+    "histogram_quantiles",
 ]
 
 
