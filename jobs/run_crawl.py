@@ -38,6 +38,23 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--now", default="timestamp'2024-02-01 00:00:00'")
     ap.add_argument(
+        "--adaptive-politeness", action="store_true",
+        help="AIMD per-host delay adaptation: fetch outcomes tighten "
+        "(429/503) or relax (clean rounds) the robots Crawl-delay floor "
+        "for the next round's schedule",
+    )
+    ap.add_argument(
+        "--rank-frontier", action="store_true",
+        help="maintain incremental host PageRank from each round's "
+        "discovered links and use it to order the frontier queue",
+    )
+    ap.add_argument(
+        "--frontier-cap", type=int, default=None,
+        help="with --rank-frontier: cap each round's unseen frontier "
+        "to the top-N rows by (priority, host link-rank); the rest "
+        "wait for a later round",
+    )
+    ap.add_argument(
         "--host-budget", type=int, default=None,
         help="cumulative per-host fetch quota enforced across rounds by "
         "the stateful_host_budget streaming operator (over-quota hosts "
@@ -64,6 +81,9 @@ def main() -> None:
     runner = CrawlRunner(
         spark, corpus, args.state_dir, now_expr=args.now,
         host_budget=args.host_budget,
+        adaptive_politeness=args.adaptive_politeness,
+        rank_frontier=args.rank_frontier,
+        frontier_cap=args.frontier_cap,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

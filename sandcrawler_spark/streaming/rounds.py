@@ -42,6 +42,9 @@ class CrawlRunner:
         now_expr: str = "timestamp'2024-02-01 00:00:00'",
         denylist: list[str] | None = None,
         host_budget: int | None = None,
+        adaptive_politeness: bool = False,
+        rank_frontier: bool = False,
+        frontier_cap: int | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -53,6 +56,25 @@ class CrawlRunner:
         # operator (streaming/eventtime.py) — the Spark-native twin of
         # the reference's per-host backpressure (workers.py:534-554).
         self.host_budget = host_budget
+        # AIMD per-host delay adaptation (operators/politeness.py
+        # adapt_crawl_delays): each round's fetch outcomes update a
+        # per-host delay table that tightens (429/503) or relaxes
+        # (clean rounds) the robots Crawl-delay floor for the NEXT
+        # round's schedule. Delay tables are versioned per round under
+        # the state dir, so a crashed round's re-run reads the same
+        # prior state it read the first time.
+        self.adaptive_politeness = adaptive_politeness
+        # Continuous-crawl link-rank maintenance: each round's fetched
+        # pages contribute host edges to a cumulative host graph; ranks
+        # are warm-started from the previous round (incremental
+        # PageRank, operators/linkgraph.py) and — when frontier_cap is
+        # set — decide WHICH frontier rows make the round when the
+        # frontier outgrows the cap (the north star's priority frontier
+        # queue: request priority first, then discovered link mass).
+        # Both stores are round-versioned like adaptive_delays, so a
+        # crashed round replays against the same prior state.
+        self.rank_frontier = rank_frontier
+        self.frontier_cap = frontier_cap
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -80,6 +102,159 @@ class CrawlRunner:
         with open(tmp, "w") as f:
             json.dump(rounds, f, indent=1)
         os.replace(tmp, self._rounds_path)
+
+    # ---- round-versioned side stores --------------------------------------
+    def _versioned_dir(self, sub: str, r: int) -> str:
+        return os.path.join(self.state_dir, sub, f"round={r}")
+
+    def _read_versioned(self, sub: str, schema: str, r: int) -> DataFrame | None:
+        """Latest version of a round-versioned store at or before round
+        r (None if never written). A crashed round's re-run reads the
+        same prior state it read the first time."""
+        for back in range(r, -1, -1):
+            p = self._versioned_dir(sub, back)
+            if os.path.isdir(p):
+                return self.spark.read.schema(schema).parquet(p)
+        return None
+
+    # ---- adaptive politeness ----------------------------------------------
+    def _delays_dir(self, r: int) -> str:
+        return self._versioned_dir("adaptive_delays", r)
+
+    def _read_delays(self, r: int) -> DataFrame | None:
+        """Delay table as of the END of round r (None before round 0)."""
+        return self._read_versioned(
+            "adaptive_delays", "host string, crawl_delay_ms long", r
+        )
+
+    def _robots_with_adaptive_delays(self, r: int) -> DataFrame:
+        """Robots dimension with crawl_delay_s raised to the adaptive
+        per-host delay where one is tracked (the adaptive layer only
+        ever ADDS caution over the robots floor)."""
+        robots = self.corpus["robots"]
+        delays = self._read_delays(r - 1)
+        if delays is None:
+            return robots
+        adaptive_s = F.col("crawl_delay_ms") / F.lit(1000.0)
+        return (
+            robots.join(F.broadcast(delays), on="host", how="left")
+            .withColumn(
+                "crawl_delay_s",
+                F.when(
+                    F.col("crawl_delay_ms").isNotNull(),
+                    F.greatest(F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)), adaptive_s),
+                ).otherwise(F.col("crawl_delay_s")),
+            )
+            .drop("crawl_delay_ms")
+        )
+
+    def _update_delays(self, results: DataFrame, batch: DataFrame, r: int) -> None:
+        """Fold this round's outcomes into the delay table (AIMD) and
+        version it under round=r (idempotent overwrite on replay)."""
+        from sandcrawler_spark.functions.urls import host_col
+        from sandcrawler_spark.operators.politeness import adapt_crawl_delays
+
+        prior = self._read_delays(r - 1)
+        hosts = batch.select("host").distinct()
+        if prior is None:
+            current = hosts.withColumn("crawl_delay_ms", F.lit(1000).cast("long"))
+        else:
+            current = (
+                hosts.join(prior, on="host", how="left")
+                .select(
+                    "host",
+                    F.coalesce("crawl_delay_ms", F.lit(1000)).cast("long").alias("crawl_delay_ms"),
+                )
+                .unionByName(prior.join(hosts, on="host", how="left_anti"))
+            )
+        obs = results.select(
+            host_col(F.col("base_url")).alias("host"),
+            F.col("terminal_status_code").alias("status_code"),
+        )
+        adapt_crawl_delays(obs, current).write.mode("overwrite").parquet(
+            self._delays_dir(r)
+        )
+
+    # ---- link-rank frontier prioritization ---------------------------------
+    _EDGE_SCHEMA = "src_host string, dst_host string, weight long"
+    _RANK_SCHEMA = "host string, rank long"
+
+    def _update_link_ranks(self, results: DataFrame, batch: DataFrame, r: int) -> None:
+        """Fold this round's discovered link mass into the cumulative
+        host graph and warm-start PageRank from the previous round's
+        ranks (incremental_pagerank). Link discovery covers every page
+        the crawler RENDERED this round — the requested URLs and the
+        hit terminals — not just terminals (a landing page's outbound
+        links are exactly the cross-host mass the rank needs; its
+        terminal is often a link-less PDF). Both stores are
+        round-versioned; a round with no new edges carries the prior
+        state forward so every round has a version (replay-stable)."""
+        from sandcrawler_spark.operators.linkgraph import (
+            extract_outlinks,
+            host_graph,
+            host_pagerank,
+            incremental_pagerank,
+        )
+
+        prior_e = self._read_versioned("link_edges", self._EDGE_SCHEMA, r - 1)
+        rendered = (
+            results.filter(F.col("hit"))
+            .select(F.col("terminal_url").alias("url"))
+            .unionByName(batch.select(F.col("canon_url").alias("url")))
+            .distinct()
+        )
+        fetched_pages = (
+            rendered.join(self.corpus["pages"], on="url", how="inner")
+            .select("url", "html")
+        )
+        new_e = host_graph(extract_outlinks(fetched_pages))
+        cum = (
+            new_e if prior_e is None
+            else prior_e.unionByName(new_e)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("weight").cast("long").alias("weight"))
+        )
+        cum = cum.localCheckpoint(eager=True)
+        if cum.isEmpty():
+            # nothing discovered yet: version the (empty) prior forward
+            cum.write.mode("overwrite").parquet(self._versioned_dir("link_edges", r))
+            return
+        prev_ranks = self._read_versioned("host_ranks", self._RANK_SCHEMA, r - 1)
+        if prev_ranks is None:
+            ranks = host_pagerank(cum, n_iter=5)
+        else:
+            ranks = incremental_pagerank(cum, prev_ranks, n_iter=2)
+        cum.write.mode("overwrite").parquet(self._versioned_dir("link_edges", r))
+        ranks.write.mode("overwrite").parquet(self._versioned_dir("host_ranks", r))
+
+    def _rank_capped_frontier(self, frontier: DataFrame, r: int):
+        """Priority frontier queue: when the unseen frontier exceeds
+        frontier_cap, keep the top rows by (request priority desc,
+        host link-rank desc, canon_url) — a distributed TakeOrdered,
+        never a single-task global sort. Returns (frontier, n_dropped).
+        """
+        ranks = self._read_versioned("host_ranks", self._RANK_SCHEMA, r - 1)
+        if ranks is not None:
+            frontier = frontier.join(
+                F.broadcast(ranks.withColumnRenamed("rank", "_hr")),
+                on="host", how="left",
+            )
+        else:
+            frontier = frontier.withColumn("_hr", F.lit(None).cast("long"))
+        frontier = frontier.withColumn("_hr", F.coalesce("_hr", F.lit(0)))
+        if self.frontier_cap is None:
+            return frontier.drop("_hr"), 0
+        total = frontier.count()
+        if total <= self.frontier_cap:
+            return frontier.drop("_hr"), 0
+        kept = (
+            frontier.orderBy(
+                F.col("priority").desc(), F.col("_hr").desc(), F.col("canon_url")
+            )
+            .limit(self.frontier_cap)
+            .drop("_hr")
+        )
+        return kept, total - self.frontier_cap
 
     # ---- host-budget backpressure -----------------------------------------
     def _enforce_host_budget(self, batch: DataFrame, r: int):
@@ -184,10 +359,19 @@ class CrawlRunner:
         seen_df = self.seen.read()
         if seen_df is not None:
             frontier = unseen_exact(frontier, seen_df, "canon_url")
+        n_rank_dropped = 0
+        if self.rank_frontier:
+            frontier, n_rank_dropped = self._rank_capped_frontier(frontier, r)
+            self.metrics.inc("frontier_rank_dropped", n_rank_dropped)
         frontier = frontier.persist()
         n_frontier = frontier.count()
 
-        sched = schedule_politeness(frontier, self.corpus["robots"])
+        robots = (
+            self._robots_with_adaptive_delays(r)
+            if self.adaptive_politeness
+            else self.corpus["robots"]
+        )
+        sched = schedule_politeness(frontier, robots)
         batch = sched.filter(F.col("crawl_round") == 0)
         n_deferred = 0
         if self.host_budget is not None:
@@ -206,6 +390,10 @@ class CrawlRunner:
 
         results = fetch_simulate(batch, self.corpus["cdx"], self.corpus["pages"])
         results = results.withColumn("updated", F.expr(self.now_expr))
+        if self.adaptive_politeness:
+            self._update_delays(results, batch, r)
+        if self.rank_frontier:
+            self._update_link_ranks(results, batch, r)
 
         # extraction: content-addressed short-circuit (skip sha1s we
         # already extracted — the HBase existence check, S6/J8)
@@ -304,6 +492,7 @@ class CrawlRunner:
         entry = {
             "round": r,
             "frontier": n_frontier,
+            "rank_dropped": n_rank_dropped,
             "scheduled": n_batch,
             "deferred": n_deferred,
             "extracted": n_extracted,

@@ -242,3 +242,77 @@ def test_host_budget_enforced_in_rounds(spark, corpus, tmp_path):
     )
     got = {r.host: r.t for r in totals.collect()}
     assert got == capped_counts
+
+
+def test_adaptive_politeness_rounds(spark, corpus, tmp_path):
+    """AIMD delays are maintained inside the round loop: clean hosts
+    walk down toward the floor round over round, the table is
+    versioned per round, and the adapted crawl is still exactly
+    resumable (run(2)+run(2) == run(4))."""
+    small = {
+        "ingest_request": corpus["ingest_request"].limit(40),
+        "cdx": corpus["cdx"],
+        "pages": corpus["pages"],
+        "robots": corpus["robots"],
+    }
+    r_a = CrawlRunner(spark, small, str(tmp_path / "a"), adaptive_politeness=True)
+    entries = r_a.run(max_rounds=4)
+    n_rounds = len([e for e in entries if not e.get("done")])
+    assert n_rounds >= 2
+
+    d0 = {r.host: r.crawl_delay_ms for r in r_a._read_delays(0).collect()}
+    dl = {r.host: r.crawl_delay_ms for r in r_a._read_delays(n_rounds - 1).collect()}
+    assert d0, "round-0 delay table missing"
+    # every tracked delay stays in the clamp band and never rises for
+    # the synthetic corpus (no 429/503 in fetch_simulate's taxonomy)
+    assert all(250 <= v <= 1000 for v in d0.values())
+    assert all(dl[h] <= d0[h] for h in d0)
+    # at least one host fetched in 2+ rounds stepped down twice
+    assert any(v <= 500 for v in dl.values())
+
+    # resumability with adaptation on
+    r_b1 = CrawlRunner(spark, small, str(tmp_path / "b"), adaptive_politeness=True)
+    r_b1.run(max_rounds=2)
+    r_b2 = CrawlRunner(spark, small, str(tmp_path / "b"), adaptive_politeness=True)
+    r_b2.run(max_rounds=2)
+    assert _final_state(r_a) == _final_state(r_b2)
+
+
+def test_rank_frontier_cap_and_resume(spark, corpus, tmp_path):
+    """Priority-frontier queue: with rank_frontier + a cap, each round
+    schedules at most `cap` unseen URLs (rank-ordered TakeOrdered, the
+    rest retried later), the host-rank store is round-versioned, the
+    crawl still drains the whole seed list, and run(2)+run(2) ==
+    run(4) including the rank table."""
+    small = {
+        "ingest_request": corpus["ingest_request"].limit(40),
+        "cdx": corpus["cdx"],
+        "pages": corpus["pages"],
+        "robots": corpus["robots"],
+    }
+    kw = dict(rank_frontier=True, frontier_cap=12)
+    r_a = CrawlRunner(spark, small, str(tmp_path / "a"), **kw)
+    entries = r_a.run(max_rounds=8)
+    live = [e for e in entries if not e.get("done")]
+    assert live and all(e["frontier"] <= 12 for e in live)
+    # the cap defers, never drops: everything fetchable still got seen
+    uncapped = CrawlRunner(spark, small, str(tmp_path / "u"))
+    uncapped.run(max_rounds=8)
+    assert sorted(r.canon_url for r in r_a.seen.read().collect()) == sorted(
+        r.canon_url for r in uncapped.seen.read().collect()
+    )
+
+    n_rounds = len(live)
+    ranks_final = r_a._read_versioned("host_ranks", r_a._RANK_SCHEMA, n_rounds - 1)
+    assert ranks_final is not None and ranks_final.count() > 0
+
+    # exact resume with ranks on
+    r_b1 = CrawlRunner(spark, small, str(tmp_path / "b"), **kw)
+    r_b1.run(max_rounds=2)
+    r_b2 = CrawlRunner(spark, small, str(tmp_path / "b"), **kw)
+    r_b2.run(max_rounds=6)
+    assert _final_state(r_a) == _final_state(r_b2)
+    ranks_b = r_b2._read_versioned("host_ranks", r_b2._RANK_SCHEMA, n_rounds - 1)
+    assert sorted(map(tuple, ranks_final.collect())) == sorted(
+        map(tuple, ranks_b.collect())
+    )
