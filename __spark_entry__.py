@@ -637,6 +637,62 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance weights: hashed-unigram LMs for the in-domain
+    # target (English docs) and the raw corpus; every doc scored by
+    # its integer micro-nat log importance ratio toward the target
+    from sandcrawler_spark.operators.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, d.filter(F.col("lang") == "en"))
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-target anchor-text profile from raw HTML (count, distinct
+    # texts, modal text); the oracle rebuilds the anchors RELATIONALLY
+    # from lineitem/supplier/nation, so the regexp extraction must
+    # recover (href, text) pairs exactly
+    from sandcrawler_spark.operators.linkgraph import (
+        anchor_summary,
+        extract_anchor_texts,
+    )
+
+    return anchor_summary(extract_anchor_texts(_link_pages(spark, sf_dir)))
+
+
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # z-order layout end-to-end: write events Morton-clustered on
+    # (user_id, minute-of-month), manifest-prune a 2-dim box query,
+    # aggregate the survivors — the result must equal a plain filter
+    # (pruning may only skip files, never change answers)
+    import os as _os
+
+    from sandcrawler_spark.plans.zorder import pruned_read, write_zordered
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lit("2024-01-01 00:00:00").cast("timestamp"))) / 60)
+        .cast("long").alias("minute"),
+    )
+    path = _os.path.join(
+        "/tmp", "sandcrawler_zorder", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    write_zordered(e, path, "user_id", "minute", n_files=16)
+    hit = pruned_read(spark, path, a_range=(10, 24), b_range=(2_000, 20_000))
+    return (
+        hit.filter(
+            F.col("user_id").between(10, 24) & F.col("minute").between(2_000, 20_000)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # water-filling round-budget arbitration: per-host URL demand vs a
     # global fetch budget of 10k — small hosts satisfied, big hosts
@@ -1251,9 +1307,13 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _urls(spark, sf_dir)
     li = _t(spark, sf_dir, "lineitem")
 
-    def _agg_links(pairs: DataFrame, src: str, key: str, lnk) -> DataFrame:
+    def _agg_links(pairs: DataFrame, src: str, key: str, lnk, txt=None) -> DataFrame:
+        txt = F.lit("x") if txt is None else txt
         return (
-            pairs.withColumn("_lnk", F.concat(F.lit('<a href="'), lnk, F.lit('">x</a>')))
+            pairs.withColumn(
+                "_lnk",
+                F.concat(F.lit('<a href="'), lnk, F.lit('">'), txt, F.lit("</a>")),
+            )
             .groupBy(src)
             .agg(
                 F.concat_ws(
@@ -1266,9 +1326,18 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # anchor texts are RELATION-DERIVED (not constants) so the
+    # anchor-text aggregation oracle can rebuild them independently:
+    # order pages call a part "part N" or (every 3rd order) "item N"
     op = _agg_links(
         li.select("l_orderkey", "l_partkey").distinct(),
         "l_orderkey", "l_partkey", _part_url(F.col("l_partkey")),
+        txt=F.concat(
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit("item ")).otherwise(
+                F.lit("part ")
+            ),
+            F.col("l_partkey").cast("string"),
+        ),
     )
     order_pages = (
         urls.join(op, urls["o_orderkey"] == op["l_orderkey"], "left")
@@ -1284,6 +1353,7 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _agg_links(
         li.select("l_partkey", "l_suppkey").distinct(),
         "l_partkey", "l_suppkey", _supp_url(F.col("l_suppkey")),
+        txt=F.concat(F.lit("supplier "), F.col("l_suppkey").cast("string")),
     )
     part_pages = ps.select(
         _part_url(F.col("l_partkey")).alias("url"),
@@ -1294,7 +1364,8 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('<html><body><a href="https://nation'),
             F.col("s_nationkey").cast("string"), F.lit(".example.org/nation/"),
-            F.col("s_nationkey").cast("string"), F.lit('">n</a></body></html>'),
+            F.col("s_nationkey").cast("string"), F.lit('">nation '),
+            F.col("s_nationkey").cast("string"), F.lit("</a></body></html>"),
         ).alias("page"),
     )
     nation_pages = _t(spark, sf_dir, "nation").select(
@@ -1305,7 +1376,8 @@ def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('<html><body><a href="https://region'),
             F.col("n_regionkey").cast("string"), F.lit(".example.org/region/"),
-            F.col("n_regionkey").cast("string"), F.lit('">r</a></body></html>'),
+            F.col("n_regionkey").cast("string"), F.lit('">region '),
+            F.col("n_regionkey").cast("string"), F.lit("</a></body></html>"),
         ).alias("page"),
     )
     pages = (
@@ -1352,6 +1424,30 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandcrawler_spark.operators.linkgraph import host_graph, host_pagerank
 
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
+
+
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TrustRank over the host graph: teleport restricted to the
+    # curated .example.org directory hosts — spam-resistant crawl
+    # priority (rank reachable only through link paths from the seeds)
+    from sandcrawler_spark.operators.linkgraph import host_graph, trust_rank
+
+    edges = host_graph(_outlink_edges(spark, sf_dir))
+    trusted = edges.select(F.col("dst_host").alias("host")).unionByName(
+        edges.select(F.col("src_host").alias("host"))
+    ).distinct().filter(F.col("host").endswith(".example.org"))
+    return trust_rank(edges, trusted)
+
+
+def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link-farm feature: per-host reciprocity of the distinct host
+    # edge set, integer ppm (floor div)
+    from sandcrawler_spark.operators.linkgraph import (
+        host_graph,
+        reciprocal_link_stats,
+    )
+
+    return reciprocal_link_stats(host_graph(_outlink_edges(spark, sf_dir)))
 
 
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1807,6 +1903,8 @@ _STALE_FIRST = [
     "cumulative_events", "recrawl_rates", "shard_assign",
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
     "histogram_quantiles",
+    "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
+    "reciprocal_links",
 ]
 
 
@@ -1834,6 +1932,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backlink_features": q_backlink_features,
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
+        "trust_rank": q_trust_rank,
+        "reciprocal_links": q_reciprocal_links,
         "frontier_rank_blend": q_frontier_rank_blend,
         "hll_host_cardinality": q_hll_host_cardinality,
         "cms_part_counts": q_cms_part_counts,
@@ -1855,6 +1955,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
+        "dsir_weights": q_dsir_weights,
+        "anchor_texts": q_anchor_texts,
+        "zorder_prune": q_zorder_prune,
         "bpe_merges": q_bpe_merges,
         "host_budget_alloc": q_host_budget_alloc,
         "cumulative_events": q_cumulative_events,
@@ -2389,10 +2492,59 @@ def _pagerank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _trustrank_oracle_ctes(
+    n_iter: int = 5,
+    num: int = 17,
+    den: int = 20,
+    trust_pred: str = "host LIKE '%.example.org'",
+) -> str:
+    """Unrolled TrustRank twin (operators/linkgraph.trust_rank):
+    teleport + dangling mass restricted to the trust seed set."""
+    scale = 1_000_000_000_000
+    parts = [
+        """tredges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+)""",
+        "trhosts AS (SELECT src_host AS host FROM tredges UNION SELECT dst_host FROM tredges)",
+        f"trseed AS (SELECT host FROM trhosts WHERE {trust_pred})",
+        "trnt AS (SELECT COUNT(*) AS nt FROM trseed)",
+        "troutw AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS outw FROM tredges GROUP BY src_host)",
+        "trew AS (SELECT e.src_host, e.dst_host, e.weight, w.outw FROM tredges e JOIN troutw w USING (src_host))",
+        f"""trpr0 AS (
+  SELECT p.host,
+         CAST(CASE WHEN s.host IS NOT NULL THEN {scale} // (SELECT nt FROM trnt)
+                   ELSE 0 END AS BIGINT) AS rank
+  FROM trhosts p LEFT JOIN trseed s ON p.host = s.host
+)""",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"trdang{i} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM trpr{i} "
+            f"WHERE host NOT IN (SELECT src_host FROM troutw))"
+        )
+        parts.append(f"""trpr{i + 1} AS (
+  SELECT p.host,
+         CAST(CASE WHEN s.host IS NOT NULL
+               THEN ({scale} * {den - num}) // ({den} * (SELECT nt FROM trnt))
+                    + ({num} * (SELECT d FROM trdang{i})) // ({den} * (SELECT nt FROM trnt))
+               ELSE 0 END
+           + COALESCE((SELECT SUM((r.rank * {num} * e.weight) // ({den} * e.outw))
+                       FROM trew e JOIN trpr{i} r ON e.src_host = r.host
+                       WHERE e.dst_host = p.host), 0) AS BIGINT) AS rank
+  FROM trhosts p LEFT JOIN trseed s ON p.host = s.host
+)""")
+    return ",\n".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_oracle_sql
     from sandcrawler_spark.operators.budget import budget_oracle_sql
+    from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
@@ -2564,6 +2716,31 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "trust_rank": f"""
+{link_base},
+{_trustrank_oracle_ctes(5)}
+SELECT host, rank FROM trpr5
+""",
+        "reciprocal_links": f"""
+{link_base},
+rlh AS (
+  SELECT DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+  FROM link_edges
+  WHERE regexp_extract(src_url, '^https?://([^/]+)', 1)
+        <> regexp_extract(dst_url, '^https?://([^/]+)', 1)
+),
+rlo AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_out FROM rlh GROUP BY src_host),
+rlr AS (
+  SELECT e.src_host AS host, CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+  FROM rlh e JOIN rlh r ON e.src_host = r.dst_host AND e.dst_host = r.src_host
+  GROUP BY e.src_host
+)
+SELECT o.host, o.n_out,
+       COALESCE(r.n_reciprocal, 0) AS n_reciprocal,
+       CAST((COALESCE(r.n_reciprocal, 0) * CAST(1000000 AS BIGINT)) // o.n_out AS BIGINT) AS reciprocal_ppm
+FROM rlo o LEFT JOIN rlr r ON o.host = r.host
 """,
         "histogram_quantiles": """
 WITH vals AS (
@@ -2907,6 +3084,68 @@ SELECT term FROM (
             k=15,
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        "dsir_weights": dsir_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        ),
+        "anchor_texts": f"""
+WITH {_URLS_CTE.strip()},
+anchor_edges AS (
+  SELECT url AS src_url,
+         'https://site' || CAST(site_id AS VARCHAR) || '.example.com/about' AS dst_url,
+         'about' AS anchor_text
+  FROM urls
+  UNION ALL
+  SELECT u.url,
+         'https://site' || CAST(CAST(li.l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(li.l_partkey AS VARCHAR),
+         (CASE WHEN li.l_orderkey % 3 = 0 THEN 'item ' ELSE 'part ' END) || CAST(li.l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+  JOIN urls u ON u.o_orderkey = li.l_orderkey
+  UNION ALL
+  SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(l_partkey AS VARCHAR),
+         'https://site' || CAST(CAST(l_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(l_suppkey AS VARCHAR),
+         'supplier ' || CAST(l_suppkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  UNION ALL
+  SELECT 'https://site' || CAST(CAST(s_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(s_suppkey AS VARCHAR),
+         'https://nation' || CAST(s_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(s_nationkey AS VARCHAR),
+         'nation ' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'https://nation' || CAST(n_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'https://region' || CAST(n_regionkey AS VARCHAR) || '.example.org/region/' || CAST(n_regionkey AS VARCHAR),
+         'region ' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+),
+per_text AS (
+  SELECT dst_url, anchor_text, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM anchor_edges GROUP BY dst_url, anchor_text
+),
+tops AS (
+  SELECT dst_url, anchor_text AS top_text FROM per_text
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst_url ORDER BY cnt DESC, anchor_text) = 1
+)
+SELECT p.dst_url,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_anchors,
+       CAST(COUNT(*) AS BIGINT) AS n_texts,
+       MIN(t.top_text) AS top_text
+FROM per_text p JOIN tops t ON p.dst_url = t.dst_url
+GROUP BY p.dst_url
+""",
+        "zorder_prune": """
+WITH e AS (
+  SELECT event_type, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)) // 60 AS minute
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+WHERE user_id BETWEEN 10 AND 24 AND minute BETWEEN 2000 AND 20000
+GROUP BY event_type
+""",
         "phrase_search": """
 WITH tokd AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks

@@ -36,6 +36,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HREF_RE = r'href="([^"]+)"'
+# full anchor element: group 1 = href, group 2 = visible text (no
+# nested markup — the synthetic corpus and the reference's fulltext
+# candidates are flat <a>text</a>; nested-tag anchors resolve through
+# the biblio fulltext patterns instead)
+ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def _resolve_dst(href, scheme, scheme_host):
+    """RFC 3986 subset shared by outlink/anchor extraction: absolute
+    kept, protocol-relative + root-relative resolved, rest dropped
+    (NULL)."""
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(scheme_host, href))
+        .otherwise(F.lit(None))
+    )
 
 
 def extract_outlinks(
@@ -65,19 +82,67 @@ def extract_outlinks(
         scheme_host.alias("_sh"),
         F.explode(F.regexp_extract_all(doc, F.lit(HREF_RE), F.lit(1))).alias("_href"),
     )
-    dst = (
-        F.when(F.col("_href").rlike(r"^https?://"), F.col("_href"))
-        .when(
-            F.col("_href").startswith("//"),
-            F.concat(F.col("_sc"), F.lit(":"), F.col("_href")),
-        )
-        .when(F.col("_href").startswith("/"), F.concat(F.col("_sh"), F.col("_href")))
-        .otherwise(F.lit(None))
-    )
+    dst = _resolve_dst(F.col("_href"), F.col("_sc"), F.col("_sh"))
     return (
         raw.select("src_url", dst.alias("dst_url"))
         .where(F.col("dst_url").isNotNull())
         .distinct()
+    )
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_url, dst_url, anchor_text) triples — the outlink edge set
+    WITH the linking page's visible anchor string, the classic
+    search/crawl relevance signal (anchor text describes the TARGET
+    better than the target's own page; Brin & Page 1998 §2.2).
+
+    All JVM-side codegen: two regexp_extract_all passes over the same
+    ANCHOR_RE (group 1 = href, group 2 = text — equal-length arrays by
+    construction) zipped, exploded once, then the shared RFC 3986
+    resolution subset. No Python crossing, no shuffle."""
+    doc = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)
+    scheme_host = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(doc, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(doc, F.lit(ANCHOR_RE), F.lit(2)).alias("text"),
+    )
+    raw = pages.select(
+        F.col(url_col).alias("src_url"),
+        scheme.alias("_sc"),
+        scheme_host.alias("_sh"),
+        F.explode(pairs).alias("_a"),
+    )
+    dst = _resolve_dst(F.col("_a.href"), F.col("_sc"), F.col("_sh"))
+    return raw.select(
+        "src_url", dst.alias("dst_url"), F.col("_a.text").alias("anchor_text")
+    ).where(F.col("dst_url").isNotNull())
+
+
+def anchor_summary(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: (dst_url, n_anchors, n_texts,
+    top_text) where top_text is the most frequent anchor string
+    pointing at the target (ties broken lexicographically — stable on
+    any engine).
+
+    Scale shape: groupBy (dst_url, anchor_text) with map-side partial
+    aggregation, then ONE aggregate per dst_url taking
+    min(struct(-cnt, text)) — no per-key window, so a mega-target
+    (every page links "home") still reduces tree-style instead of
+    materializing its full anchor list in one task."""
+    per_text = anchors.groupBy("dst_url", "anchor_text").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return per_text.groupBy("dst_url").agg(
+        F.sum("cnt").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_texts"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("anchor_text").alias("t")))[
+            "t"
+        ].alias("top_text"),
     )
 
 
@@ -232,6 +297,137 @@ def host_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def trust_rank(
+    host_edges: DataFrame,
+    trusted_hosts: DataFrame,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    n_iter: int = 5,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    PageRank personalized to a curated trust seed set — teleport mass
+    (the base term AND the dangling redistribution) flows ONLY to
+    trusted hosts, so rank can reach a host only through link paths
+    from the seeds. Spam farms that fabricate internal link mass get
+    ~zero trust; the frontier can then demote link-heavy but
+    trust-isolated hosts (the anti-spam counterpart of host_pagerank
+    for crawl prioritization).
+
+    Same integer fixed-point discipline as host_pagerank (PR_SCALE
+    units, floor division, rational damping): bit-identical across
+    engines and partitionings, DuckDB-replayable. Per iteration: one
+    edge-join + dst-sum + a scalar dangling agg; the trusted set is a
+    broadcast-sized relation by construction (curated seeds).
+
+      r'(v) = [v in T] * ( (SCALE*(den-num)) div (den*|T|)
+                           + (num * dangling_mass) div (den*|T|) )
+              + sum_{u->v} (r(u)*num*w_uv) div (den*outw_u)
+
+    init: SCALE div |T| on trusted hosts, 0 elsewhere.
+    """
+    nodes = (
+        host_edges.select(F.col("src_host").alias("host"))
+        .unionByName(host_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tr = (
+        nodes.join(
+            trusted_hosts.select("host").distinct(), on="host", how="left_semi"
+        )
+        .localCheckpoint(eager=True)
+    )
+    nt = tr.count()
+    if nt == 0:
+        raise ValueError("trust_rank: no trusted host appears in the graph")
+    out_w = host_edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
+    e = (
+        host_edges.join(out_w, on="src_host")
+        .select("src_host", "dst_host", "weight", "outw")
+        .localCheckpoint(eager=True)
+    )
+    t_flag = tr.withColumn("_t", F.lit(1))
+    base = (PR_SCALE * (damping_den - damping_num)) // (damping_den * nt)
+    ranks = (
+        nodes.join(t_flag, on="host", how="left")
+        .select(
+            "host",
+            F.when(F.col("_t") == 1, F.lit(PR_SCALE // nt))
+            .otherwise(F.lit(0)).cast("long").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(out_w, ranks["host"] == out_w["src_host"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        dang_term = (damping_num * int(dangling)) // (damping_den * nt)
+        contrib = (
+            e.join(ranks, e["src_host"] == ranks["host"], "inner")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr(
+                    f"(rank * CAST({damping_num} AS BIGINT) * weight) div "
+                    f"(CAST({damping_den} AS BIGINT) * outw)"
+                ).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, on="host", how="left")
+            .join(t_flag, on="host", how="left")
+            .select(
+                "host",
+                (
+                    F.when(F.col("_t") == 1, F.lit(base) + F.lit(dang_term))
+                    .otherwise(F.lit(0))
+                    + F.coalesce(F.col("c"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def reciprocal_link_stats(host_edges: DataFrame) -> DataFrame:
+    """Link-farm signal per host: how much of its out-neighborhood
+    links straight back. Organic sites cite without being cited back;
+    link-exchange farms show near-1.0 reciprocity (a standard web-spam
+    feature alongside TrustRank). Returns
+    (host, n_out, n_reciprocal, reciprocal_ppm) with the ratio in
+    integer parts-per-million (floor div — engine-exact).
+
+    Scale shape: one distinct-edge self-join on the (src,dst) pair key
+    (equi-join, shuffle both sides on the same key) + one host-keyed
+    count agg. Host-graph sized, never URL-graph sized."""
+    e = host_edges.select("src_host", "dst_host").distinct()
+    rev = e.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    rec = e.join(rev, on=["src_host", "dst_host"], how="left_semi")
+    n_out = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    n_rec = rec.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").cast("long").alias("n_reciprocal")
+    )
+    return (
+        n_out.join(n_rec, on="host", how="left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            F.expr(
+                "CAST((coalesce(n_reciprocal, 0) * CAST(1000000 AS BIGINT)) "
+                "div n_out AS BIGINT)"
+            ).alias("reciprocal_ppm"),
+        )
+    )
 
 
 def incremental_pagerank(

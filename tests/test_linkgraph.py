@@ -295,3 +295,117 @@ def test_hyperball_matches_exact_bfs_on_line_graph(spark):
         for r in hyperball(e.repartition(5), n_iter=3, p=8).collect()
     }
     assert out2 == {h: r.harmonic_micro for h, r in out.items()}
+
+
+def test_anchor_texts_extract_and_resolve(spark):
+    """Anchor triples: same RFC 3986 subset as outlinks, text carried
+    through (including the empty string), unresolvable hrefs dropped
+    WITH their text."""
+    from sandcrawler_spark.operators.linkgraph import extract_anchor_texts
+
+    pages = _pages(spark, [
+        (
+            "https://a.example.com/x",
+            '<html><a class="z" href="https://b.example.com/y">Paper Title</a>'
+            '<a href="/rel">rel text</a>'
+            '<a href="//proto.example.com/z"></a>'
+            '<a href="mailto:x@y">mail</a></html>',
+        ),
+    ])
+    got = {
+        (r.dst_url, r.anchor_text)
+        for r in extract_anchor_texts(pages).collect()
+    }
+    assert got == {
+        ("https://b.example.com/y", "Paper Title"),
+        ("https://a.example.com/rel", "rel text"),
+        ("https://proto.example.com/z", ""),
+    }
+
+
+def test_anchor_summary_modal_text_and_tiebreak(spark):
+    """Modal anchor text per target; count ties break lexicographically
+    (min(struct(-cnt, text)) — deterministic on any engine/partitioning)."""
+    from sandcrawler_spark.operators.linkgraph import anchor_summary
+
+    rows = [
+        ("s1", "https://t/1", "home"),
+        ("s2", "https://t/1", "home"),
+        ("s3", "https://t/1", "start"),
+        # target 2: 'alpha' and 'beta' tie at 2 -> alpha wins
+        ("s1", "https://t/2", "beta"),
+        ("s2", "https://t/2", "beta"),
+        ("s3", "https://t/2", "alpha"),
+        ("s4", "https://t/2", "alpha"),
+    ]
+    anchors = spark.createDataFrame(rows, "src_url string, dst_url string, anchor_text string")
+    got = {
+        r.dst_url: (r.n_anchors, r.n_texts, r.top_text)
+        for r in anchor_summary(anchors.repartition(5)).collect()
+    }
+    assert got == {
+        "https://t/1": (3, 2, "home"),
+        "https://t/2": (4, 2, "alpha"),
+    }
+
+
+def test_trust_rank_spam_isolation_and_determinism(spark):
+    """TrustRank property: hosts reachable only from a spam clique
+    (no link path from the trust seeds) end at rank 0 — fabricated
+    internal link mass buys nothing; hosts on a trusted path rank > 0.
+    Integer fixed-point => identical under repartitioning."""
+    from sandcrawler_spark.operators.linkgraph import trust_rank
+
+    edges = spark.createDataFrame(
+        [
+            # trusted directory -> good sites
+            ("dir.org", "good1.com", 3),
+            ("dir.org", "good2.com", 1),
+            ("good1.com", "good2.com", 2),
+            # spam clique: dense internal links, no inbound trust path
+            ("spam1.biz", "spam2.biz", 50),
+            ("spam2.biz", "spam3.biz", 50),
+            ("spam3.biz", "spam1.biz", 50),
+            # spam links OUT to a good site (shouldn't grant spam rank)
+            ("spam1.biz", "good1.com", 10),
+        ],
+        "src_host string, dst_host string, weight long",
+    )
+    trusted = spark.createDataFrame([("dir.org",)], "host string")
+    got = {r.host: r.rank for r in trust_rank(edges, trusted, n_iter=4).collect()}
+    assert got["spam1.biz"] == got["spam2.biz"] == got["spam3.biz"] == 0
+    assert got["good1.com"] > 0 and got["good2.com"] > 0 and got["dir.org"] > 0
+    # good2 receives from BOTH dir.org and good1 -> outranks nothing
+    # trusted? just check total mass is bounded by SCALE
+    assert sum(got.values()) <= 1_000_000_000_000
+
+    got2 = {
+        r.host: r.rank
+        for r in trust_rank(edges.repartition(7), trusted, n_iter=4).collect()
+    }
+    assert got == got2
+
+
+def test_reciprocal_link_stats(spark):
+    from sandcrawler_spark.operators.linkgraph import reciprocal_link_stats
+
+    edges = spark.createDataFrame(
+        [
+            # farm: a <-> b, a <-> c (full reciprocity for a)
+            ("a.biz", "b.biz", 9), ("b.biz", "a.biz", 1),
+            ("a.biz", "c.biz", 2), ("c.biz", "a.biz", 4),
+            # organic: d -> a, d -> b, nothing back
+            ("d.org", "a.biz", 1), ("d.org", "b.biz", 1),
+        ],
+        "src_host string, dst_host string, weight long",
+    )
+    got = {
+        r.host: (r.n_out, r.n_reciprocal, r.reciprocal_ppm)
+        for r in reciprocal_link_stats(edges).collect()
+    }
+    assert got["a.biz"] == (2, 2, 1_000_000)
+    assert got["b.biz"] == (1, 1, 1_000_000)
+    assert got["c.biz"] == (1, 1, 1_000_000)
+    assert got["d.org"] == (2, 0, 0)
+    # hosts with no out-edges don't appear (feature is about out-behavior)
+    assert set(got) == {"a.biz", "b.biz", "c.biz", "d.org"}

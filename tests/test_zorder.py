@@ -129,3 +129,47 @@ def test_zorder_nd_prunes_and_matches_full_scan(spark, tmp_path):
     n_all = len(pruned_files_nd(spark, path, {}))
     n_tight = len(pruned_files_nd(spark, path, {"hostb": (3, 4), "ts": (64, 96)}))
     assert n_tight < n_all
+
+
+def test_zorder_query_actually_skips_files(spark, tmp_path):
+    """The q_zorder_prune query shape end-to-end on driver testdata:
+    the manifest must skip at least one file for the 2-dim box (file
+    skipping is the point of the layout), and the pruned aggregate
+    must equal the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.plans.zorder import (
+        pruned_files,
+        pruned_read,
+        write_zordered,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.unix_timestamp("ts") - F.unix_timestamp(
+            F.lit("2024-01-01 00:00:00").cast("timestamp"))) / 60)
+        .cast("long").alias("minute"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(e, path, "user_id", "minute", n_files=16)
+
+    import os
+
+    n_total = len([f for f in os.listdir(os.path.join(path, "data"))
+                   if f.endswith(".parquet")])
+    hit = pruned_files(spark, path, a_range=(10, 24), b_range=(2_000, 20_000))
+    assert 0 < len(hit) < n_total, (len(hit), n_total)
+
+    box = (
+        F.col("user_id").between(10, 24) & F.col("minute").between(2_000, 20_000)
+    )
+    got = (
+        pruned_read(spark, path, a_range=(10, 24), b_range=(2_000, 20_000))
+        .filter(box).groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    )
+    want = e.filter(box).groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
