@@ -1164,6 +1164,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_multiprobe", ann_lsh(sample, e, dim=dim, k=5, n_planes=4, seed=42, multiprobe=True)),
         ("ivf", ivf_topk(sample, e, k=5, centroid_mod=25, nprobe=2)),
         ("ivf_trained", ivf_topk(sample, e, k=5, centroid_mod=25, nprobe=2, centroids=km)),
+        # the recall/cost knob: doubling nprobe probes 4/25 of the
+        # cells and should lift recall well past the nprobe=2 tier
+        ("ivf_trained_nprobe4", ivf_topk(sample, e, k=5, centroid_mod=25, nprobe=4, centroids=km)),
     ]
     union = None
     for name, df in methods:
@@ -2093,7 +2096,7 @@ kc_{it} AS (
   SELECT cent_id, list(round(s / n, 6) ORDER BY pos) AS cv FROM kdim_{it} GROUP BY cent_id
 )"""
 
-    def ivf_method(tag: str, cents: str) -> str:
+    def ivf_method(tag: str, cents: str, npr: int = nprobe) -> str:
         return f""",
 iasg_{tag} AS (
   SELECT vec_id, v, cent_id FROM (
@@ -2105,7 +2108,7 @@ iprb_{tag} AS (
   SELECT q_id, qv, cent_id FROM (
     SELECT q.q_id, q.qv, c.cent_id,
            ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS rn
-    FROM q, {cents} c) WHERE rn <= {nprobe}
+    FROM q, {cents} c) WHERE rn <= {npr}
 ),
 m_{tag} AS (
   SELECT q_id, vec_id FROM (
@@ -2114,7 +2117,12 @@ m_{tag} AS (
           FROM iprb_{tag} p JOIN iasg_{tag} a ON p.cent_id = a.cent_id) c) WHERE rn <= {k}
 )"""
 
-    methods = km + ivf_method("ivf", "kc_0") + ivf_method("ivft", f"kc_{kmeans_iters}")
+    methods = (
+        km
+        + ivf_method("ivf", "kc_0")
+        + ivf_method("ivft", f"kc_{kmeans_iters}")
+        + ivf_method("ivft4", f"kc_{kmeans_iters}", npr=4)
+    )
     return f"""
 WITH {base}{methods},
 allm AS (
@@ -2122,6 +2130,7 @@ allm AS (
   UNION ALL SELECT 'lsh_multiprobe', q_id, vec_id FROM m_mp
   UNION ALL SELECT 'ivf', q_id, vec_id FROM m_ivf
   UNION ALL SELECT 'ivf_trained', q_id, vec_id FROM m_ivft
+  UNION ALL SELECT 'ivf_trained_nprobe4', q_id, vec_id FROM m_ivft4
 ),
 tn AS (SELECT COUNT(*) AS n_truth FROM truth),
 hits AS (
@@ -2129,7 +2138,7 @@ hits AS (
   FROM allm a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
   GROUP BY a.method
 ),
-names AS (SELECT unnest(['lsh', 'lsh_multiprobe', 'ivf', 'ivf_trained']) AS method)
+names AS (SELECT unnest(['lsh', 'lsh_multiprobe', 'ivf', 'ivf_trained', 'ivf_trained_nprobe4']) AS method)
 SELECT n.method, CAST(tn.n_truth AS BIGINT) AS n_truth,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
        round(COALESCE(h.n_hit, 0) / tn.n_truth, 4) AS recall
