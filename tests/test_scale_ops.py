@@ -177,3 +177,33 @@ def test_hyperball_1e5_node_graph(spark):
     assert hub.ball_1 > 10_000  # ~n/3 in-neighbors sketch-estimated
     print(f"\nhyperball: {n:,} hosts, 2 hops in {wall:.1f}s "
           f"(hub ball_1≈{hub.ball_1:,.0f})")
+
+
+def test_anchor_summary_mega_target_skew(spark):
+    """Skew gate for anchor_summary: one target ('home' page) receives
+    5x10^5 anchors from distinct sources (half 'home', half 'start'),
+    next to 10^5 uniform targets. The min(struct) aggregate must
+    reduce tree-style — no per-key window buffering the mega-target's
+    full anchor list in one task."""
+    from sandcrawler_spark.operators.linkgraph import anchor_summary
+
+    n_hot, n_uniform = 500_000, 100_000
+    hot = spark.range(n_hot).select(
+        F.concat(F.lit("https://s"), F.col("id")).alias("src_url"),
+        F.lit("https://mega.example.com/").alias("dst_url"),
+        F.when(F.col("id") % 2 == 0, F.lit("home")).otherwise(F.lit("start")).alias("anchor_text"),
+    )
+    uni = spark.range(n_uniform).select(
+        F.concat(F.lit("https://u"), F.col("id")).alias("src_url"),
+        F.concat(F.lit("https://t"), F.col("id"), F.lit(".example.com/")).alias("dst_url"),
+        F.lit("link").alias("anchor_text"),
+    )
+    t0 = time.time()
+    out = anchor_summary(hot.unionByName(uni).repartition(64))
+    mega = out.filter(F.col("dst_url") == "https://mega.example.com/").collect()[0]
+    n_rows = out.count()
+    wall = time.time() - t0
+    assert (mega.n_anchors, mega.n_texts, mega.top_text) == (n_hot, 2, "home")
+    assert n_rows == n_uniform + 1
+    print(f"\nanchor_summary skew: {n_hot + n_uniform:,} anchors, "
+          f"mega-target {n_hot:,} in {wall:.1f}s")
