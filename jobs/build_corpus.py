@@ -43,9 +43,17 @@ def build_corpus(
     max_dup_line_frac: float = 0.3,
     max_top_ngram_char_frac: float = 0.2,
     max_dup_ngram_word_frac: float = 0.3,
+    dsir_target_lang: str | None = None,
+    dsir_keep_frac: float = 0.5,
 ) -> tuple[DataFrame, dict]:
-    """Run the pipeline over docs(doc_id, text); returns (packed
-    DataFrame, stage-count stats). Deterministic end to end."""
+    """Run the pipeline over docs(doc_id, text[, lang]); returns
+    (packed DataFrame, stage-count stats). Deterministic end to end.
+
+    dsir_target_lang: when set (and docs carry a lang column), insert
+    a DSIR selection stage after PII redaction — hashed-ngram
+    importance weights toward the target-language slice, keeping the
+    top ceil(dsir_keep_frac * n) docs by (weight desc, doc_id), a
+    distributed TakeOrdered."""
     from sandcrawler_spark.functions.pii import redact_pii_col
     from sandcrawler_spark.functions.repetition import gopher_repetition
     from sandcrawler_spark.functions.textstats import quality_score_col, word_count_col
@@ -84,6 +92,24 @@ def build_corpus(
     # 4. PII redaction (byte-level, deterministic)
     d4 = d3.withColumn("text", redact_pii_col(F.col("text")))
 
+    # 4.5 (optional) DSIR selection toward a target distribution
+    if dsir_target_lang is not None and "lang" in d4.columns:
+        import math
+
+        from sandcrawler_spark.operators.dsir import dsir_weights
+
+        target = d4.filter(F.col("lang") == dsir_target_lang)
+        w = dsir_weights(d4, target)
+        n4 = d4.count()
+        k = max(1, math.ceil(dsir_keep_frac * n4))
+        kept = (
+            w.orderBy(F.col("logratio_micronat").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id")
+        )
+        d4 = d4.join(kept, on="doc_id", how="left_semi").localCheckpoint(eager=True)
+        stats["after_dsir"] = d4.count()
+
     # 5. LM scoring over the surviving corpus (attached, not a gate —
     # downstream consumers pick their own perplexity cut)
     bi, uni, vocab = train_bigram_lm(d4)
@@ -116,6 +142,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--token-budget", type=int, default=1_000_000)
     ap.add_argument("--min-quality", type=float, default=0.25)
+    ap.add_argument(
+        "--dsir-target-lang", default=None,
+        help="enable the DSIR selection stage toward this language's "
+        "hashed-ngram distribution",
+    )
+    ap.add_argument("--dsir-keep-frac", type=float, default=0.5)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
@@ -123,10 +155,11 @@ def main() -> None:
 
     spark = get_spark("build_corpus", master=f"local[{args.cpus}]")
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
-        "doc_id", "text"
+        "doc_id", "text", "lang"
     )
     out, stats = build_corpus(
-        spark, docs, token_budget=args.token_budget, min_quality=args.min_quality
+        spark, docs, token_budget=args.token_budget, min_quality=args.min_quality,
+        dsir_target_lang=args.dsir_target_lang, dsir_keep_frac=args.dsir_keep_frac,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     stats["out"] = args.out
