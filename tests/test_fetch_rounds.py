@@ -316,3 +316,26 @@ def test_rank_frontier_cap_and_resume(spark, corpus, tmp_path):
     assert sorted(map(tuple, ranks_final.collect())) == sorted(
         map(tuple, ranks_b.collect())
     )
+
+
+def test_rank_cap_is_take_ordered_not_global_sort(spark, corpus, tmp_path):
+    """The frontier cap must compile to TakeOrderedAndProject (a
+    distributed partial top-K) — never a global Sort+Limit that funnels
+    the 10^10-row frontier through one task."""
+    runner = CrawlRunner(
+        spark, corpus, str(tmp_path / "s"), rank_frontier=True, frontier_cap=5
+    )
+    from sandcrawler_spark.operators.frontier import build_frontier
+
+    frontier = build_frontier(corpus["ingest_request"], None)
+    capped, dropped = runner._rank_capped_frontier(frontier, 0)
+    assert dropped > 0
+    assert capped.count() == 5
+    # execute THIS df's QueryExecution, then read the executed plan
+    # (the plan_audit discipline: AQE hides final stages otherwise)
+    capped.collect()
+    plan = capped._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan
