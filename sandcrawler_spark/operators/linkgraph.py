@@ -239,6 +239,10 @@ def host_pagerank(
     path for a continuous crawl (see incremental_pagerank). Hosts not
     in init_ranks start at the uniform prior.
     """
+    # materialize the (small, host-contracted) edge table once: nodes,
+    # out_w and e below each scan it, and without this every scan
+    # replays the caller's full lineage (URL-edge extraction from HTML)
+    host_edges = host_edges.localCheckpoint(eager=True)
     nodes = (
         host_edges.select(F.col("src_host").alias("host"))
         .unionByName(host_edges.select(F.col("dst_host").alias("host")))
@@ -246,7 +250,15 @@ def host_pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_w = host_edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
+    # out_w is re-read by every iteration's dangling-mass anti-join:
+    # checkpoint it (one row per linking host) or each iteration
+    # re-derives the whole edge list from its upstream lineage — at
+    # sf0.1 that re-extraction was the entire cost of the loop
+    out_w = (
+        host_edges.groupBy("src_host")
+        .agg(F.sum("weight").alias("outw"))
+        .localCheckpoint(eager=True)
+    )
     e = (
         host_edges.join(out_w, on="src_host")
         .select("src_host", "dst_host", "weight", "outw")
@@ -327,6 +339,7 @@ def trust_rank(
 
     init: SCALE div |T| on trusted hosts, 0 elsewhere.
     """
+    host_edges = host_edges.localCheckpoint(eager=True)
     nodes = (
         host_edges.select(F.col("src_host").alias("host"))
         .unionByName(host_edges.select(F.col("dst_host").alias("host")))
@@ -342,7 +355,13 @@ def trust_rank(
     nt = tr.count()
     if nt == 0:
         raise ValueError("trust_rank: no trusted host appears in the graph")
-    out_w = host_edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
+    # checkpointed for the same reason as host_pagerank: the
+    # per-iteration dangling anti-join must not replay edge extraction
+    out_w = (
+        host_edges.groupBy("src_host")
+        .agg(F.sum("weight").alias("outw"))
+        .localCheckpoint(eager=True)
+    )
     e = (
         host_edges.join(out_w, on="src_host")
         .select("src_host", "dst_host", "weight", "outw")
