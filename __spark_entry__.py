@@ -637,6 +637,35 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 line/page cleaning rules (Raffel et al. 2020 §2.2) over the
+    # persisted seed-42 corpus pages' extracted text (real newline +
+    # sentence structure); clean_md5 gives byte-level verification
+    from sandcrawler_spark.functions.c4filters import with_c4_verdict
+
+    p = _corpus(spark)["pages"].filter(F.col("text").isNotNull())
+    return with_c4_verdict(p, "text").select(
+        "url", "n_lines", "n_lines_kept", "n_sentences",
+        "clean_words", "clean_md5", "page_kept",
+    )
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/GPT-3-style linear quality classifier: closed-form NB
+    # trained distributed on lang=='en' as the positive class, every
+    # doc scored by integer micro-nat log-odds under the model
+    from sandcrawler_spark.operators.quality_clf import (
+        nb_score_docs,
+        train_nb_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = train_nb_classifier(
+        d.withColumn("_label", (F.col("lang") == "en").cast("int")), "_label"
+    )
+    return nb_score_docs(d, w)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR importance weights: hashed-unigram LMs for the in-domain
     # target (English docs) and the raw corpus; every doc scored by
@@ -1435,7 +1464,7 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # priority (rank reachable only through link paths from the seeds)
     from sandcrawler_spark.operators.linkgraph import host_graph, trust_rank
 
-    edges = host_graph(_outlink_edges(spark, sf_dir))
+    edges = host_graph(_outlink_edges(spark, sf_dir)).localCheckpoint(eager=True)
     trusted = edges.select(F.col("dst_host").alias("host")).unionByName(
         edges.select(F.col("src_host").alias("host"))
     ).distinct().filter(F.col("host").endswith(".example.org"))
@@ -1907,7 +1936,7 @@ _STALE_FIRST = [
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
     "histogram_quantiles",
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
-    "reciprocal_links",
+    "reciprocal_links", "c4_line_filters", "nb_quality",
 ]
 
 
@@ -1958,6 +1987,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
+        "c4_line_filters": q_c4_line_filters,
+        "nb_quality": q_nb_quality,
         "dsir_weights": q_dsir_weights,
         "anchor_texts": q_anchor_texts,
         "zorder_prune": q_zorder_prune,
@@ -2296,6 +2327,17 @@ FROM c_pages
 """
 
 
+def _c4_oracle() -> str:
+    # C4 line/page rules replayed by the functions.c4filters twin over
+    # the same persisted pages parquet the Spark query reads
+    from sandcrawler_spark.functions.c4filters import c4_oracle_sql
+
+    return c4_oracle_sql(
+        f"WITH {_corpus_oracle_tables()} "
+        "SELECT url, text FROM c_pages WHERE text IS NOT NULL"
+    )
+
+
 def _grobid_hook_oracle() -> str:
     # The grobid/pdftrio stubs derive everything from sha1(body); the
     # corpus build already recorded that hash per capture in cdx.sha1hex
@@ -2555,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.budget import budget_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql
+    from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
 
@@ -3093,6 +3136,10 @@ SELECT term FROM (
             k=15,
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        "c4_line_filters": _c4_oracle(),
+        "nb_quality": nb_oracle_sql(
+            "SELECT doc_id, text, lang FROM documents", "lang = 'en'"
+        ),
         "dsir_weights": dsir_oracle_sql(
             "SELECT doc_id, text FROM documents",
             "SELECT doc_id, text FROM documents WHERE lang = 'en'",

@@ -25,7 +25,7 @@ ALLOW_BNLJ = {
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
     "bm25_search", "lm_doc_scores", "host_budget_alloc", "temperature_mix",
-    "dsir_weights",
+    "dsir_weights", "nb_quality",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
     "dedupe_recall",
@@ -50,7 +50,7 @@ AUDIT = [
     "backlink_features", "recrawl_rates", "shard_assign",
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
     "histogram_quantiles", "dsir_weights", "anchor_texts", "zorder_prune",
-    "trust_rank", "reciprocal_links",
+    "trust_rank", "reciprocal_links", "c4_line_filters", "nb_quality",
 ]
 
 
