@@ -1675,6 +1675,46 @@ def q_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap(xml, "xml", keep_cols=["host"])
 
 
+def q_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host RSS (even site_id) / Atom (odd site_id) feed XML built
+    # from the frontier, parsed back through the codegen'd feed
+    # parser; the oracle derives the expected rows relationally from
+    # orders (independent path — it never touches XML)
+    from sandcrawler_spark.functions.feeds import (
+        build_atom_entry_xml,
+        build_rss_item_xml,
+        parse_feed,
+    )
+
+    u = _urls(spark, sf_dir).filter(F.col("site_id") < 6)
+    okey = F.col("o_orderkey").cast("string")
+    title = F.concat(F.lit("Order "), okey)
+    date_s = F.col("o_orderdate").cast("string")
+    eid = F.concat(F.lit("order-"), okey)
+    block = F.when(
+        F.col("site_id") % 2 == 0,
+        build_rss_item_xml(F.col("url"), title, date_s, eid),
+    ).otherwise(build_atom_entry_xml(F.col("url"), title, date_s, eid))
+    xml = (
+        u.select("host", "o_orderkey", block.alias("_b"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<feed>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("o_orderkey", "_b"))),
+                        lambda s: s["_b"],
+                    ),
+                    "",
+                ),
+                F.lit("</feed>"),
+            ).alias("xml")
+        )
+    )
+    return parse_feed(xml, "xml", keep_cols=["host"])
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phi-heavy-hitters over a skewed fetch stream (3 hot URLs + a
     # cold tail): every true heavy hitter is returned (CMS never
@@ -1936,7 +1976,7 @@ _STALE_FIRST = [
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
     "histogram_quantiles",
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
-    "reciprocal_links", "c4_line_filters", "nb_quality",
+    "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
 ]
 
 
@@ -1971,6 +2011,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_part_counts": q_cms_part_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "sitemap_roundtrip": q_sitemap_roundtrip,
+        "feed_roundtrip": q_feed_roundtrip,
         "temperature_mix": q_temperature_mix,
         "url_traps": q_url_traps,
         "best_capture": q_best_capture,
@@ -2952,6 +2993,17 @@ SELECT host,
        '0.' || CAST(priority AS VARCHAR) AS priority,
        'url' AS kind
 FROM urls WHERE site_id < 5
+""",
+        "feed_roundtrip": f"""
+WITH {_URLS_CTE.strip()}
+SELECT host,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY o_orderkey) - 1 AS INT) AS seq,
+       url AS link,
+       'Order ' || CAST(o_orderkey AS VARCHAR) AS title,
+       CAST(o_orderdate AS VARCHAR) AS published,
+       'order-' || CAST(o_orderkey AS VARCHAR) AS entry_id,
+       CASE WHEN site_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+FROM urls WHERE site_id < 6
 """,
         "cms_heavy_hitters": f"""
 WITH stream AS (

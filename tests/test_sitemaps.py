@@ -72,3 +72,74 @@ def test_kind_is_per_block_not_per_file(spark):
     assert rows[("t", 0)].kind == "url"
     assert rows[("m", 0)].kind == "index" and rows[("m", 0)].loc == "https://a.org/s1.xml"
     assert rows[("m", 1)].kind == "url" and rows[("m", 1)].loc == "https://a.org/p9"
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feeds (functions/feeds.py) — third discovery channel
+# ---------------------------------------------------------------------------
+
+def test_feed_parse_rss_and_atom(spark):
+    from sandcrawler_spark.functions.feeds import parse_feed
+
+    rss = ("<rss><channel><title>Blog</title>"
+           "<item><title>Post 1</title><link>https://a.org/p1</link>"
+           "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+           '<guid isPermaLink="false">g-1</guid></item>'
+           "<item><link>https://a.org/p2</link></item>"
+           "</channel></rss>")
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+            "<entry><title>E1</title>"
+            '<link rel="alternate" href="https://b.org/e1"/>'
+            "<updated>2024-01-02T00:00:00Z</updated><id>tag:b.org,e1</id></entry>"
+            "</feed>")
+    df = spark.createDataFrame([("r", rss), ("a", atom)], ["src", "xml"])
+    rows = {(r.src, r.seq): r for r in parse_feed(df, keep_cols=["src"]).collect()}
+    assert rows[("r", 0)].link == "https://a.org/p1"
+    assert rows[("r", 0)].title == "Post 1"
+    assert rows[("r", 0)].published == "Mon, 01 Jan 2024 00:00:00 GMT"
+    assert rows[("r", 0)].entry_id == "g-1"
+    assert rows[("r", 0)].kind == "rss"
+    # optional fields nullable
+    assert rows[("r", 1)].title is None and rows[("r", 1)].published is None
+    assert rows[("a", 0)].link == "https://b.org/e1"
+    assert rows[("a", 0)].published == "2024-01-02T00:00:00Z"
+    assert rows[("a", 0)].entry_id == "tag:b.org,e1"
+    assert rows[("a", 0)].kind == "atom"
+
+
+def test_feed_linkless_dropped_and_kind_per_entry(spark):
+    from sandcrawler_spark.functions.feeds import parse_feed
+
+    # an RSS item whose description mentions '<entry' must stay rss;
+    # an item with no <link> has nothing to schedule -> dropped
+    tricky = ("<rss><channel>"
+              "<item><title>mentions &lt;entry and <entry here</title>"
+              "<link>https://a.org/ok</link></item>"
+              "<item><title>no link</title></item>"
+              "</channel></rss>")
+    df = spark.createDataFrame([(tricky,)], ["xml"])
+    rows = parse_feed(df).collect()
+    assert len(rows) == 1
+    assert rows[0].link == "https://a.org/ok" and rows[0].kind == "rss"
+
+
+def test_feed_roundtrip_builders(spark):
+    from sandcrawler_spark.functions.feeds import (
+        build_atom_entry_xml,
+        build_rss_item_xml,
+        parse_feed,
+    )
+
+    df = spark.createDataFrame([("https://a.org/x", "T", "D", "i-1")],
+                               ["u", "t", "d", "i"])
+    both = df.select(
+        F.concat(
+            build_rss_item_xml(F.col("u"), F.col("t"), F.col("d"), F.col("i")),
+            build_atom_entry_xml(F.col("u"), F.col("t"), F.col("d"), F.col("i")),
+        ).alias("xml")
+    )
+    rows = sorted(parse_feed(both).collect(), key=lambda r: r.seq)
+    assert [r.kind for r in rows] == ["rss", "atom"]
+    for r in rows:
+        assert (r.link, r.title, r.published, r.entry_id) == (
+            "https://a.org/x", "T", "D", "i-1")
