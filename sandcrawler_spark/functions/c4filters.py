@@ -37,8 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# a line must end in . ! ? or a closing double-quote after one of them
-TERMINAL_PUNCT_RE = r'[.!?"]$'
+# a line must end in . ! ? or a closing double-quote after one of
+# them, ignoring trailing whitespace (the reference C4 implementation
+# strips each line before the endswith test; the \s* also keeps the
+# three regex engines in agreement on \r\n-terminated lines, where a
+# bare $ is end-of-text in RE2 but before-final-terminator in Java)
+TERMINAL_PUNCT_RE = r'[.!?"]\s*$'
 
 
 def _line_word_count(line: Column) -> Column:

@@ -140,3 +140,58 @@ def test_span_dedupe_differential_fuzz(spark):
             for r in span_dedupe(df, n=n).collect()
         }
         assert got == want, f"trial {trial} (n={n}): {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning: pure-Python reference vs the Catalyst columns
+# ---------------------------------------------------------------------------
+
+def _c4_py(text: str, min_words: int = 5, min_sentences: int = 3):
+    import hashlib
+
+    lines = text.split("\n")
+    kept = [
+        l for l in lines
+        if re.search(r'[.!?"]\s*$', l)
+        and len([t for t in re.split(r"\s+", l) if t]) >= min_words
+        and "javascript" not in l.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    return (
+        len(lines),
+        len(kept),
+        n_sent,
+        len([t for t in re.split(r"\s+", clean) if t]),
+        hashlib.md5(clean.encode()).hexdigest(),
+        n_sent >= min_sentences
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text,
+    )
+
+
+def test_c4_differential_fuzz(spark):
+    from sandcrawler_spark.functions.c4filters import with_c4_verdict
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Gamma", "javascript", "JavaScript", "lorem",
+             "ipsum", "Lorem Ipsum", "{x}", "a", "bb", "ccc"]
+    tails = ["", ".", "!", "?", '."', ".\r", ".  ", " ", "..."]
+    texts = []
+    for _ in range(250):
+        n_lines = rng.randint(0, 8)
+        texts.append("\n".join(
+            " ".join(rng.choice(words) for _ in range(rng.randint(0, 9)))
+            + rng.choice(tails)
+            for _ in range(n_lines)
+        ))
+    texts += ["", ".", "\n\n\n", "one two three four five.", "x { y."]
+    expected = {i: _c4_py(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["url", "text"])
+    got = {
+        r.url: (r.n_lines, r.n_lines_kept, r.n_sentences, r.clean_words,
+                r.clean_md5, bool(r.page_kept))
+        for r in with_c4_verdict(df, "text").collect()
+    }
+    for i, e in expected.items():
+        assert got[i] == e, (i, repr(texts[i][:80]), got[i], e)
