@@ -60,6 +60,12 @@ def main() -> None:
         "the stateful_host_budget streaming operator (over-quota hosts "
         "are deferred; state resumes from the budget checkpoint)",
     )
+    ap.add_argument(
+        "--discover", action="store_true",
+        help="sitemap/feed discovery: fetched bodies that are sitemap "
+        "or RSS/Atom XML contribute new ingest requests to the next "
+        "round's frontier (persisted; seen-filter still gates)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -84,6 +90,7 @@ def main() -> None:
         adaptive_politeness=args.adaptive_politeness,
         rank_frontier=args.rank_frontier,
         frontier_cap=args.frontier_cap,
+        discover=args.discover,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

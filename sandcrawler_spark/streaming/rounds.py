@@ -45,6 +45,7 @@ class CrawlRunner:
         adaptive_politeness: bool = False,
         rank_frontier: bool = False,
         frontier_cap: int | None = None,
+        discover: bool = False,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -75,10 +76,21 @@ class CrawlRunner:
         # crashed round replays against the same prior state.
         self.rank_frontier = rank_frontier
         self.frontier_cap = frontier_cap
+        # Sitemap/feed discovery channel: fetched bodies that are
+        # sitemap or RSS/Atom XML contribute new ingest requests to
+        # the NEXT round's frontier (functions/sitemaps.py,
+        # functions/feeds.py). Discovered rows persist in a snapshot
+        # table keyed by (ingest_type, base_url) with on_conflict
+        # nothing, so a crashed round's replay re-merges the same rows
+        # idempotently and the seen-filter still gates re-fetches.
+        self.discover = discover
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
         os.makedirs(state_dir, exist_ok=True)
+        self.discovered = SnapshotTable(
+            spark, os.path.join(state_dir, "discovered"), ["ingest_type", "base_url"]
+        )
         self.results = SnapshotTable(spark, os.path.join(state_dir, "ingest_file_result"), ["ingest_type", "base_url"])
         self.seen = SnapshotTable(spark, os.path.join(state_dir, "url_seen"), ["canon_url"])
         self.extraction = SnapshotTable(spark, os.path.join(state_dir, "extraction"), ["sha1hex"])
@@ -349,10 +361,66 @@ class CrawlRunner:
         return admitted, n_deferred
 
     # ---- one round -------------------------------------------------------
+    # ---- sitemap/feed discovery ---------------------------------------------
+    def _discover_requests(self, to_extract: DataFrame) -> int:
+        """Parse sitemap XML (urlset/sitemapindex) and RSS/Atom feed
+        bodies among this round's fetched pages into new ingest
+        requests; merge into the discovered store (PK'd, on_conflict
+        nothing — idempotent on round replay). Returns rows found this
+        round (pre-merge, post-distinct). Sitemap index pointers come
+        back as ingest requests too: the next round fetches the child
+        sitemap and THIS hook parses it — the fetch loop is the
+        recursion."""
+        from sandcrawler_spark.functions.feeds import parse_feed
+        from sandcrawler_spark.functions.sitemaps import parse_sitemap
+
+        # try_validate_utf8: binary bodies (PDFs) come out NULL instead
+        # of throwing MALFORMED_CHARACTER_CODING like a strict decode
+        xmlish = to_extract.select(
+            F.col("terminal_url").alias("src_url"),
+            F.expr("try_validate_utf8(html)").alias("xml"),
+        ).filter(F.col("xml").isNotNull())
+        sm = parse_sitemap(
+            xmlish.filter(F.col("xml").rlike(r"<(urlset|sitemapindex)[\s>]")),
+            "xml",
+            keep_cols=["src_url"],
+        ).select(F.lit("sitemap").alias("link_source"), F.col("src_url"), F.col("loc"))
+        fd = parse_feed(
+            xmlish.filter(F.col("xml").rlike(r"<(rss|feed)[\s>]")),
+            "xml",
+            keep_cols=["src_url"],
+        ).select(F.lit("feed").alias("link_source"), F.col("src_url"), F.col("link").alias("loc"))
+        reqs = (
+            sm.unionByName(fd)
+            .select(
+                "link_source",
+                F.col("src_url").alias("link_source_id"),
+                F.when(F.lower("loc").endswith(".pdf"), "pdf")
+                .otherwise("html")
+                .alias("ingest_type"),
+                F.col("loc").alias("base_url"),
+                F.lit("discovery").alias("ingest_request_source"),
+                F.lit(1).cast("long").alias("priority"),
+                F.lit(1).cast("long").alias("link_depth"),
+            )
+            .distinct()
+            .persist()
+        )
+        n = reqs.count()
+        if n:
+            self.discovered.merge(reqs, on_conflict="nothing")
+        reqs.unpersist()
+        return n
+
     def run_round(self) -> dict:
         r = len(self.rounds_done())
+        requests = self.corpus["ingest_request"]
+        if self.discover:
+            d = self.discovered.read()
+            if d is not None:
+                requests = requests.unionByName(d, allowMissingColumns=True)
         frontier = build_frontier(
-            self.corpus["ingest_request"],
+            requests,
             self.results.read(),
             now_expr=self.now_expr,
         )
@@ -464,6 +532,11 @@ class CrawlRunner:
                 F.col("pdf_meta"),
             )
         )
+        n_discovered = 0
+        if self.discover:
+            n_discovered = self._discover_requests(to_extract)
+            self.metrics.inc("discovered_requests", n_discovered)
+
         extracted = html_ex.unionByName(pdf_ex).persist()
         n_extracted = extracted.count()
         # F10: scope routing — how many extracted docs are ingest-worthy
@@ -496,6 +569,7 @@ class CrawlRunner:
             "scheduled": n_batch,
             "deferred": n_deferred,
             "extracted": n_extracted,
+            "discovered": n_discovered,
             "result_counts": res_snap["counts"],
             "snapshots": {
                 "ingest_file_result": res_snap["id"],

@@ -339,3 +339,74 @@ def test_rank_cap_is_take_ordered_not_global_sort(spark, corpus, tmp_path):
     )
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Sitemap/feed discovery channel in the round loop
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_feed_discovery_rounds(spark, corpus, corpus_pd, tmp_path):
+    """--discover: fetched sitemap/feed bodies contribute new ingest
+    requests to the NEXT round's frontier; a sitemapindex pointer is
+    itself refetched next round (the fetch loop is the recursion)."""
+    import base64
+    import hashlib
+
+    cdx_pd = corpus_pd["cdx"]
+    ok = cdx_pd[(cdx_pd.status_code == 200) & (cdx_pd.mimetype == "text/html")]
+    targets = sorted(u for u in ok["url"].unique()
+                     if "/articles/" in u and "?" not in u)[:2]
+    assert len(targets) == 2
+    sm_url = "https://disc.example.org/sitemap.xml"
+    sm2_url = "https://disc.example.org/sitemap-2.xml"
+    fd_url = "https://disc.example.org/feed.xml"
+    bodies = {
+        sm_url: f"<sitemapindex><sitemap><loc>{sm2_url}</loc></sitemap></sitemapindex>",
+        sm2_url: f"<urlset><url><loc>{targets[0]}</loc></url></urlset>",
+        fd_url: ("<rss><channel><item><title>t</title>"
+                 f"<link>{targets[1]}</link></item></channel></rss>"),
+    }
+    ts = corpus_pd["pages"]["warc_ts"].iloc[0].to_pydatetime()
+    dtstr = ts.strftime("%Y%m%d%H%M%S")
+    page_rows, cdx_rows = [], []
+    for u, body in bodies.items():
+        digest = hashlib.sha1(body.encode()).digest()
+        page_rows.append((u, ts, bytearray(body.encode()), None, None))
+        cdx_rows.append((
+            "org,example,disc)/" + u.rsplit("/", 1)[1], dtstr, u, "text/html", 200,
+            base64.b32encode(digest).decode().rstrip("="), digest.hex(),
+            len(body), 0, "SC-TEST/SC-1.warc.gz", None,
+        ))
+    pages = corpus["pages"].unionByName(spark.createDataFrame(
+        page_rows, "url string, warc_ts timestamp, html binary, text string, lang string"))
+    cdx = corpus["cdx"].unionByName(spark.createDataFrame(
+        cdx_rows,
+        "surt string, datetime string, url string, mimetype string, status_code long, "
+        "sha1b32 string, sha1hex string, warc_csize long, warc_offset long, "
+        "warc_path string, redirect_url string"))
+    reqs = spark.createDataFrame(
+        [("seed", "s1", "html", sm_url, 1, 0), ("seed", "s2", "html", fd_url, 1, 0)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": cdx, "pages": pages, "robots": corpus["robots"]}
+
+    runner = CrawlRunner(spark, small, str(tmp_path / "d"), discover=True)
+    entries = runner.run(max_rounds=6)
+    by_round = {e["round"]: e for e in entries}
+    # r0 fetches sitemap index + feed -> discovers child sitemap + target[1]
+    assert by_round[0]["discovered"] == 2
+    # r1 fetches child sitemap + target[1] -> discovers target[0]
+    assert by_round[1]["discovered"] == 1
+    assert by_round[1]["frontier"] == 2
+    # r2 fetches target[0]; then the frontier drains
+    assert by_round[2]["frontier"] == 1
+    assert entries[-1]["done"]
+    res = {r.base_url: r.status for r in runner.results.read().collect()}
+    for u in targets + [sm2_url]:
+        assert res[u] == "success", (u, res.get(u))
+    # without the flag nothing is discovered
+    r2 = CrawlRunner(spark, small, str(tmp_path / "off"))
+    e2 = r2.run(max_rounds=2)
+    assert all(e.get("discovered", 0) == 0 for e in e2)
+    assert r2.results.read().count() == 2
