@@ -102,6 +102,63 @@ def parse_robots_py(text: str, agent: str = "*") -> dict:
     }
 
 
+def _rule_regex_col(p):
+    """robots rule pattern -> anchored Java/RE2 regex, pure Catalyst:
+    escape regex specials, '*' -> '.*', a trailing '$' anchors, and
+    the whole pattern is prefix-anchored with '^'. Runs over the
+    host-cardinality rules dimension, never the URL stream."""
+    esc = F.regexp_replace(p, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    anchored = F.when(
+        p.endswith("$"),
+        F.concat(F.substring(esc, F.lit(1), F.length(esc) - 2), F.lit("$")),
+    ).otherwise(esc)
+    return F.concat(F.lit("^"), anchored)
+
+
+def robots_disallowed_col(path, disallow_prefixes, allow_prefixes=None):
+    """RFC 9309 §2.2.2 rule matching as a Catalyst column: '*' matches
+    any run, '$' anchors the end, and among all rules matching the
+    path the LONGEST pattern wins, Allow beating Disallow on ties
+    (the de-facto Google semantics). Returns a boolean: true iff the
+    winning rule is a Disallow. No matching rule -> allowed.
+
+    Rule regexes are built per rules-array element — the arrays live
+    on the broadcast robots dimension (one row per host), so the
+    regexp construction cost is host-cardinality, not URL-cardinality.
+    """
+    dis = F.coalesce(disallow_prefixes, F.array().cast("array<string>"))
+    alw = (
+        F.coalesce(allow_prefixes, F.array().cast("array<string>"))
+        if allow_prefixes is not None
+        else F.array().cast("array<string>")
+    )
+    tag = lambda arr, is_allow: F.transform(  # noqa: E731
+        arr,
+        lambda r: F.struct(
+            F.length(r).alias("rule_len"),
+            F.lit(is_allow).alias("is_allow"),
+            _rule_regex_col(r).alias("rx"),
+        ),
+    )
+    rules = F.concat(tag(dis, 0), tag(alw, 1))
+    matched = F.filter(rules, lambda r: F.rlike(path, r["rx"]))
+    best = F.array_max(matched)  # struct order: rule_len, then is_allow
+    full = F.when(F.size(matched) > 0, best["is_allow"] == 0).otherwise(F.lit(False))
+    # Hot-path guard: a non-literal rlike pattern recompiles per row,
+    # so hosts whose rules are plain prefixes with no Allow overrides
+    # (the overwhelming majority, and the whole bench frontier) take
+    # the cheap startswith path — identical verdict there, since with
+    # disallow-only plain prefixes longest-match == any-match. The
+    # CASE evaluates lazily per row; only wildcard/Allow hosts pay
+    # for regex construction.
+    needs_regex = (F.size(alw) > 0) | F.exists(
+        dis, lambda r: r.contains("*") | r.contains("$")
+    )
+    simple = F.exists(dis, lambda r: path.startswith(r))
+    return F.when(needs_regex, full).otherwise(simple)
+
+
 @F.pandas_udf(ROBOTS_SCHEMA)
 def robots_udf(body: pd.Series, agent: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
     rows = []
@@ -137,4 +194,5 @@ def robots_table(
         F.lit(default_max_parallel).alias("max_parallel"),
         F.col("_r.crawl_delay_s").alias("crawl_delay_s"),
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.allow_prefixes").alias("allow_prefixes"),
     )

@@ -155,18 +155,28 @@ def schedule_politeness(
     here it is a static budget:  quota = min(max_parallel,
     floor(round_window_s / crawl_delay_s)), floored at 1).
     """
+    from sandcrawler_spark.functions.robots import robots_disallowed_col
+
+    # allow_prefixes is optional in the dimension (older stores carry
+    # only disallow rows); RFC 9309 semantics degrade gracefully to
+    # disallow-only longest-match, which equals plain any-match there
+    has_allow = "allow_prefixes" in robots.columns
     r = robots.select(
         F.col("host").alias(host_col),
         F.col("max_parallel"),
         F.col("disallow_prefixes"),
+        *([F.col("allow_prefixes")] if has_allow else []),
         F.col("crawl_delay_s"),
     )
     j = frontier.join(F.broadcast(r), on=host_col, how="left")
     path = F.regexp_replace(F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    disallowed = F.when(
-        F.col("disallow_prefixes").isNotNull(),
-        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
-    ).otherwise(F.lit(False))
+    # RFC 9309 §2.2.2 matching: '*'/'$' wildcards, longest rule wins,
+    # Allow beats Disallow on ties (functions/robots.py)
+    disallowed = robots_disallowed_col(
+        path,
+        F.col("disallow_prefixes"),
+        F.col("allow_prefixes") if has_allow else None,
+    )
     delay_cap = F.when(
         F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") > 0),
         F.greatest(F.floor(F.lit(round_window_s) / F.col("crawl_delay_s")), F.lit(1)),
@@ -191,7 +201,8 @@ def schedule_politeness(
     ).withColumn("crawl_round", F.lit(None).cast("int")).withColumn(
         "seq_in_round", F.lit(None).cast("int")
     )
-    return out.unionByName(excluded).drop("max_parallel", "disallow_prefixes")
+    out = out.unionByName(excluded).drop("max_parallel", "disallow_prefixes")
+    return out.drop("allow_prefixes") if has_allow else out
 
 
 # ---------------------------------------------------------------------------

@@ -301,3 +301,35 @@ def test_parse_cdx_lines_matches_py(spark):
     got = out[0].asDict()
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
+
+
+def test_robots_rfc9309_wildcards_and_precedence(spark):
+    """RFC 9309 §2.2.2 (and the de-facto Google semantics): '*'
+    matches any run, '$' anchors the end, the longest matching rule
+    wins, Allow beats Disallow on equal length."""
+    wild = [  # h.com: Disallow /fish*, /*.php$, /*.htm; Allow /x.htm
+        ("https://h.com/fish", True),          # /fish*
+        ("https://h.com/fishheads/x", True),   # /fish*
+        ("https://h.com/fish.php", True),      # /*.php$ (6) beats /fish* (5)
+        ("https://h.com/index.php", True),     # /*.php$
+        ("https://h.com/index.php5", False),   # $-anchor: no match
+        ("https://h.com/x.htm", False),        # Allow /x.htm (6) ties /*.htm (6) -> allow
+        ("https://h.com/y.htm", True),         # /*.htm
+    ]
+    prec = [  # g.com: Disallow /, /folder; Allow /p, /folder/
+        ("https://g.com/page", False),         # Allow /p (2) beats / (1)
+        ("https://g.com/folder/page", False),  # Allow /folder/ (8) beats /folder (7)
+        ("https://g.com/other", True),         # Disallow /
+    ]
+    rows = [("pdf", u, u.split("/")[2], 1, u) for u, _ in wild + prec]
+    frontier = spark.createDataFrame(
+        rows, ["ingest_type", "base_url", "host", "priority", "url"])
+    robots = spark.createDataFrame(
+        [("h.com", None, ["/fish*", "/*.php$", "/*.htm"], ["/x.htm"], 4),
+         ("g.com", None, ["/", "/folder"], ["/p", "/folder/"], 4)],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, max_parallel long",
+    )
+    out = {r.url: r.robots_excluded for r in schedule_politeness(frontier, robots).collect()}
+    for u, expect in wild + prec:
+        assert out[u] is expect, (u, out[u], expect)
