@@ -377,6 +377,92 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9309 §2.2.2 rule matching: '*'/'$' wildcards, longest rule
+    # wins, Allow beats Disallow on ties; site_id%4==3 hosts have no
+    # rules and exercise the plain-prefix fast path
+    from sandcrawler_spark.functions.robots import robots_disallowed_col
+
+    urls = _urls(spark, sf_dir)
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    path = (
+        F.when(k % 5 == 0, F.concat(F.lit("/admin/r"), ks))
+        .when(k % 5 == 1, F.concat(F.lit("/order/"), ks, F.lit(".php")))
+        .when(k % 5 == 2, F.concat(F.lit("/fishing/"), ks))
+        .when(k % 5 == 3, F.concat(F.lit("/docs/p"), ks, F.lit(".htm")))
+        .otherwise(F.concat(F.lit("/order/"), ks))
+    )
+    m = F.col("site_id") % 4
+    empty = F.array().cast("array<string>")
+    dis = (
+        F.when(m == 0, F.array(F.lit("/admin"), F.lit("/*.php$")))
+        .when(m == 1, F.array(F.lit("/fish*"), F.lit("/*.htm")))
+        .when(m == 2, F.array(F.lit("/")))
+        .otherwise(empty)
+    )
+    alw = (
+        F.when(m == 0, F.array(F.lit("/admin/public")))
+        .when(m == 1, F.array(F.lit("/docs/")))
+        .when(m == 2, F.array(F.lit("/order")))
+        .otherwise(empty)
+    )
+    df = urls.select(
+        "host",
+        k.cast("bigint").alias("o_orderkey"),
+        path.alias("path"),
+        dis.alias("d"),
+        alw.alias("a"),
+    )
+    return df.select(
+        "host",
+        "o_orderkey",
+        "path",
+        robots_disallowed_col(F.col("path"), F.col("d"), F.col("a")).alias("disallowed"),
+    )
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft-404 detection: 200-status pages whose content is an error
+    # page — anchored title tier, tiny-error-body tier, hard non-200s
+    # pass through as NULL (already classified)
+    from sandcrawler_spark.functions.soft404 import soft404_reason_col
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    status = (
+        F.when(k % 7 == 2, 404).when(k % 7 == 5, 500).otherwise(200)
+    ).cast("int")
+    title = (
+        F.when(k % 7 == 0, F.lit("404 Page Not Found"))
+        .when(k % 7 == 3, F.concat(F.lit("Understanding Error 404 Handling #"), ks))
+        .otherwise(F.concat(F.lit("Document "), ks))
+    )
+    body = (
+        F.when(k % 7 == 1, F.lit("Sorry, the page you requested was not found on this server."))
+        .when(k % 7 == 4, F.lit("This article does not exist anymore."))
+        .when(k % 7 == 3, F.concat(
+            F.col("text"),
+            F.lit(" A misconfigured server returns error 404 pages for valid URLs."),
+        ))
+        .otherwise(F.col("text"))
+    )
+    f = d.select(
+        k.cast("bigint").alias("doc_id"),
+        status.alias("status"),
+        title.alias("title"),
+        body.alias("body"),
+    )
+    reason = soft404_reason_col(F.col("status"), F.col("title"), F.col("body"))
+    return f.select(
+        "doc_id",
+        "status",
+        reason.alias("reason"),
+        reason.isNotNull().alias("is_soft404"),
+    )
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6: frontier minus seen-set (exact left-anti path)
     from sandcrawler_spark.operators.seen import unseen_exact
@@ -1977,6 +2063,7 @@ _STALE_FIRST = [
     "histogram_quantiles",
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
+    "robots_match", "soft404",
 ]
 
 
@@ -1996,6 +2083,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_delay": q_politeness_delay,
         "politeness_timing": q_politeness_timing,
         "robots_parse": q_robots_parse,
+        "robots_match": q_robots_match,
+        "soft404": q_soft404,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "seen_cuckoo": q_seen_cuckoo,
@@ -2632,6 +2721,37 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _soft404_oracle() -> str:
+    from sandcrawler_spark.functions.soft404 import BODY_RX, TINY_BODY_CHARS, TITLE_RX
+
+    return f"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(CASE WHEN doc_id % 7 = 2 THEN 404
+              WHEN doc_id % 7 = 5 THEN 500 ELSE 200 END AS INT) AS status,
+    CASE WHEN doc_id % 7 = 0 THEN '404 Page Not Found'
+         WHEN doc_id % 7 = 3 THEN 'Understanding Error 404 Handling #' || CAST(doc_id AS VARCHAR)
+         ELSE 'Document ' || CAST(doc_id AS VARCHAR) END AS title,
+    CASE WHEN doc_id % 7 = 1 THEN 'Sorry, the page you requested was not found on this server.'
+         WHEN doc_id % 7 = 4 THEN 'This article does not exist anymore.'
+         WHEN doc_id % 7 = 3 THEN text || ' A misconfigured server returns error 404 pages for valid URLs.'
+         ELSE text END AS body
+  FROM documents
+),
+verdicts AS (
+  SELECT doc_id, status,
+    CASE WHEN status <> 200 THEN CAST(NULL AS VARCHAR)
+         WHEN regexp_matches(lower(coalesce(title, '')), '{TITLE_RX}') THEN 'soft404:title'
+         WHEN regexp_matches(lower(coalesce(body, '')), '{BODY_RX}')
+              AND length(lower(coalesce(body, ''))) < {TINY_BODY_CHARS}
+           THEN 'soft404:tiny-error-body'
+    END AS reason
+  FROM f
+)
+SELECT doc_id, status, reason, reason IS NOT NULL AS is_soft404 FROM verdicts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_oracle_sql
@@ -2732,6 +2852,50 @@ SELECT host,
        CAST(CASE WHEN site_id % 3 = 0 THEN 2 WHEN site_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS n_groups
 FROM hosts
 """,
+        # RFC 9309 longest-match replayed relationally: the per-site
+        # rule sets are literal (len, is_allow, regex) rows; the
+        # winning rule per path is rank-1 by (len DESC, allow DESC)
+        "robots_match": f"""
+WITH {_URLS_CTE.strip()},
+paths AS (
+  SELECT host, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(site_id % 4 AS INT) AS m,
+         CASE CAST(o_orderkey % 5 AS INT)
+           WHEN 0 THEN '/admin/r' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN '/order/' || CAST(o_orderkey AS VARCHAR) || '.php'
+           WHEN 2 THEN '/fishing/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 3 THEN '/docs/p' || CAST(o_orderkey AS VARCHAR) || '.htm'
+           ELSE '/order/' || CAST(o_orderkey AS VARCHAR)
+         END AS path
+  FROM urls
+),
+rules(m, rule_len, is_allow, rx) AS (VALUES
+  (0, 6, 0, '^/admin'),
+  (0, 7, 0, '^/.*\\.php$'),
+  (0, 13, 1, '^/admin/public'),
+  (1, 6, 0, '^/fish.*'),
+  (1, 6, 0, '^/.*\\.htm'),
+  (1, 6, 1, '^/docs/'),
+  (2, 1, 0, '^/'),
+  (2, 6, 1, '^/order')
+),
+matched AS (
+  SELECT p.host, p.o_orderkey, r.is_allow,
+         row_number() OVER (PARTITION BY p.host, p.o_orderkey
+                            ORDER BY r.rule_len DESC, r.is_allow DESC) AS rn
+  FROM paths p JOIN rules r ON p.m = r.m AND regexp_matches(p.path, r.rx)
+)
+SELECT p.host, p.o_orderkey, p.path,
+       COALESCE(m.is_allow = 0, FALSE) AS disallowed
+FROM paths p
+LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+  ON p.host = m.host AND p.o_orderkey = m.o_orderkey
+""",
+        # soft-404 tiers replayed with the SAME module-constant regexes
+        # (functions/soft404.py) — RE2 and Java regex agree on this
+        # subset; the tiny-body guard measures the lowered string in
+        # both engines
+        "soft404": _soft404_oracle(),
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,
         # seen minus the evicted (recrawl-due) slice: orderkey%3==0 is

@@ -182,17 +182,43 @@ def robots_table(
     body_col: str = "body",
     agent: str = "sandcrawler",
     default_max_parallel: int = 2,
+    status_col: str | None = None,
 ) -> DataFrame:
     """(host, robots.txt body) rows -> the politeness dimension table
-    (host, max_parallel, crawl_delay_s, disallow_prefixes)."""
+    (host, max_parallel, crawl_delay_s, disallow_prefixes,
+    allow_prefixes).
+
+    When `status_col` names the robots-fetch HTTP status, RFC 9309
+    §2.3.1 access semantics apply:
+      - "unavailable" (400-499): allow all — rules and delay dropped;
+      - "unreachable" (500-599): complete disallow (rules = ['/']) —
+        a failing server must not be hammered;
+      - anything else (2xx, or no status column): parse the body.
+    """
     parsed = fetched.select(
         F.col(host_col).alias("host"),
+        *([F.col(status_col).alias("_status")] if status_col else []),
         robots_udf(F.col(body_col), F.lit(agent)).alias("_r"),
     )
+    delay = F.col("_r.crawl_delay_s")
+    dis = F.col("_r.disallow_prefixes")
+    alw = F.col("_r.allow_prefixes")
+    if status_col:
+        s = F.col("_status")
+        unavailable = (s >= 400) & (s < 500)
+        unreachable = (s >= 500) & (s < 600)
+        empty = F.array().cast("array<string>")
+        delay = F.when(unavailable, F.lit(None).cast("double")).otherwise(delay)
+        dis = (
+            F.when(unavailable, empty)
+            .when(unreachable, F.array(F.lit("/")))
+            .otherwise(dis)
+        )
+        alw = F.when(unavailable | unreachable, empty).otherwise(alw)
     return parsed.select(
         "host",
         F.lit(default_max_parallel).alias("max_parallel"),
-        F.col("_r.crawl_delay_s").alias("crawl_delay_s"),
-        F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
-        F.col("_r.allow_prefixes").alias("allow_prefixes"),
+        delay.alias("crawl_delay_s"),
+        dis.alias("disallow_prefixes"),
+        alw.alias("allow_prefixes"),
     )

@@ -1,0 +1,52 @@
+"""Soft-404 detection: HTTP-200 pages whose content is an error page.
+
+A soft 404 is a page served with status 200 whose body is actually a
+"not found" notice. Crawl engines must catch these or the frontier
+fills with junk terminals and the corpus with boilerplate error
+bodies. The reference filters hard failures by CDX status code
+(`pig/filter-cdx-paper-pdfs.pig`, `python/sandcrawler/ingest.py`
+status taxonomy) but trusts the 200 class; at web scale a content
+detector is required (the problem class is described in Bar-Yossef et
+al., "Sic Transit Gloria Telae", WWW'04).
+
+Heuristic tiers, all pure Catalyst columns (no Python crossing on the
+URL stream, whole-stage-codegen-able):
+  1. status != 200 -> NULL (a hard error is already classified);
+  2. error-shaped title, anchored at the start -> 'soft404:title'
+     (anchoring keeps articles titled "Understanding Error 404 ...");
+  3. error phrase in a TINY body -> 'soft404:tiny-error-body'
+     (the size guard keeps long articles that merely DISCUSS 404s).
+
+The regexes are module constants so the DuckDB oracle interpolates the
+exact same pattern strings (Java regex and RE2 agree on this subset:
+alternation, optional groups, \\s, anchors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TITLE_RX = r"^\s*(404|page not found|not found|error 404|oops)"
+BODY_RX = (
+    r"(page you (requested|are looking for) (was|could) not( be)? found"
+    r"|no longer (available|exists)|does not exist|error 404"
+    r"|404 not found|page not found)"
+)
+TINY_BODY_CHARS = 280
+
+
+def soft404_reason_col(status: Column, title: Column, body: Column) -> Column:
+    """NULL if the page looks genuine (or is a hard non-200), else the
+    matching heuristic tier as a reason string."""
+    t = F.lower(F.coalesce(title, F.lit("")))
+    b = F.lower(F.coalesce(body, F.lit("")))
+    return (
+        F.when(status != 200, F.lit(None).cast("string"))
+        .when(t.rlike(TITLE_RX), F.lit("soft404:title"))
+        .when(
+            b.rlike(BODY_RX) & (F.length(b) < TINY_BODY_CHARS),
+            F.lit("soft404:tiny-error-body"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )

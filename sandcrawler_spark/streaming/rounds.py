@@ -46,6 +46,7 @@ class CrawlRunner:
         rank_frontier: bool = False,
         frontier_cap: int | None = None,
         discover: bool = False,
+        soft404_filter: bool = False,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -84,6 +85,11 @@ class CrawlRunner:
         # nothing, so a crashed round's replay re-merges the same rows
         # idempotently and the seen-filter still gates re-fetches.
         self.discover = discover
+        # Soft-404 gate (functions/soft404.py): HTTP-200 pages whose
+        # EXTRACTED content is an error page are reclassified to
+        # status 'soft404' (hit=False) and kept out of the extraction
+        # corpus — content-level junk the status taxonomy can't see.
+        self.soft404_filter = soft404_filter
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -498,10 +504,51 @@ class CrawlRunner:
 
         to_extract = hits.join(bodies, on=["terminal_url", "terminal_dt"], how="inner")
         is_pdf = F.substring(F.col("html"), 1, 4) == F.lit(b"%PDF")
-        html_ex = (
+        html_base = (
             with_file_meta(to_extract.filter(~is_pdf), "html")
             .withColumn("_ex", extract_text_udf(F.col("html")))
             .withColumn("_biblio", biblio_udf(F.col("html"), F.col("terminal_url")))
+        )
+        n_soft404 = 0
+        if self.soft404_filter:
+            from sandcrawler_spark.functions.soft404 import soft404_reason_col
+
+            # fetch_simulate only lands 200-class terminals here, so
+            # the status arg is a literal 200; the verdict keys on the
+            # extracted title/text
+            reason = soft404_reason_col(
+                F.lit(200), F.col("_biblio.title"), F.col("_ex.text")
+            )
+            html_base = html_base.withColumn("_soft404", reason).persist()
+            flagged = (
+                html_base.filter(F.col("_soft404").isNotNull())
+                .select(F.col("terminal_sha1hex").alias("_s404_sha1"))
+                .distinct()
+                .persist()
+            )
+            n_soft404 = flagged.count()
+            self.metrics.inc("soft404_pages", n_soft404)
+            if n_soft404:
+                # reclassify the fetch result rows (small side: the
+                # flagged sha1 set) and drop the pages from extraction
+                results = (
+                    results.join(
+                        F.broadcast(flagged),
+                        results["terminal_sha1hex"] == F.col("_s404_sha1"),
+                        "left",
+                    )
+                    .withColumn(
+                        "status",
+                        F.when(F.col("_s404_sha1").isNotNull(), "soft404")
+                        .otherwise(F.col("status")),
+                    )
+                    .withColumn("hit", F.col("status") == "success")
+                    .drop("_s404_sha1")
+                )
+                html_base = html_base.filter(F.col("_soft404").isNull())
+            html_base = html_base.drop("_soft404")
+        html_ex = (
+            html_base
             .select(
                 F.col("terminal_sha1hex").alias("sha1hex"),
                 F.col("sha256hex"),
@@ -570,6 +617,7 @@ class CrawlRunner:
             "deferred": n_deferred,
             "extracted": n_extracted,
             "discovered": n_discovered,
+            "soft404": n_soft404,
             "result_counts": res_snap["counts"],
             "snapshots": {
                 "ingest_file_result": res_snap["id"],

@@ -410,3 +410,48 @@ def test_sitemap_feed_discovery_rounds(spark, corpus, corpus_pd, tmp_path):
     e2 = r2.run(max_rounds=2)
     assert all(e.get("discovered", 0) == 0 for e in e2)
     assert r2.results.read().count() == 2
+
+
+def test_soft404_filter_rounds(spark, corpus, tmp_path):
+    """soft404_filter: a 200 text/html page whose content is an error
+    page is reclassified to status 'soft404' (hit=False) and kept out
+    of the extraction corpus; without the flag it lands as success."""
+    import base64
+    import hashlib
+
+    url = "https://s404.example.org/moved-article"
+    body = ("<html><head><title>404 Page Not Found</title></head>"
+            "<body><p>Sorry, the page you requested was not found.</p>"
+            "</body></html>")
+    ts = corpus["pages"].select("warc_ts").first()[0]
+    dtstr = ts.strftime("%Y%m%d%H%M%S")
+    digest = hashlib.sha1(body.encode()).digest()
+    pages = corpus["pages"].unionByName(spark.createDataFrame(
+        [(url, ts, bytearray(body.encode()), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string"))
+    cdx = corpus["cdx"].unionByName(spark.createDataFrame(
+        [("org,example,s404)/moved-article", dtstr, url, "text/html", 200,
+          base64.b32encode(digest).decode().rstrip("="), digest.hex(),
+          len(body), 0, "SC-TEST/SC-404.warc.gz", None)],
+        "surt string, datetime string, url string, mimetype string, status_code long, "
+        "sha1b32 string, sha1hex string, warc_csize long, warc_offset long, "
+        "warc_path string, redirect_url string"))
+    reqs = spark.createDataFrame(
+        [("seed", "s1", "html", url, 1, 0)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": cdx, "pages": pages, "robots": corpus["robots"]}
+
+    runner = CrawlRunner(spark, small, str(tmp_path / "on"), soft404_filter=True)
+    entries = runner.run(max_rounds=2)
+    assert entries[0]["soft404"] == 1
+    res = {r.base_url: (r.status, r.hit) for r in runner.results.read().collect()}
+    assert res[url] == ("soft404", False)
+    ext = runner.extraction.read()
+    assert ext.filter(F.col("sha1hex") == digest.hex()).count() == 0
+
+    off = CrawlRunner(spark, small, str(tmp_path / "off"))
+    off.run(max_rounds=2)
+    res2 = {r.base_url: r.status for r in off.results.read().collect()}
+    assert res2[url] == "success"
+    assert off.extraction.read().filter(F.col("sha1hex") == digest.hex()).count() == 1

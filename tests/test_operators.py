@@ -333,3 +333,32 @@ def test_robots_rfc9309_wildcards_and_precedence(spark):
     out = {r.url: r.robots_excluded for r in schedule_politeness(frontier, robots).collect()}
     for u, expect in wild + prec:
         assert out[u] is expect, (u, out[u], expect)
+
+
+def test_soft404_tiers(spark):
+    """Soft-404 heuristic: anchored error title; error phrase only in
+    a TINY body; hard non-200s pass through as NULL."""
+    from sandcrawler_spark.functions.soft404 import soft404_reason_col
+
+    long_tail = " lorem ipsum" * 40  # pushes body past the tiny guard
+    rows = [
+        (1, 200, "404 Page Not Found", "gone", "soft404:title"),
+        (2, 200, "Oops! Nothing here", "x", "soft404:title"),
+        # anchoring keeps an article ABOUT 404s
+        (3, 200, "Understanding Error 404 Handling", "guide" + long_tail, None),
+        (4, 200, "Doc", "The page you requested was not found.", "soft404:tiny-error-body"),
+        (5, 200, "Doc", "This resource does not exist.", "soft404:tiny-error-body"),
+        # tiny guard: long article that merely mentions the phrase
+        (6, 200, "Doc", "servers return error 404 sometimes" + long_tail, None),
+        (7, 404, "404 Page Not Found", "gone", None),  # hard error -> NULL
+        (8, 200, "Doc", "a perfectly fine article body", None),
+        (9, 200, None, None, None),  # null-safe
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, status int, title string, body string, expect string")
+    out = df.select(
+        "id", "expect",
+        soft404_reason_col(F.col("status"), F.col("title"), F.col("body")).alias("got"),
+    )
+    for r in out.collect():
+        assert r.got == r.expect, (r.id, r.got, r.expect)

@@ -400,3 +400,20 @@ def test_frontier_store_round_partitions(spark, tmp_path):
     for r in got_rows:
         per_host[r.host] = per_host.get(r.host, 0) + 1
     assert all(n <= 3 for n in per_host.values())
+
+
+def test_robots_table_status_semantics(spark):
+    """RFC 9309 §2.3.1: a 4xx robots fetch means allow-all; a 5xx
+    means complete disallow; 200 parses the body as usual."""
+    from sandcrawler_spark.functions.robots import robots_table
+
+    body = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+    fetched = spark.createDataFrame(
+        [("ok.com", body, 200), ("gone.com", body, 404), ("down.com", body, 503)],
+        "host string, body binary, status int",
+    )
+    r = {row.host: row for row in robots_table(fetched, status_col="status").collect()}
+    assert r["ok.com"].disallow_prefixes == ["/private/"]
+    assert r["ok.com"].crawl_delay_s == 2.0
+    assert r["gone.com"].disallow_prefixes == [] and r["gone.com"].crawl_delay_s is None
+    assert r["down.com"].disallow_prefixes == ["/"]
