@@ -463,6 +463,33 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # public-suffix (eTLD+1) extraction: politeness/budget grouping key
+    # at domain granularity — exercises exact rules at 1/2/3 labels,
+    # the *.ck wildcard, the !www.ck exception, private hosting
+    # suffixes (github.io), and the implicit-'*' unknown-TLD path
+    from sandcrawler_spark.functions.psl import with_registered_domain
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    m = k % 8
+    host = (
+        F.when(m == 0, F.concat(F.lit("shop"), ks, F.lit(".example.com")))
+        .when(m == 1, F.concat(F.lit("news"), ks, F.lit(".bbc.co.uk")))
+        .when(m == 2, F.concat(F.lit("u"), ks, F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("api"), ks, F.lit(".company.com.au")))
+        .when(m == 4, F.concat(F.lit("w"), ks, F.lit(".site.ck")))
+        .when(m == 5, F.lit("www.ck"))
+        .when(m == 6, F.concat(F.lit("node"), ks, F.lit(".compute.amazonaws.com")))
+        .otherwise(F.concat(F.lit("intranet"), ks, F.lit(".unknowntld")))
+    )
+    df = o.select(k.cast("bigint").alias("o_orderkey"), host.alias("host"))
+    return with_registered_domain(df, "host").select(
+        "o_orderkey", "host", "public_suffix", "registered_domain"
+    )
+
+
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J6: frontier minus seen-set (exact left-anti path)
     from sandcrawler_spark.operators.seen import unseen_exact
@@ -2063,7 +2090,7 @@ _STALE_FIRST = [
     "histogram_quantiles",
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
-    "robots_match", "soft404",
+    "robots_match", "soft404", "registered_domain",
 ]
 
 
@@ -2085,6 +2112,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "robots_match": q_robots_match,
         "soft404": q_soft404,
+        "registered_domain": q_registered_domain,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "seen_cuckoo": q_seen_cuckoo,
@@ -2721,6 +2749,63 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _psl_oracle() -> str:
+    """publicsuffix.org longest-match replayed relationally: the rule
+    set is the SAME module-constant list (functions/psl.py) rendered
+    as literal (key, labels, is_wild, is_exc, tail) rows; exception
+    beats all, else longest rule, else the implicit '*'."""
+    from sandcrawler_spark.functions.psl import psl_rules_sql_values
+
+    return f"""
+WITH hosts AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+    CASE CAST(o_orderkey % 8 AS INT)
+      WHEN 0 THEN 'shop' || CAST(o_orderkey AS VARCHAR) || '.example.com'
+      WHEN 1 THEN 'news' || CAST(o_orderkey AS VARCHAR) || '.bbc.co.uk'
+      WHEN 2 THEN 'u' || CAST(o_orderkey AS VARCHAR) || '.github.io'
+      WHEN 3 THEN 'api' || CAST(o_orderkey AS VARCHAR) || '.company.com.au'
+      WHEN 4 THEN 'w' || CAST(o_orderkey AS VARCHAR) || '.site.ck'
+      WHEN 5 THEN 'www.ck'
+      WHEN 6 THEN 'node' || CAST(o_orderkey AS VARCHAR) || '.compute.amazonaws.com'
+      ELSE 'intranet' || CAST(o_orderkey AS VARCHAR) || '.unknowntld'
+    END AS host
+  FROM orders
+),
+parts AS (
+  SELECT o_orderkey, host, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM hosts
+),
+rules(key, labels, is_wild, is_exc, tail) AS (VALUES
+  {psl_rules_sql_values()}
+),
+cands AS (
+  SELECT p.o_orderkey, CAST(t.i AS INT) AS i,
+         array_to_string(list_slice(p.labels, p.n - CAST(t.i AS INT) + 1, p.n), '.') AS suffix
+  FROM parts p, range(1, 6) t(i)
+  WHERE CAST(t.i AS INT) <= p.n
+),
+matched AS (
+  SELECT c.o_orderkey,
+         MAX(CASE WHEN r.is_exc THEN r.labels - 1 END) AS exc_len,
+         MAX(CASE WHEN NOT r.is_exc THEN r.labels END) AS plain_len
+  FROM cands c JOIN rules r
+    ON (NOT r.is_wild AND c.suffix = r.key AND c.i = r.labels)
+    OR (r.is_wild AND c.i = r.labels AND c.suffix LIKE '%.' || r.tail)
+  GROUP BY c.o_orderkey
+),
+resolved AS (
+  SELECT p.o_orderkey, p.host, p.labels, p.n,
+         CAST(COALESCE(m.exc_len, m.plain_len, 1) AS INT) AS ps
+  FROM parts p LEFT JOIN matched m ON p.o_orderkey = m.o_orderkey
+)
+SELECT o_orderkey, host,
+  array_to_string(list_slice(labels, n - ps + 1, n), '.') AS public_suffix,
+  CASE WHEN n > ps THEN array_to_string(list_slice(labels, n - ps, n), '.') END AS registered_domain
+FROM resolved
+"""
+
+
 def _soft404_oracle() -> str:
     from sandcrawler_spark.functions.soft404 import BODY_RX, TINY_BODY_CHARS, TITLE_RX
 
@@ -2896,6 +2981,7 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         # subset; the tiny-body guard measures the lowered string in
         # both engines
         "soft404": _soft404_oracle(),
+        "registered_domain": _psl_oracle(),
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,
         # seen minus the evicted (recrawl-due) slice: orderkey%3==0 is

@@ -362,3 +362,50 @@ def test_soft404_tiers(spark):
     )
     for r in out.collect():
         assert r.got == r.expect, (r.id, r.got, r.expect)
+
+
+def test_registered_domain_psl(spark):
+    """publicsuffix.org algorithm on the Spark tier: exception beats
+    all, else longest rule, else implicit '*'; wildcard consumes a
+    label; private hosting suffixes split sites. Vectors from the
+    published checkPublicSuffix test data."""
+    from sandcrawler_spark.functions.psl import (
+        registered_domain_py,
+        with_registered_domain,
+    )
+
+    cases = [
+        ("example", None), ("example.example", "example.example"),
+        ("b.example.example", "example.example"),
+        ("com", None), ("example.com", "example.com"),
+        ("WwW.Example.COM", "example.com"), ("a.b.example.com", "example.com"),
+        ("co.uk", None), ("example.co.uk", "example.co.uk"),
+        ("www.example.co.uk", "example.co.uk"),
+        ("ck", None), ("test.ck", None), ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"), ("www.www.ck", "www.ck"),
+        ("github.io", None), ("user.github.io", "user.github.io"),
+        ("x.user.github.io", "user.github.io"),
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        ("node1.compute.amazonaws.com", None),
+        ("vm.node1.compute.amazonaws.com", "vm.node1.compute.amazonaws.com"),
+        ("example.com.", "example.com"),  # trailing-dot FQDN form
+    ]
+    # python tier (fixture generator / property oracle)
+    for h, want in cases:
+        assert registered_domain_py(h) == want, h
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    out = {
+        r.host: (r.public_suffix, r.registered_domain)
+        for r in with_registered_domain(df).collect()
+    }
+    for h, want in cases:
+        assert out[h][1] == want, (h, out[h])
+    # the hot-path contract: no shuffle — broadcast joins only
+    executed = with_registered_domain(df)
+    executed.collect()  # AQE finalizes the plan only on execution
+    plan = executed._jdf.queryExecution().executedPlan().toString()
+    for shuffle in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                    "ShuffleExchange"):
+        assert shuffle not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -51,7 +51,7 @@ AUDIT = [
     "incremental_pagerank", "adaptive_delay", "hyperball_centrality",
     "histogram_quantiles", "dsir_weights", "anchor_texts", "zorder_prune",
     "trust_rank", "reciprocal_links", "c4_line_filters", "nb_quality",
-    "feed_roundtrip", "robots_match", "soft404",
+    "feed_roundtrip", "robots_match", "soft404", "registered_domain",
 ]
 
 
