@@ -911,6 +911,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(_t(spark, sf_dir, "documents"), k=6)
 
 
+_BPE_ENCODE_MERGES = [("a", "t"), ("e", "r"), ("s", "c"), ("at", "a"), ("o", "w")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer ENCODE step: apply a fixed ordered merge list to the
+    # corpus vocabulary (bpe_merges trains; this segments) — the
+    # ('at','a') merge compounds on round 1's output ('data' ->
+    # d|at|a -> d|ata), so the check exercises merge ordering
+    from sandcrawler_spark.operators.bpe import bpe_segment
+
+    seg = bpe_segment(_t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES)
+    return seg.select(
+        "word",
+        "freq",
+        F.size("units").cast("long").alias("n_units"),
+        F.array_join("units", " ").alias("units"),
+    )
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap-based sessionization of the event stream (session_window —
     # the same operator runs stateful over a watermarked stream)
@@ -2090,7 +2109,7 @@ _STALE_FIRST = [
     "histogram_quantiles",
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
-    "robots_match", "soft404", "registered_domain",
+    "robots_match", "soft404", "registered_domain", "bpe_encode",
 ]
 
 
@@ -2151,6 +2170,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "zorder_prune": q_zorder_prune,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "host_budget_alloc": q_host_budget_alloc,
         "cumulative_events": q_cumulative_events,
         "corpus_pack": q_corpus_pack,
@@ -2839,7 +2859,7 @@ SELECT doc_id, status, reason, reason IS NOT NULL AS is_soft404 FROM verdicts
 
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
-    from sandcrawler_spark.operators.bpe import bpe_oracle_sql
+    from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
     from sandcrawler_spark.operators.budget import budget_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql
@@ -3528,6 +3548,9 @@ FROM bigr b JOIN best x ON b.w1 = x.w1 AND b.w2 = x.w2
 GROUP BY b.doc_id
 """,
         "bpe_merges": bpe_oracle_sql("SELECT text FROM documents", k=6),
+        "bpe_encode": bpe_apply_oracle_sql(
+            "SELECT text FROM documents", _BPE_ENCODE_MERGES
+        ),
         "host_budget_alloc": budget_oracle_sql(
             f"""
 WITH {_URLS_CTE.strip()}

@@ -113,6 +113,73 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], text_col: str = "t
     return state.select("word", "freq", F.col("syms").alias("units"))
 
 
+def bpe_apply_oracle_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Chained-CTE DuckDB twin of bpe_segment for a LITERAL ordered
+    merge list (the tokenizer-ENCODE step: no argmax — each round
+    applies a known (a, b) positionally with the same greedy
+    even-offset-within-island selection bpe_oracle_sql uses).
+    Returns (word, freq, n_units, units)."""
+    parts = [
+        f"""
+WITH _bpe_docs AS (SELECT text FROM ({docs_sql})),
+_bpe_words AS (
+  SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+  FROM _bpe_docs
+),
+_bpe_wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM _bpe_words GROUP BY word),
+_bpe_pos AS (
+  SELECT word, freq, UNNEST(range(1, length(word) + 1)) AS pos FROM _bpe_wf
+),
+st0 AS MATERIALIZED (
+  SELECT word, freq, CAST(pos AS BIGINT) AS pos,
+         substr(word, CAST(pos AS INT), 1) AS sym
+  FROM _bpe_pos
+)"""
+    ]
+    for r, (a, b) in enumerate(merges, start=1):
+        p = r - 1
+        a_sql, b_sql = a.replace("'", "''"), b.replace("'", "''")
+        parts.append(f""",
+pairs{r} AS (
+  SELECT s.word, s.pos
+  FROM st{p} s JOIN st{p} t ON s.word = t.word AND t.pos = s.pos + 1
+  WHERE s.sym = '{a_sql}' AND t.sym = '{b_sql}'
+),
+sel{r} AS (
+  SELECT word, pos
+  FROM (
+    SELECT word, pos,
+           pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM pairs{r}
+    )
+  ) WHERE off % 2 = 0
+),
+st{r} AS MATERIALIZED (
+  SELECT word, freq,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         sym
+  FROM (
+    SELECT s.word, s.freq, s.pos,
+           CASE WHEN m.pos IS NOT NULL THEN s.sym || s2.sym ELSE s.sym END AS sym
+    FROM st{p} s
+    LEFT JOIN sel{r} m ON s.word = m.word AND s.pos = m.pos
+    LEFT JOIN st{p} s2 ON m.word = s2.word AND s2.pos = m.pos + 1
+    LEFT JOIN sel{r} c ON s.word = c.word AND s.pos = c.pos + 1
+    WHERE c.pos IS NULL
+  )
+)""")
+    k = len(merges)
+    parts.append(f"""
+SELECT word, freq, CAST(COUNT(*) AS BIGINT) AS n_units,
+       string_agg(sym, ' ' ORDER BY pos) AS units
+FROM st{k} GROUP BY word, freq
+""")
+    return "".join(parts).strip()
+
+
 def bpe_oracle_sql(docs_sql: str, k: int = 5) -> str:
     """Generated chained-CTE DuckDB twin of bpe_learn: per round —
     pair counts over the positional symbol table, 1-row argmax with

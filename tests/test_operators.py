@@ -409,3 +409,24 @@ def test_registered_domain_psl(spark):
                     "ShuffleExchange"):
         assert shuffle not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_encode_segments(spark):
+    """bpe_segment applies an ORDERED merge list: ('at','a') compounds
+    on round 1's ('a','t') output — 'data' -> d|at|a -> d|ata; merges
+    create NEW symbols that don't self-re-merge within a round."""
+    from sandcrawler_spark.operators.bpe import bpe_segment
+
+    merges = [("a", "t"), ("e", "r"), ("s", "c"), ("at", "a"), ("o", "w")]
+    df = spark.createDataFrame(
+        [("data batch merge scan window order",), ("data table",)],
+        "text string",
+    )
+    out = {r.word: (r.freq, r.units) for r in bpe_segment(df, merges).collect()}
+    assert out["data"] == (2, ["d", "ata"])
+    assert out["batch"] == (1, ["b", "at", "c", "h"])
+    assert out["merge"] == (1, ["m", "er", "g", "e"])
+    assert out["scan"] == (1, ["sc", "a", "n"])
+    assert out["window"] == (1, ["w", "i", "n", "d", "ow"])
+    assert out["order"] == (1, ["o", "r", "d", "er"])
+    assert out["table"] == (1, ["t", "a", "b", "l", "e"])
