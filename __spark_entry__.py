@@ -463,6 +463,40 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding repair: UTF-8-read-as-cp1252 mojibake is synthesized
+    # with the engine's own make_mojibake_col (m in {0,3}) and must
+    # round-trip back to the clean text; m==1 is plain ASCII (no
+    # indicator), m==2 holds a GENUINE '€' that must NOT be touched
+    # (its bytes don't form valid UTF-8)
+    from sandcrawler_spark.functions.encoding import (
+        fix_mojibake_col,
+        make_mojibake_col,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    m = k % 4
+    clean = (
+        F.when(m == 0, F.concat(F.lit("café "), F.col("text"), F.lit(" — déjà vu €9")))
+        .when(m == 1, F.col("text"))
+        .when(m == 2, F.concat(F.lit("real € stays: "), F.col("text")))
+        .otherwise(F.concat(F.lit("naïve "), F.col("text")))
+    )
+    broken = F.when(m.isin(0, 3), make_mojibake_col(clean)).otherwise(clean)
+    f = d.select(
+        k.cast("bigint").alias("doc_id"),
+        clean.alias("clean"),
+        broken.alias("broken"),
+    ).withColumn("fixed", fix_mojibake_col(F.col("broken")))
+    return f.select(
+        "doc_id",
+        "broken",
+        "fixed",
+        (F.col("fixed") == F.col("clean")).alias("recovered"),
+    )
+
+
 def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # public-suffix (eTLD+1) extraction: politeness/budget grouping key
     # at domain granularity — exercises exact rules at 1/2/3 labels,
@@ -2110,6 +2144,7 @@ _STALE_FIRST = [
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
+    "fix_mojibake",
 ]
 
 
@@ -2132,6 +2167,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_match": q_robots_match,
         "soft404": q_soft404,
         "registered_domain": q_registered_domain,
+        "fix_mojibake": q_fix_mojibake,
         "seen_antijoin": q_seen_antijoin,
         "seen_bloom": q_seen_bloom,
         "seen_cuckoo": q_seen_cuckoo,
@@ -2769,6 +2805,38 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _mojibake_oracle() -> str:
+    """The corrupted forms are literal strings derived by the SAME
+    mojibake_py the engine's make_mojibake_col twins (the doc text is
+    ASCII, which mojibake passes through, so only the injected
+    non-ASCII fragments corrupt); the repair's expected output is the
+    clean text itself — a true round-trip check."""
+    from sandcrawler_spark.functions.encoding import mojibake_py
+
+    b0p = mojibake_py("café ")
+    b0s = mojibake_py(" — déjà vu €9")
+    b3p = mojibake_py("naïve ")
+    return f"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'café ' || text || ' — déjà vu €9'
+      WHEN 1 THEN text
+      WHEN 2 THEN 'real € stays: ' || text
+      ELSE 'naïve ' || text
+    END AS clean,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '{b0p}' || text || '{b0s}'
+      WHEN 1 THEN text
+      WHEN 2 THEN 'real € stays: ' || text
+      ELSE '{b3p}' || text
+    END AS broken
+  FROM documents
+)
+SELECT doc_id, broken, clean AS fixed, clean = clean AS recovered FROM f
+"""
+
+
 def _psl_oracle() -> str:
     """publicsuffix.org longest-match replayed relationally: the rule
     set is the SAME module-constant list (functions/psl.py) rendered
@@ -3002,6 +3070,7 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         # both engines
         "soft404": _soft404_oracle(),
         "registered_domain": _psl_oracle(),
+        "fix_mojibake": _mojibake_oracle(),
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,
         # seen minus the evicted (recrawl-due) slice: orderkey%3==0 is

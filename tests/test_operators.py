@@ -430,3 +430,41 @@ def test_bpe_encode_segments(spark):
     assert out["window"] == (1, ["w", "i", "n", "d", "ow"])
     assert out["order"] == (1, ["o", "r", "d", "er"])
     assert out["table"] == (1, ["t", "a", "b", "l", "e"])
+
+
+def test_fix_mojibake_roundtrip_and_guards(spark):
+    """Encoding repair: cp1252-mojibake round-trips to the original;
+    plain ASCII, genuine '€'/'Ã', and non-Latin text are untouched
+    (their bytes don't re-decode as valid UTF-8); the fix is
+    idempotent."""
+    from sandcrawler_spark.functions.encoding import (
+        fix_mojibake_col,
+        make_mojibake_col,
+        mojibake_py,
+    )
+
+    cases = [
+        "café — that's €99, naïve déjà vu",
+        "plain ascii text stays",
+        "real euro € kept as-is",
+        "Ã standalone kept",
+        "日本語 unicode text stays",
+        "curly “quotes” and – dashes",
+    ]
+    rows = [(c, mojibake_py(c)) for c in cases[:1] + cases[-1:]] + [
+        (c, c) for c in cases[1:-1]
+    ]
+    df = spark.createDataFrame(rows, "clean string, input string")
+    out = df.select(
+        "clean",
+        "input",
+        fix_mojibake_col(F.col("input")).alias("fixed"),
+        fix_mojibake_col(fix_mojibake_col(F.col("input"))).alias("fixed2"),
+        make_mojibake_col(F.col("clean")).alias("remade"),
+    ).collect()
+    for r in out:
+        assert r.fixed == r.clean, (r.input, r.fixed)
+        assert r.fixed2 == r.fixed, ("not idempotent", r.input)
+    # Spark's corruption synthesizer twins the python fixture tier
+    for r in out:
+        assert r.remade == mojibake_py(r.clean)
