@@ -881,6 +881,23 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_budget(demands, 10_000)
 
 
+def q_domain_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PSL x water-filling composition: fetch budget arbitrated at
+    # REGISTERED-DOMAIN granularity — 4 fat domains (every shop<k>
+    # subdomain collapses into example.com) against thousands of
+    # singleton github.io-style sites; hosts that ARE a public suffix
+    # (registered_domain NULL) can't hold budget and are excluded
+    from sandcrawler_spark.operators.budget import allocate_budget
+
+    base = q_registered_domain(spark, sf_dir)
+    demands = (
+        base.filter(F.col("registered_domain").isNotNull())
+        .groupBy(F.col("registered_domain").alias("host"))
+        .agg(F.count("*").cast("long").alias("demand"))
+    )
+    return allocate_budget(demands, 8_000).withColumnRenamed("host", "domain")
+
+
 def q_cumulative_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed global running total (range shuffle + partition
     # cumsums + broadcast offsets — no single-task window stage);
@@ -2144,7 +2161,7 @@ _STALE_FIRST = [
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
-    "fix_mojibake",
+    "fix_mojibake", "domain_budget_alloc",
 ]
 
 
@@ -2208,6 +2225,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "host_budget_alloc": q_host_budget_alloc,
+        "domain_budget_alloc": q_domain_budget_alloc,
         "cumulative_events": q_cumulative_events,
         "corpus_pack": q_corpus_pack,
         "event_quantiles": q_event_quantiles,
@@ -3071,6 +3089,14 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         "soft404": _soft404_oracle(),
         "registered_domain": _psl_oracle(),
         "fix_mojibake": _mojibake_oracle(),
+        "domain_budget_alloc": f"""
+SELECT host AS domain, demand, alloc FROM ({budget_oracle_sql(
+    f'''SELECT registered_domain AS host, CAST(COUNT(*) AS BIGINT) AS demand
+FROM ({_psl_oracle()})
+WHERE registered_domain IS NOT NULL GROUP BY registered_domain''',
+    8_000,
+)})
+""",
         "seen_antijoin": seen_sql,
         "seen_bloom": seen_sql,
         # seen minus the evicted (recrawl-due) slice: orderkey%3==0 is
