@@ -45,6 +45,7 @@ def build_corpus(
     max_dup_ngram_word_frac: float = 0.3,
     dsir_target_lang: str | None = None,
     dsir_keep_frac: float = 0.5,
+    fix_encoding: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Run the pipeline over docs(doc_id, text[, lang]); returns
     (packed DataFrame, stage-count stats). Deterministic end to end.
@@ -62,6 +63,25 @@ def build_corpus(
     from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
 
     stats = {"input": docs.count()}
+
+    # 0. encoding repair BEFORE dedupe: a cp1252-mojibake variant of a
+    # clean page must collapse into the same exact-dedupe fingerprint,
+    # not survive as a distinct near-dup (functions/encoding.py; the
+    # repair is a no-op on clean text, so the stage is safe-by-default)
+    if fix_encoding:
+        from sandcrawler_spark.functions.encoding import fix_mojibake_col
+
+        d0 = docs.withColumn("_fixed", fix_mojibake_col(F.col("text")))
+        d0 = (
+            d0.withColumn("_repaired", (F.col("_fixed") != F.col("text")).cast("long"))
+            .withColumn("text", F.col("_fixed"))
+            .drop("_fixed")
+            .localCheckpoint(eager=True)
+        )
+        stats["encoding_repaired"] = (
+            d0.agg(F.coalesce(F.sum("_repaired"), F.lit(0))).collect()[0][0]
+        )
+        docs = d0.drop("_repaired")
 
     # 1. exact dedupe: keep the min-id representative per fingerprint
     reps = exact_dedupe(docs).select("doc_id")
@@ -148,6 +168,10 @@ def main() -> None:
         "hashed-ngram distribution",
     )
     ap.add_argument("--dsir-keep-frac", type=float, default=0.5)
+    ap.add_argument(
+        "--no-fix-encoding", action="store_true",
+        help="skip the stage-0 mojibake repair",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
@@ -160,6 +184,7 @@ def main() -> None:
     out, stats = build_corpus(
         spark, docs, token_budget=args.token_budget, min_quality=args.min_quality,
         dsir_target_lang=args.dsir_target_lang, dsir_keep_frac=args.dsir_keep_frac,
+        fix_encoding=not args.no_fix_encoding,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     stats["out"] = args.out

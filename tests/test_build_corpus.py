@@ -64,3 +64,43 @@ def test_build_corpus_dsir_stage(spark):
         dsir_target_lang="en", dsir_keep_frac=0.4,
     )
     assert stats == stats2
+
+
+def test_build_corpus_encoding_stage(spark):
+    """Stage 0 repairs mojibake BEFORE anything downstream consumes the
+    text. The exact-dedupe fingerprint strips non-ASCII, so corrupted
+    twins collapse either way — the repair's user-visible property is
+    that the SURVIVING text is clean: the corrupted plant carries the
+    lower doc_id (it wins representative), and with the stage on its
+    packed text is the clean form; with --no-fix-encoding the
+    corruption flows through to the corpus."""
+    from build_corpus import build_corpus
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.encoding import mojibake_py
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # reversed word order: disjoint 5-gram shingles, so the plant is
+    # NOT a near-dup of doc 0, while keeping corpus-typical quality
+    base_words = docs.orderBy("doc_id").first().text.split()
+    clean = "caf\u00e9 r\u00e9sum\u00e9 \u2014 " + " ".join(reversed(base_words))
+    planted = spark.createDataFrame(
+        [(900001, mojibake_py(clean)), (900002, clean)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(planted)
+
+    out, stats = build_corpus(spark, both, token_budget=1_000_000)
+    assert stats["encoding_repaired"] == 1
+    kept = {r.doc_id: r.text for r in out.collect()}
+    assert 900001 in kept and 900002 not in kept  # min-id rep, twin gone
+    assert kept[900001] == clean
+
+    out_off, stats_off = build_corpus(
+        spark, both, token_budget=1_000_000, fix_encoding=False
+    )
+    assert "encoding_repaired" not in stats_off
+    kept_off = {r.doc_id: r.text for r in out_off.collect()}
+    assert kept_off[900001] == mojibake_py(clean)  # corruption flowed through
