@@ -1654,6 +1654,14 @@ def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trust_rank(edges, trusted)
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weighted label propagation (3 sync rounds) on the host graph —
+    # community structure for crawl sharding / spam-cluster triage
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_lpa
+
+    return host_lpa(host_graph(_outlink_edges(spark, sf_dir)), n_rounds=3)
+
+
 def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # link-farm feature: per-host reciprocity of the distinct host
     # edge set, integer ppm (floor div)
@@ -2161,7 +2169,7 @@ _STALE_FIRST = [
     "dsir_weights", "anchor_texts", "zorder_prune", "trust_rank",
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
-    "fix_mojibake", "domain_budget_alloc",
+    "fix_mojibake", "domain_budget_alloc", "host_communities",
 ]
 
 
@@ -2193,6 +2201,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backlink_features": q_backlink_features,
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
+        "host_communities": q_host_communities,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
         "frontier_rank_blend": q_frontier_rank_blend,
@@ -2823,6 +2832,41 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _lpa_oracle_ctes(n_rounds: int = 3) -> str:
+    """Unrolled synchronous weighted LPA twin of host_lpa: symmetrize
+    the host contraction, then per round vote = SUM(weight) per
+    (host, neighbor label), winner by (score DESC, label ASC)."""
+    parts = [
+        """lpah AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+)""",
+        """lpasym AS MATERIALIZED (
+  SELECT src_host, dst_host, CAST(SUM(weight) AS BIGINT) AS weight FROM (
+    SELECT src_host, dst_host, weight FROM lpah
+    UNION ALL
+    SELECT dst_host AS src_host, src_host AS dst_host, weight FROM lpah
+  ) GROUP BY src_host, dst_host
+)""",
+        "lpa0 AS (SELECT DISTINCT src_host AS host, src_host AS label FROM lpasym)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""lpa{r} AS MATERIALIZED (
+  SELECT host, label FROM (
+    SELECT e.src_host AS host, l.label,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.src_host
+             ORDER BY SUM(e.weight) DESC, l.label ASC) AS rn
+    FROM lpasym e JOIN lpa{r - 1} l ON e.dst_host = l.host
+    GROUP BY e.src_host, l.label
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
+
+
 def _mojibake_oracle() -> str:
     """The corrupted forms are literal strings derived by the SAME
     mojibake_py the engine's make_mojibake_col twins (the doc text is
@@ -3179,6 +3223,11 @@ SELECT host, rank FROM pr5
 {link_base},
 {_trustrank_oracle_ctes(5)}
 SELECT host, rank FROM trpr5
+""",
+        "host_communities": f"""
+{link_base},
+{_lpa_oracle_ctes(3)}
+SELECT host, label AS community FROM lpa3
 """,
         "reciprocal_links": f"""
 {link_base},

@@ -413,6 +413,55 @@ def trust_rank(
     return ranks
 
 
+def host_lpa(host_edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Synchronous weighted label propagation over the host graph —
+    community detection for crawl sharding and spam-cluster triage
+    (Raghavan et al. 2007). Deterministic variant: every host starts
+    labeled with itself; each round it adopts the neighbor label with
+    the highest incident edge weight (tiebreak: label ascending) over
+    the SYMMETRIZED graph. Bounded synchronous rounds (no convergence
+    test — a driver-side count per round would serialize the loop),
+    deterministic replayable by the unrolled SQL twin.
+
+    Scale shape: per round, one fact-sized shuffle (votes groupBy) and
+    one label-sized argmax AGGREGATE — min(struct(-score, label)), not
+    a per-host window, so a celebrity host with 10^7 neighbor labels
+    never lands in a single task. State is localCheckpointed per round
+    to keep plans flat (the host_pagerank discipline).
+
+    Returns (host, community) — community = final label.
+    """
+    sym = (
+        host_edges.select("src_host", "dst_host", "weight")
+        .unionAll(
+            host_edges.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+                "weight",
+            )
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src_host").alias("host")).distinct().withColumn(
+        "label", F.col("host")
+    )
+    for _ in range(n_rounds):
+        votes = (
+            sym.join(labels, sym["dst_host"] == labels["host"])
+            .groupBy("src_host", "label")
+            .agg(F.sum("weight").cast("long").alias("score"))
+        )
+        labels = (
+            votes.groupBy("src_host")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("label").alias("l"))).alias("w"))
+            .select(F.col("src_host").alias("host"), F.col("w.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("host", F.col("label").alias("community"))
+
+
 def reciprocal_link_stats(host_edges: DataFrame) -> DataFrame:
     """Link-farm signal per host: how much of its out-neighborhood
     links straight back. Organic sites cite without being cited back;

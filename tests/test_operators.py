@@ -468,3 +468,25 @@ def test_fix_mojibake_roundtrip_and_guards(spark):
     # Spark's corruption synthesizer twins the python fixture tier
     for r in out:
         assert r.remade == mojibake_py(r.clean)
+
+
+def test_host_lpa_two_communities(spark):
+    """Weighted LPA: two tight cliques joined by a weak bridge resolve
+    to two communities (the bridge's weight-1 vote never outweighs
+    clique-internal weight-5 votes); result is partitioning-invariant."""
+    from sandcrawler_spark.operators.linkgraph import host_lpa
+
+    edges = [
+        ("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5),
+        ("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5),
+        ("a3", "b1", 1),  # weak bridge
+    ]
+    for parts in (1, 8):
+        df = spark.createDataFrame(
+            edges, "src_host string, dst_host string, weight long"
+        ).repartition(parts)
+        got = {r.host: r.community for r in host_lpa(df, n_rounds=3).collect()}
+        assert got == {
+            "a1": "a1", "a2": "a1", "a3": "a1",
+            "b1": "b1", "b2": "b1", "b3": "b1",
+        }, got

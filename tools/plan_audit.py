@@ -52,7 +52,7 @@ AUDIT = [
     "histogram_quantiles", "dsir_weights", "anchor_texts", "zorder_prune",
     "trust_rank", "reciprocal_links", "c4_line_filters", "nb_quality",
     "feed_roundtrip", "robots_match", "soft404", "registered_domain",
-    "bpe_encode", "fix_mojibake", "domain_budget_alloc",
+    "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
 ]
 
 
