@@ -881,6 +881,33 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allocate_budget(demands, 10_000)
 
 
+_CONTEXT_WINDOW = 256
+
+
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing, concat-and-slice (the GPT-2/Pile layout): docs
+    # concatenated in stable doc_id order and sliced into fixed
+    # context windows — each doc's token span and the window range it
+    # crosses, from ONE global cumsum (no driver loop, no per-bin
+    # sequential fill); `div` keeps the window ids integer-exact at
+    # offsets past 2^53 where double math would drift
+    from sandcrawler_spark.functions.textstats import word_count_col
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        word_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    c = global_cumsum(d, [F.col("doc_id").asc()], "n_tokens", out_col="cum")
+    return c.withColumn("tok_start", F.col("cum") - F.col("n_tokens")).select(
+        "doc_id",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {_CONTEXT_WINDOW}").alias("win_start"),
+        F.expr(f"(cum - 1) div {_CONTEXT_WINDOW}").alias("win_end"),
+    )
+
+
 def q_domain_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSL x water-filling composition: fetch budget arbitrated at
     # REGISTERED-DOMAIN granularity — 4 fat domains (every shop<k>
@@ -2170,6 +2197,7 @@ _STALE_FIRST = [
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
     "fix_mojibake", "domain_budget_alloc", "host_communities",
+    "context_pack",
 ]
 
 
@@ -2235,6 +2263,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "host_budget_alloc": q_host_budget_alloc,
         "domain_budget_alloc": q_domain_budget_alloc,
+        "context_pack": q_context_pack,
         "cumulative_events": q_cumulative_events,
         "corpus_pack": q_corpus_pack,
         "event_quantiles": q_event_quantiles,
@@ -3133,6 +3162,25 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         "soft404": _soft404_oracle(),
         "registered_domain": _psl_oracle(),
         "fix_mojibake": _mojibake_oracle(),
+        # concat-and-slice packing: the same stable order, one window
+        # sum (CAST to BIGINT — DuckDB windowed SUM returns HUGEINT),
+        # integer floor-division window ids
+        "context_pack": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+       CAST((cum - n_tokens) // {_CONTEXT_WINDOW} AS BIGINT) AS win_start,
+       CAST((cum - 1) // {_CONTEXT_WINDOW} AS BIGINT) AS win_end
+FROM c
+""",
         "domain_budget_alloc": f"""
 SELECT host AS domain, demand, alloc FROM ({budget_oracle_sql(
     f'''SELECT registered_domain AS host, CAST(COUNT(*) AS BIGINT) AS demand

@@ -417,3 +417,33 @@ def test_robots_table_status_semantics(spark):
     assert r["ok.com"].crawl_delay_s == 2.0
     assert r["gone.com"].disallow_prefixes == [] and r["gone.com"].crawl_delay_s is None
     assert r["down.com"].disallow_prefixes == ["/"]
+
+
+def test_context_pack_invariants(spark):
+    """Concat-and-slice packing: spans tile the token stream exactly
+    (no gaps, no overlaps, zero padding), window ids are the floor
+    division of the span, and the layout is partitioning-invariant."""
+    import __spark_entry__ as entry
+
+    base = None
+    for parts in (1, 8):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts * 4))
+        try:
+            rows = sorted(
+                entry.q_context_pack(spark, "/root/testdata/sf0.001").collect(),
+                key=lambda r: r.doc_id,
+            )
+        finally:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        offset = 0
+        for r in rows:
+            assert r.tok_start == offset, (r.doc_id, r.tok_start, offset)
+            assert r.win_start == r.tok_start // 256
+            assert r.win_end == (r.tok_start + r.n_tokens - 1) // 256
+            assert r.win_end >= r.win_start
+            offset += r.n_tokens
+        layout = [(r.doc_id, r.tok_start, r.win_start, r.win_end) for r in rows]
+        if base is None:
+            base = layout
+        else:
+            assert layout == base
