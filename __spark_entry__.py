@@ -1057,6 +1057,22 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5, candidates=cands)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directional containment on the SAME LSH blocks: the planted dups
+    # are originals + an appended tail, so containment(orig in dup)
+    # ~= 1.0 even where symmetric jaccard dips below its threshold
+    from sandcrawler_spark.operators.dedupe import (
+        lsh_candidates,
+        ngram_containment_pairs,
+    )
+
+    docs = _aug_docs(spark, sf_dir)
+    cands = lsh_candidates(docs, n_shingle=3, k=8, bands=4)
+    return ngram_containment_pairs(
+        docs, n_shingle=3, threshold=0.9, candidates=cands
+    )
+
+
 def q_dedupe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking recall of banded LSH vs exact all-pairs jaccard truth
     # (>= 0.5), for two band configs — the recall knob measured as a
@@ -2197,7 +2213,7 @@ _STALE_FIRST = [
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
     "fix_mojibake", "domain_budget_alloc", "host_communities",
-    "context_pack",
+    "context_pack", "containment_pairs",
 ]
 
 
@@ -2271,6 +2287,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "dedupe_recall": q_dedupe_recall,
         "neardup_dedupe": q_neardup_dedupe,
         "gopher_repetition": q_gopher_repetition,
@@ -3898,6 +3915,20 @@ FROM stats
         "jaccard_pairs": f"""
 WITH {_LSH_CTES}
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+        "containment_pairs": f"""
+WITH {_LSH_CTES},
+contained AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS cont_a_in_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS cont_b_in_a
+  FROM cands c
+  JOIN shingled a ON a.doc_id = c.id_a
+  JOIN shingled b ON b.doc_id = c.id_b
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+)
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM contained
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.9
 """,
         "gopher_repetition": f"""
 WITH {_STRUCT_DOCS_CTE.strip()},

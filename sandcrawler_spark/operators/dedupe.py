@@ -175,6 +175,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directional containment (Broder 1997): |A∩B|/|A| per unordered
+    pair — catches a doc EMBEDDED in a larger one (quote farms,
+    template wrappers, article+boilerplate reposts), which symmetric
+    Jaccard misses when the host document is much bigger. Keeps pairs
+    where either direction >= threshold. Same block-then-verify scale
+    shape as ngram_jaccard_pairs: crossJoin only as the documented
+    tiny-input/oracle fallback."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    if candidates is not None:
+        j = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cab = F.round(inter / F.size("sh_a"), 6)
+    cba = F.round(inter / F.size("sh_b"), 6)
+    return (
+        j.withColumn("cont_a_in_b", cab)
+        .withColumn("cont_b_in_a", cba)
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: candidates -> verify -> connected components ->
 # representative selection (the reference-free end-to-end piece a

@@ -490,3 +490,26 @@ def test_host_lpa_two_communities(spark):
             "a1": "a1", "a2": "a1", "a3": "a1",
             "b1": "b1", "b2": "b1", "b3": "b1",
         }, got
+
+
+def test_containment_catches_embedded_doc(spark):
+    """Directional containment finds a doc EMBEDDED in a larger one
+    where symmetric Jaccard stays below threshold (|A ∩ B| / |A| = 1
+    but the union is dominated by B)."""
+    from sandcrawler_spark.operators.dedupe import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(200)]
+    big = " ".join(words)
+    embedded = " ".join(words[80:110])  # a 30-word slice of big
+    df = spark.createDataFrame(
+        [(1, embedded), (2, big), (3, "totally unrelated text here today")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, n_shingle=3, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.cont_a_in_b) for r in cont] == [(1, 2, 1.0)]
+    # symmetric jaccard at the same threshold misses it
+    jac = ngram_jaccard_pairs(df, n_shingle=3, threshold=0.9).collect()
+    assert jac == []
