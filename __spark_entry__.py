@@ -784,6 +784,33 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet's head/middle/tail split: per-language perplexity tertiles
+    # over the bigram-LM scores — the rank is the skew-safe
+    # ranked_within_key (a dominant language never serializes into
+    # one window task), per-lang sizes broadcast back
+    from sandcrawler_spark.operators.lm import lm_score_docs, train_bigram_lm
+    from sandcrawler_spark.operators.politeness import ranked_within_key
+
+    d = _t(spark, sf_dir, "documents")
+    bi, uni, vocab = train_bigram_lm(d)
+    scored = lm_score_docs(d, bi, uni, vocab).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    ranked = ranked_within_key(
+        scored, "lang", prio_col="logprob_micronat", tiebreak="doc_id"
+    )
+    n = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    out = ranked.join(F.broadcast(n), "lang")
+    b = F.expr("(rank_in_key * 3) div _n")
+    return out.select(
+        "doc_id",
+        "lang",
+        "logprob_micronat",
+        F.when(b == 0, "head").when(b == 1, "middle").otherwise("tail").alias("bucket"),
+    )
+
+
 def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4 line/page cleaning rules (Raffel et al. 2020 §2.2) over the
     # persisted seed-42 corpus pages' extracted text (real newline +
@@ -2213,7 +2240,7 @@ _STALE_FIRST = [
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
     "fix_mojibake", "domain_budget_alloc", "host_communities",
-    "context_pack", "containment_pairs",
+    "context_pack", "containment_pairs", "ccnet_buckets",
 ]
 
 
@@ -2270,6 +2297,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
+        "ccnet_buckets": q_ccnet_buckets,
         "c4_line_filters": q_c4_line_filters,
         "nb_quality": q_nb_quality,
         "dsir_weights": q_dsir_weights,
@@ -3667,6 +3695,22 @@ SELECT term FROM (
             k=15,
         ),
         "lm_doc_scores": lm_oracle_sql("SELECT doc_id, text FROM documents"),
+        # head/middle/tail tertiles over the SAME lm scores: rank-1
+        # replay (higher logprob = head), per-lang integer floor split
+        "ccnet_buckets": f"""
+WITH scores AS ({lm_oracle_sql("SELECT doc_id, text FROM documents")}),
+lang_scored AS (
+  SELECT s.doc_id, d.lang, s.logprob_micronat,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.logprob_micronat DESC, s.doc_id ASC) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, logprob_micronat,
+       CASE (rk * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lang_scored
+""",
         "c4_line_filters": _c4_oracle(),
         "nb_quality": nb_oracle_sql(
             "SELECT doc_id, text, lang FROM documents", "lang = 'en'"

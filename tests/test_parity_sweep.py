@@ -447,3 +447,24 @@ def test_context_pack_invariants(spark):
             base = layout
         else:
             assert layout == base
+
+
+def test_ccnet_buckets_tertiles(spark):
+    """CCNet head/middle/tail: per-language tertile sizes differ by at
+    most 2 (integer floor split), and bucket order respects the score
+    order — min(head score) >= max(middle) >= ... within each lang."""
+    from collections import defaultdict
+
+    import __spark_entry__ as entry
+
+    rows = entry.q_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r.lang][r.bucket].append(r.logprob_micronat)
+    order = ("head", "middle", "tail")
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in order]
+        assert max(sizes) - min(sizes) <= 2, (lang, sizes)
+        for hi, lo in zip(order, order[1:]):
+            if buckets.get(hi) and buckets.get(lo):
+                assert min(buckets[hi]) >= max(buckets[lo]), (lang, hi, lo)

@@ -25,7 +25,7 @@ ALLOW_BNLJ = {
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
     "bm25_search", "lm_doc_scores", "host_budget_alloc", "temperature_mix",
-    "dsir_weights", "nb_quality", "domain_budget_alloc",
+    "dsir_weights", "nb_quality", "domain_budget_alloc", "ccnet_buckets",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
     "dedupe_recall",
@@ -53,7 +53,7 @@ AUDIT = [
     "trust_rank", "reciprocal_links", "c4_line_filters", "nb_quality",
     "feed_roundtrip", "robots_match", "soft404", "registered_domain",
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
-    "context_pack", "containment_pairs",
+    "context_pack", "containment_pairs", "ccnet_buckets",
 ]
 
 
