@@ -784,6 +784,32 @@ def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_docs(d, bi, uni, vocab)
 
 
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode NFC: decomposed 'e'+U+0301 prefixes (m==1) must hash
+    # identically to composed U+00E9 ones (m==2) after normalization;
+    # the ASCII fast path keeps the Arrow UDF off m==0 rows entirely
+    from sandcrawler_spark.functions.unicode_norm import is_nfc_col, nfc_col
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    m = k % 3
+    raw = (
+        F.when(m == 1, F.concat(F.lit("café naivë "), F.col("text")))
+        .when(m == 2, F.concat(F.lit("café naivë "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    f = d.select(k.cast("bigint").alias("doc_id"), raw.alias("raw"))
+    norm = F.when(is_nfc_col(F.col("raw")), F.col("raw")).otherwise(
+        nfc_col(F.col("raw"))
+    )
+    return f.select(
+        "doc_id",
+        norm.alias("normalized"),
+        (norm != F.col("raw")).alias("changed"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet's head/middle/tail split: per-language perplexity tertiles
     # over the bigram-LM scores — the rank is the skew-safe
@@ -2240,7 +2266,7 @@ _STALE_FIRST = [
     "reciprocal_links", "c4_line_filters", "nb_quality", "feed_roundtrip",
     "robots_match", "soft404", "registered_domain", "bpe_encode",
     "fix_mojibake", "domain_budget_alloc", "host_communities",
-    "context_pack", "containment_pairs", "ccnet_buckets",
+    "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
 ]
 
 
@@ -2298,6 +2324,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
         "ccnet_buckets": q_ccnet_buckets,
+        "nfc_normalize": q_nfc_normalize,
         "c4_line_filters": q_c4_line_filters,
         "nb_quality": q_nb_quality,
         "dsir_weights": q_dsir_weights,
@@ -2941,6 +2968,31 @@ def _lpa_oracle_ctes(n_rounds: int = 3) -> str:
     return ",\n".join(parts)
 
 
+def _nfc_oracle() -> str:
+    """DuckDB's nfc_normalize and python's unicodedata both implement
+    Unicode standard annex #15 — a true cross-engine twin. The
+    decomposed/composed prefixes are built from explicit escapes so
+    no editor/tooling silently re-composes them."""
+    dec = "cafe\u0301 naive\u0308 "
+    com = "caf\u00e9 naiv\u00eb "
+    return f"""
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 1 THEN '{dec}' || text
+      WHEN 2 THEN '{com}' || text
+      ELSE text
+    END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS normalized,
+       nfc_normalize(raw) <> raw AS changed,
+       md5(nfc_normalize(raw)) AS norm_md5
+FROM f
+"""
+
+
 def _mojibake_oracle() -> str:
     """The corrupted forms are literal strings derived by the SAME
     mojibake_py the engine's make_mojibake_col twins (the doc text is
@@ -3207,6 +3259,7 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         "soft404": _soft404_oracle(),
         "registered_domain": _psl_oracle(),
         "fix_mojibake": _mojibake_oracle(),
+        "nfc_normalize": _nfc_oracle(),
         # concat-and-slice packing: the same stable order, one window
         # sum (CAST to BIGINT — DuckDB windowed SUM returns HUGEINT),
         # integer floor-division window ids

@@ -513,3 +513,30 @@ def test_containment_catches_embedded_doc(spark):
     # symmetric jaccard at the same threshold misses it
     jac = ngram_jaccard_pairs(df, n_shingle=3, threshold=0.9).collect()
     assert jac == []
+
+
+def test_nfc_normalization(spark):
+    """NFC: decomposed and composed forms of the same visible string
+    hash identically after normalization; ASCII rows skip the Arrow
+    crossing via the is_nfc fast path (and are unchanged)."""
+    from sandcrawler_spark.functions.unicode_norm import is_nfc_col, nfc_col, nfc_py
+
+    dec = "café naïve"
+    com = "café naïve"
+    assert dec != com and nfc_py(dec) == nfc_py(com)
+    df = spark.createDataFrame(
+        [(1, dec), (2, com), (3, "plain ascii")], "id long, s string"
+    )
+    out = {
+        r.id: (r.n, r.fast)
+        for r in df.select(
+            "id",
+            F.when(is_nfc_col(F.col("s")), F.col("s"))
+            .otherwise(nfc_col(F.col("s")))
+            .alias("n"),
+            is_nfc_col(F.col("s")).alias("fast"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0]  # forms converge
+    assert out[3] == ("plain ascii", True)  # fast path, untouched
+    assert out[1][1] is False and out[2][1] is False

@@ -53,7 +53,7 @@ AUDIT = [
     "trust_rank", "reciprocal_links", "c4_line_filters", "nb_quality",
     "feed_roundtrip", "robots_match", "soft404", "registered_domain",
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
-    "context_pack", "containment_pairs", "ccnet_buckets",
+    "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
 ]
 
 
