@@ -61,6 +61,13 @@ def main() -> None:
         "are deferred; state resumes from the budget checkpoint)",
     )
     ap.add_argument(
+        "--circuit-breaker", type=int, nargs=2, default=None,
+        metavar=("M", "K"),
+        help="per-host failure circuit breaker: a host with M "
+        "consecutive all-miss rounds is blacked out for K rounds "
+        "(frontier rows deferred, retried after expiry)",
+    )
+    ap.add_argument(
         "--discover", action="store_true",
         help="sitemap/feed discovery: fetched bodies that are sitemap "
         "or RSS/Atom XML contribute new ingest requests to the next "
@@ -91,6 +98,7 @@ def main() -> None:
         rank_frontier=args.rank_frontier,
         frontier_cap=args.frontier_cap,
         discover=args.discover,
+        circuit_breaker=tuple(args.circuit_breaker) if args.circuit_breaker else None,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

@@ -47,6 +47,7 @@ class CrawlRunner:
         frontier_cap: int | None = None,
         discover: bool = False,
         soft404_filter: bool = False,
+        circuit_breaker: tuple[int, int] | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -90,6 +91,15 @@ class CrawlRunner:
         # status 'soft404' (hit=False) and kept out of the extraction
         # corpus — content-level junk the status taxonomy can't see.
         self.soft404_filter = soft404_filter
+        # Per-host failure circuit breaker (m, k): a host whose
+        # scheduled fetches produce zero hits for m CONSECUTIVE rounds
+        # is blacked out for the next k rounds (its frontier rows are
+        # deferred, not dropped — they re-enter when the blackout
+        # expires). A dead origin otherwise burns quota every round
+        # forever; AIMD (adaptive_politeness) slows a STRUGGLING host,
+        # the breaker stops a DEAD one. State is round-versioned like
+        # adaptive_delays, replay-stable.
+        self.circuit_breaker = circuit_breaker
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -192,6 +202,62 @@ class CrawlRunner:
         adapt_crawl_delays(obs, current).write.mode("overwrite").parquet(
             self._delays_dir(r)
         )
+
+    # ---- failure circuit breaker -------------------------------------------
+    _BREAKER_SCHEMA = "host string, fail_streak long, blackout_until long"
+
+    def _read_breaker(self, r: int) -> DataFrame | None:
+        return self._read_versioned("breaker", self._BREAKER_SCHEMA, r)
+
+    def _apply_breaker(self, batch: DataFrame, r: int):
+        """Defer every batch row whose host is blacked out at round r.
+        Returns (admitted, n_deferred). Deferred rows were never
+        fetched, so they stay unseen and re-enter the frontier when
+        the blackout expires."""
+        state = self._read_breaker(r - 1)
+        if state is None:
+            return batch, 0
+        blocked = state.filter(F.col("blackout_until") >= r).select("host")
+        admitted = batch.join(F.broadcast(blocked), on="host", how="left_anti")
+        n_deferred = batch.count() - admitted.count()
+        self.metrics.inc("breaker_deferred", n_deferred)
+        return admitted, n_deferred
+
+    def _update_breaker(self, results: DataFrame, r: int) -> None:
+        """Fold this round's outcomes into the breaker table: a host
+        with >= 1 hit resets its streak; an all-miss host increments
+        it; at m the breaker trips (blackout_until = r + k, streak
+        reset). Untouched hosts carry forward. Versioned under
+        round=r (idempotent overwrite on replay)."""
+        from sandcrawler_spark.functions.urls import host_col
+
+        m, k = self.circuit_breaker
+        prior = self._read_breaker(r - 1)
+        per_host = results.groupBy(
+            host_col(F.col("base_url")).alias("host")
+        ).agg(F.max(F.col("hit").cast("int")).alias("_any_hit"))
+        if prior is not None:
+            joined = per_host.join(prior, on="host", how="left")
+        else:
+            joined = per_host.withColumn("fail_streak", F.lit(None).cast("long")).withColumn(
+                "blackout_until", F.lit(None).cast("long")
+            )
+        streak = F.when(F.col("_any_hit") == 1, F.lit(0)).otherwise(
+            F.coalesce(F.col("fail_streak"), F.lit(0)) + 1
+        )
+        tripped = streak >= m
+        updated = joined.select(
+            "host",
+            F.when(tripped, F.lit(0)).otherwise(streak).cast("long").alias("fail_streak"),
+            F.when(tripped, F.lit(r + k))
+            .otherwise(F.coalesce(F.col("blackout_until"), F.lit(-1)))
+            .cast("long")
+            .alias("blackout_until"),
+        )
+        if prior is not None:
+            carried = prior.join(per_host.select("host"), on="host", how="left_anti")
+            updated = updated.unionByName(carried)
+        updated.write.mode("overwrite").parquet(self._versioned_dir("breaker", r))
 
     # ---- link-rank frontier prioritization ---------------------------------
     _EDGE_SCHEMA = "src_host string, dst_host string, weight long"
@@ -450,6 +516,9 @@ class CrawlRunner:
         n_deferred = 0
         if self.host_budget is not None:
             batch, n_deferred = self._enforce_host_budget(batch, r)
+        n_breaker = 0
+        if self.circuit_breaker is not None:
+            batch, n_breaker = self._apply_breaker(batch, r)
         batch = batch.persist()
         n_batch = batch.count()
         if n_batch == 0:
@@ -457,7 +526,10 @@ class CrawlRunner:
             batch.unpersist()
             entry = {
                 "round": r, "frontier": n_frontier, "scheduled": 0,
-                "deferred": n_deferred, "done": True,
+                "deferred": n_deferred, "breaker_deferred": n_breaker,
+                # breaker-deferred work is only PAUSED — the blackout
+                # expires, so an empty batch must not end the crawl
+                "done": n_breaker == 0,
             }
             self._record_round(entry)
             return entry
@@ -466,6 +538,8 @@ class CrawlRunner:
         results = results.withColumn("updated", F.expr(self.now_expr))
         if self.adaptive_politeness:
             self._update_delays(results, batch, r)
+        if self.circuit_breaker is not None:
+            self._update_breaker(results, r)
         if self.rank_frontier:
             self._update_link_ranks(results, batch, r)
 
@@ -615,6 +689,7 @@ class CrawlRunner:
             "rank_dropped": n_rank_dropped,
             "scheduled": n_batch,
             "deferred": n_deferred,
+            "breaker_deferred": n_breaker,
             "extracted": n_extracted,
             "discovered": n_discovered,
             "soft404": n_soft404,

@@ -455,3 +455,39 @@ def test_soft404_filter_rounds(spark, corpus, tmp_path):
     res2 = {r.base_url: r.status for r in off.results.read().collect()}
     assert res2[url] == "success"
     assert off.extraction.read().filter(F.col("sha1hex") == digest.hex()).count() == 1
+
+
+def test_circuit_breaker_rounds(spark, corpus, tmp_path):
+    """Failure circuit breaker (m=2, k=2): a dead host (no captures)
+    trips after 2 consecutive all-miss rounds, its remaining frontier
+    is DEFERRED (not dropped, crawl not done) for 2 rounds, then
+    retried when the blackout expires."""
+    reqs = spark.createDataFrame(
+        [("seed", f"d{i}", "html", f"https://dead.example.net/p{i}", 1, 0)
+         for i in range(5)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": corpus["cdx"],
+             "pages": corpus["pages"], "robots": corpus["robots"]}
+
+    r = CrawlRunner(spark, small, str(tmp_path / "cb"), circuit_breaker=(2, 2))
+    entries = r.run(max_rounds=7)
+    shape = [(e["round"], e["scheduled"], e["breaker_deferred"], e["done"])
+             for e in entries]
+    assert shape == [
+        (0, 2, 0, False),   # quota-2 slice fetched, all miss -> streak 1
+        (1, 2, 0, False),   # second all-miss round -> breaker trips
+        (2, 0, 1, False),   # blacked out: deferred, NOT done
+        (3, 0, 1, False),   # still blacked out
+        (4, 1, 0, False),   # blackout expired: last URL retried
+        (5, 0, 0, True),    # frontier drained
+    ]
+    st = {x.host: (x.fail_streak, x.blackout_until)
+          for x in spark.read.parquet(str(tmp_path / "cb/breaker/round=1")).collect()}
+    assert st["dead.example.net"] == (0, 3)  # tripped at r1, out through r3
+
+    # without the breaker the dead host burns quota every round
+    off = CrawlRunner(spark, small, str(tmp_path / "cb_off"))
+    entries_off = off.run(max_rounds=7)
+    assert [e["scheduled"] for e in entries_off[:3]] == [2, 2, 1]
+    assert all(e.get("breaker_deferred", 0) == 0 for e in entries_off)
