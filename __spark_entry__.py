@@ -1110,6 +1110,24 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n_shingle=3, threshold=0.5, candidates=cands)
 
 
+def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # within-doc line dedup (RefinedWeb/FineWeb): planted boilerplate
+    # lines (share button twice, cookie notice twice) collapse to
+    # their first occurrence, order preserved
+    from sandcrawler_spark.operators.dedupe import dedupe_lines_within_doc
+
+    d = _t(spark, sf_dir, "documents")
+    ks = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("Share on Facebook\n"),
+        F.col("text"),
+        F.lit("\nShare on Facebook\nCookie notice\nCookie notice\n"),
+        ks,
+    )
+    f = d.select(F.col("doc_id").cast("bigint").alias("doc_id"), t.alias("text"))
+    return dedupe_lines_within_doc(f)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directional containment on the SAME LSH blocks: the planted dups
     # are originals + an appended tail, so containment(orig in dup)
@@ -2267,6 +2285,7 @@ _STALE_FIRST = [
     "robots_match", "soft404", "registered_domain", "bpe_encode",
     "fix_mojibake", "domain_budget_alloc", "host_communities",
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
+    "line_dedupe",
 ]
 
 
@@ -2343,6 +2362,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
+        "line_dedupe": q_line_dedupe,
         "dedupe_recall": q_dedupe_recall,
         "neardup_dedupe": q_neardup_dedupe,
         "gopher_repetition": q_gopher_repetition,
@@ -3260,6 +3280,38 @@ LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
         "registered_domain": _psl_oracle(),
         "fix_mojibake": _mojibake_oracle(),
         "nfc_normalize": _nfc_oracle(),
+        "line_dedupe": """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         'Share on Facebook' || chr(10) || text || chr(10) ||
+         'Share on Facebook' || chr(10) || 'Cookie notice' || chr(10) ||
+         'Cookie notice' || chr(10) || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(t, chr(10)) AS parts FROM f
+),
+pos_lines AS (
+  SELECT doc_id, CAST(UNNEST(range(1, len(parts) + 1)) AS INT) - 1 AS pos, parts
+  FROM split
+),
+lines AS (
+  SELECT doc_id, pos, list_extract(parts, pos + 1) AS line FROM pos_lines
+),
+firsts AS (
+  SELECT doc_id, line, MIN(pos) AS pos FROM lines GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM firsts GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT a.doc_id, a.text, t.n_lines, t.n_lines - a.n_kept AS n_removed
+FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+""",
         # concat-and-slice packing: the same stable order, one window
         # sum (CAST to BIGINT — DuckDB windowed SUM returns HUGEINT),
         # integer floor-division window ids

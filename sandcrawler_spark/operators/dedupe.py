@@ -175,6 +175,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedupe_lines_within_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the FIRST occurrence of each exact line within a
+    document (RefinedWeb/FineWeb line dedup: nav bars, cookie notices
+    and share buttons repeat verbatim inside a page and inflate
+    repetition counts downstream). Order-preserving.
+
+    Scale shape: one shuffle keyed (doc, line) for the first-occurrence
+    aggregate, one keyed (doc) to reassemble — per-group state is a
+    single document's distinct lines, never cross-doc. Pure Catalyst.
+
+    Returns (id, text, n_lines, n_removed)."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    firsts = lines.groupBy("id", "line").agg(F.min("pos").alias("pos"))
+    rebuilt = firsts.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").cast("long").alias("n_lines"))
+    return (
+        rebuilt.join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "text",
+            "n_lines",
+            (F.col("n_lines") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

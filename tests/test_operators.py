@@ -540,3 +540,18 @@ def test_nfc_normalization(spark):
     assert out[1][0] == out[2][0]  # forms converge
     assert out[3] == ("plain ascii", True)  # fast path, untouched
     assert out[1][1] is False and out[2][1] is False
+
+
+def test_line_dedupe_within_doc(spark):
+    """Within-doc line dedup keeps the FIRST occurrence of each exact
+    line in order; other docs' identical lines are untouched (dedup is
+    per-document); counts reconcile."""
+    from sandcrawler_spark.operators.dedupe import dedupe_lines_within_doc
+
+    a = "nav\nreal content one\nnav\n\nreal content two\n\nnav"
+    b = "nav\ndifferent doc"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedupe_lines_within_doc(df).collect()}
+    assert out[1].text == "nav\nreal content one\n\nreal content two"
+    assert (out[1].n_lines, out[1].n_removed) == (7, 3)  # 2 navs + 1 blank
+    assert out[2].text == b and out[2].n_removed == 0

@@ -54,6 +54,7 @@ AUDIT = [
     "feed_roundtrip", "robots_match", "soft404", "registered_domain",
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
+    "line_dedupe",
 ]
 
 
