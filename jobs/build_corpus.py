@@ -46,6 +46,7 @@ def build_corpus(
     dsir_target_lang: str | None = None,
     dsir_keep_frac: float = 0.5,
     fix_encoding: bool = True,
+    dedupe_lines: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the pipeline over docs(doc_id, text[, lang]); returns
     (packed DataFrame, stage-count stats). Deterministic end to end.
@@ -93,6 +94,19 @@ def build_corpus(
     keep = nd.filter(F.col("is_rep")).select(F.col("doc_id"))
     d2 = d1.join(keep, on="doc_id", how="left_semi").localCheckpoint(eager=True)
     stats["after_neardup_dedupe"] = d2.count()
+
+    # 2.5 (optional) within-doc line dedup BEFORE the repetition gate:
+    # a good article wrapped in repeated nav/cookie boilerplate would
+    # otherwise trip dup_line_frac and be dropped whole — collapse the
+    # boilerplate to its first occurrence and let the content through
+    if dedupe_lines:
+        from sandcrawler_spark.operators.dedupe import dedupe_lines_within_doc
+
+        ld = dedupe_lines_within_doc(d2).localCheckpoint(eager=True)
+        stats["lines_removed"] = (
+            ld.agg(F.coalesce(F.sum("n_removed"), F.lit(0))).collect()[0][0]
+        )
+        d2 = d2.drop("text").join(ld.select("doc_id", "text"), on="doc_id")
 
     # 3. repetition + quality gates (Gopher-style)
     rep = gopher_repetition(d2)  # top_n=2, dup_n=5 defaults
@@ -172,6 +186,11 @@ def main() -> None:
         "--no-fix-encoding", action="store_true",
         help="skip the stage-0 mojibake repair",
     )
+    ap.add_argument(
+        "--dedupe-lines", action="store_true",
+        help="collapse repeated lines within each doc (boilerplate) "
+        "before the repetition gate",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
@@ -185,6 +204,7 @@ def main() -> None:
         spark, docs, token_budget=args.token_budget, min_quality=args.min_quality,
         dsir_target_lang=args.dsir_target_lang, dsir_keep_frac=args.dsir_keep_frac,
         fix_encoding=not args.no_fix_encoding,
+        dedupe_lines=args.dedupe_lines,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     stats["out"] = args.out

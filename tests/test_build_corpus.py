@@ -104,3 +104,35 @@ def test_build_corpus_encoding_stage(spark):
     assert "encoding_repaired" not in stats_off
     kept_off = {r.doc_id: r.text for r in out_off.collect()}
     assert kept_off[900001] == mojibake_py(clean)  # corruption flowed through
+
+
+def test_build_corpus_line_dedupe_stage(spark):
+    """--dedupe-lines: a good article wrapped in repeated boilerplate
+    lines trips the dup_line_frac gate and is dropped whole without
+    the stage; with it the boilerplate collapses to one occurrence and
+    the content survives into the pack."""
+    from build_corpus import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = docs.orderBy("doc_id").first().text.split()
+    content = [" ".join(reversed(words[i : i + 12])) for i in range(0, 84, 12)]
+    boiler = ["accept our cookie notice to continue"] * 6
+    planted_text = "\n".join(boiler[:3] + content + boiler[3:])
+    planted = spark.createDataFrame(
+        [(900004, planted_text)], "doc_id long, text string"
+    )
+    both = docs.unionByName(planted)
+
+    out_off, stats_off = build_corpus(spark, both, token_budget=1_000_000)
+    out_on, stats_on = build_corpus(
+        spark, both, token_budget=1_000_000, dedupe_lines=True
+    )
+    assert stats_on["lines_removed"] >= 5
+    kept_on = {r.doc_id: r.text for r in out_on.collect()}
+    assert 900004 in kept_on
+    assert kept_on[900004].count("cookie notice") == 1
+    # without the stage the wrapped article is gated away whole
+    assert 900004 not in {r.doc_id for r in out_off.collect()}
+    assert stats_off["after_quality_gates"] < stats_on["after_quality_gates"]

@@ -207,3 +207,37 @@ def test_anchor_summary_mega_target_skew(spark):
     assert n_rows == n_uniform + 1
     print(f"\nanchor_summary skew: {n_hot + n_uniform:,} anchors, "
           f"mega-target {n_hot:,} in {wall:.1f}s")
+
+
+def test_host_lpa_celebrity_skew(spark):
+    """LPA argmax under skew: one celebrity host with 5x10^5 distinct
+    neighbors (each carrying its own label into the vote) must not
+    serialize — the min(struct) aggregate keeps the per-round work
+    partial-aggregatable. Also plants a clique to check labels still
+    resolve correctly next to the hub."""
+    import time as _t
+
+    from sandcrawler_spark.operators.linkgraph import host_lpa
+
+    n = 500_000
+    spokes = spark.range(n).select(
+        F.concat(F.lit("spoke"), F.col("id").cast("string")).alias("src_host"),
+        F.lit("celebrity.example.com").alias("dst_host"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    clique = spark.createDataFrame(
+        [("c1", "c2", 50), ("c2", "c3", 50), ("c1", "c3", 50)],
+        "src_host string, dst_host string, weight long",
+    )
+    t0 = _t.time()
+    got = {r.host: r.community for r in host_lpa(spokes.unionByName(clique), n_rounds=2).collect()}
+    wall = _t.time() - t0
+    print(f"\nhost_lpa celebrity: {n} spokes, 2 rounds in {wall:.1f}s")
+    # sync LPA on a star oscillates (documented): after round 1 the hub
+    # holds min(spoke labels)='spoke0' and every spoke holds the hub's
+    # label; round 2 swaps them back — so at n_rounds=2 the hub carries
+    # its own label and all spokes carry 'spoke0'. The clique converges.
+    assert got["celebrity.example.com"] == "celebrity.example.com"
+    assert got["spoke123"] == "spoke0"
+    assert got["c1"] == got["c2"] == got["c3"] == "c1"
+    assert wall < 120
