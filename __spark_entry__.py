@@ -1517,6 +1517,85 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8          # subspaces (64-dim corpus -> 8-dim subvectors)
+_PQ_ITERS = 2      # Lloyd iterations per subspace
+_PQ_MOD = 10       # id-mod init sample (ksub ~= n_vectors / 10)
+# knob sweep at sf0.01 (20 queries, recall@5 vs exact L2): m=4/mod=25
+# 0.31, m=4/mod=10 0.39, m=8/mod=10 0.52, m=2/mod=10 0.32 — finer
+# subspaces beat more centroids per subspace on this corpus
+
+
+def _pq_book(spark: SparkSession, sf_dir: str):
+    from sandcrawler_spark.operators.pq import collect_codebook, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS, centroid_mod=_PQ_MOD)
+    return e, dim, collect_codebook(cents, _PQ_M)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ encode: per-subspace deterministic k-means codebook, then a
+    # zero-shuffle literal-argmin encode pass; exploded to
+    # (vec_id, sub, code) so the oracle hash is over plain ints
+    from sandcrawler_spark.operators.pq import pq_encode
+
+    e, dim, book = _pq_book(spark, sf_dir)
+    codes = pq_encode(e, book, dim=dim)
+    return codes.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    ).select(
+        "vec_id", F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ADC search: 5 queries scan the compressed code table with a
+    # per-query LUT; distances are integer micro-units end to end
+    from sandcrawler_spark.operators.pq import pq_adc_topk, pq_encode
+
+    e, dim, book = _pq_book(spark, sf_dir)
+    codes = pq_encode(e, book, dim=dim).localCheckpoint(eager=True)
+    sample = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_adc_topk(sample, codes, book, dim=dim, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adist_micro").cast("bigint").alias("adist_micro"),
+    )
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of the ADC scan vs the exact (micro-int) L2 top-5 —
+    # the compression/accuracy trade measured as a driver query
+    from sandcrawler_spark.operators.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    e, dim, book = _pq_book(spark, sf_dir)
+    codes = pq_encode(e, book, dim=dim).localCheckpoint(eager=True)
+    sample = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = exact_l2_topk(sample, e, k=5).select("q_id", "vec_id")
+    approx = pq_adc_topk(sample, codes, book, dim=dim, k=5).select("q_id", "vec_id")
+    tn = truth.agg(F.count("*").alias("_nt"))
+    hits = approx.join(truth, on=["q_id", "vec_id"], how="inner").agg(
+        F.count("*").alias("_nh")
+    )
+    return hits.crossJoin(tn).select(
+        F.lit("pq_adc").alias("method"),
+        F.col("_nt").cast("bigint").alias("n_truth"),
+        F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(F.coalesce("_nh", F.lit(0)) / F.col("_nt"), 4).alias("recall"),
+    )
+
+
 def q_slug_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J4 + C10/C11: self-join on title slug, Levenshtein-scored
     from sandcrawler_spark.operators.score import self_group_works
@@ -2268,6 +2347,8 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 20 last sampled in round 2; everything below them was green in
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
+    # round-4 session-5 additions — never driver-checked, sample first
+    "pq_codes", "ann_pq", "pq_recall",
     "warc_roundtrip", "warc_fetch_join", "corpus_sample",
     "benchmark_decontaminate", "ann_recall",
     "minhash_lsh", "simhash_pairs", "cosine_knn", "ann_lsh",
@@ -2379,6 +2460,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
         "ann_recall": q_ann_recall,
+        "pq_codes": q_pq_codes,
+        "ann_pq": q_ann_pq,
+        "pq_recall": q_pq_recall,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
         "batch_dedupe_latest": q_batch_dedupe_latest,
@@ -2536,6 +2620,117 @@ SELECT n.method, CAST(tn.n_truth AS BIGINT) AS n_truth,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
        round(COALESCE(h.n_hit, 0) / tn.n_truth, 4) AS recall
 FROM names n LEFT JOIN hits h ON n.method = h.method, tn
+"""
+
+
+def _sql_l2m(a: str, b: str) -> str:
+    """Squared-L2 in integer micro-units — the operators/pq.py
+    determinism contract replayed in DuckDB."""
+    return (
+        f"CAST(round(1000000 * list_reduce(list_transform(list_zip({a}, {b}), "
+        f"z -> (z[1] - z[2]) * (z[1] - z[2])), (x, y) -> x + y)) AS BIGINT)"
+    )
+
+
+def _pq_oracle(query: str, m: int = 4, n_iters: int = 2, mod: int = 25,
+               n_q: int = 5, k: int = 5) -> str:
+    """End-to-end DuckDB twin of the PQ family (operators/pq.py):
+    per-subspace k-means (same sorted-fold/round-6 Lloyd updates as the
+    IVF oracle), dense-code assignment, and — for `ann_pq`/`pq_recall`
+    — the ADC LUT scan. query in {'codes', 'ann', 'recall'}."""
+    base = f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+dims AS (SELECT max(len(v)) AS dim FROM e),
+sd AS (SELECT CAST(dim // {m} AS INT) AS subdim FROM dims),
+subs AS (SELECT CAST(unnest(range(0, {m})) AS INT) AS sub),
+esub AS (
+  SELECT e.vec_id, s.sub,
+         e.v[s.sub * sd.subdim + 1 : (s.sub + 1) * sd.subdim] AS sv
+  FROM e, subs s, sd
+),
+sidx AS (SELECT unnest(range(0, (SELECT subdim FROM sd))) AS pos),
+pc_0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM esub WHERE vec_id % {mod} = 0)"""
+    for it in range(1, n_iters + 1):
+        base += f""",
+pasg_{it} AS (
+  SELECT vec_id, sub, sv, cent_id FROM (
+    SELECT x.vec_id, x.sub, x.sv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub
+                              ORDER BY {_sql_l2m('x.sv', 'c.cv')} ASC, c.cent_id ASC) AS rn
+    FROM esub x JOIN pc_{it - 1} c ON x.sub = c.sub) WHERE rn = 1
+),
+pdim_{it} AS (
+  SELECT sub, cent_id, pos, list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s2, COUNT(*) AS n
+  FROM (SELECT a.sub, a.cent_id, a.vec_id, i.pos, a.sv[CAST(i.pos AS INT) + 1] AS val
+        FROM pasg_{it} a, sidx i)
+  GROUP BY sub, cent_id, pos
+),
+pc_{it} AS (SELECT sub, cent_id, list(round(s2 / n, 6) ORDER BY pos) AS cv FROM pdim_{it} GROUP BY sub, cent_id)"""
+    base += f""",
+book AS (
+  SELECT sub, cent_id, cv,
+         CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cent_id) - 1 AS INT) AS code
+  FROM pc_{n_iters}
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT x.vec_id, x.sub, b.code,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub
+                              ORDER BY {_sql_l2m('x.sv', 'b.cv')} ASC, b.cent_id ASC) AS rn
+    FROM esub x JOIN book b ON x.sub = b.sub) WHERE rn = 1
+)"""
+    if query == "codes":
+        return f"""
+WITH {base}
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub,
+       CAST(code AS BIGINT) AS code
+FROM codes
+"""
+    adc = f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {n_q}),
+qsub AS (
+  SELECT q.q_id, s.sub,
+         q.qv[s.sub * sd.subdim + 1 : (s.sub + 1) * sd.subdim] AS qsv
+  FROM q, subs s, sd
+),
+lut AS (
+  SELECT qs.q_id, b.sub, b.code, {_sql_l2m('qs.qsv', 'b.cv')} AS d
+  FROM qsub qs JOIN book b ON qs.sub = b.sub
+),
+adist AS (
+  SELECT l.q_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist_micro
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+  GROUP BY l.q_id, c.vec_id
+),
+approx AS (
+  SELECT q_id, vec_id, adist_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_micro ASC, vec_id ASC) AS rn
+    FROM adist) WHERE rn <= {k}
+)"""
+    if query == "ann":
+        return f"""
+WITH {base}{adc}
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, adist_micro
+FROM approx
+"""
+    return f"""
+WITH {base}{adc},
+truth AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY {_sql_l2m('e.v', 'q.qv')} ASC, e.vec_id ASC) AS rn
+    FROM e, q) WHERE rn <= {k}
+),
+tn AS (SELECT COUNT(*) AS n_truth FROM truth),
+hits AS (
+  SELECT COUNT(*) AS n_hit
+  FROM approx a JOIN truth t ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+)
+SELECT 'pq_adc' AS method, CAST(tn.n_truth AS BIGINT) AS n_truth,
+       CAST(hits.n_hit AS BIGINT) AS n_hit,
+       round(hits.n_hit / tn.n_truth, 4) AS recall
+FROM tn, hits
 """
 
 
@@ -4613,6 +4808,9 @@ FROM documents
 GROUP BY 1, 2
 """,
         "ann_recall": _ann_recall_oracle(),
+        "pq_codes": _pq_oracle("codes", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD),
+        "ann_pq": _pq_oracle("ann", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=5, k=5),
+        "pq_recall": _pq_oracle("recall", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=20, k=5),
         # corpus twins: independent DuckDB recomputation over the same
         # persisted seed=42 parquet fixture both engines read
         "fetch_statuses": _fetch_statuses_oracle(max_hops=4),

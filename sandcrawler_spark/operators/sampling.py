@@ -59,6 +59,45 @@ def deterministic_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample:42",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows drawn with
+    probability proportional to `weight_col` (Efraimidis–Spirakis
+    A-ES). Each row gets key = ln(u)/w with a deterministic md5
+    uniform u in (0,1); the k LARGEST keys are exactly a w-weighted
+    draw without replacement — so 'sample 10k docs biased by quality
+    score' needs no rate table, no rejection loop, no rand().
+
+    Engine-exact ordering: the key is carried as round(1e6 * ln(u)/w)
+    in integer micro-units (the lm.py micro-nat discipline — both
+    engines run libm ln on identical doubles) with id tie-breaks.
+    u gets a +0.5/2^32 offset so u=0 (ln -> -inf) cannot occur.
+
+    Scale shape: one narrow map pass (hash + ln) then a global top-k —
+    Catalyst's TakeOrderedAndProject, i.e. per-partition partial top-k
+    and a k*P-row final — no shuffle of the corpus, no single-task
+    window. Rows with w <= 0 are excluded (zero weight = never drawn).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    key = F.round(F.lit(1_000_000.0) * F.log(u) / F.col(weight_col).cast("double")).cast(
+        "long"
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("key_micro", key)
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def temperature_sample_rates(
     df: DataFrame,
     key_col: str,

@@ -29,6 +29,9 @@ ALLOW_BNLJ = {
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
     "dedupe_recall",
+    # ADC scan broadcasts the (tiny) LUT-decorated query side un-keyed
+    # by design; pq_recall additionally runs the exact-truth scan
+    "ann_pq", "pq_recall",
 }
 
 AUDIT = [
@@ -54,7 +57,7 @@ AUDIT = [
     "feed_roundtrip", "robots_match", "soft404", "registered_domain",
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
-    "line_dedupe",
+    "line_dedupe", "pq_codes", "ann_pq", "pq_recall",
 ]
 
 
