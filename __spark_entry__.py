@@ -1866,6 +1866,109 @@ def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocal_link_stats(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # community-density spam signal: per-host triangle count +
+    # clustering ppm via the degree-ordered edge iterator (bounded
+    # wedge fan-out at celebrity hosts — operators/linkgraph.py)
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_triangles
+
+    return host_triangles(host_graph(_outlink_edges(spark, sf_dir)))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis–Spirakis A-ES weighted sampling without replacement:
+    # 200 docs drawn proportional to byte length, no rand(), global
+    # top-k (TakeOrdered — no corpus shuffle)
+    from sandcrawler_spark.operators.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("weight")
+    )
+    return weighted_sample_topk(d, "weight", k=200, id_col="doc_id").select(
+        "doc_id", "weight", "key_micro"
+    )
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DUST rule mining (Bar-Yossef WWW'07): a deterministic capture
+    # log with planted URL-alias families (tracking query, trailing
+    # slash, index file, www, port mirror) all sharing one content
+    # fingerprint; the operator must recover the per-host rewrite
+    # rules from the duplicate clusters alone (operators/dust.py)
+    from sandcrawler_spark.operators.dust import dust_rules
+
+    u = _urls(spark, sf_dir).select("url", "o_orderkey", "site_id")
+    fp = F.md5(F.concat(F.lit("dust:"), F.col("o_orderkey").cast("string")))
+    caps = u.select("url", fp.alias("fingerprint"), "o_orderkey", "site_id")
+    log = (
+        caps.select("url", "fingerprint")
+        .unionAll(
+            caps.where(F.col("o_orderkey") % 3 == 0).select(
+                F.concat("url", F.lit("?utm_source=feed")).alias("url"), "fingerprint"
+            )
+        )
+        .unionAll(
+            caps.where(F.col("o_orderkey") % 4 == 0).select(
+                F.concat("url", F.lit("/")).alias("url"), "fingerprint"
+            )
+        )
+        .unionAll(
+            caps.where(F.col("o_orderkey") % 5 == 0).select(
+                F.concat("url", F.lit("/index.html")).alias("url"), "fingerprint"
+            )
+        )
+        .unionAll(
+            caps.where(F.col("site_id") % 7 == 0).select(
+                F.expr("replace(url, 'https://', 'https://www.')").alias("url"),
+                "fingerprint",
+            )
+        )
+        .unionAll(
+            caps.where(F.col("o_orderkey") % 11 == 0).select(
+                F.expr(
+                    "replace(url, '.example.com/', '.example.com:8080/')"
+                ).alias("url"),
+                "fingerprint",
+            )
+        )
+    )
+    return dust_rules(log, url_col="url", content_col="fingerprint", min_support=2)
+
+
+def q_canonical_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # <link rel="canonical"> extraction: deterministic pages where
+    # k%3==0 is a ?utm tracking alias declaring the bare URL (rel
+    # before href), k%3==1 declares itself via a ROOT-RELATIVE href
+    # (href before rel, single quotes), k%3==2 declares nothing —
+    # extractor must hit both attribute orders + relative resolution
+    from sandcrawler_spark.operators.linkgraph import extract_canonical
+
+    u = _urls(spark, sf_dir).select("url", "o_orderkey")
+    path = F.regexp_replace("url", r"^https?://[^/]+", "")
+    page_url = F.when(
+        F.col("o_orderkey") % 3 == 0, F.concat("url", F.lit("?utm_source=feed"))
+    ).otherwise(F.col("url"))
+    head = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), F.col("url"), F.lit('"/>')),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("<link href='"), path, F.lit("' rel=canonical />")),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = u.select(
+        page_url.alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_canonical(pages)
+
+
 def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable decimal-HDR histogram percentiles (bounded-state
     # monitoring path next to the exact event_quantiles rollup);
@@ -1969,6 +2072,55 @@ def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     urls = _urls(spark, sf_dir).select("host", "url")
     return hll_cardinality(urls, "url", ["host"], p=6)
+
+
+def q_kmv_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host distinct-URL estimate via the KMV bottom-k sketch
+    # (exact below k, (k-1)*2^60/h_k above; mergeable, set-operable —
+    # the md5-deterministic complement to the HLL row above)
+    from sandcrawler_spark.operators.sketches import kmv_cardinality
+
+    urls = _urls(spark, sf_dir).select("host", "url")
+    return kmv_cardinality(urls, "url", ["host"], k=64)
+
+
+def q_sb_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stupid Backoff trigram LM (Brants et al. EMNLP'07): train count
+    # tables on the corpus, score every doc in integer micro-nats —
+    # the web-scale trigram upgrade of lm_doc_scores
+    from sandcrawler_spark.operators.lm import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tri, bi, uni, totals = train_stupid_backoff(docs)
+    return stupid_backoff_scores(docs, tri, bi, uni, totals)
+
+
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language A-ES weighted draw (20 docs per lang, weight = byte
+    # length) via the two-level skew-safe per-key top-k
+    from sandcrawler_spark.operators.sampling import weighted_sample_per_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("weight")
+    )
+    return weighted_sample_per_key(d, "lang", "weight", k=20, id_col="doc_id").select(
+        "doc_id", "lang", "weight", "key_micro"
+    )
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host URL overlap between two simulated crawl snapshots
+    # (even orderkeys vs multiples of 3; truth = multiples of 6) via
+    # KMV combined-bottom-k set intersection — the set op HLL can't do
+    from sandcrawler_spark.operators.sketches import kmv_intersection
+
+    urls = _urls(spark, sf_dir).select("host", "url", "o_orderkey")
+    a = urls.where(F.col("o_orderkey") % 2 == 0).select("host", "url")
+    b = urls.where(F.col("o_orderkey") % 3 == 0).select("host", "url")
+    return kmv_intersection(a, b, "url", ["host"], k=64)
 
 
 def q_cms_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2348,6 +2500,9 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
     # round-4 session-5 additions — never driver-checked, sample first
+    "host_triangles", "weighted_sample", "dust_rules",
+    "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
+    "kmv_overlap", "canonical_aliases",
     "pq_codes", "ann_pq", "pq_recall",
     "warc_roundtrip", "warc_fetch_join", "corpus_sample",
     "benchmark_decontaminate", "ann_recall",
@@ -2401,8 +2556,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
+        "host_triangles": q_host_triangles,
+        "weighted_sample": q_weighted_sample,
+        "dust_rules": q_dust_rules,
         "frontier_rank_blend": q_frontier_rank_blend,
         "hll_host_cardinality": q_hll_host_cardinality,
+        "kmv_host_cardinality": q_kmv_host_cardinality,
+        "kmv_overlap": q_kmv_overlap,
+        "canonical_aliases": q_canonical_aliases,
+        "sb_lm_scores": q_sb_lm_scores,
+        "weighted_sample_stratified": q_weighted_sample_stratified,
         "cms_part_counts": q_cms_part_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "sitemap_roundtrip": q_sitemap_roundtrip,
@@ -3333,10 +3496,15 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
     from sandcrawler_spark.operators.budget import budget_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
-    from sandcrawler_spark.operators.lm import lm_oracle_sql
+    from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
     from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
-    from sandcrawler_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
+    from sandcrawler_spark.operators.sketches import (
+        cms_oracle_sql,
+        hll_oracle_sql,
+        kmv_intersection_oracle_sql,
+        kmv_oracle_sql,
+    )
 
     seen_sql = f"""
 WITH {_URLS_CTE.strip()}
@@ -3642,6 +3810,103 @@ SELECT o.host, o.n_out,
        CAST((COALESCE(r.n_reciprocal, 0) * CAST(1000000 AS BIGINT)) // o.n_out AS BIGINT) AS reciprocal_ppm
 FROM rlo o LEFT JOIN rlr r ON o.host = r.host
 """,
+        "host_triangles": f"""
+{link_base},
+thh AS (
+  SELECT DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1) AS sh,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dh
+  FROM link_edges
+  WHERE regexp_extract(src_url, '^https?://([^/]+)', 1)
+        <> regexp_extract(dst_url, '^https?://([^/]+)', 1)
+),
+tund AS (SELECT DISTINCT least(sh, dh) AS a, greatest(sh, dh) AS b FROM thh),
+tdeg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS host FROM tund UNION ALL SELECT b AS host FROM tund)
+  GROUP BY host
+),
+tori AS (
+  SELECT CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv
+  FROM tund u
+  JOIN tdeg da ON da.host = u.a
+  JOIN tdeg db ON db.host = u.b
+),
+ttri AS (
+  SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+  FROM tori e1
+  JOIN tori e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+  WHERE EXISTS (SELECT 1 FROM tori c WHERE c.u = e1.v AND c.v = e2.v)
+),
+tper AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT u AS host FROM ttri
+        UNION ALL SELECT v1 AS host FROM ttri
+        UNION ALL SELECT v2 AS host FROM ttri)
+  GROUP BY host
+)
+SELECT d.host, d.degree,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CAST((d.degree * (d.degree - 1)) // 2 AS BIGINT) AS wedges,
+       CASE WHEN d.degree >= 2
+            THEN CAST(COALESCE(p.triangles, 0) * CAST(1000000 AS BIGINT)
+                      // ((d.degree * (d.degree - 1)) // 2) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS clustering_ppm
+FROM tdeg d LEFT JOIN tper p ON p.host = d.host
+""",
+        "dust_rules": f"""
+WITH {_URLS_CTE.strip()},
+dcaps AS (
+  SELECT url, md5('dust:' || CAST(o_orderkey AS VARCHAR)) AS fp, o_orderkey, site_id
+  FROM urls
+),
+dlog AS (
+  SELECT url, fp FROM dcaps
+  UNION ALL SELECT url || '?utm_source=feed' AS url, fp FROM dcaps WHERE o_orderkey % 3 = 0
+  UNION ALL SELECT url || '/' AS url, fp FROM dcaps WHERE o_orderkey % 4 = 0
+  UNION ALL SELECT url || '/index.html' AS url, fp FROM dcaps WHERE o_orderkey % 5 = 0
+  UNION ALL SELECT replace(url, 'https://', 'https://www.') AS url, fp FROM dcaps WHERE site_id % 7 = 0
+  UNION ALL SELECT replace(url, '.example.com/', '.example.com:8080/') AS url, fp FROM dcaps WHERE o_orderkey % 11 = 0
+),
+dcanon AS (SELECT fp, MIN(url) AS canon_url FROM dlog GROUP BY fp),
+dpairs AS (
+  SELECT DISTINCT c.canon_url, l.url AS alias_url
+  FROM dlog l JOIN dcanon c ON c.fp = l.fp
+  WHERE l.url <> c.canon_url
+),
+dcls AS (
+  SELECT canon_url,
+    CASE
+      WHEN regexp_replace(alias_url, '\\?.*$', '') = canon_url AND contains(alias_url, '?') THEN 'strip_query'
+      WHEN regexp_replace(alias_url, '/+$', '') = canon_url THEN 'trailing_slash'
+      WHEN regexp_replace(alias_url, '/index\\.html$', '') = canon_url THEN 'index_file'
+      WHEN regexp_replace(alias_url, '^(https?://)www\\.', '\\1') = canon_url THEN 'www_alias'
+      WHEN lower(alias_url) = lower(canon_url) AND alias_url <> canon_url THEN 'case_fold'
+      ELSE 'other' END AS rule
+  FROM dpairs
+)
+SELECT regexp_extract(canon_url, '^https?://(?:www\\.)?([^/]+)', 1) AS host,
+       rule,
+       CAST(COUNT(*) AS BIGINT) AS support,
+       COUNT(*) >= 2 AS actionable
+FROM dcls
+GROUP BY 1, 2
+""",
+        "weighted_sample": """
+WITH draws AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS weight,
+         (CAST(CAST('0x' || substr(md5('wsample:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id, weight,
+       CAST(round(1000000.0 * ln(u) / CAST(weight AS DOUBLE)) AS BIGINT) AS key_micro
+FROM draws
+ORDER BY key_micro DESC, doc_id
+LIMIT 200
+""",
         "histogram_quantiles": """
 WITH vals AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
@@ -3721,6 +3986,49 @@ LEFT JOIN pctl p ON u.host = p.host
             ["host"],
             p=6,
         ),
+        "kmv_host_cardinality": kmv_oracle_sql(
+            f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls",
+            "url",
+            ["host"],
+            k=64,
+        ),
+        "kmv_overlap": kmv_intersection_oracle_sql(
+            f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls WHERE o_orderkey % 2 = 0",
+            f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls WHERE o_orderkey % 3 = 0",
+            "url",
+            ["host"],
+            k=64,
+        ),
+        "sb_lm_scores": sb_oracle_sql("SELECT doc_id, text FROM documents"),
+        # relational twin: derives each page's declared canonical from
+        # the same construction arithmetic (never re-runs the regex)
+        "canonical_aliases": f"""
+WITH {_URLS_CTE.strip()}
+SELECT CASE WHEN o_orderkey % 3 = 0 THEN url || '?utm_source=feed' ELSE url END AS url,
+       url AS canonical_url,
+       o_orderkey % 3 = 1 AS is_self
+FROM urls
+WHERE o_orderkey % 3 IN (0, 1)
+""",
+        "weighted_sample_stratified": """
+WITH draws AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS weight,
+         (CAST(CAST('0x' || substr(md5('wsample:42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM documents
+  WHERE length(text) > 0
+),
+keyed AS (
+  SELECT doc_id, lang, weight,
+         CAST(round(1000000.0 * ln(u) / CAST(weight AS DOUBLE)) AS BIGINT) AS key_micro
+  FROM draws
+)
+SELECT doc_id, lang, weight, key_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY key_micro DESC, doc_id ASC) AS rn
+      FROM keyed)
+WHERE rn <= 20
+""",
         "cms_part_counts": f"""
 WITH stream AS (
   SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR)

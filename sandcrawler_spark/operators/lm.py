@@ -162,3 +162,215 @@ SELECT d.doc_id,
        COALESCE(a.logprob_micronat, 0) AS logprob_micronat
 FROM _lm_docs d LEFT JOIN _lm_agg a ON d.doc_id = a.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM (Brants et al., EMNLP'07 — "Large Language
+# Models in Machine Translation"): the web-scale scoring function that
+# replaced smoothed Kneser-Ney at Google-corpus sizes precisely because
+# it needs NO normalization pass — relative frequencies with a constant
+# backoff multiplier, computable with count tables alone. That makes it
+# the natural trigram upgrade of this module's bigram filter: same two-
+# relation training shape, one more count table, same micro-nat
+# determinism discipline.
+# ---------------------------------------------------------------------------
+
+SB_ALPHA = 0.4
+
+
+def _trigrams_col(text_col):
+    toks = tokens_col(F.lower(text_col))
+    n = F.size(toks)
+    # zip_with over eagerly-evaluated slice operands (the inner zip_with
+    # is an array OPERAND of the outer, evaluated once — not a lambda
+    # body, so no Catalyst inline blow-up; cf. _bigrams_col note)
+    ab = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.slice(toks, 2, n - 2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(
+        n >= 3,
+        F.zip_with(ab, F.slice(toks, 3, n - 2), lambda xy, z: F.concat(xy, F.lit(" "), z)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_stupid_backoff(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(trigram_counts, bigram_counts, unigram_counts, totals):
+    trigram_counts (w1, w2, w3, c123); bigram_counts (w1, w2, c12);
+    unigram_counts (w1, c1); totals single row (n_tokens). Three
+    independent count shuffles, each with map-side partial agg and
+    vocabulary-bounded output; counts SUM across shards so the tables
+    merge like any other sketch."""
+    bi, uni, _ = train_bigram_lm(df, text_col)
+    tri = (
+        df.select(F.explode(_trigrams_col(F.col(text_col))).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count("*").cast("long").alias("c123"))
+        .select(
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.split_part(F.col("tg"), F.lit(" "), F.lit(3)).alias("w3"),
+            "c123",
+        )
+    )
+    totals = uni.agg(F.sum("c1").cast("long").alias("n_tokens"))
+    return tri, bi, uni, totals
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    trigram_counts: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = SB_ALPHA,
+) -> DataFrame:
+    """Per-document Stupid Backoff trigram score in integer micro-nats:
+    S(w3|w1,w2) = c123/c12 if the trigram was seen, else
+    alpha * c23/c2 if the (w2,w3) bigram was seen, else
+    alpha^2 * c3/N, with an OOV floor of alpha^2 * 1/N (count-1 in the
+    unigram back-off — S is a score, not a probability, so the floor
+    is legitimate; Brants et al. section 3).
+
+    Determinism: each branch is integer/integer double division
+    (exactly rounded) optionally times a shared double constant, then
+    ONE ln() micro-rounded to a long before the per-doc integer SUM —
+    the lm_score_docs discipline, branch for branch replayable in the
+    DuckDB twin.
+
+    Scale shape: the doc trigram stream joins each count table on its
+    natural key (five shuffle-keyed equi-joins; AQE broadcasts small
+    vocabularies), then one groupBy(doc). Nothing driver-side, no
+    windows.
+
+    Returns (id_col, n_trigrams, sb_micronat); docs with < 3 tokens
+    score 0 over 0 trigrams.
+    """
+    a2 = alpha * alpha
+    stream = df.select(
+        F.col(id_col).alias("_id"), F.explode(_trigrams_col(F.col(text_col))).alias("tg")
+    ).select(
+        "_id",
+        F.split_part(F.col("tg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("tg"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("tg"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    joined = (
+        stream.join(trigram_counts, on=["w1", "w2", "w3"], how="left")
+        .join(bigram_counts, on=["w1", "w2"], how="left")
+        .join(
+            bigram_counts.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c12").alias("c23")
+            ),
+            on=["w2", "w3"],
+            how="left",
+        )
+        .join(
+            unigram_counts.select(F.col("w1").alias("w2"), F.col("c1").alias("c2")),
+            on="w2",
+            how="left",
+        )
+        .join(
+            unigram_counts.select(F.col("w1").alias("w3"), F.col("c1").alias("c3")),
+            on="w3",
+            how="left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    p = (
+        F.when(F.col("c123").isNotNull(), F.col("c123") / F.col("c12"))
+        .when(F.col("c23").isNotNull(), F.lit(alpha) * (F.col("c23") / F.col("c2")))
+        .when(F.col("c3").isNotNull(), F.lit(a2) * (F.col("c3") / F.col("n_tokens")))
+        .otherwise(F.lit(a2) * (F.lit(1.0) / F.col("n_tokens")))
+    )
+    per_tg = joined.select(
+        "_id", F.round(F.log(p) * NAT_SCALE).cast("long").alias("_micro")
+    )
+    agg = per_tg.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.sum("_micro").cast("long").alias("sb_micronat"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("sb_micronat", F.lit(0)).alias("sb_micronat"),
+        )
+    )
+
+
+def sb_oracle_sql(docs_sql: str, alpha: float = SB_ALPHA) -> str:
+    """DuckDB twin of train_stupid_backoff + stupid_backoff_scores on
+    the same (doc_id, text) relation: identical tokenization, branch
+    order, double arithmetic (CAST-to-DOUBLE divisions times the same
+    parsed double constants), micro-nat rounding, integer SUM."""
+    a2 = alpha * alpha
+    return f"""
+WITH _sb_docs AS (SELECT doc_id, text FROM ({docs_sql})),
+_sb_tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM _sb_docs
+),
+_sb_words AS (SELECT UNNEST(toks) AS w FROM _sb_tok),
+_sb_uni AS (
+  SELECT w AS w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM _sb_words GROUP BY w
+),
+_sb_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM _sb_words),
+_sb_pos2 AS (
+  SELECT doc_id, UNNEST(range(1, len(toks))) AS i, toks
+  FROM _sb_tok WHERE len(toks) >= 2
+),
+_sb_bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM _sb_pos2 GROUP BY 1, 2
+),
+_sb_pos3 AS (
+  SELECT doc_id, UNNEST(range(1, len(toks) - 1)) AS i, toks
+  FROM _sb_tok WHERE len(toks) >= 3
+),
+_sb_stream AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM _sb_pos3
+),
+_sb_tri AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+  FROM _sb_stream GROUP BY 1, 2, 3
+),
+_sb_scored AS (
+  SELECT s.doc_id,
+         CAST(round(ln(
+           CASE
+             WHEN t.c123 IS NOT NULL
+               THEN CAST(t.c123 AS DOUBLE) / CAST(bc.c12 AS DOUBLE)
+             WHEN b23.c12 IS NOT NULL
+               THEN {alpha!r} * (CAST(b23.c12 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+             WHEN u3.c1 IS NOT NULL
+               THEN {a2!r} * (CAST(u3.c1 AS DOUBLE) / CAST(n.n_tokens AS DOUBLE))
+             ELSE {a2!r} * (1.0 / CAST(n.n_tokens AS DOUBLE))
+           END) * {NAT_SCALE}) AS BIGINT) AS micro
+  FROM _sb_stream s
+  LEFT JOIN _sb_tri t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+  LEFT JOIN _sb_bi bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+  LEFT JOIN _sb_bi b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+  LEFT JOIN _sb_uni u2 ON u2.w1 = s.w2
+  LEFT JOIN _sb_uni u3 ON u3.w1 = s.w3
+  CROSS JOIN _sb_tot n
+),
+_sb_agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(micro) AS BIGINT) AS sb_micronat
+  FROM _sb_scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_trigrams, 0) AS n_trigrams,
+       COALESCE(a.sb_micronat, 0) AS sb_micronat
+FROM _sb_docs d LEFT JOIN _sb_agg a ON d.doc_id = a.doc_id
+""".strip()

@@ -135,3 +135,52 @@ def temperature_sample_rates(
         )
         .select(key_col, "n_docs", "target", "rate")
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample:42",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: within each
+    `key` group, the k rows with the largest A-ES keys (see
+    weighted_sample_topk) — 'take 10k docs per language, biased by
+    quality' in one pass, deterministic, no rand().
+
+    Scale shape: a single Window.partitionBy(key) would pull an entire
+    stratum into one task (a dominant language is most of the corpus).
+    Instead the knn_join two-level shape: level 1 ranks within
+    (key, scan partition) and keeps k, level 2 takes the exact top-k
+    over the surviving k*P rows per key. Returns the input columns
+    plus key_micro.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)) / F.lit(
+        4294967296.0
+    )
+    key_micro = F.round(
+        F.lit(1_000_000.0) * F.log(u) / F.col(weight_col).cast("double")
+    ).cast("long")
+    base = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("key_micro", key_micro)
+        .withColumn("_part", F.spark_partition_id())
+    )
+    order = (F.desc("key_micro"), F.asc(id_col))
+    w1 = Window.partitionBy(key, "_part").orderBy(*order)
+    partial = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        partial.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -345,3 +345,270 @@ def cms_heavy_hitters(
     thresh = int(phi * n)
     est = cms_estimate(df.select(key_col).distinct(), built, key_col, w, d)
     return est.filter(F.col("cms_estimate") >= F.lit(thresh))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+def kmv_bottomk(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group k smallest 60-bit md5 hashes of the DISTINCT keys —
+    the KMV synopsis (Bar-Yossef et al. RANDOM'02; Beyer et al.
+    SIGMOD'07). Unlike HLL the kept state is actual hash values, so
+    sketches support set operations (intersection size via the
+    combined bottom-k) and the estimator needs no bias table — and it
+    is exactly mergeable: union two groups' rows and re-take the
+    bottom-k.
+
+    Scale shape: one distinct on (group, h), then the knn_join
+    two-level bottom-k — level 1 ranks within (group, scan partition)
+    so no task ever holds more than one partition's rows of a hot
+    group, level 2 reduces the surviving k*P rows per group. A plain
+    Window.partitionBy(group) would put a celebrity host's entire URL
+    set in one task (the VERDICT r3 skew anti-pattern).
+
+    Returns (group_cols..., h) — at most k rows per group.
+    """
+    from pyspark.sql import Window
+
+    hashed = (
+        df.select(*group_cols, hll_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .withColumn("_part", F.spark_partition_id())
+    )
+    w1 = Window.partitionBy(*group_cols, "_part").orderBy(F.asc("h"))
+    partial = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# 2^60 as an exact double: both engines cast the same BIGINT literal.
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the KMV synopsis:
+    est = (k-1) * 2^60 / h_(k) (the unbiased KMV estimator on the
+    [0, 2^60) hash space), computed as one correctly-rounded double
+    multiply + divide then floor() — bit-identical in any IEEE-754
+    engine, so the DuckDB twin replays it exactly (no round()
+    half-tie exposure). Groups with fewer than k distinct keys report
+    their EXACT count (the synopsis holds every hash).
+
+    Returns (group_cols..., n_kept, kth_hash, est_distinct).
+    """
+    bk = kmv_bottomk(df, key_col, group_cols, k)
+    agg = bk.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double")
+        )
+    )
+    return agg.withColumn("est_distinct", est.cast("long"))
+
+
+def kmv_merge_estimate(
+    partials: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Merge per-shard KMV synopses (rows of (group..., h) as produced
+    by kmv_bottomk on each shard): distinct-union the kept hashes,
+    re-take the bottom-k, re-apply the estimator. Merge-then-estimate
+    equals estimate-on-the-union exactly — the property that lets a
+    crawl coordinator keep per-(shard, host) sketches and roll them up
+    without rescanning URLs (tests assert equality)."""
+    from pyspark.sql import Window
+
+    deduped = partials.select(*group_cols, "h").distinct()
+    w2 = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    bk = (
+        deduped.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    agg = bk.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double")
+        )
+    )
+    return agg.withColumn("est_distinct", est.cast("long"))
+
+
+def kmv_oracle_sql(
+    inner_sql: str,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> str:
+    """DuckDB twin of kmv_cardinality over `inner_sql`."""
+    groups = ", ".join(group_cols)
+    return f"""
+WITH _kmv_base AS ({inner_sql}),
+_kmv_h AS (
+  SELECT DISTINCT {groups},
+         CAST(CAST('0x' || substr(md5({key_expr}), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM _kmv_base
+),
+_kmv_rk AS (
+  SELECT {groups}, h,
+         row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+  FROM _kmv_h
+)
+SELECT {groups},
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+            ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                            * CAST(1152921504606846976 AS DOUBLE)
+                            / CAST(MAX(h) AS DOUBLE)) AS BIGINT) END AS est_distinct
+FROM _kmv_rk
+WHERE rn <= {k}
+GROUP BY {groups}
+""".strip()
+
+
+def kmv_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group |A ∩ B| estimate from the two sides' KMV synopses —
+    the set operation HLL fundamentally cannot do without
+    inclusion-exclusion error blowup (Beyer et al. SIGMOD'07 §4): the
+    combined bottom-k K of A ∪ B is a uniform sample of the union, so
+    est_inter = |{h ∈ K : h ∈ A and h ∈ B}| / k * est_union.
+
+    Determinism: est_union is the already-floored BIGINT estimator,
+    and the ratio is applied as (both * est_union) div k — pure
+    integer arithmetic after the one IEEE divide inside est_union
+    (overflow-safe while both * est_union < 2^63, i.e. real-world
+    cardinalities). Groups where the combined synopsis holds the whole
+    union (n_kept < k) report EXACT union and intersection counts.
+
+    Scale shape: each synopsis is ≤ k rows per group, so the merge
+    window ranks at most 2k rows per group — bounded state by
+    construction, no skew exposure. Returns (group_cols..., n_union_kept,
+    est_union, est_intersection).
+    """
+    from pyspark.sql import Window
+
+    sa = kmv_bottomk(a, key_col, group_cols, k).withColumn("_m", F.lit(1))
+    sb = kmv_bottomk(b, key_col, group_cols, k).withColumn("_m", F.lit(2))
+    merged = (
+        sa.unionAll(sb)
+        .groupBy(*group_cols, "h")
+        .agg(F.sum("_m").cast("int").alias("_mask"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"))
+    bk = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    agg = bk.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_union_kept"),
+        F.max("h").cast("long").alias("_kth"),
+        F.sum(F.when(F.col("_mask") == 3, 1).otherwise(0)).cast("long").alias("_both"),
+    )
+    est_union = F.when(F.col("n_union_kept") < k, F.col("n_union_kept")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_kth").cast("double")
+        ).cast("long")
+    )
+    out = agg.withColumn("est_union", est_union)
+    est_inter = F.when(F.col("n_union_kept") < k, F.col("_both")).otherwise(
+        F.expr(f"(_both * est_union) div {k}")
+    )
+    return out.withColumn("est_intersection", est_inter.cast("long")).drop(
+        "_kth", "_both"
+    )
+
+
+def kmv_intersection_oracle_sql(
+    a_sql: str,
+    b_sql: str,
+    key_expr: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> str:
+    """DuckDB twin of kmv_intersection over two (group..., key)
+    relations."""
+    groups = ", ".join(group_cols)
+    return f"""
+WITH _ka_base AS ({a_sql}),
+_kb_base AS ({b_sql}),
+_ka_h AS (
+  SELECT DISTINCT {groups},
+         CAST(CAST('0x' || substr(md5({key_expr}), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM _ka_base
+),
+_kb_h AS (
+  SELECT DISTINCT {groups},
+         CAST(CAST('0x' || substr(md5({key_expr}), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM _kb_base
+),
+_ka_bk AS (
+  SELECT * FROM (SELECT {groups}, h,
+                        row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+                 FROM _ka_h) WHERE rn <= {k}
+),
+_kb_bk AS (
+  SELECT * FROM (SELECT {groups}, h,
+                        row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+                 FROM _kb_h) WHERE rn <= {k}
+),
+_kmerged AS (
+  SELECT {groups}, h, CAST(SUM(m) AS INT) AS mask
+  FROM (SELECT {groups}, h, 1 AS m FROM _ka_bk
+        UNION ALL SELECT {groups}, h, 2 AS m FROM _kb_bk)
+  GROUP BY {groups}, h
+),
+_kbk AS (
+  SELECT * FROM (SELECT {groups}, h, mask,
+                        row_number() OVER (PARTITION BY {groups} ORDER BY h) AS rn
+                 FROM _kmerged) WHERE rn <= {k}
+),
+_kagg AS (
+  SELECT {groups},
+         CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+         CAST(MAX(h) AS BIGINT) AS kth,
+         CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM _kbk GROUP BY {groups}
+),
+_kest AS (
+  SELECT {groups}, n_union_kept, n_both,
+         CASE WHEN n_union_kept < {k} THEN n_union_kept
+              ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                              * CAST(1152921504606846976 AS DOUBLE)
+                              / CAST(kth AS DOUBLE)) AS BIGINT) END AS est_union
+  FROM _kagg
+)
+SELECT {groups}, n_union_kept, est_union,
+       CAST(CASE WHEN n_union_kept < {k} THEN n_both
+                 ELSE (n_both * est_union) // {k} END AS BIGINT) AS est_intersection
+FROM _kest
+""".strip()

@@ -409,3 +409,158 @@ def test_reciprocal_link_stats(spark):
     assert got["d.org"] == (2, 0, 0)
     # hosts with no out-edges don't appear (feature is about out-behavior)
     assert set(got) == {"a.biz", "b.biz", "c.biz", "d.org"}
+
+
+def test_host_triangles_known_graph(spark):
+    # K4 on a,b,c,d (4 triangles, every corner in 3) + pendant e--a
+    from sandcrawler_spark.operators.linkgraph import host_triangles
+
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("a", "e")]
+    # feed as noisy directed multigraph: both directions + dup rows
+    rows = [(s, t, 1) for s, t in und]
+    rows += [(t, s, 2) for s, t in und[:3]]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host", "weight"])
+    got = {r.host: r for r in host_triangles(edges).collect()}
+    assert got["a"].degree == 4 and got["a"].triangles == 3
+    assert got["b"].triangles == 3 and got["c"].triangles == 3
+    assert got["d"].triangles == 3
+    assert got["e"].degree == 1 and got["e"].triangles == 0
+    # clustering: a has wedges C(4,2)=6, 3 closed -> 500000 ppm;
+    # b/c/d have wedges 3, all closed -> 1000000; e has 0 wedges -> 0
+    assert got["a"].wedges == 6 and got["a"].clustering_ppm == 500_000
+    assert got["b"].clustering_ppm == 1_000_000
+    assert got["e"].wedges == 0 and got["e"].clustering_ppm == 0
+
+
+def test_host_triangles_counts_each_once(spark):
+    # triangle + tail: a-b-c-a, c-d. total triangles = 1, seen at 3 hosts
+    from sandcrawler_spark.operators.linkgraph import host_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("c", "d", 1)],
+        ["src_host", "dst_host", "weight"],
+    )
+    out = host_triangles(edges).collect()
+    assert sum(r.triangles for r in out) == 3  # one triangle x 3 corners
+    assert {r.host for r in out if r.triangles == 1} == {"a", "b", "c"}
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    from sandcrawler_spark.operators.sketches import kmv_cardinality
+
+    rows = [("g1", "k%d" % (i % 7)) for i in range(100)]  # 7 distinct
+    rows += [("g2", "x%d" % i) for i in range(30)]        # 30 distinct
+    df = spark.createDataFrame(rows, ["g", "k"])
+    got = {r.g: r for r in kmv_cardinality(df, "k", ["g"], k=64).collect()}
+    assert got["g1"].est_distinct == 7 and got["g1"].n_kept == 7
+    assert got["g2"].est_distinct == 30 and got["g2"].n_kept == 30
+
+
+def test_kmv_accuracy_envelope(spark):
+    from sandcrawler_spark.operators.sketches import kmv_cardinality
+
+    n = 5000
+    df = spark.createDataFrame([("g", "key%d" % i) for i in range(n)], ["g", "k"])
+    est = kmv_cardinality(df, "k", ["g"], k=256).collect()[0].est_distinct
+    # KMV relative error ~ 1/sqrt(k-2) ~= 6.3%; allow 3 sigma
+    assert abs(est - n) / n < 0.20, est
+
+
+def test_kmv_merge_equals_single_shot(spark):
+    from sandcrawler_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_cardinality,
+        kmv_merge_estimate,
+    )
+
+    rows = [("h%d" % (i % 3), "url%d" % i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    single = {
+        tuple(r)[:1] + (r.n_kept, r.kth_hash, r.est_distinct,)
+        for r in kmv_cardinality(df, "k", ["g"], k=32).collect()
+    }
+    # shard by parity, sketch each shard, merge
+    even = df.filter(F.expr("CAST(substr(k, 4) AS BIGINT) % 2 = 0"))
+    odd = df.filter(F.expr("CAST(substr(k, 4) AS BIGINT) % 2 = 1"))
+    partials = kmv_bottomk(even, "k", ["g"], k=32).unionAll(
+        kmv_bottomk(odd, "k", ["g"], k=32)
+    )
+    merged = {
+        tuple(r)[:1] + (r.n_kept, r.kth_hash, r.est_distinct,)
+        for r in kmv_merge_estimate(partials, ["g"], k=32).collect()
+    }
+    assert single == merged
+
+
+def test_kmv_partitioning_invariance(spark):
+    from sandcrawler_spark.operators.sketches import kmv_cardinality
+
+    rows = [("h%d" % (i % 5), "u%d" % i) for i in range(1000)]
+    df1 = spark.createDataFrame(rows, ["g", "k"]).repartition(1)
+    df32 = spark.createDataFrame(rows, ["g", "k"]).repartition(32)
+    a = sorted(map(tuple, kmv_cardinality(df1, "k", ["g"], k=16).collect()))
+    b = sorted(map(tuple, kmv_cardinality(df32, "k", ["g"], k=16).collect()))
+    assert a == b
+
+
+def test_kmv_intersection_exact_below_k(spark):
+    from sandcrawler_spark.operators.sketches import kmv_intersection
+
+    a = spark.createDataFrame([("g", "k%d" % i) for i in range(20)], ["g", "k"])
+    b = spark.createDataFrame([("g", "k%d" % i) for i in range(10, 35)], ["g", "k"])
+    r = kmv_intersection(a, b, "k", ["g"], k=64).collect()[0]
+    # union 0..34 = 35 keys, intersection 10..19 = 10 keys, all held exactly
+    assert r.n_union_kept == 35 and r.est_union == 35 and r.est_intersection == 10
+
+
+def test_kmv_intersection_accuracy(spark):
+    from sandcrawler_spark.operators.sketches import kmv_intersection
+
+    # |A|=4000, |B|=4000, overlap 2000 (ids 2000..3999 vs 2000..5999)
+    a = spark.createDataFrame([("g", "id%d" % i) for i in range(4000)], ["g", "k"])
+    b = spark.createDataFrame(
+        [("g", "id%d" % i) for i in range(2000, 6000)], ["g", "k"]
+    )
+    r = kmv_intersection(a, b, "k", ["g"], k=256).collect()[0]
+    assert abs(r.est_union - 6000) / 6000 < 0.20
+    assert abs(r.est_intersection - 2000) / 2000 < 0.35  # ratio adds variance
+
+
+def test_kmv_intersection_disjoint(spark):
+    from sandcrawler_spark.operators.sketches import kmv_intersection
+
+    a = spark.createDataFrame([("g", "a%d" % i) for i in range(3000)], ["g", "k"])
+    b = spark.createDataFrame([("g", "b%d" % i) for i in range(3000)], ["g", "k"])
+    r = kmv_intersection(a, b, "k", ["g"], k=128).collect()[0]
+    assert r.est_intersection == 0
+
+
+def test_extract_canonical_variants(spark):
+    from sandcrawler_spark.operators.linkgraph import extract_canonical
+
+    pages = [
+        # double-quoted, rel first, absolute
+        ("https://a.com/p?x=1", '<head><link rel="canonical" href="https://a.com/p"/></head>'),
+        # href first, single quotes, root-relative -> resolved
+        ("https://b.com/q", "<head><link href='/q' rel='canonical'></head>"),
+        # bare rel value, protocol-relative href
+        ("https://c.com/r", '<head><link rel=canonical href="//c.com/r2"></head>'),
+        # no canonical at all
+        ("https://d.com/s", "<head><title>t</title></head>"),
+        # unresolvable relative form dropped
+        ("https://e.com/t", '<head><link rel="canonical" href="../up"/></head>'),
+    ]
+    df = spark.createDataFrame(
+        [(u, h.encode()) for u, h in pages], ["url", "html"]
+    )
+    got = {r.url: (r.canonical_url, r.is_self) for r in extract_canonical(df).collect()}
+    assert got["https://a.com/p?x=1"] == ("https://a.com/p", False)
+    assert got["https://b.com/q"] == ("https://b.com/q", True)
+    assert got["https://c.com/r"] == ("https://c.com/r2", False)
+    assert "https://d.com/s" not in got and "https://e.com/t" not in got

@@ -357,3 +357,107 @@ def test_build_postings_plan_has_no_window(spark):
     out.collect()  # executed plan (AQE finalizes stages on execution)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_stupid_backoff_known_value(spark):
+    from sandcrawler_spark.operators.lm import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "b c a")], ["doc_id", "text"]
+    )
+    tri, bi, uni, totals = train_stupid_backoff(docs)
+    got = {
+        r.doc_id: (r.n_trigrams, r.sb_micronat)
+        for r in stupid_backoff_scores(docs, tri, bi, uni, totals).collect()
+    }
+    # doc 1 = "a b c": trigram (a,b,c) seen once; context bigram (a,b)
+    # count 2 -> S = 1/2
+    assert got[1] == (1, round(math.log(1 / 2) * 1e6))
+    # doc 2 = "a b d": S = c123(a,b,d)/c12(a,b) = 1/2 as well
+    assert got[2] == (1, round(math.log(1 / 2) * 1e6))
+    # doc 3 = "b c a": c123(b,c,a)=1, c12(b,c)=2 -> 1/2
+    assert got[3] == (1, round(math.log(1 / 2) * 1e6))
+
+
+def test_stupid_backoff_backoff_branches(spark):
+    from sandcrawler_spark.operators.lm import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "b c a")], ["doc_id", "text"]
+    )
+    tri, bi, uni, totals = train_stupid_backoff(train)
+    # N = 9 tokens: a:3 b:3 c:2 d:1
+    score_docs = spark.createDataFrame(
+        [
+            (10, "d b c"),   # trigram unseen, bigram (b,c) seen (c23=2, c2=3)
+            (11, "d d a"),   # trigram+bigram unseen, unigram a seen (c3=3)
+            (12, "a a zz"),  # OOV w3 -> floor branch
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.sb_micronat
+        for r in stupid_backoff_scores(score_docs, tri, bi, uni, totals).collect()
+    }
+    assert got[10] == round(math.log(0.4 * (2 / 3)) * 1e6)
+    assert got[11] == round(math.log(0.4 * 0.4 * (3 / 9)) * 1e6)
+    assert got[12] == round(math.log(0.4 * 0.4 * (1.0 / 9)) * 1e6)
+
+
+def test_stupid_backoff_short_docs_zero(spark):
+    from sandcrawler_spark.operators.lm import (
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    tri, bi, uni, totals = train_stupid_backoff(docs)
+    got = {
+        r.doc_id: (r.n_trigrams, r.sb_micronat)
+        for r in stupid_backoff_scores(docs, tri, bi, uni, totals).collect()
+    }
+    assert got[1][0] == 2
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+
+
+def test_sb_duckdb_twin_parity(spark, tmp_path):
+    import duckdb
+
+    from sandcrawler_spark.operators.lm import (
+        sb_oracle_sql,
+        stupid_backoff_scores,
+        train_stupid_backoff,
+    )
+
+    rows = [
+        (i, " ".join("w%d" % ((i * j) % 11) for j in range(1, 3 + i % 7)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pq = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+    tri, bi, uni, totals = train_stupid_backoff(docs)
+    got = {
+        r.doc_id: (r.n_trigrams, r.sb_micronat)
+        for r in stupid_backoff_scores(docs, tri, bi, uni, totals).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sb_oracle_sql("SELECT doc_id, text FROM documents")).fetchall()
+    }
+    assert got == exp

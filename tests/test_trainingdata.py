@@ -491,3 +491,58 @@ def test_knn_join_partial_topk_spreads_work(spark):
     brute = {r.vec_id for r in brute_topk(emb, [1.0] * 8, k=5).collect()}
     got_q0 = {v for q, v, _ in results[0] if q == 0}
     assert got_q0 == brute
+
+
+def test_weighted_sample_topk_properties(spark):
+    # bias: heavy ids (w=1000) should dominate a k=50 draw over w=1
+    from sandcrawler_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, 1000 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample_topk(df, "w", k=50, id_col="doc_id").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r.doc_id < 100)
+    assert heavy >= 40  # 100 heavy ids carry ~99% of total weight
+    # deterministic: second run identical
+    again = weighted_sample_topk(df, "w", k=50, id_col="doc_id").collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in again]
+    # zero/negative weights never drawn
+    df2 = spark.createDataFrame([(1, 0), (2, -5), (3, 7)], ["doc_id", "w"])
+    only = weighted_sample_topk(df2, "w", k=10, id_col="doc_id").collect()
+    assert [r.doc_id for r in only] == [3]
+
+
+def test_weighted_sample_per_key_matches_plain_window(spark):
+    from pyspark.sql import Window
+
+    from sandcrawler_spark.operators.sampling import (
+        weighted_sample_per_key,
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "lang%d" % (i % 3), (i % 17) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "w"]).repartition(16)
+    got = weighted_sample_per_key(df, "lang", "w", k=7, id_col="doc_id")
+    # reference: same A-ES keys ranked with a plain per-key window
+    keyed = weighted_sample_topk(df, "w", k=500, id_col="doc_id")  # all rows, keyed
+    w = Window.partitionBy("lang").orderBy(F.desc("key_micro"), F.asc("doc_id"))
+    ref = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 7)
+        .drop("_rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # exactly 7 per stratum
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lang0": 7, "lang1": 7, "lang2": 7}
+
+
+def test_weighted_sample_per_key_small_groups_exhaustive(spark):
+    from sandcrawler_spark.operators.sampling import weighted_sample_per_key
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 1), (3, "b", 2), (4, "b", 0)], ["doc_id", "lang", "w"]
+    )
+    got = weighted_sample_per_key(df, "lang", "w", k=10, id_col="doc_id").collect()
+    # zero-weight row 4 excluded; everything else kept (groups < k)
+    assert sorted(r.doc_id for r in got) == [1, 2, 3]

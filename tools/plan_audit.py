@@ -24,7 +24,8 @@ ALLOW_BNLJ = {
     "cosine_knn", "ann_lsh", "ann_ivf",
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
-    "bm25_search", "lm_doc_scores", "host_budget_alloc", "temperature_mix",
+    "bm25_search", "lm_doc_scores", "sb_lm_scores", "host_budget_alloc",
+    "temperature_mix",
     "dsir_weights", "nb_quality", "domain_budget_alloc", "ccnet_buckets",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
@@ -58,6 +59,9 @@ AUDIT = [
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
     "line_dedupe", "pq_codes", "ann_pq", "pq_recall",
+    "host_triangles", "weighted_sample", "dust_rules",
+    "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
+    "kmv_overlap",
 ]
 
 
