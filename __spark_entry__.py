@@ -1834,6 +1834,15 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs & authorities on the host graph (fixed-point integer
+    # half-steps with driver-collected scale factors, 3 iterations):
+    # the hub/content split PageRank can't express
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_hits
+
+    return host_hits(host_graph(_outlink_edges(spark, sf_dir)), n_iter=3)
+
+
 def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TrustRank over the host graph: teleport restricted to the
     # curated .example.org directory hosts — spam-resistant crawl
@@ -2553,6 +2562,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backlink_features": q_backlink_features,
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
         "host_communities": q_host_communities,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
@@ -3311,6 +3321,59 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+def _hits_oracle_ctes(n_iter: int = 3) -> str:
+    """Unrolled fixed-point HITS twin of operators/linkgraph.host_hits:
+    per half-step the total contribution mass T is an exact HUGEINT
+    sum, the scale factor s = GREATEST(1, T // HITS_SCALE), and every
+    per-edge contribution floor-divides by s before the per-host SUM —
+    term-for-term the Spark integer arithmetic. Iteration CTEs are
+    MATERIALIZED: plain CTEs get exponentially re-inlined through the
+    6-level half-step chain (the BPE-oracle lesson)."""
+    scale = 1_000_000_000
+    parts = [
+        """hhedges AS MATERIALIZED (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+)""",
+        "hhhosts AS MATERIALIZED (SELECT src_host AS host FROM hhedges UNION SELECT dst_host FROM hhedges)",
+        "hhn AS (SELECT COUNT(*) AS n FROM hhhosts)",
+        f"hh0 AS MATERIALIZED (SELECT host, CAST({scale} // (SELECT n FROM hhn) AS BIGINT) AS hub FROM hhhosts)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"hhta{i} AS MATERIALIZED (SELECT COALESCE(SUM(CAST(h.hub * e.weight AS HUGEINT)), 0) AS t "
+            f"FROM hhedges e JOIN hh{i} h ON e.src_host = h.host)"
+        )
+        parts.append(
+            f"hhsa{i} AS (SELECT GREATEST(CAST(1 AS HUGEINT), (SELECT t FROM hhta{i}) // {scale}) AS s)"
+        )
+        parts.append(f"""hha{i + 1} AS MATERIALIZED (
+  SELECT p.host,
+         CAST(COALESCE((SELECT SUM((h.hub * e.weight) // (SELECT s FROM hhsa{i}))
+                        FROM hhedges e JOIN hh{i} h ON e.src_host = h.host
+                        WHERE e.dst_host = p.host), 0) AS BIGINT) AS authority
+  FROM hhhosts p
+)""")
+        parts.append(
+            f"hhtb{i} AS MATERIALIZED (SELECT COALESCE(SUM(CAST(a.authority * e.weight AS HUGEINT)), 0) AS t "
+            f"FROM hhedges e JOIN hha{i + 1} a ON e.dst_host = a.host)"
+        )
+        parts.append(
+            f"hhsh{i} AS (SELECT GREATEST(CAST(1 AS HUGEINT), (SELECT t FROM hhtb{i}) // {scale}) AS s)"
+        )
+        parts.append(f"""hh{i + 1} AS MATERIALIZED (
+  SELECT p.host,
+         CAST(COALESCE((SELECT SUM((a.authority * e.weight) // (SELECT s FROM hhsh{i}))
+                        FROM hhedges e JOIN hha{i + 1} a ON e.dst_host = a.host
+                        WHERE e.src_host = p.host), 0) AS BIGINT) AS hub
+  FROM hhhosts p
+)""")
+    return ",\n".join(parts)
+
+
 def _lpa_oracle_ctes(n_rounds: int = 3) -> str:
     """Unrolled synchronous weighted LPA twin of host_lpa: symmetrize
     the host contraction, then per round vote = SUM(weight) per
@@ -3779,6 +3842,12 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "host_hits": f"""
+{link_base},
+{_hits_oracle_ctes(3)}
+SELECT h.host, h.hub, a.authority
+FROM hh3 h JOIN hha3 a USING (host)
 """,
         "trust_rank": f"""
 {link_base},

@@ -746,3 +746,88 @@ def extract_canonical(
         .where(F.col("canonical_url").isNotNull())
         .withColumn("is_self", F.col("canonical_url") == F.col("url"))
     )
+
+
+HITS_SCALE = 1_000_000_000  # fixed-point hub/authority unit (1e-9)
+
+
+def host_hits(host_edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg JACM'99) on the weighted
+    host graph — the directory-page / content-page split PageRank
+    can't express: a hub that links to every good paper index scores
+    high as a HUB while earning no authority, and the frontier can
+    treat the two roles differently (fetch hubs for discovery,
+    authorities for content).
+
+    Fixed-point integer arithmetic, fixed iterations, like
+    host_pagerank — but HITS needs per-iteration NORMALIZATION (the
+    power iteration diverges unnormalized), and the classic L2 norm
+    is float. Instead each half-step divides every contribution by a
+    driver-collected integer scale factor s = max(1, T div HITS_SCALE)
+    where T is the exact total contribution mass (collected as a
+    38-digit decimal so the sum itself cannot overflow):
+
+      auth'(v) = Σ_{u→v} (hub(u)  * w_uv) div s_a
+      hub'(u)  = Σ_{u→v} (auth'(v)* w_uv) div s_h
+
+    Floor division per EDGE keeps every per-row product within int64
+    (hub ≤ ~2·HITS_SCALE after normalization; headroom for edge
+    weights to ~10^9) and is replayed term-for-term by the DuckDB
+    twin (HUGEINT scalar totals, BIGINT row math). Scores are
+    relative — the ~SCALE-sum normalization preserves ranking
+    exactly, which is all HITS semantics promise.
+
+    Per iteration: two rank-onto-edges equi-joins + two dst/src
+    sum-aggs + two scalar aggs; rank tables are one row per host
+    (broadcast-able at any corpus scale). Same localCheckpoint
+    discipline as host_pagerank — each iteration's output is
+    materialized so the plan stays flat.
+
+    Returns (host, hub, authority) int64 fixed-point scores.
+    """
+    host_edges = host_edges.localCheckpoint(eager=True)
+    nodes = (
+        host_edges.select(F.col("src_host").alias("host"))
+        .unionByName(host_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    e = host_edges.select("src_host", "dst_host", "weight").localCheckpoint(eager=True)
+
+    def _half_step(ranks: DataFrame, rank_col: str, join_on: str, agg_to: str, out_col: str) -> DataFrame:
+        """One normalized propagation: ranks[rank_col] flows along
+        edges joined on join_on, aggregated per agg_to host."""
+        contrib = e.join(ranks, e[join_on] == ranks["host"], "inner").select(
+            F.col(agg_to).alias("_to"),
+            (F.col(rank_col) * F.col("weight")).alias("_c"),
+        )
+        total = int(
+            contrib.agg(
+                F.coalesce(
+                    F.sum(F.col("_c").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+            ).collect()[0][0]
+        )
+        s = max(1, total // HITS_SCALE)
+        summed = (
+            contrib.select("_to", F.expr(f"_c div CAST({s} AS BIGINT)").alias("_c"))
+            .groupBy("_to")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        return (
+            nodes.join(summed, nodes["host"] == summed["_to"], "left")
+            .select(
+                nodes["host"],
+                F.coalesce("_c", F.lit(0)).cast("long").alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.withColumn("hub", F.lit(HITS_SCALE // max(n, 1)).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        auth = _half_step(hub, "hub", "src_host", "dst_host", "authority")
+        hub = _half_step(auth, "authority", "dst_host", "src_host", "hub")
+    return hub.join(auth, "host").select("host", "hub", "authority")

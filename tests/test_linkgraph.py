@@ -564,3 +564,47 @@ def test_extract_canonical_variants(spark):
     assert got["https://b.com/q"] == ("https://b.com/q", True)
     assert got["https://c.com/r"] == ("https://c.com/r2", False)
     assert "https://d.com/s" not in got and "https://e.com/t" not in got
+
+
+class TestHostHits:
+    def _edges(self, spark, rows, n_parts=None):
+        df = spark.createDataFrame(rows, "src_host string, dst_host string, weight long")
+        return df.repartition(n_parts) if n_parts else df
+
+    def test_bipartite_hub_authority_split(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_hits
+
+        # two pure hubs each pointing at the same three targets: HITS
+        # must give hubs zero authority, targets zero hub score (but
+        # a1 links out, so it earns a small hub score), and all three
+        # targets identical authority
+        rows = [("h1", t, 1) for t in ("a1", "a2", "a3")] + [
+            ("h2", t, 1) for t in ("a1", "a2", "a3")
+        ] + [("a1", "x", 1)]
+        got = {r.host: (r.hub, r.authority) for r in host_hits(self._edges(spark, rows), n_iter=3).collect()}
+        assert got["h1"] == got["h2"]
+        assert got["h1"][0] > 0 and got["h1"][1] == 0
+        assert got["a2"] == got["a3"]
+        assert got["a2"][0] == 0 and got["a2"][1] > 0
+        assert got["a1"][1] == got["a2"][1]  # same in-links -> same authority
+        assert got["a1"][0] > 0  # links to x -> nonzero hub score
+        assert got["h1"][0] > got["a1"][0]  # real hubs dominate
+        assert got["a2"][1] > got["x"][1]  # hub-endorsed beats fringe
+
+    def test_weight_raises_authority(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_hits
+
+        rows = [("h", "heavy", 5), ("h", "light", 1)]
+        got = {r.host: r.authority for r in host_hits(self._edges(spark, rows), n_iter=2).collect()}
+        assert got["heavy"] > got["light"] > 0
+
+    def test_partitioning_invariance(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_hits
+
+        rows = [
+            (f"s{i % 7}", f"d{(i * 3) % 11}", 1 + i % 4) for i in range(200)
+        ]
+        rows = [r for r in rows if r[0] != r[1]]
+        a = sorted(map(tuple, host_hits(self._edges(spark, rows, 1), n_iter=3).collect()))
+        b = sorted(map(tuple, host_hits(self._edges(spark, rows, 17), n_iter=3).collect()))
+        assert a == b

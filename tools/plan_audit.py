@@ -59,7 +59,7 @@ AUDIT = [
     "bpe_encode", "fix_mojibake", "domain_budget_alloc", "host_communities",
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
     "line_dedupe", "pq_codes", "ann_pq", "pq_recall",
-    "host_triangles", "weighted_sample", "dust_rules",
+    "host_triangles", "weighted_sample", "dust_rules", "host_hits",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
     "kmv_overlap",
 ]
