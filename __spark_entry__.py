@@ -1128,6 +1128,49 @@ def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe_lines_within_doc(f)
 
 
+def _bp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source site template planted deterministically: an 80%-of-
+    # docs header pair (doc_id % 5 != 0) and a 100% footer — the mined
+    # table must recover exactly these and nothing from the bodies
+    d = _t(spark, sf_dir, "documents")
+    hdr = F.concat(
+        F.lit("Top stories from "), F.col("source"),
+        F.lit("\nSubscribe to "), F.col("source"), F.lit(" premium\n"),
+    )
+    t = F.concat(
+        F.when(F.col("doc_id") % 5 != 0, hdr).otherwise(F.lit("")),
+        F.col("text"),
+        F.lit("\n(c) 2024 "), F.col("source"), F.lit(" media"),
+    )
+    return d.select(
+        F.col("source").alias("host"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        t.alias("text"),
+    )
+
+
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document site-template mining: per-host line document
+    # frequency with an integer >= 50%-of-docs cut (the corpus-level
+    # cleanup within-doc line dedup can't see)
+    from sandcrawler_spark.operators.boilerplate import host_boilerplate_lines
+
+    return host_boilerplate_lines(_bp_docs(spark, sf_dir), min_pct=50, min_docs=3)
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mine + strip roundtrip: planted headers/footers removed from
+    # every doc, body lines untouched, order preserved
+    from sandcrawler_spark.operators.boilerplate import (
+        host_boilerplate_lines,
+        strip_boilerplate,
+    )
+
+    docs = _bp_docs(spark, sf_dir)
+    bp = host_boilerplate_lines(docs, min_pct=50, min_docs=3)
+    return strip_boilerplate(docs, bp)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directional containment on the SAME LSH blocks: the planted dups
     # are originals + an appended tail, so containment(orig in dup)
@@ -2617,6 +2660,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
         "line_dedupe": q_line_dedupe,
+        "host_boilerplate": q_host_boilerplate,
+        "boilerplate_strip": q_boilerplate_strip,
         "dedupe_recall": q_dedupe_recall,
         "neardup_dedupe": q_neardup_dedupe,
         "gopher_repetition": q_gopher_repetition,
@@ -3321,6 +3366,44 @@ def _trustrank_oracle_ctes(
     return ",\n".join(parts)
 
 
+# boilerplate mine/strip twin base: replays _bp_docs's planted
+# template, the position-preserving non-blank line explode, the
+# distinct-doc line frequency, and the integer 50%-of-docs cut
+_BP_ORACLE_BASE = """
+WITH bp_docs AS (
+  SELECT source AS host, CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 5 <> 0
+              THEN 'Top stories from ' || source || chr(10) ||
+                   'Subscribe to ' || source || ' premium' || chr(10)
+              ELSE '' END
+         || text || chr(10) || '(c) 2024 ' || source || ' media' AS text
+  FROM documents
+),
+split AS (SELECT host, doc_id, string_split(text, chr(10)) AS parts FROM bp_docs),
+pos_lines AS (
+  SELECT host, doc_id, CAST(UNNEST(range(1, len(parts) + 1)) AS INT) - 1 AS pos, parts
+  FROM split
+),
+lines AS (
+  SELECT host, doc_id, pos, list_extract(parts, pos + 1) AS line
+  FROM pos_lines WHERE trim(list_extract(parts, pos + 1)) <> ''
+),
+dfl AS (
+  SELECT host, line, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (SELECT DISTINCT host, doc_id, line FROM lines) GROUP BY host, line
+),
+hd AS (
+  SELECT source AS host, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS host_docs
+  FROM documents GROUP BY source
+),
+bp AS (
+  SELECT d.host, d.line, d.n_docs, h.host_docs
+  FROM dfl d JOIN hd h USING (host)
+  WHERE h.host_docs >= 3 AND d.n_docs * 100 >= 50 * h.host_docs
+)
+"""
+
+
 def _hits_oracle_ctes(n_iter: int = 3) -> str:
     """Unrolled fixed-point HITS twin of operators/linkgraph.host_hits:
     per half-step the total contribution mass T is an exact HUGEINT
@@ -3737,6 +3820,28 @@ tot AS (
 )
 SELECT a.doc_id, a.text, t.n_lines, t.n_lines - a.n_kept AS n_removed
 FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+""",
+        "host_boilerplate": _BP_ORACLE_BASE + """
+SELECT host, line, n_docs, host_docs FROM bp
+""",
+        "boilerplate_strip": _BP_ORACLE_BASE + """,
+kept AS (
+  SELECT l.host, l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN bp b ON l.host = b.host AND l.line = b.line
+  WHERE b.line IS NULL
+),
+rebuilt AS (
+  SELECT host, doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY host, doc_id
+),
+tot AS (
+  SELECT host, doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY host, doc_id
+)
+SELECT t.host, t.doc_id, COALESCE(r.text, '') AS text, t.n_lines,
+       t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN rebuilt r ON t.host = r.host AND t.doc_id = r.doc_id
 """,
         # concat-and-slice packing: the same stable order, one window
         # sum (CAST to BIGINT — DuckDB windowed SUM returns HUGEINT),

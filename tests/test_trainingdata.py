@@ -546,3 +546,51 @@ def test_weighted_sample_per_key_small_groups_exhaustive(spark):
     got = weighted_sample_per_key(df, "lang", "w", k=10, id_col="doc_id").collect()
     # zero-weight row 4 excluded; everything else kept (groups < k)
     assert sorted(r.doc_id for r in got) == [1, 2, 3]
+
+
+class TestHostBoilerplate:
+    def _df(self, spark):
+        rows = []
+        # host A: 5 docs, 'NAV' on all, 'PROMO' on 3/5 (60%), bodies unique
+        for i in range(5):
+            t = "NAV\n" + (f"PROMO\n" if i < 3 else "") + f"body A{i}\nmore A{i}"
+            rows.append(("a.com", i, t))
+        # host B: 2 docs (< min_docs) sharing 'NAV' — must NOT be mined
+        for i in range(2):
+            rows.append(("b.com", 100 + i, f"NAV\nbody B{i}"))
+        return spark.createDataFrame(rows, "host string, doc_id long, text string")
+
+    def test_mines_only_frequent_lines_on_eligible_hosts(self, spark):
+        from sandcrawler_spark.operators.boilerplate import host_boilerplate_lines
+
+        got = {
+            (r.host, r.line): (r.n_docs, r.host_docs)
+            for r in host_boilerplate_lines(self._df(spark), min_pct=50, min_docs=3).collect()
+        }
+        assert got == {("a.com", "NAV"): (5, 5), ("a.com", "PROMO"): (3, 5)}
+
+    def test_strip_preserves_body_and_order(self, spark):
+        from sandcrawler_spark.operators.boilerplate import (
+            host_boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        df = self._df(spark)
+        bp = host_boilerplate_lines(df, min_pct=50, min_docs=3)
+        out = {r.doc_id: r for r in strip_boilerplate(df, bp).collect()}
+        assert out[0].text == "body A0\nmore A0" and out[0].n_removed == 2
+        assert out[4].text == "body A4\nmore A4" and out[4].n_removed == 1
+        # ineligible host untouched
+        assert out[100].text == "NAV\nbody B0" and out[100].n_removed == 0
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        from sandcrawler_spark.operators.boilerplate import strip_boilerplate
+
+        df = spark.createDataFrame(
+            [("a.com", 1, "NAV"), ("a.com", 2, "NAV\nreal")],
+            "host string, doc_id long, text string",
+        )
+        bp = spark.createDataFrame([("a.com", "NAV")], "host string, line string")
+        out = {r.doc_id: r for r in strip_boilerplate(df, bp).collect()}
+        assert out[1].text == "" and out[1].n_removed == 1 and out[1].n_lines == 1
+        assert out[2].text == "real"
