@@ -1084,6 +1084,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
+def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: k-means cells bound the pairwise cosine, eps-graph
+    # components collapse to min-id representatives — the planted
+    # exact duplicates (vec_id+10000 clones) must land in their
+    # original's cell and dedupe onto the original id
+    from sandcrawler_spark.operators.similarity import semantic_dedupe
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedupe(
+        e.unionByName(dups), eps=0.95, kmeans_iters=2, centroid_mod=50
+    )
+
+
 def q_lang_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandcrawler_spark.functions.textstats import lang_id_en_score_col
 
@@ -2656,6 +2672,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedupe": q_semantic_dedupe,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2838,6 +2855,75 @@ SELECT n.method, CAST(tn.n_truth AS BIGINT) AS n_truth,
        CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
        round(COALESCE(h.n_hit, 0) / tn.n_truth, 4) AS recall
 FROM names n LEFT JOIN hits h ON n.method = h.method, tn
+"""
+
+
+def _semdedup_oracle(eps: float = 0.95, mod: int = 50, kmeans_iters: int = 2,
+                     n_dups: int = 20, max_cell: int = 100_000) -> str:
+    """SemDeDup twin: the k-means chain (same FP-op-order determinism
+    contract as _ann_recall_oracle), nearest-cell assignment of the
+    augmented corpus, within-cell eps-pairs, and recursive-reach
+    connected components with min-id representatives (the
+    neardup_dedupe convention)."""
+    km = ""
+    for it in range(1, kmeans_iters + 1):
+        km += f""",
+kasg_{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, kc_{it - 1} c) WHERE rn = 1
+),
+kdim_{it} AS (
+  SELECT cent_id, pos, list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s, COUNT(*) AS n
+  FROM (SELECT a.cent_id, a.vec_id, i.pos, a.v[CAST(i.pos AS INT) + 1] AS val FROM kasg_{it} a, idx i)
+  GROUP BY cent_id, pos
+),
+kc_{it} AS (
+  SELECT cent_id, list(round(s / n, 6) ORDER BY pos) AS cv FROM kdim_{it} GROUP BY cent_id
+)"""
+    return f"""
+WITH RECURSIVE
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id < {n_dups}
+),
+dims AS (SELECT max(len(v)) AS dim FROM e),
+idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS pos),
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0){km},
+sasg AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, kc_{kmeans_iters} c) WHERE rn = 1
+),
+cellsz AS (SELECT cent_id, COUNT(*) AS n FROM sasg GROUP BY cent_id),
+pairable AS (
+  SELECT s.vec_id, s.v, s.cent_id FROM sasg s JOIN cellsz c USING (cent_id)
+  WHERE c.n <= {max_cell}
+),
+sprs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM pairable a JOIN pairable b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {_sql_cos('a.v', 'b.v')} >= {eps!r}
+),
+sedges AS (
+  SELECT id_a AS s, id_b AS t FROM sprs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM sprs
+),
+sreach AS (
+  SELECT s, t FROM sedges
+  UNION
+  SELECT r.s, e2.t FROM sreach r JOIN sedges e2 ON r.t = e2.s
+)
+SELECT a.vec_id, a.cent_id,
+       least(a.vec_id, coalesce(min(r.t), a.vec_id)) AS rep_id,
+       a.vec_id = least(a.vec_id, coalesce(min(r.t), a.vec_id)) AS is_rep
+FROM sasg a LEFT JOIN sreach r ON r.s = a.vec_id
+GROUP BY a.vec_id, a.cent_id
 """
 
 
@@ -4663,6 +4749,7 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
        round(SUM(value), 2) AS sum_value
 FROM s GROUP BY user_id, sid
 """,
+        "semantic_dedupe": _semdedup_oracle(),
         "embedding_neardup": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -335,3 +335,89 @@ def ann_lsh(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedupe(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 2,
+    centroid_mod: int = 50,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540): semantic
+    deduplication via embedding clusters — k-means partitions the
+    corpus, pairwise cosine runs ONLY within a cluster, and documents
+    whose similarity exceeds eps collapse to one representative. This
+    is the dedup tier ABOVE MinHash/SimHash: paraphrases and
+    re-writes share no shingles but land in the same embedding
+    neighborhood.
+
+    Shapes reused from this module: the deterministic
+    kmeans_centroids quantizer (broadcast assignment, rounded cosine,
+    cent_id tie-breaks) and the large-star/small-star connected
+    components from operators/dedupe (rep = min id of the eps-graph
+    component, exactly the neardup_dedupe convention).
+
+    Scale shape: all-pairs NEVER runs globally — only inside a
+    cluster (the SemDeDup paper's key trick; cells average
+    corpus/n_centroids). A degenerate mega-cluster (near-identical
+    spam corpus) would still blow up the within-cell self-join, so
+    cells larger than max_cell are excluded from pairing and their
+    members kept as-is (the lsh_candidates hot-band discipline;
+    excluded cells are the caller's signal to re-train with more
+    centroids). CC runs on the eps-graph, which is pair-count-sized.
+
+    Returns (id_col, cent_id, rep_id, is_rep) for every input row.
+    """
+    from pyspark.sql import Window
+
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_iters=kmeans_iters, centroid_mod=centroid_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    assigned = (
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(F.broadcast(centroids))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col("_v"), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(asg_w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+    small_cells = (
+        assigned.groupBy("cent_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_cell)
+        .select("cent_id")
+    )
+    pairable = assigned.join(F.broadcast(small_cells), "cent_id")
+    a = pairable.select(
+        "cent_id", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = pairable.select(
+        "cent_id", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), 6))
+        .where(F.col("_cos") >= F.lit(eps))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        assigned.join(comp, assigned[id_col] == comp["id"], "left")
+        .select(
+            assigned[id_col],
+            "cent_id",
+            F.coalesce(comp["label"], assigned[id_col]).cast("long").alias("rep_id"),
+        )
+        .withColumn("is_rep", F.col("rep_id") == F.col(id_col))
+    )

@@ -594,3 +594,48 @@ class TestHostBoilerplate:
         out = {r.doc_id: r for r in strip_boilerplate(df, bp).collect()}
         assert out[1].text == "" and out[1].n_removed == 1 and out[1].n_lines == 1
         assert out[2].text == "real"
+
+
+class TestSemanticDedupe:
+    def _vecs(self, spark):
+        import math
+
+        rows = []
+        # two well-separated direction clusters + exact and near clones
+        for i in range(30):
+            ang = 0.02 * (i % 3)
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+        for i in range(30, 60):
+            ang = 0.02 * (i % 3)
+            rows.append((i, [0.0, 0.0, math.cos(ang), math.sin(ang)]))
+        # clones of 0 and 30 under new ids
+        rows.append((1000, rows[0][1]))
+        rows.append((1030, rows[30][1]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_clones_collapse_to_original(self, spark):
+        from sandcrawler_spark.operators.similarity import semantic_dedupe
+
+        out = {
+            r.vec_id: r
+            for r in semantic_dedupe(
+                self._vecs(spark), eps=0.999, kmeans_iters=1, centroid_mod=30
+            ).collect()
+        }
+        assert len(out) == 62
+        assert out[1000].rep_id == out[0].rep_id and not out[1000].is_rep
+        assert out[1030].rep_id == out[30].rep_id and not out[1030].is_rep
+        # cross-cluster vectors never merge (orthogonal directions)
+        reps_a = {out[i].rep_id for i in range(30)}
+        reps_b = {out[i].rep_id for i in range(30, 60)}
+        assert reps_a.isdisjoint(reps_b)
+
+    def test_max_cell_excludes_mega_cluster_from_pairing(self, spark):
+        from sandcrawler_spark.operators.similarity import semantic_dedupe
+
+        out = semantic_dedupe(
+            self._vecs(spark), eps=0.999, kmeans_iters=1, centroid_mod=30,
+            max_cell=5,
+        ).collect()
+        # every cell exceeds 5 members -> no pairs -> everyone is own rep
+        assert all(r.is_rep for r in out)
