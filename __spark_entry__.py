@@ -1084,6 +1084,18 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe train/val/test split hashed at SOURCE granularity:
+    # every doc of one source rides the same split, so near-dups
+    # within a site never straddle train and the eval sets
+    from sandcrawler_spark.operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source"
+    )
+    return leakage_safe_split(d, "source", val_ppm=150_000, test_ppm=150_000)
+
+
 def q_semantic_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: k-means cells bound the pairwise cosine, eps-graph
     # components collapse to min-id representatives — the planted
@@ -2673,6 +2685,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedupe": q_semantic_dedupe,
+        "corpus_split": q_corpus_split,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -4750,6 +4763,19 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
 FROM s GROUP BY user_id, sid
 """,
         "semantic_dedupe": _semdedup_oracle(),
+        "corpus_split": """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         (CAST(CAST('0x' || substr(md5('split:42' || ':' || source), 1, 8) AS UBIGINT) AS BIGINT)
+          * CAST(1000000 AS BIGINT)) // 4294967296 AS split_u_ppm
+  FROM documents
+)
+SELECT doc_id, source, split_u_ppm,
+       CASE WHEN split_u_ppm < 150000 THEN 'test'
+            WHEN split_u_ppm < 300000 THEN 'val'
+            ELSE 'train' END AS split
+FROM d
+""",
         "embedding_neardup": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

@@ -184,3 +184,38 @@ def weighted_sample_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    val_ppm: int = 50_000,
+    test_ppm: int = 50_000,
+    seed: str = "split:42",
+) -> DataFrame:
+    """Deterministic train/val/test assignment hashed at GROUP
+    granularity — the split that avoids eval leakage: hashing the
+    individual doc id puts a document in train while its near-dup
+    twin lands in test, so held-out metrics measure memorization.
+    Hash the dedup cluster representative / host / canonical URL
+    instead and every member of a group rides the same split.
+
+    u_ppm = (first 32 md5 bits of (seed, group) * 10^6) div 2^32 —
+    pure integer parts-per-million, so the boundary is engine-exact;
+    test takes [0, test_ppm), val [test_ppm, test_ppm+val_ppm),
+    train the rest.
+
+    Scale shape: one map-side pass (hash + two comparisons), zero
+    shuffle, no rand() — a resumed or re-run job reassigns every
+    row identically. Returns the input plus (split_u_ppm, split).
+    """
+    u_ppm = F.expr(
+        f"(CAST(conv(substring(md5(concat('{seed}', ':', CAST({group_col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        f" * CAST(1000000 AS BIGINT)) div CAST(4294967296 AS BIGINT)"
+    )
+    split = (
+        F.when(F.col("split_u_ppm") < F.lit(test_ppm), F.lit("test"))
+        .when(F.col("split_u_ppm") < F.lit(test_ppm + val_ppm), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split_u_ppm", u_ppm).withColumn("split", split)

@@ -639,3 +639,31 @@ class TestSemanticDedupe:
         ).collect()
         # every cell exceeds 5 members -> no pairs -> everyone is own rep
         assert all(r.is_rep for r in out)
+
+
+class TestLeakageSafeSplit:
+    def test_groups_never_straddle_splits(self, spark):
+        from sandcrawler_spark.operators.sampling import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"host{i % 40}") for i in range(400)], "doc_id long, host string"
+        )
+        out = leakage_safe_split(df, "host", val_ppm=200_000, test_ppm=200_000).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r.host, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_host.values())
+        splits = {next(iter(s)) for s in by_host.values()}
+        assert splits == {"train", "val", "test"}  # 40 hosts, 20%/20% cuts
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from sandcrawler_spark.operators.sampling import leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"g{i}") for i in range(300)], "doc_id long, g string"
+        )
+        a = {r.doc_id: r.split for r in leakage_safe_split(df, "g").collect()}
+        b = {r.doc_id: r.split for r in leakage_safe_split(df, "g").collect()}
+        c = {r.doc_id: r.split for r in leakage_safe_split(df, "g", seed="other").collect()}
+        assert a == b
+        assert a != c
