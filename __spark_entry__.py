@@ -1905,6 +1905,15 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-core of the undirected host graph: synchronous peeling with a
+    # driver-bounded round cap — the dense-subgraph (link-farm)
+    # membership signal
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_kcore
+
+    return host_kcore(host_graph(_outlink_edges(spark, sf_dir)), k=3, max_rounds=8)
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HITS hubs & authorities on the host graph (fixed-point integer
     # half-steps with driver-collected scale factors, 3 iterations):
@@ -2634,6 +2643,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_depth": q_link_depth,
         "host_pagerank": q_host_pagerank,
         "host_hits": q_host_hits,
+        "host_kcore": q_host_kcore,
         "host_communities": q_host_communities,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
@@ -3556,6 +3566,32 @@ def _hits_oracle_ctes(n_iter: int = 3) -> str:
     return ",\n".join(parts)
 
 
+def _kcore_oracle_ctes(k: int = 3, max_rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peeling twin of host_kcore: round i
+    recomputes in-survivor degrees over round i-1's node set and keeps
+    >= k. The Spark side's early stop lands on the same fixed point the
+    full unroll reaches."""
+    parts = [
+        """kcedges AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+)""",
+        "kcsym AS MATERIALIZED (SELECT a, b FROM kcedges UNION ALL SELECT b AS a, a AS b FROM kcedges)",
+        "kcn0 AS MATERIALIZED (SELECT a AS host FROM kcedges UNION SELECT b FROM kcedges)",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(f"""kcn{i} AS MATERIALIZED (
+  SELECT a AS host, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM kcsym
+  WHERE a IN (SELECT host FROM kcn{i - 1}) AND b IN (SELECT host FROM kcn{i - 1})
+  GROUP BY a HAVING COUNT(*) >= {k}
+)""")
+    return ",\n".join(parts)
+
+
 def _lpa_oracle_ctes(n_rounds: int = 3) -> str:
     """Unrolled synchronous weighted LPA twin of host_lpa: symmetrize
     the host contraction, then per round vote = SUM(weight) per
@@ -4046,6 +4082,11 @@ SELECT url, depth FROM bfs4
 {link_base},
 {_pagerank_oracle_ctes(5)}
 SELECT host, rank FROM pr5
+""",
+        "host_kcore": f"""
+{link_base},
+{_kcore_oracle_ctes(3, 8)}
+SELECT host, core_degree FROM kcn8
 """,
         "host_hits": f"""
 {link_base},

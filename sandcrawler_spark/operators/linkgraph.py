@@ -831,3 +831,73 @@ def host_hits(host_edges: DataFrame, n_iter: int = 3) -> DataFrame:
         auth = _half_step(hub, "hub", "src_host", "dst_host", "authority")
         hub = _half_step(auth, "authority", "dst_host", "src_host", "hub")
     return hub.join(auth, "host").select("host", "hub", "authority")
+
+
+def host_kcore(host_edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """k-core of the undirected host graph (Seidman 1983): the maximal
+    subgraph where every member keeps >= k neighbors INSIDE the
+    subgraph. Dense cores that survive aggressive peeling are the
+    classic link-farm / paid-network signal — organic sites lose their
+    low-degree periphery and fall out, cliques don't — and the core is
+    a natural "crawl deeper here" allowlist for hub-rich neighborhoods
+    (complements host_triangles, which scores local density but not
+    mutual reinforcement).
+
+    Algorithm: synchronous peeling — drop every node with in-core
+    degree < k, recompute, repeat. Each round is one semi-join of the
+    edge list against the surviving node set + one degree agg; rounds
+    cap at max_rounds with an early stop at the fixed point (peeling
+    is monotone, so stopping early at the fixed point equals running
+    all rounds — the DuckDB twin always unrolls max_rounds and must
+    agree). Peel depth beyond max_rounds (a >max_rounds-long chain of
+    cascading removals) leaves extra near-core nodes in — acceptable
+    for a ranking signal, documented here; raise max_rounds for exact
+    cores on deep-chain graphs.
+
+    Scale shape: node set shrinks monotonically; per round the edge
+    list is filtered by two broadcast-able semi-joins (the survivor
+    table is host-count-sized) and one count agg. localCheckpoint per
+    round keeps the plan flat (the host_pagerank discipline).
+
+    Returns (host, core_degree) for members of the k-core, with
+    core_degree the degree inside the core at the fixed point.
+    """
+    und = (
+        host_edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    cur = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    deg = None
+    for _ in range(max_rounds):
+        live = (
+            sym.join(cur.withColumnRenamed("host", "a"), "a", "left_semi")
+            .join(cur.withColumnRenamed("host", "b"), "b", "left_semi")
+        )
+        deg = (
+            live.groupBy(F.col("a").alias("host"))
+            .agg(F.count("*").cast("long").alias("core_degree"))
+            .filter(F.col("core_degree") >= F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        n_next = deg.count()
+        cur = deg.select("host")
+        if n_next == n_cur:
+            break
+        n_cur = n_next
+    return deg if deg is not None else cur.withColumn(
+        "core_degree", F.lit(0).cast("long")
+    )

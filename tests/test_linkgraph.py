@@ -608,3 +608,35 @@ class TestHostHits:
         a = sorted(map(tuple, host_hits(self._edges(spark, rows, 1), n_iter=3).collect()))
         b = sorted(map(tuple, host_hits(self._edges(spark, rows, 17), n_iter=3).collect()))
         assert a == b
+
+
+class TestHostKcore:
+    def test_clique_survives_periphery_peels(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_kcore
+
+        # 4-clique (3-core) + a pendant chain hanging off it; the chain
+        # must peel away in cascading rounds, the clique must survive
+        clique = [(f"c{i}", f"c{j}", 1) for i in range(4) for j in range(4) if i < j]
+        chain = [("c0", "p0", 1), ("p0", "p1", 1), ("p1", "p2", 1)]
+        e = spark.createDataFrame(clique + chain, "src_host string, dst_host string, weight long")
+        got = {r.host: r.core_degree for r in host_kcore(e, k=3, max_rounds=8).collect()}
+        assert got == {f"c{i}": 3 for i in range(4)}
+
+    def test_empty_core_when_k_exceeds_density(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_kcore
+
+        e = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1)], "src_host string, dst_host string, weight long"
+        )
+        assert host_kcore(e, k=2, max_rounds=8).count() == 0
+
+    def test_direction_and_weight_ignored(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_kcore
+
+        # reciprocal directed edges collapse to one undirected edge
+        e = spark.createDataFrame(
+            [("a", "b", 9), ("b", "a", 1), ("b", "c", 1), ("c", "a", 1)],
+            "src_host string, dst_host string, weight long",
+        )
+        got = {r.host: r.core_degree for r in host_kcore(e, k=2, max_rounds=8).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
