@@ -1084,6 +1084,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
+def q_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D4-style topic rebalancing: trained k-means cells as strata,
+    # count^0.7 temperature rates, deterministic md5 keep pass
+    from sandcrawler_spark.operators.similarity import cluster_balanced_sample
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cluster_balanced_sample(
+        e, total_budget=300, alpha=0.7, kmeans_iters=2, centroid_mod=50
+    )
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leakage-safe train/val/test split hashed at SOURCE granularity:
     # every doc of one source rides the same split, so near-dups
@@ -2696,6 +2707,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedupe": q_semantic_dedupe,
         "corpus_split": q_corpus_split,
+        "topic_balance": q_topic_balance,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -2947,6 +2959,56 @@ SELECT a.vec_id, a.cent_id,
        a.vec_id = least(a.vec_id, coalesce(min(r.t), a.vec_id)) AS is_rep
 FROM sasg a LEFT JOIN sreach r ON r.s = a.vec_id
 GROUP BY a.vec_id, a.cent_id
+"""
+
+
+def _topic_balance_oracle(budget: int = 300, alpha: float = 0.7, mod: int = 50,
+                          kmeans_iters: int = 2, seed: str = "d4:42") -> str:
+    """cluster_balanced_sample twin: the _semdedup_oracle k-means
+    chain (no dup augmentation) + the temperature_mix rate/keep math
+    keyed by cent_id."""
+    km = ""
+    for it in range(1, kmeans_iters + 1):
+        km += f""",
+kasg_{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, kc_{it - 1} c) WHERE rn = 1
+),
+kdim_{it} AS (
+  SELECT cent_id, pos, list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s, COUNT(*) AS n
+  FROM (SELECT a.cent_id, a.vec_id, i.pos, a.v[CAST(i.pos AS INT) + 1] AS val FROM kasg_{it} a, idx i)
+  GROUP BY cent_id, pos
+),
+kc_{it} AS (
+  SELECT cent_id, list(round(s / n, 6) ORDER BY pos) AS cv FROM kdim_{it} GROUP BY cent_id
+)"""
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+dims AS (SELECT max(len(v)) AS dim FROM e),
+idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS pos),
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0){km},
+sasg AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, kc_{kmeans_iters} c) WHERE rn = 1
+),
+counts AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sasg GROUP BY cent_id),
+wtd AS (SELECT cent_id, n_docs, pow(CAST(n_docs AS DOUBLE), {alpha!r}) AS w FROM counts),
+tot AS (SELECT SUM(w) AS tw FROM wtd),
+rates AS (
+  SELECT cent_id,
+         least(1.0, CAST(CAST(round({float(budget)!r} * w / tw) AS BIGINT) AS DOUBLE) / n_docs) AS rate
+  FROM wtd CROSS JOIN tot
+)
+SELECT s.vec_id, s.cent_id, round(r.rate, 9) AS rate,
+       CAST(CAST('0x' || substr(md5('{seed}:' || CAST(s.vec_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)
+         / 4294967296.0 AS u,
+       (CAST(CAST('0x' || substr(md5('{seed}:' || CAST(s.vec_id AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)
+         / 4294967296.0) < r.rate AS kept
+FROM sasg s JOIN rates r USING (cent_id)
 """
 
 
@@ -4804,6 +4866,7 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
 FROM s GROUP BY user_id, sid
 """,
         "semantic_dedupe": _semdedup_oracle(),
+        "topic_balance": _topic_balance_oracle(),
         "corpus_split": """
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

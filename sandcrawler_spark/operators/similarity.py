@@ -337,6 +337,74 @@ def ann_lsh(
     )
 
 
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment (broadcast centroids, rounded
+    cosine, cent_id tie-break — the kmeans_centroids determinism
+    contract). Returns (id_col, _v double-array, cent_id),
+    checkpointed so downstream passes don't replay the join."""
+    from pyspark.sql import Window
+
+    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    return (
+        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(F.broadcast(centroids))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col("_v"), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(asg_w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "_v", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    kmeans_iters: int = 2,
+    centroid_mod: int = 50,
+    seed: str = "d4:42",
+) -> DataFrame:
+    """Topic-balanced sampling over embedding clusters (the
+    diversification half of D4, Tirumala et al. 2023: after SemDeDup,
+    rebalance CLUSTER shares so over-represented topics — boilerplate
+    genres, SEO farms — stop dominating the mixture): k-means cells
+    play the stratum role and the count^alpha temperature rule sets
+    per-cell keep rates, with the deterministic md5-uniform keep pass.
+
+    Scale shape: assignment is one broadcast join (no shuffle), rates
+    are one cell-count aggregate + 1-row broadcast, the keep pass is
+    map-side — the corpus is never shuffled.
+
+    Returns (id_col, cent_id, rate, u, kept) — one auditable row per
+    input vector.
+    """
+    from sandcrawler_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_sample_rates,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_iters=kmeans_iters, centroid_mod=centroid_mod,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assigned = assign_cells(embeddings, centroids, id_col, vec_col).select(
+        id_col, "cent_id"
+    )
+    rates = temperature_sample_rates(assigned, "cent_id", total_budget, alpha)
+    return deterministic_sample(
+        assigned, rates, "cent_id", id_col=id_col, seed=seed
+    ).select(id_col, "cent_id", "rate", "u", "kept")
+
+
 def semantic_dedupe(
     embeddings: DataFrame,
     eps: float = 0.95,
@@ -372,8 +440,6 @@ def semantic_dedupe(
 
     Returns (id_col, cent_id, rep_id, is_rep) for every input row.
     """
-    from pyspark.sql import Window
-
     from sandcrawler_spark.operators.dedupe import connected_components
 
     if centroids is None:
@@ -381,16 +447,7 @@ def semantic_dedupe(
             embeddings, n_iters=kmeans_iters, centroid_mod=centroid_mod,
             id_col=id_col, vec_col=vec_col,
         )
-    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
-    assigned = (
-        embeddings.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-        .join(F.broadcast(centroids))
-        .withColumn("_csim", F.round(cosine_sim_col(F.col("_v"), F.col("cent_vec")), 6))
-        .withColumn("_rn", F.row_number().over(asg_w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "_v", "cent_id")
-        .localCheckpoint(eager=True)
-    )
+    assigned = assign_cells(embeddings, centroids, id_col, vec_col)
     small_cells = (
         assigned.groupBy("cent_id")
         .agg(F.count("*").alias("_n"))

@@ -667,3 +667,36 @@ class TestLeakageSafeSplit:
         c = {r.doc_id: r.split for r in leakage_safe_split(df, "g", seed="other").collect()}
         assert a == b
         assert a != c
+
+
+class TestClusterBalancedSample:
+    def test_flattens_dominant_cluster(self, spark):
+        import math
+
+        from sandcrawler_spark.operators.similarity import cluster_balanced_sample
+
+        rows = []
+        # dominant topic: 300 vectors in one direction; tail topic: 30
+        for i in range(300):
+            ang = 0.01 * (i % 5)
+            rows.append((i, [math.cos(ang), math.sin(ang), 0.0, 0.0]))
+        for i in range(300, 330):
+            ang = 0.01 * (i % 5)
+            rows.append((i, [0.0, 0.0, math.cos(ang), math.sin(ang)]))
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = cluster_balanced_sample(
+            e, total_budget=60, alpha=0.5, kmeans_iters=1, centroid_mod=150
+        )
+        kept = out.filter("kept").groupBy("cent_id").count().collect()
+        by_cell = {r.cent_id: r["count"] for r in kept}
+        dom = max(by_cell.values())
+        tail = min(by_cell.values())
+        assert len(by_cell) == 2
+        # alpha=0.5 compresses the 10:1 natural ratio to ~sqrt(10):1
+        # (expected targets 46 vs 14): well under half the natural skew
+        assert dom < 5 * tail
+        # determinism: identical rerun
+        again = cluster_balanced_sample(
+            e, total_budget=60, alpha=0.5, kmeans_iters=1, centroid_mod=150
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

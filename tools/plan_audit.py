@@ -33,6 +33,9 @@ ALLOW_BNLJ = {
     # ADC scan broadcasts the (tiny) LUT-decorated query side un-keyed
     # by design; pq_recall additionally runs the exact-truth scan
     "ann_pq", "pq_recall",
+    # centroid-table broadcast assignment (the ann_ivf shape) + 1-row
+    # temperature total
+    "topic_balance",
 }
 
 AUDIT = [
@@ -60,7 +63,7 @@ AUDIT = [
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
     "line_dedupe", "pq_codes", "ann_pq", "pq_recall",
     "host_triangles", "weighted_sample", "dust_rules", "host_hits",
-    "host_boilerplate", "boilerplate_strip", "semantic_dedupe", "corpus_split", "host_kcore",
+    "host_boilerplate", "boilerplate_strip", "semantic_dedupe", "corpus_split", "host_kcore", "topic_balance",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
     "kmv_overlap",
 ]
