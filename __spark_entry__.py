@@ -1084,6 +1084,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
+def q_corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source dataset-card stats: trigram diversity (template-farm
+    # detector) + bytes-per-token fertility, integer fixed-point
+    from sandcrawler_spark.operators.diagnostics import corpus_diagnostics
+
+    return corpus_diagnostics(_t(spark, sf_dir, "documents"), key_col="source")
+
+
 def q_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D4-style topic rebalancing: trained k-means cells as strata,
     # count^0.7 temperature rates, deterministic md5 keep pass
@@ -2708,6 +2716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedupe": q_semantic_dedupe,
         "corpus_split": q_corpus_split,
         "topic_balance": q_topic_balance,
+        "corpus_diagnostics": q_corpus_diagnostics,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -4867,6 +4876,39 @@ FROM s GROUP BY user_id, sid
 """,
         "semantic_dedupe": _semdedup_oracle(),
         "topic_balance": _topic_balance_oracle(),
+        "corpus_diagnostics": """
+WITH t AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS b,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+per_key AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(SUM(b) AS BIGINT) AS tot_bytes
+  FROM t GROUP BY source
+),
+tris AS (
+  SELECT source, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM (SELECT source, toks, UNNEST(range(1, len(toks) - 1)) AS i FROM t WHERE len(toks) >= 3)
+),
+gs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_trigrams
+  FROM tris GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       COALESCE(g.n_trigrams, 0) AS n_trigrams,
+       COALESCE(g.distinct_trigrams, 0) AS distinct_trigrams,
+       CASE WHEN COALESCE(g.n_trigrams, 0) > 0
+            THEN (g.distinct_trigrams * CAST(1000000 AS BIGINT)) // g.n_trigrams
+            ELSE 0 END AS trigram_diversity_ppm,
+       CASE WHEN p.n_tokens > 0
+            THEN (p.tot_bytes * CAST(1000000 AS BIGINT)) // p.n_tokens
+            ELSE 0 END AS bytes_per_token_micro
+FROM per_key p LEFT JOIN gs g ON p.source = g.source
+""",
         "corpus_split": """
 WITH d AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

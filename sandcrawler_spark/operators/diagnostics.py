@@ -1,0 +1,91 @@
+"""Per-stratum corpus diagnostics: the dataset-card numbers a
+training-data team reads before mixing sources.
+
+Two families in one cheap pass:
+  - n-gram diversity (distinct trigrams / total trigrams, ppm):
+    collapses for template farms and self-repeating SEO text long
+    before perplexity filters notice — the corpus-level cousin of the
+    per-doc Gopher repetition gates;
+  - tokenizer fertility (bytes per whitespace token, micro-units):
+    scripts and boilerplate-encoding differences show up as per-source
+    byte cost, the number that decides real token budgets.
+
+Scale shape (100 TB): trigram totals per stratum are pure count aggs
+with map-side partials; the DISTINCT trigram count shuffles on
+(stratum, gram) — the same key family as paragraph dedupe, bounded by
+corpus vocabulary per stratum, no windows, no collects. Byte/token
+sums are one codegen pass.
+
+Determinism: counts are exact longs; the two ratios are integer
+fixed-point floor divisions (ppm / micro), replayed verbatim by the
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.textstats import tokens_col
+from sandcrawler_spark.operators.lm import _trigrams_col
+
+
+def corpus_diagnostics(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-`key_col` stratum: (key, n_docs, n_tokens, n_trigrams,
+    distinct_trigrams, trigram_diversity_ppm, bytes_per_token_micro).
+
+    trigram_diversity_ppm = distinct*1e6 div total (0 for stratums
+    with no trigram); bytes_per_token_micro = utf8_bytes*1e6 div
+    tokens (0 when tokenless).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(text_col).alias("_t"),
+        F.octet_length(text_col).cast("long").alias("_bytes"),
+        F.size(tokens_col(F.lower(F.col(text_col)))).cast("long").alias("_ntok"),
+    )
+    per_key = base.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum("_bytes").cast("long").alias("_tot_bytes"),
+    )
+    grams = base.select("key", F.explode(_trigrams_col(F.col("_t"))).alias("g"))
+    gram_stats = grams.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.countDistinct("g").cast("long").alias("distinct_trigrams"),
+    )
+    out = per_key.join(gram_stats, "key", "left").select(
+        F.col("key").alias(key_col),
+        "n_docs",
+        "n_tokens",
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce("distinct_trigrams", F.lit(0)).cast("long").alias(
+            "distinct_trigrams"
+        ),
+        F.col("_tot_bytes").alias("_tot_bytes"),
+    )
+    return out.select(
+        key_col,
+        "n_docs",
+        "n_tokens",
+        "n_trigrams",
+        "distinct_trigrams",
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.expr("(distinct_trigrams * CAST(1000000 AS BIGINT)) div n_trigrams"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trigram_diversity_ppm"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(_tot_bytes * CAST(1000000 AS BIGINT)) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bytes_per_token_micro"),
+    )

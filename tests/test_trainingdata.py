@@ -700,3 +700,35 @@ class TestClusterBalancedSample:
             e, total_budget=60, alpha=0.5, kmeans_iters=1, centroid_mod=150
         )
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+class TestCorpusDiagnostics:
+    def test_template_farm_scores_low_diversity(self, spark):
+        from sandcrawler_spark.operators.diagnostics import corpus_diagnostics
+
+        rows = [("farm", i, "buy cheap pills now " * 25) for i in range(10)]
+        rows += [("organic", i, " ".join(f"w{i}x{j}" for j in range(100))) for i in range(10)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {r.source: r for r in corpus_diagnostics(df).collect()}
+        assert got["farm"].trigram_diversity_ppm < 10_000  # 4 distinct grams
+        assert got["organic"].trigram_diversity_ppm == 1_000_000  # all unique
+        assert got["farm"].n_docs == 10 and got["farm"].n_tokens == 1000
+
+    def test_fertility_tracks_bytes_per_token(self, spark):
+        from sandcrawler_spark.operators.diagnostics import corpus_diagnostics
+
+        df = spark.createDataFrame(
+            [("short", 1, "aa bb cc"), ("long", 2, "aaaaaaaaaa bbbbbbbbbb")],
+            "source string, doc_id long, text string",
+        )
+        got = {r.source: r.bytes_per_token_micro for r in corpus_diagnostics(df).collect()}
+        # 8 bytes / 3 tokens vs 21 bytes / 2 tokens
+        assert got["short"] == (8 * 1_000_000) // 3
+        assert got["long"] == (21 * 1_000_000) // 2
+
+    def test_empty_text_stratum(self, spark):
+        from sandcrawler_spark.operators.diagnostics import corpus_diagnostics
+
+        df = spark.createDataFrame([("e", 1, "")], "source string, doc_id long, text string")
+        r = corpus_diagnostics(df).collect()[0]
+        assert (r.n_tokens, r.n_trigrams, r.trigram_diversity_ppm, r.bytes_per_token_micro) == (0, 0, 0, 0)
