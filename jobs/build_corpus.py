@@ -47,6 +47,7 @@ def build_corpus(
     dsir_keep_frac: float = 0.5,
     fix_encoding: bool = True,
     dedupe_lines: bool = False,
+    strip_host_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the pipeline over docs(doc_id, text[, lang]); returns
     (packed DataFrame, stage-count stats). Deterministic end to end.
@@ -83,6 +84,25 @@ def build_corpus(
             d0.agg(F.coalesce(F.sum("_repaired"), F.lit(0))).collect()[0][0]
         )
         docs = d0.drop("_repaired")
+
+    # 0.5 (optional) cross-document boilerplate strip BEFORE dedupe:
+    # removing each host's shared template first means two copies of
+    # one article on different hosts hash equal in stage 1, and the
+    # quality/repetition gates judge content, not chrome
+    if strip_host_col is not None and strip_host_col in docs.columns:
+        from sandcrawler_spark.operators.boilerplate import (
+            host_boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        bp = host_boilerplate_lines(docs, host_col=strip_host_col, id_col="doc_id")
+        sb = strip_boilerplate(
+            docs, bp, host_col=strip_host_col, id_col="doc_id"
+        ).localCheckpoint(eager=True)
+        stats["boilerplate_lines_removed"] = (
+            sb.agg(F.coalesce(F.sum("n_removed"), F.lit(0))).collect()[0][0]
+        )
+        docs = docs.drop("text").join(sb.select("doc_id", "text"), on="doc_id")
 
     # 1. exact dedupe: keep the min-id representative per fingerprint
     reps = exact_dedupe(docs).select("doc_id")
@@ -187,6 +207,11 @@ def main() -> None:
         help="skip the stage-0 mojibake repair",
     )
     ap.add_argument(
+        "--strip-boilerplate", action="store_true",
+        help="mine + strip per-source template lines (>=50%% doc "
+        "frequency) before dedupe",
+    )
+    ap.add_argument(
         "--dedupe-lines", action="store_true",
         help="collapse repeated lines within each doc (boilerplate) "
         "before the repetition gate",
@@ -197,14 +222,14 @@ def main() -> None:
     from sandcrawler_spark.session import get_spark
 
     spark = get_spark("build_corpus", master=f"local[{args.cpus}]")
-    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
-        "doc_id", "text", "lang"
-    )
+    cols = ["doc_id", "text", "lang"] + (["source"] if args.strip_boilerplate else [])
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(*cols)
     out, stats = build_corpus(
         spark, docs, token_budget=args.token_budget, min_quality=args.min_quality,
         dsir_target_lang=args.dsir_target_lang, dsir_keep_frac=args.dsir_keep_frac,
         fix_encoding=not args.no_fix_encoding,
         dedupe_lines=args.dedupe_lines,
+        strip_host_col="source" if args.strip_boilerplate else None,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     stats["out"] = args.out

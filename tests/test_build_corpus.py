@@ -136,3 +136,43 @@ def test_build_corpus_line_dedupe_stage(spark):
     # without the stage the wrapped article is gated away whole
     assert 900004 not in {r.doc_id for r in out_off.collect()}
     assert stats_off["after_quality_gates"] < stats_on["after_quality_gates"]
+
+
+def test_build_corpus_strip_boilerplate_stage(spark):
+    """--strip-boilerplate: two hosts syndicate the same article under
+    different site templates — with the stage the template strips
+    BEFORE dedupe so the copies collapse to one; without it both
+    template-wrapped variants survive exact dedupe as distinct docs."""
+    from build_corpus import build_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    article = docs.orderBy("doc_id").first().text
+    wrapped = []
+    for host, base in (("mirror-a", 910000), ("mirror-b", 920000)):
+        for i in range(4):
+            body = article if i == 0 else f"unique {host} story {i} " * 20
+            wrapped.append(
+                (base + i, f"{host} navigation menu\n{body}\npowered by {host}", host)
+            )
+    both = docs.unionByName(
+        spark.createDataFrame(wrapped, "doc_id long, text string, source string")
+    )
+
+    out_off, stats_off = build_corpus(spark, both, token_budget=1_000_000)
+    out_on, stats_on = build_corpus(
+        spark, both, token_budget=1_000_000, strip_host_col="source"
+    )
+    assert stats_on["boilerplate_lines_removed"] >= 16  # 2 lines x 8 docs
+    ids_on = {r.doc_id for r in out_on.collect()}
+    ids_off = {r.doc_id for r in out_off.collect()}
+    # with the strip, the two template-wrapped syndicated copies hash
+    # equal to each other (and to the original article) in stage 1:
+    # only the min-id copy of the article family survives
+    assert not {910000, 920000}.issubset(ids_on)
+    # without it both wrapped copies survive exact dedupe as distinct
+    assert stats_off["after_exact_dedupe"] > stats_on["after_exact_dedupe"]
+    # stripped docs carry no template chrome into the pack
+    for r in out_on.collect():
+        assert "navigation menu" not in r.text and "powered by" not in r.text
