@@ -1963,6 +1963,20 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_lpa(host_graph(_outlink_edges(spark, sf_dir)), n_rounds=3)
 
 
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the LPA communities, per community in
+    # integer micro-units — the partition-quality receipt next to
+    # host_communities
+    from sandcrawler_spark.operators.linkgraph import (
+        community_modularity,
+        host_graph,
+        host_lpa,
+    )
+
+    he = host_graph(_outlink_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    return community_modularity(he, host_lpa(he, n_rounds=3))
+
+
 def q_reciprocal_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # link-farm feature: per-host reciprocity of the distinct host
     # edge set, integer ppm (floor div)
@@ -2664,6 +2678,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "host_kcore": q_host_kcore,
         "host_communities": q_host_communities,
+        "community_modularity": q_community_modularity,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
         "host_triangles": q_host_triangles,
@@ -4174,6 +4189,31 @@ SELECT host, rank FROM trpr5
 {link_base},
 {_lpa_oracle_ctes(3)}
 SELECT host, label AS community FROM lpa3
+""",
+        "community_modularity": f"""
+{link_base},
+{_lpa_oracle_ctes(3)},
+moddeg AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS deg FROM lpasym GROUP BY src_host),
+modm2 AS (SELECT GREATEST(CAST(COALESCE(SUM(weight), 0) AS BIGINT), 1) AS m2 FROM lpasym),
+modtot AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(SUM(d.deg) AS BIGINT) AS tot_degree
+  FROM moddeg d JOIN lpa3 l ON d.src_host = l.host GROUP BY l.label
+),
+modin AS (
+  SELECT ls.label, CAST(SUM(e.weight) AS BIGINT) AS in_weight2
+  FROM lpasym e
+  JOIN lpa3 ls ON e.src_host = ls.host
+  JOIN lpa3 ld ON e.dst_host = ld.host
+  WHERE ls.label = ld.label GROUP BY ls.label
+)
+SELECT t.label AS community, t.n_hosts,
+       COALESCE(i.in_weight2, 0) AS in_weight2, t.tot_degree,
+       CAST((CAST(COALESCE(i.in_weight2, 0) AS HUGEINT) * 1000000) // (SELECT m2 FROM modm2)
+            - (CAST(t.tot_degree AS HUGEINT) * t.tot_degree * 1000000)
+              // (CAST((SELECT m2 FROM modm2) AS HUGEINT) * (SELECT m2 FROM modm2))
+            AS BIGINT) AS q_contrib_micro
+FROM modtot t LEFT JOIN modin i ON t.label = i.label
 """,
         "reciprocal_links": f"""
 {link_base},

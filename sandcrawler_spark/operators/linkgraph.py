@@ -901,3 +901,89 @@ def host_kcore(host_edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFr
     return deg if deg is not None else cur.withColumn(
         "core_degree", F.lit(0).cast("long")
     )
+
+
+def community_modularity(
+    host_edges: DataFrame,
+    labels: DataFrame,
+    host_col: str = "host",
+    label_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a host labeling, per community, in integer
+    micro-units — the quality score that tells you whether host_lpa's
+    (or any) partition found real structure: Q near 0 means the
+    labeling explains nothing beyond degree, strongly positive
+    communities are denser inside than chance, NEGATIVE contributions
+    flag groupings a spam classifier should distrust.
+
+      Q = Σ_c [ in2_c / M2  -  (tot_c / M2)^2 ]
+
+    over the symmetrized weighted graph (A_uv = w(u→v) + w(v→u), the
+    host_lpa convention), where M2 = Σ_uv A_uv = 2m, in2_c counts
+    intra-community weight twice, tot_c sums member degrees.
+
+    Determinism: both terms are floor divisions with DECIMAL(38,0)
+    intermediates — tot_c^2 * 1e6 needs ≤ 38 digits, giving headroom
+    to total graph weight ~1e15 (beyond any real host graph); the
+    quotients are ≤ 1e6 so the BIGINT result of `div` never
+    overflows. The DuckDB twin replays with HUGEINT.
+
+    Scale shape: one symmetrize shuffle, two label attach joins (the
+    label table is host-sized, broadcast-able), two label-keyed aggs;
+    no windows, no driver loop beyond one scalar total.
+
+    Returns (community, n_hosts, in_weight2, tot_degree,
+    q_contrib_micro); SUM(q_contrib_micro) ~= Q * 1e6 (per-community
+    flooring loses < n_communities micro-units).
+    """
+    sym = (
+        host_edges.select("src_host", "dst_host", "weight")
+        .unionAll(
+            host_edges.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+                "weight",
+            )
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = int(
+        sym.agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("long")).collect()[0][0]
+    )
+    lab = labels.select(F.col(host_col).alias("_h"), F.col(label_col).alias("_l"))
+    deg = sym.groupBy("src_host").agg(F.sum("weight").cast("long").alias("_deg"))
+    tot = (
+        deg.join(lab, deg["src_host"] == lab["_h"])
+        .groupBy("_l")
+        .agg(
+            F.count("*").cast("long").alias("n_hosts"),
+            F.sum("_deg").cast("long").alias("tot_degree"),
+        )
+    )
+    in2 = (
+        sym.join(lab.withColumnRenamed("_h", "src_host").withColumnRenamed("_l", "_ls"), "src_host")
+        .join(lab.withColumnRenamed("_h", "dst_host").withColumnRenamed("_l", "_ld"), "dst_host")
+        .where(F.col("_ls") == F.col("_ld"))
+        .groupBy(F.col("_ls").alias("_l"))
+        .agg(F.sum("weight").cast("long").alias("in_weight2"))
+    )
+    return (
+        tot.join(in2, "_l", "left")
+        .select(
+            F.col("_l").alias(label_col),
+            "n_hosts",
+            F.coalesce("in_weight2", F.lit(0)).cast("long").alias("in_weight2"),
+            "tot_degree",
+        )
+        .withColumn(
+            "q_contrib_micro",
+            F.expr(
+                f"(CAST(in_weight2 AS DECIMAL(38,0)) * 1000000) div CAST({max(m2,1)} AS DECIMAL(38,0))"
+                f" - (CAST(tot_degree AS DECIMAL(38,0)) * CAST(tot_degree AS DECIMAL(38,0)) * 1000000)"
+                f" div CAST({max(m2,1) * max(m2,1)} AS DECIMAL(38,0))"
+            ).cast("long"),
+        )
+    )

@@ -640,3 +640,49 @@ class TestHostKcore:
         )
         got = {r.host: r.core_degree for r in host_kcore(e, k=2, max_rounds=8).collect()}
         assert got == {"a": 2, "b": 2, "c": 2}
+
+
+class TestCommunityModularity:
+    def test_two_cliques_score_high(self, spark):
+        from sandcrawler_spark.operators.linkgraph import community_modularity
+
+        cliq = lambda pre, n: [  # noqa: E731
+            (f"{pre}{i}", f"{pre}{j}", 1) for i in range(n) for j in range(n) if i != j
+        ]
+        e = spark.createDataFrame(
+            cliq("a", 4) + cliq("b", 4) + [("a0", "b0", 1)],
+            "src_host string, dst_host string, weight long",
+        )
+        good = spark.createDataFrame(
+            [(f"a{i}", "A") for i in range(4)] + [(f"b{i}", "B") for i in range(4)],
+            "host string, community string",
+        )
+        out = community_modularity(e, good).collect()
+        q_good = sum(r.q_contrib_micro for r in out)
+        # perfect 2-clique split: Q just under 0.5
+        assert 350_000 < q_good < 500_000
+        by = {r.community: r for r in out}
+        assert by["A"].n_hosts == 4 and by["A"].in_weight2 == 24
+
+        # one community holding everything scores ~0
+        allone = good.select("host", F.lit("X").alias("community"))
+        q_one = sum(
+            r.q_contrib_micro for r in community_modularity(e, allone).collect()
+        )
+        assert abs(q_one) <= 2  # flooring slack only
+
+    def test_anticommunity_negative(self, spark):
+        from sandcrawler_spark.operators.linkgraph import community_modularity
+
+        # complete bipartite graph labeled BY SIDE: all edges cross ->
+        # in_weight 0, strongly negative Q
+        e = spark.createDataFrame(
+            [(f"l{i}", f"r{j}", 1) for i in range(3) for j in range(3)],
+            "src_host string, dst_host string, weight long",
+        )
+        lab = spark.createDataFrame(
+            [(f"l{i}", "L") for i in range(3)] + [(f"r{i}", "R") for i in range(3)],
+            "host string, community string",
+        )
+        q = sum(r.q_contrib_micro for r in community_modularity(e, lab).collect())
+        assert q < -490_000
