@@ -2011,14 +2011,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DUST rule mining (Bar-Yossef WWW'07): a deterministic capture
-    # log with planted URL-alias families (tracking query, trailing
-    # slash, index file, www, port mirror) all sharing one content
-    # fingerprint; the operator must recover the per-host rewrite
-    # rules from the duplicate clusters alone (operators/dust.py)
-    from sandcrawler_spark.operators.dust import dust_rules
-
+def _dust_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic capture log with planted URL-alias families
+    # (tracking query, trailing slash, index file, www, port mirror),
+    # each family sharing one content fingerprint
     u = _urls(spark, sf_dir).select("url", "o_orderkey", "site_id")
     fp = F.md5(F.concat(F.lit("dust:"), F.col("o_orderkey").cast("string")))
     caps = u.select("url", fp.alias("fingerprint"), "o_orderkey", "site_id")
@@ -2054,7 +2050,29 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return dust_rules(log, url_col="url", content_col="fingerprint", min_support=2)
+    return log
+
+
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DUST rule mining (Bar-Yossef WWW'07): recover the per-host
+    # rewrite rules from the duplicate clusters alone (operators/dust.py)
+    from sandcrawler_spark.operators.dust import dust_rules
+
+    return dust_rules(
+        _dust_log(spark, sf_dir), url_col="url", content_col="fingerprint",
+        min_support=2,
+    )
+
+
+def q_dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mine -> apply roundtrip: actionable rules rewrite the alias
+    # frontier to canonical spellings pre-fetch (case_fold and the
+    # unmodeled port alias stay untouched by design)
+    from sandcrawler_spark.operators.dust import apply_dust_rules, dust_rules
+
+    log = _dust_log(spark, sf_dir)
+    rules = dust_rules(log, url_col="url", content_col="fingerprint", min_support=2)
+    return apply_dust_rules(log.select("url").distinct(), rules)
 
 
 def q_canonical_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,6 +2702,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "weighted_sample": q_weighted_sample,
         "dust_rules": q_dust_rules,
+        "dust_apply": q_dust_apply,
         "frontier_rank_blend": q_frontier_rank_blend,
         "hll_host_cardinality": q_hll_host_cardinality,
         "kmv_host_cardinality": q_kmv_host_cardinality,
@@ -4317,6 +4336,69 @@ SELECT regexp_extract(canon_url, '^https?://(?:www\\.)?([^/]+)', 1) AS host,
        COUNT(*) >= 2 AS actionable
 FROM dcls
 GROUP BY 1, 2
+""",
+        "dust_apply": f"""
+WITH {_URLS_CTE.strip()},
+dcaps AS (
+  SELECT url, md5('dust:' || CAST(o_orderkey AS VARCHAR)) AS fp, o_orderkey, site_id
+  FROM urls
+),
+dlog AS (
+  SELECT url, fp FROM dcaps
+  UNION ALL SELECT url || '?utm_source=feed' AS url, fp FROM dcaps WHERE o_orderkey % 3 = 0
+  UNION ALL SELECT url || '/' AS url, fp FROM dcaps WHERE o_orderkey % 4 = 0
+  UNION ALL SELECT url || '/index.html' AS url, fp FROM dcaps WHERE o_orderkey % 5 = 0
+  UNION ALL SELECT replace(url, 'https://', 'https://www.') AS url, fp FROM dcaps WHERE site_id % 7 = 0
+  UNION ALL SELECT replace(url, '.example.com/', '.example.com:8080/') AS url, fp FROM dcaps WHERE o_orderkey % 11 = 0
+),
+dcanon AS (SELECT fp, MIN(url) AS canon_url FROM dlog GROUP BY fp),
+dpairs AS (
+  SELECT DISTINCT c.canon_url, l.url AS alias_url
+  FROM dlog l JOIN dcanon c ON c.fp = l.fp
+  WHERE l.url <> c.canon_url
+),
+dcls AS (
+  SELECT canon_url,
+    CASE
+      WHEN regexp_replace(alias_url, '\\?.*$', '') = canon_url AND contains(alias_url, '?') THEN 'strip_query'
+      WHEN regexp_replace(alias_url, '/+$', '') = canon_url THEN 'trailing_slash'
+      WHEN regexp_replace(alias_url, '/index\\.html$', '') = canon_url THEN 'index_file'
+      WHEN regexp_replace(alias_url, '^(https?://)www\\.', '\\1') = canon_url THEN 'www_alias'
+      WHEN lower(alias_url) = lower(canon_url) AND alias_url <> canon_url THEN 'case_fold'
+      ELSE 'other' END AS rule
+  FROM dpairs
+),
+dsupp AS (
+  SELECT regexp_extract(canon_url, '^https?://(?:www\\.)?([^/]+)', 1) AS host,
+         rule, COUNT(*) AS support
+  FROM dcls GROUP BY 1, 2
+),
+dflags AS (
+  SELECT host,
+         bool_or(rule = 'strip_query' AND support >= 2) AS r_sq,
+         bool_or(rule = 'trailing_slash' AND support >= 2) AS r_ts,
+         bool_or(rule = 'index_file' AND support >= 2) AS r_if,
+         bool_or(rule = 'www_alias' AND support >= 2) AS r_wa
+  FROM dsupp GROUP BY host
+),
+dfront AS (SELECT DISTINCT url FROM dlog),
+dapp AS (
+  SELECT f.url,
+         COALESCE(g.r_sq, FALSE) AS r_sq, COALESCE(g.r_ts, FALSE) AS r_ts,
+         COALESCE(g.r_if, FALSE) AS r_if, COALESCE(g.r_wa, FALSE) AS r_wa
+  FROM dfront f
+  LEFT JOIN dflags g
+    ON regexp_extract(f.url, '^https?://(?:www\\.)?([^/]+)', 1) = g.host
+),
+ds1 AS (SELECT url, r_ts, r_if, r_wa,
+               CASE WHEN r_sq THEN regexp_replace(url, '\\?.*$', '') ELSE url END AS c FROM dapp),
+ds2 AS (SELECT url, r_if, r_wa,
+               CASE WHEN r_ts THEN regexp_replace(c, '/+$', '') ELSE c END AS c FROM ds1),
+ds3 AS (SELECT url, r_wa,
+               CASE WHEN r_if THEN regexp_replace(c, '/index\\.html$', '') ELSE c END AS c FROM ds2),
+ds4 AS (SELECT url,
+               CASE WHEN r_wa THEN regexp_replace(c, '^(https?://)www\\.', '\\1') ELSE c END AS c FROM ds3)
+SELECT url, c AS canon_url, c <> url AS rewritten FROM ds4
 """,
         "weighted_sample": """
 WITH draws AS (

@@ -95,3 +95,65 @@ def dust_rules(
         .agg(F.count("*").cast("long").alias("support"))
         .withColumn("actionable", F.col("support") >= F.lit(min_support))
     )
+
+
+# fixed application precedence — most-specific first, mirrors the
+# _classify taxonomy so mine -> apply round-trips
+_APPLY_ORDER = ["strip_query", "trailing_slash", "index_file", "www_alias"]
+
+
+def apply_dust_rules(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rewrite frontier URLs using a host's ACTIONABLE mined rules
+    (dust_rules output) BEFORE fetching — the payoff of DUST mining:
+    a tracking-parameter alias or trailing-slash variant collapses to
+    its canonical spelling and the seen-set/politeness layers treat
+    it as the already-known URL instead of re-downloading.
+
+    Rules apply in the fixed _APPLY_ORDER precedence, each gated on
+    the host having that rule actionable; case_fold is deliberately
+    NOT applied (paths are case-sensitive per RFC 3986 — the miner
+    reports it as evidence, but a rewrite would corrupt URLs on
+    case-sensitive servers; the reference's clean_url is similarly
+    conservative, python/sandcrawler/misc.py).
+
+    Scale shape: the rules table pivots to one boolean row per host
+    (rule-taxonomy-sized columns) and broadcast-joins onto the
+    frontier; the rewrite chain is pure codegen regexp — zero
+    shuffle on the URL stream.
+
+    Returns the frontier with (canon_url, rewritten) added.
+    """
+    flags = (
+        rules.filter(F.col("actionable"))
+        .groupBy("host")
+        .agg(
+            *[
+                F.max(F.when(F.col("rule") == r, True).otherwise(False)).alias(f"_r_{r}")
+                for r in _APPLY_ORDER
+            ]
+        )
+    )
+    host = F.regexp_extract(F.col(url_col), r"^https?://(?:www\.)?([^/]+)", 1)
+    out = frontier.withColumn("_host", host).join(
+        F.broadcast(flags.withColumnRenamed("host", "_host")), "_host", "left"
+    )
+    canon = F.col(url_col)
+    rewrites = {
+        "strip_query": lambda c: F.regexp_replace(c, r"\?.*$", ""),
+        "trailing_slash": lambda c: F.regexp_replace(c, r"/+$", ""),
+        "index_file": lambda c: F.regexp_replace(c, r"/index\.html$", ""),
+        "www_alias": lambda c: F.regexp_replace(c, r"^(https?://)www\.", r"$1"),
+    }
+    for r in _APPLY_ORDER:
+        canon = F.when(
+            F.coalesce(F.col(f"_r_{r}"), F.lit(False)), rewrites[r](canon)
+        ).otherwise(canon)
+    return (
+        out.withColumn("canon_url", canon)
+        .withColumn("rewritten", F.col("canon_url") != F.col(url_col))
+        .drop("_host", *[f"_r_{r}" for r in _APPLY_ORDER])
+    )

@@ -732,3 +732,40 @@ class TestCorpusDiagnostics:
         df = spark.createDataFrame([("e", 1, "")], "source string, doc_id long, text string")
         r = corpus_diagnostics(df).collect()[0]
         assert (r.n_tokens, r.n_trigrams, r.trigram_diversity_ppm, r.bytes_per_token_micro) == (0, 0, 0, 0)
+
+
+class TestDustApply:
+    def test_mine_apply_roundtrip(self, spark):
+        from sandcrawler_spark.operators.dust import apply_dust_rules, dust_rules
+
+        # host with strong alias evidence: 3 base pages each captured
+        # under ?utm and trailing-slash spellings (same content fp)
+        rows = []
+        for i in range(3):
+            base = f"https://shop.example/p{i}"
+            for u in (base, base + "?utm=x", base + "/"):
+                rows.append((u, f"fp{i}"))
+        # host with one-off (support 1 < min_support) evidence
+        rows += [("https://rare.example/a", "fpr"), ("https://rare.example/a?z=1", "fpr")]
+        caps = spark.createDataFrame(rows, "url string, fingerprint string")
+        rules = dust_rules(caps, min_support=3)
+        out = {
+            r.url: r
+            for r in apply_dust_rules(caps.select("url").distinct(), rules).collect()
+        }
+        assert out["https://shop.example/p1?utm=x"].canon_url == "https://shop.example/p1"
+        assert out["https://shop.example/p2/"].canon_url == "https://shop.example/p2"
+        assert out["https://shop.example/p0"].rewritten is False
+        # under-supported host untouched
+        assert out["https://rare.example/a?z=1"].rewritten is False
+
+    def test_case_fold_never_applied(self, spark):
+        from sandcrawler_spark.operators.dust import apply_dust_rules
+
+        rules = spark.createDataFrame(
+            [("x.example", "case_fold", 9, True)],
+            "host string, rule string, support long, actionable boolean",
+        )
+        f = spark.createDataFrame([("https://x.example/PaGe",)], "url string")
+        r = apply_dust_rules(f, rules).collect()[0]
+        assert r.canon_url == "https://x.example/PaGe" and r.rewritten is False
