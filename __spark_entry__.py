@@ -1084,6 +1084,73 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
+# multilingual plant phrases, explicit escapes (editor-safe): Russian
+# "privet mir", Han text, Arabic "marhaba" — each replaces the body so
+# its script dominates
+_CYR_PHRASE = "Привет мир"
+_HAN_PHRASE = "中文文档内容"
+_ARA_PHRASE = "مرحبا بالعالم"
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode writing-system router: planted Cyrillic/Han/Arabic docs
+    # (doc_id % 4) must profile to their script; the rest stay Latin
+    from sandcrawler_spark.functions.script import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 4 == 1, F.repeat(F.lit(_CYR_PHRASE + " "), 30))
+        .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit(_HAN_PHRASE), 40))
+        .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit(_ARA_PHRASE + " "), 25))
+        .otherwise(F.col("text"))
+    )
+    return script_profile(
+        d.select(F.col("doc_id").cast("bigint").alias("doc_id"), t.alias("text"))
+    )
+
+
+def _script_oracle() -> str:
+    """script_profile twin: the same hex ranges in RE2 syntax, the
+    same first-match dominance chain and integer ppm."""
+    from sandcrawler_spark.functions.script import _PRIORITY, SCRIPT_RANGES
+
+    def re2(body: str) -> str:
+        return "".join(
+            f"\\x{{{ord(ch):04X}}}" if ord(ch) > 127 else ch for ch in body
+        )
+
+    cnt_cols = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(t, '[{re2(SCRIPT_RANGES[s])}]')) AS BIGINT) AS {s}_n"
+        for s in _PRIORITY
+    )
+    total = " + ".join(f"{s}_n" for s in _PRIORITY)
+    max_c = f"GREATEST({', '.join(s + '_n' for s in _PRIORITY)})"
+    dom_chain = "\n            ".join(
+        f"WHEN {s}_n = mx THEN '{s}'" for s in _PRIORITY
+    )
+    cols = ", ".join(s + "_n" for s in _PRIORITY)
+    return f"""
+WITH sdocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 1 THEN repeat('{_CYR_PHRASE} ', 30)
+           WHEN 2 THEN repeat('{_HAN_PHRASE}', 40)
+           WHEN 3 THEN repeat('{_ARA_PHRASE} ', 25)
+           ELSE text END AS t
+  FROM documents
+),
+scnts AS (SELECT doc_id, {cnt_cols} FROM sdocs),
+stot AS (SELECT *, CAST({total} AS BIGINT) AS n_letters, {max_c} AS mx FROM scnts)
+SELECT doc_id, {cols}, n_letters,
+       CASE WHEN n_letters = 0 THEN 'none'
+            {dom_chain}
+       END AS dominant_script,
+       CASE WHEN n_letters > 0 THEN (mx * CAST(1000000 AS BIGINT)) // n_letters
+            ELSE 0 END AS dominant_ppm
+FROM stot
+"""
+
+
 def q_corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source dataset-card stats: trigram diversity (template-farm
     # detector) + bytes-per-token fertility, integer fixed-point
@@ -2751,6 +2818,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "topic_balance": q_topic_balance,
         "corpus_diagnostics": q_corpus_diagnostics,
+        "script_profile": q_script_profile,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -4998,6 +5066,7 @@ FROM s GROUP BY user_id, sid
 """,
         "semantic_dedupe": _semdedup_oracle(),
         "topic_balance": _topic_balance_oracle(),
+        "script_profile": _script_oracle(),
         "corpus_diagnostics": """
 WITH t AS (
   SELECT source,

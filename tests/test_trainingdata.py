@@ -769,3 +769,39 @@ class TestDustApply:
         f = spark.createDataFrame([("https://x.example/PaGe",)], "url string")
         r = apply_dust_rules(f, rules).collect()[0]
         assert r.canon_url == "https://x.example/PaGe" and r.rewritten is False
+
+
+class TestScriptProfile:
+    def test_dominant_script_and_counts(self, spark):
+        from sandcrawler_spark.functions.script import script_profile
+
+        cyr = "\u041f\u0440\u0438\u0432\u0435\u0442"          # 6 Cyrillic letters
+        han = "\u4e2d\u6587\u6587\u6863"                        # 4 Han chars
+        df = spark.createDataFrame(
+            [
+                (1, "plain english text"),
+                (2, cyr + " ok"),                 # 6 cyr vs 2 latin
+                (3, han),
+                (4, "1234 --- !!!"),              # letterless
+                (5, "mix " + han + " of both"),   # 9 latin vs 4 han
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in script_profile(df).collect()}
+        assert got[1].dominant_script == "latin" and got[1].latin_n == 16
+        assert got[2].dominant_script == "cyrillic" and got[2].cyrillic_n == 6
+        assert got[3].dominant_script == "han" and got[3].dominant_ppm == 1_000_000
+        assert got[4].dominant_script == "none" and got[4].n_letters == 0
+        assert got[5].dominant_script == "latin"
+        assert got[5].dominant_ppm == (9 * 1_000_000) // 13
+
+    def test_priority_tie_break(self, spark):
+        from sandcrawler_spark.functions.script import script_profile
+
+        # 2 latin vs 2 greek: tie resolves to the earlier priority
+        df = spark.createDataFrame(
+            [(1, "ab \u03b1\u03b2")], "doc_id long, text string"
+        )
+        r = script_profile(df).collect()[0]
+        assert r.latin_n == 2 and r.greek_n == 2
+        assert r.dominant_script == "latin"
