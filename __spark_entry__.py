@@ -1159,6 +1159,14 @@ def q_corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diagnostics(_t(spark, sf_dir, "documents"), key_col="source")
 
 
+def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-independent per-source content checksum (the shard
+    # publication receipt): sum of 60-bit row digests mod 2^61-1
+    from sandcrawler_spark.operators.diagnostics import corpus_manifest
+
+    return corpus_manifest(_t(spark, sf_dir, "documents"), key_col="source")
+
+
 def q_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D4-style topic rebalancing: trained k-means cells as strata,
     # count^0.7 temperature rates, deterministic md5 keep pass
@@ -2819,6 +2827,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_balance": q_topic_balance,
         "corpus_diagnostics": q_corpus_diagnostics,
         "script_profile": q_script_profile,
+        "corpus_manifest": q_corpus_manifest,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -5067,6 +5076,19 @@ FROM s GROUP BY user_id, sid
         "semantic_dedupe": _semdedup_oracle(),
         "topic_balance": _topic_balance_oracle(),
         "script_profile": _script_oracle(),
+        "corpus_manifest": """
+WITH rows_m AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS b,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15) AS UBIGINT) AS HUGEINT) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS n_bytes,
+       CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS manifest_hash
+FROM rows_m GROUP BY source
+""",
         "corpus_diagnostics": """
 WITH t AS (
   SELECT source,

@@ -89,3 +89,64 @@ def corpus_diagnostics(
         .cast("long")
         .alias("bytes_per_token_micro"),
     )
+
+
+# Mersenne prime 2^61 - 1: the modulus keeps the running checksum in
+# int64 while the exact sum rides DECIMAL(38,0)/HUGEINT intermediates
+_MANIFEST_MOD = 2305843009213693951
+
+
+def corpus_manifest(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum dataset-version receipt: (key, n_docs, n_bytes,
+    manifest_hash) where manifest_hash is an ORDER-INDEPENDENT content
+    checksum — the sum of per-row 60-bit md5(id:md5(text)) digests mod
+    2^61-1. Two corpus builds (different partitioning, different run
+    order, resumed jobs) produce identical manifests iff they hold the
+    same (id, text) multiset; any silent drop, duplicate, or mutation
+    moves the hash. This is the receipt a 100 TB pipeline publishes
+    per shard so downstream consumers can verify what they trained on
+    without re-reading the data.
+
+    Scale shape: one map-side hash projection + one stratum agg
+    (map-side partial sums merge like any counter). Determinism: the
+    row digest is integer, the sum is exact (38-digit decimal — no
+    wraparound until ~10^20 rows), the final mod is one floor op;
+    the DuckDB twin replays with HUGEINT.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.md5(F.col(text_col))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = df.select(
+        F.col(key_col).alias("key"),
+        F.octet_length(text_col).cast("long").alias("_b"),
+        h.alias("_h"),
+    )
+    return (
+        rows.groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_b").cast("long").alias("n_bytes"),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias("_hs"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_docs",
+            "n_bytes",
+            F.expr(f"CAST(_hs % {_MANIFEST_MOD} AS BIGINT)").alias("manifest_hash"),
+        )
+    )

@@ -805,3 +805,34 @@ class TestScriptProfile:
         r = script_profile(df).collect()[0]
         assert r.latin_n == 2 and r.greek_n == 2
         assert r.dominant_script == "latin"
+
+
+class TestCorpusManifest:
+    def test_order_and_partition_independent(self, spark):
+        from sandcrawler_spark.operators.diagnostics import corpus_manifest
+
+        rows = [("s", i, f"text number {i}") for i in range(100)]
+        a = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        b = spark.createDataFrame(list(reversed(rows)), "source string, doc_id long, text string").repartition(17)
+        ma = corpus_manifest(a).collect()[0]
+        mb = corpus_manifest(b).collect()[0]
+        assert (ma.n_docs, ma.n_bytes, ma.manifest_hash) == (mb.n_docs, mb.n_bytes, mb.manifest_hash)
+
+    def test_any_mutation_moves_the_hash(self, spark):
+        from sandcrawler_spark.operators.diagnostics import corpus_manifest
+
+        rows = [("s", i, f"text number {i}") for i in range(50)]
+        base = corpus_manifest(
+            spark.createDataFrame(rows, "source string, doc_id long, text string")
+        ).collect()[0].manifest_hash
+        # drop one row / mutate one char / duplicate one row
+        variants = [
+            rows[:-1],
+            rows[:-1] + [("s", 49, "text number 49!")],
+            rows + [rows[0]],
+        ]
+        for v in variants:
+            h = corpus_manifest(
+                spark.createDataFrame(v, "source string, doc_id long, text string")
+            ).collect()[0].manifest_hash
+            assert h != base
