@@ -2038,6 +2038,16 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_lpa(host_graph(_outlink_edges(spark, sf_dir)), n_rounds=3)
 
 
+def q_host_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bibliographic coupling: hosts sharing >= 2 out-link targets,
+    # integer Jaccard ppm, celebrity targets capped out
+    from sandcrawler_spark.operators.linkgraph import host_coupling, host_graph
+
+    return host_coupling(
+        host_graph(_outlink_edges(spark, sf_dir)), min_common=2, max_in_degree=1000
+    )
+
+
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Newman modularity of the LPA communities, per community in
     # integer micro-units — the partition-quality receipt next to
@@ -2772,6 +2782,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_host_kcore,
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
+        "host_coupling": q_host_coupling,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
         "host_triangles": q_host_triangles,
@@ -4285,6 +4296,29 @@ SELECT host, rank FROM trpr5
 {link_base},
 {_lpa_oracle_ctes(3)}
 SELECT host, label AS community FROM lpa3
+""",
+        "host_coupling": f"""
+{link_base},
+cpe AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+),
+cpinf AS (SELECT dst_host FROM cpe GROUP BY dst_host HAVING COUNT(*) <= 1000),
+cpee AS MATERIALIZED (SELECT e.src_host, e.dst_host FROM cpe e JOIN cpinf USING (dst_host)),
+cpdeg AS (SELECT src_host, CAST(COUNT(*) AS BIGINT) AS outd FROM cpee GROUP BY src_host),
+cppairs AS (
+  SELECT a.src_host AS host_a, b.src_host AS host_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM cpee a JOIN cpee b ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT p.host_a, p.host_b, p.common,
+       CAST((p.common * CAST(1000000 AS BIGINT)) // (da.outd + db.outd - p.common) AS BIGINT) AS coupling_ppm
+FROM cppairs p
+JOIN cpdeg da ON p.host_a = da.src_host
+JOIN cpdeg db ON p.host_b = db.src_host
 """,
         "community_modularity": f"""
 {link_base},

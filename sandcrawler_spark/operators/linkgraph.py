@@ -987,3 +987,69 @@ def community_modularity(
             ).cast("long"),
         )
     )
+
+
+def host_coupling(
+    host_edges: DataFrame,
+    min_common: int = 2,
+    max_in_degree: int = 1000,
+) -> DataFrame:
+    """Bibliographic coupling between hosts (Kessler 1963, applied to
+    the web graph): two hosts that LINK TO many of the same targets
+    are topically related even if they never link each other — the
+    similarity signal behind related-site discovery and seed-list
+    expansion, orthogonal to triangles (mutual density) and k-core
+    (peel resistance).
+
+    coupling_ppm = |out(a) ∩ out(b)| * 1e6 div |out(a) ∪ out(b)| —
+    integer Jaccard over distinct out-neighbor sets.
+
+    Scale shape: the shared-target wedge join fans out quadratically
+    on a celebrity TARGET (everyone links to the same CDN host), and
+    such targets carry no topical signal — targets with in-degree >
+    max_in_degree are excluded before pairing (the standard
+    co-citation cap; same discipline as lsh_candidates' hot bands).
+    After the cap, per-target fan-out is bounded, and the pair agg is
+    keyed (a, b). Out-degrees attach via two broadcast joins of the
+    host-sized degree table.
+
+    Returns (host_a, host_b, common, coupling_ppm) for pairs sharing
+    >= min_common targets.
+    """
+    e = (
+        host_edges.select("src_host", "dst_host")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dst_deg = e.groupBy("dst_host").agg(F.count("*").alias("_in"))
+    informative = dst_deg.filter(F.col("_in") <= max_in_degree).select("dst_host")
+    ee = e.join(F.broadcast(informative), "dst_host")
+    # degrees over the SAME capped universe the intersection uses, so
+    # the Jaccard is internally consistent
+    out_deg = ee.groupBy("src_host").agg(F.count("*").cast("long").alias("_out"))
+    a = ee.select(F.col("src_host").alias("host_a"), "dst_host")
+    b = ee.select(F.col("src_host").alias("host_b"), "dst_host")
+    pairs = (
+        a.join(b, "dst_host")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("common"))
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+    return (
+        pairs.join(
+            F.broadcast(out_deg.withColumnRenamed("src_host", "host_a")
+                        .withColumnRenamed("_out", "_oa")), "host_a"
+        )
+        .join(
+            F.broadcast(out_deg.withColumnRenamed("src_host", "host_b")
+                        .withColumnRenamed("_out", "_ob")), "host_b"
+        )
+        .select(
+            "host_a", "host_b", "common",
+            F.expr(
+                "CAST((common * CAST(1000000 AS BIGINT)) div (_oa + _ob - common) AS BIGINT)"
+            ).alias("coupling_ppm"),
+        )
+    )

@@ -686,3 +686,27 @@ class TestCommunityModularity:
         )
         q = sum(r.q_contrib_micro for r in community_modularity(e, lab).collect())
         assert q < -490_000
+
+
+class TestHostCoupling:
+    def test_shared_targets_and_cap(self, spark):
+        from sandcrawler_spark.operators.linkgraph import host_coupling
+
+        rows = []
+        # a and b share 3 targets; c shares only 1 with a
+        for t in ("t1", "t2", "t3"):
+            rows += [("a", t, 1), ("b", t, 1)]
+        rows += [("a", "t4", 1), ("c", "t4", 1), ("b", "t5", 1)]
+        # celebrity target linked by everyone — must not create pairs
+        for s in ("a", "b", "c", "d", "e"):
+            rows.append((s, "cdn", 1))
+        e = spark.createDataFrame(rows, "src_host string, dst_host string, weight long")
+        got = {
+            (r.host_a, r.host_b): r
+            for r in host_coupling(e, min_common=2, max_in_degree=3).collect()
+        }
+        assert set(got) == {("a", "b")}
+        r = got[("a", "b")]
+        # capped universe: out(a)={t1..t4}, out(b)={t1,t2,t3,t5}, common 3
+        assert r.common == 3
+        assert r.coupling_ppm == (3 * 1_000_000) // (4 + 4 - 3)
