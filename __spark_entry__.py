@@ -2038,6 +2038,51 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_lpa(host_graph(_outlink_edges(spark, sf_dir)), n_rounds=3)
 
 
+def q_page_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # meta-robots gate: planted directive pages (both attribute
+    # orders, bare/quoted names, the 'none' shorthand, a non-gating
+    # noarchive) must parse to exact token-level flags
+    from sandcrawler_spark.functions.pagerobots import page_robots
+
+    u = _urls(spark, sf_dir).select("url", "o_orderkey")
+    k = F.col("o_orderkey") % 5
+    meta = (
+        F.when(k == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(k == 1, F.lit("<meta content='noarchive' name='robots'>"))
+        .when(k == 2, F.lit('<meta name=robots content="none">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>t</title>"), meta,
+            F.lit("</head><body></body></html>"),
+        ),
+        "utf-8",
+    )
+    return page_robots(u.select("url", html.alias("html")))
+
+
+def q_nofollow_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rel=nofollow-aware edge extraction: per-anchor rel token match
+    # (quoted multi-token and bare forms), RFC-3986 subset resolution
+    from sandcrawler_spark.functions.pagerobots import outlinks_with_rel
+
+    u = _urls(spark, sf_dir).select("url", "o_orderkey")
+    k = F.col("o_orderkey").cast("string")
+    html = F.encode(
+        F.concat(
+            F.lit('<a href="/article/'), k, F.lit('">read</a>'),
+            F.lit('<a rel="nofollow noopener" href="/sponsored/'), k, F.lit('">ad</a>'),
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.concat(F.lit('<a rel=nofollow href="//ads.example.net/z/'), k, F.lit('">x</a>')),
+            ).otherwise(F.lit("")),
+        ),
+        "utf-8",
+    )
+    return outlinks_with_rel(u.select("url", html.alias("html")))
+
+
 def q_host_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bibliographic coupling: hosts sharing >= 2 out-link targets,
     # integer Jaccard ppm, celebrity targets capped out
@@ -2783,6 +2828,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
+        "page_robots": q_page_robots,
+        "nofollow_outlinks": q_nofollow_outlinks,
         "trust_rank": q_trust_rank,
         "reciprocal_links": q_reciprocal_links,
         "host_triangles": q_host_triangles,
@@ -4296,6 +4343,31 @@ SELECT host, rank FROM trpr5
 {link_base},
 {_lpa_oracle_ctes(3)}
 SELECT host, label AS community FROM lpa3
+""",
+        "page_robots": f"""
+WITH {_URLS_CTE.strip()}
+SELECT url,
+       CASE CAST(o_orderkey % 5 AS INT)
+         WHEN 0 THEN 'noindex, nofollow'
+         WHEN 1 THEN 'noarchive'
+         WHEN 2 THEN 'none'
+         ELSE '' END AS robots_content,
+       CAST(o_orderkey % 5 AS INT) IN (0, 2) AS noindex,
+       CAST(o_orderkey % 5 AS INT) IN (0, 2) AS nofollow
+FROM urls
+""",
+        "nofollow_outlinks": f"""
+WITH {_URLS_CTE.strip()},
+sh AS (SELECT url, o_orderkey, regexp_extract(url, '^(https?://[^/]+)', 1) AS shost FROM urls)
+SELECT DISTINCT url AS src_url,
+       shost || '/article/' || CAST(o_orderkey AS VARCHAR) AS dst_url,
+       FALSE AS nofollow
+FROM sh
+UNION ALL
+SELECT DISTINCT url, shost || '/sponsored/' || CAST(o_orderkey AS VARCHAR), TRUE FROM sh
+UNION ALL
+SELECT DISTINCT url, 'https://ads.example.net/z/' || CAST(o_orderkey AS VARCHAR), TRUE
+FROM sh WHERE o_orderkey % 3 = 0
 """,
         "host_coupling": f"""
 {link_base},

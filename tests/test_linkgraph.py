@@ -710,3 +710,47 @@ class TestHostCoupling:
         # capped universe: out(a)={t1..t4}, out(b)={t1,t2,t3,t5}, common 3
         assert r.common == 3
         assert r.coupling_ppm == (3 * 1_000_000) // (4 + 4 - 3)
+
+
+class TestPageRobots:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, ["url", "page"]).select(
+            "url", F.encode("page", "utf-8").alias("html")
+        )
+
+    def test_token_level_directive_matching(self, spark):
+        from sandcrawler_spark.functions.pagerobots import page_robots
+
+        pages = self._pages(spark, [
+            ("u1", '<head><meta name="robots" content="noindex,follow"></head>'),
+            ("u2", "<meta content='nofollow' name='robots'>"),
+            ("u3", '<meta name=robots content="none">'),
+            ("u4", '<meta name="robots" content="nofollowme">'),  # no token match
+            ("u5", "<p>no meta at all</p>"),
+            ("u6", '<meta name="description" content="noindex is a word">'),
+        ])
+        got = {r.url: (r.noindex, r.nofollow) for r in page_robots(pages).collect()}
+        assert got == {
+            "u1": (True, False), "u2": (False, True), "u3": (True, True),
+            "u4": (False, False), "u5": (False, False), "u6": (False, False),
+        }
+
+    def test_nofollow_outlinks_flags_and_resolution(self, spark):
+        from sandcrawler_spark.functions.pagerobots import outlinks_with_rel
+
+        pages = self._pages(spark, [
+            (
+                "https://a.example.com/x",
+                '<a href="/keep">k</a>'
+                '<a rel="nofollow noopener" href="https://b.example.com/paid">p</a>'
+                '<a rel=nofollow href="//c.example.com/ugc">u</a>'
+                '<a rel="noopener" href="/fine">f</a>',
+            ),
+        ])
+        got = {r.dst_url: r.nofollow for r in outlinks_with_rel(pages).collect()}
+        assert got == {
+            "https://a.example.com/keep": False,
+            "https://b.example.com/paid": True,
+            "https://c.example.com/ugc": True,
+            "https://a.example.com/fine": False,
+        }
