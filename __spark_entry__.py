@@ -1159,6 +1159,29 @@ def q_corpus_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diagnostics(_t(spark, sf_dir, "documents"), key_col="source")
 
 
+def q_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Borda rank-fusion of three incomparable per-doc signals (token
+    # count, type-token ratio, punctuation count): one range-shuffle
+    # global rank per signal via global_cumsum, never a single-task
+    # window; rank 1 = best, ties by doc_id
+    from sandcrawler_spark.functions.textstats import tokens_col
+    from sandcrawler_spark.operators.diagnostics import borda_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    sig = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'), x -> x != ''))) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT)"
+            " div greatest(CAST(size(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS BIGINT), 1)"
+        ).alias("ttr_ppm"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")).cast("long").alias("n_punct"),
+    )
+    return borda_fuse(sig, ["n_tokens", "ttr_ppm", "n_punct"])
+
+
 def q_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent per-source content checksum (the shard
     # publication receipt): sum of 60-bit row digests mod 2^61-1
@@ -2886,6 +2909,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diagnostics": q_corpus_diagnostics,
         "script_profile": q_script_profile,
         "corpus_manifest": q_corpus_manifest,
+        "quality_fusion": q_quality_fusion,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
@@ -5182,6 +5206,30 @@ FROM s GROUP BY user_id, sid
         "semantic_dedupe": _semdedup_oracle(),
         "topic_balance": _topic_balance_oracle(),
         "script_profile": _script_oracle(),
+        "quality_fusion": """
+WITH qf AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS BIGINT)
+           * CAST(1000000 AS BIGINT)
+           // GREATEST(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT), 1) AS ttr_ppm,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+qr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS n_tokens_rank,
+         ROW_NUMBER() OVER (ORDER BY ttr_ppm DESC, doc_id ASC) AS ttr_ppm_rank,
+         ROW_NUMBER() OVER (ORDER BY n_punct DESC, doc_id ASC) AS n_punct_rank
+  FROM qf
+)
+SELECT doc_id,
+       CAST(n_tokens_rank AS BIGINT) AS n_tokens_rank,
+       CAST(ttr_ppm_rank AS BIGINT) AS ttr_ppm_rank,
+       CAST(n_punct_rank AS BIGINT) AS n_punct_rank,
+       CAST(n_tokens_rank + ttr_ppm_rank + n_punct_rank AS BIGINT) AS borda
+FROM qr
+""",
         "corpus_manifest": """
 WITH rows_m AS (
   SELECT source,

@@ -150,3 +150,47 @@ def corpus_manifest(
             F.expr(f"CAST(_hs % {_MANIFEST_MOD} AS BIGINT)").alias("manifest_hash"),
         )
     )
+
+
+def borda_fuse(
+    df: DataFrame,
+    signal_cols: list[str],
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Rank-fusion of heterogeneous quality signals (Borda count):
+    each signal contributes the document's GLOBAL rank under that
+    signal, and the fused score is the rank sum — the
+    scale-free way to combine a stopword-ratio quality score, an LM
+    perplexity, and a repetition fraction without inventing weights
+    for incomparable units (rank normalization is the standard fix;
+    Aslam & Montague SIGIR'01 for the IR pedigree).
+
+    Scale shape: a global rank is a global sort — done as one
+    range-shuffle per signal through global_cumsum (rank = running
+    count of 1 over the signal's total order), NEVER a single-task
+    Window over the whole corpus. k signals = k range shuffles + one
+    id-keyed join-up. Ties break by id, so the fusion is
+    deterministic and the DuckDB twin (plain ROW_NUMBER, fine at
+    oracle scale) matches rank for rank.
+
+    Returns (id_col, <signal>_rank per signal, borda) with rank 1 =
+    best (descending=True means larger signal values are better).
+    """
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    fused = None
+    for s in signal_cols:
+        order = [F.col(s).desc() if descending else F.col(s).asc(), F.col(id_col).asc()]
+        ranked = global_cumsum(
+            df.select(id_col, s).withColumn("_one", F.lit(1).cast("long")),
+            order,
+            "_one",
+            out_col=f"{s}_rank",
+        ).select(id_col, f"{s}_rank")
+        fused = ranked if fused is None else fused.join(ranked, id_col)
+    borda = None
+    for s in signal_cols:
+        c = F.col(f"{s}_rank")
+        borda = c if borda is None else borda + c
+    return fused.withColumn("borda", borda.cast("long"))

@@ -836,3 +836,24 @@ class TestCorpusManifest:
                 spark.createDataFrame(v, "source string, doc_id long, text string")
             ).collect()[0].manifest_hash
             assert h != base
+
+
+class TestBordaFuse:
+    def test_rank_sum_and_determinism(self, spark):
+        from sandcrawler_spark.operators.diagnostics import borda_fuse
+
+        df = spark.createDataFrame(
+            [(1, 10, 5), (2, 20, 1), (3, 10, 9), (4, 1, 9)],
+            "doc_id long, a long, b long",
+        )
+        got = {r.doc_id: r for r in borda_fuse(df, ["a", "b"]).collect()}
+        # a ranks: 2 -> 1; ties 1,3 at 10 break by id -> 2,3; 4 -> 4
+        assert [got[i].a_rank for i in (1, 2, 3, 4)] == [2, 1, 3, 4]
+        # b ranks: 3,4 tie at 9 -> 1,2; 1 -> 3; 2 -> 4
+        assert [got[i].b_rank for i in (1, 2, 3, 4)] == [3, 4, 1, 2]
+        assert got[1].borda == 5 and got[2].borda == 5
+        # partitioning invariance
+        again = borda_fuse(df.repartition(7), ["a", "b"]).collect()
+        assert sorted(map(tuple, again)) == sorted(
+            map(tuple, borda_fuse(df, ["a", "b"]).collect())
+        )
