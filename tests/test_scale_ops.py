@@ -241,3 +241,55 @@ def test_host_lpa_celebrity_skew(spark):
     assert got["spoke123"] == "spoke0"
     assert got["c1"] == got["c2"] == got["c3"] == "c1"
     assert wall < 120
+
+
+def test_host_boilerplate_hot_line_skew(spark):
+    """10^6 docs on ONE host all sharing a planted template line: the
+    (host, line) doc-frequency group holds 10^6 members, but the
+    distinct is keyed (host, doc, line) and the count agg partial-
+    aggregates map-side — no single task materializes the cluster."""
+    from sandcrawler_spark.operators.boilerplate import host_boilerplate_lines
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.lit("mega.example").alias("host"),
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("COOKIE WALL\nunique line "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    t0 = time.time()
+    bp = host_boilerplate_lines(df, min_pct=50, min_docs=3).collect()
+    wall = time.time() - t0
+    assert {(r.line, r.n_docs) for r in bp} == {("COOKIE WALL", n)}
+    print(f"\nhost_boilerplate 1e6-doc hot line: {wall:.1f}s")
+    assert wall < 120
+
+
+def test_kmv_celebrity_group_skew(spark):
+    """One group holding 10^6 distinct keys next to tiny groups: the
+    two-level bottom-k never ranks the celebrity group in one task
+    (level 1 is (group, partition)-keyed), and the estimator lands
+    within the k=256 KMV error envelope (~3/sqrt(k) ≈ 19%)."""
+    from sandcrawler_spark.operators.sketches import kmv_cardinality
+
+    n = 1_000_000
+    big = spark.range(n).select(
+        F.lit("celebrity").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    small = spark.range(100).select(
+        F.lit("tiny").alias("g"), F.concat(F.lit("v"), F.col("id")).alias("k")
+    )
+    t0 = time.time()
+    got = {
+        r.g: r
+        for r in kmv_cardinality(
+            big.unionByName(small).repartition(64), "k", ["g"], k=256
+        ).collect()
+    }
+    wall = time.time() - t0
+    assert got["tiny"].est_distinct == 100  # below k -> exact
+    err = abs(got["celebrity"].est_distinct - n) / n
+    print(f"\nkmv 1e6-key celebrity group: {wall:.1f}s, err {err:.3f}")
+    assert err < 0.19
+    assert wall < 120
