@@ -68,6 +68,12 @@ def main() -> None:
         "(frontier rows deferred, retried after expiry)",
     )
     ap.add_argument(
+        "--respect-page-robots", action="store_true",
+        help="enforce page-level robots: drop meta-noindex pages from "
+        "the extraction store; exclude rel=nofollow links and links "
+        "from meta-nofollow pages from the rank-frontier edge store",
+    )
+    ap.add_argument(
         "--discover", action="store_true",
         help="sitemap/feed discovery: fetched bodies that are sitemap "
         "or RSS/Atom XML contribute new ingest requests to the next "
@@ -99,6 +105,7 @@ def main() -> None:
         frontier_cap=args.frontier_cap,
         discover=args.discover,
         circuit_breaker=tuple(args.circuit_breaker) if args.circuit_breaker else None,
+        respect_page_robots=args.respect_page_robots,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

@@ -11,7 +11,12 @@ the engine-side gate is the only place they CAN be enforced.
 
 All extraction is codegen regexp over the decoded page — no UDF, no
 shuffle; the nofollow-aware outlink variant reuses the RFC-3986
-resolution subset from operators/linkgraph.
+resolution subset from operators/linkgraph. Decoding uses
+try_validate_utf8 (NULL on binary bodies), NOT strict decode: Catalyst
+pushes these expressions through joins onto the raw page scan, where
+gzip/PDF bodies would make a strict decode throw before any
+url filter prunes them (the _discover_requests lesson in
+streaming/rounds.py).
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ def page_robots(
     """(url, robots_content, noindex, nofollow) per page. 'none' means
     noindex+nofollow per the de-facto standard; directives are matched
     as comma/space-delimited tokens, so 'nofollowme' does not trip."""
-    doc = F.decode(F.col(html_col), "UTF-8")
+    doc = F.expr(f"try_validate_utf8({html_col})")
     content = F.lower(
         F.coalesce(
             F.nullif(F.regexp_extract(doc, _META_NAME_FIRST, 1), F.lit("")),
@@ -64,7 +69,7 @@ def outlinks_with_rel(
     projection."""
     from sandcrawler_spark.operators.linkgraph import _resolve_dst
 
-    doc = F.decode(F.col(html_col), "UTF-8")
+    doc = F.expr(f"try_validate_utf8({html_col})")
     scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)
     scheme_host = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
     tags = F.regexp_extract_all(doc, F.lit(r"(<a\s[^>]*>)"), 1)

@@ -48,6 +48,7 @@ class CrawlRunner:
         discover: bool = False,
         soft404_filter: bool = False,
         circuit_breaker: tuple[int, int] | None = None,
+        respect_page_robots: bool = False,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -100,6 +101,12 @@ class CrawlRunner:
         # the breaker stops a DEAD one. State is round-versioned like
         # adaptive_delays, replay-stable.
         self.circuit_breaker = circuit_breaker
+        # Page-level robots enforcement (functions/pagerobots.py): a
+        # meta-robots noindex page is fetched (politeness happens at
+        # robots.txt level) but its extraction is DROPPED from the
+        # store, and link discovery for the rank frontier excludes
+        # rel=nofollow edges and all edges out of meta-nofollow pages.
+        self.respect_page_robots = respect_page_robots
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -291,7 +298,25 @@ class CrawlRunner:
             rendered.join(self.corpus["pages"], on="url", how="inner")
             .select("url", "html")
         )
-        new_e = host_graph(extract_outlinks(fetched_pages))
+        if self.respect_page_robots:
+            from sandcrawler_spark.functions.pagerobots import (
+                outlinks_with_rel,
+                page_robots,
+            )
+
+            links = (
+                outlinks_with_rel(fetched_pages)
+                .filter(~F.col("nofollow"))
+                .select("src_url", "dst_url")
+            )
+            nf_pages = (
+                page_robots(fetched_pages)
+                .filter(F.col("nofollow"))
+                .select(F.col("url").alias("src_url"))
+            )
+            new_e = host_graph(links.join(nf_pages, "src_url", "left_anti"))
+        else:
+            new_e = host_graph(extract_outlinks(fetched_pages))
         cum = (
             new_e if prior_e is None
             else prior_e.unionByName(new_e)
@@ -583,6 +608,27 @@ class CrawlRunner:
             .withColumn("_ex", extract_text_udf(F.col("html")))
             .withColumn("_biblio", biblio_udf(F.col("html"), F.col("terminal_url")))
         )
+        n_noindex = 0
+        if self.respect_page_robots:
+            from sandcrawler_spark.functions.pagerobots import page_robots
+
+            # meta-robots noindex: fetched (the site allowed it) but
+            # never stored — the opt-out is about indexing, not access
+            noindex = (
+                page_robots(
+                    html_base.select(F.col("terminal_url").alias("url"), "html")
+                )
+                .filter(F.col("noindex"))
+                .select(F.col("url").alias("terminal_url"))
+                .distinct()
+                .persist()
+            )
+            n_noindex = noindex.count()
+            self.metrics.inc("noindex_pages", n_noindex)
+            if n_noindex:
+                html_base = html_base.join(
+                    F.broadcast(noindex), "terminal_url", "left_anti"
+                )
         n_soft404 = 0
         if self.soft404_filter:
             from sandcrawler_spark.functions.soft404 import soft404_reason_col
@@ -693,6 +739,7 @@ class CrawlRunner:
             "extracted": n_extracted,
             "discovered": n_discovered,
             "soft404": n_soft404,
+            "noindex": n_noindex,
             "result_counts": res_snap["counts"],
             "snapshots": {
                 "ingest_file_result": res_snap["id"],

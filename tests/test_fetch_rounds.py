@@ -491,3 +491,73 @@ def test_circuit_breaker_rounds(spark, corpus, tmp_path):
     entries_off = off.run(max_rounds=7)
     assert [e["scheduled"] for e in entries_off[:3]] == [2, 2, 1]
     assert all(e.get("breaker_deferred", 0) == 0 for e in entries_off)
+
+
+def test_page_robots_enforcement_rounds(spark, corpus, tmp_path):
+    """respect_page_robots: a meta-noindex page is fetched (status
+    stays success — the opt-out is about indexing, not access) but its
+    extraction never lands; rel=nofollow links and links from
+    meta-nofollow pages stay out of the rank-frontier edge store."""
+    import base64
+    import hashlib
+
+    ts = corpus["pages"].select("warc_ts").first()[0]
+    dtstr = ts.strftime("%Y%m%d%H%M%S")
+
+    def _page(url, body):
+        digest = hashlib.sha1(body.encode()).digest()
+        page = (url, ts, bytearray(body.encode()), None, None)
+        surt = "org,example,probots)/" + url.rsplit("/", 1)[1]
+        cdx = (surt, dtstr, url, "text/html", 200,
+               base64.b32encode(digest).decode().rstrip("="), digest.hex(),
+               len(body), 0, "SC-TEST/SC-PR.warc.gz", None)
+        return page, cdx, digest.hex()
+
+    noidx_url = "https://probots.example.org/private"
+    follow_url = "https://probots.example.org/public"
+    p1, c1, sha_noidx = _page(
+        noidx_url,
+        '<html><head><meta name="robots" content="noindex"></head>'
+        "<body><p>perfectly good but opted-out content here</p></body></html>",
+    )
+    p2, c2, sha_pub = _page(
+        follow_url,
+        '<html><body><a href="https://followed.example.net/a">ok</a>'
+        '<a rel="nofollow" href="https://paid.example.net/b">ad</a></body></html>',
+    )
+    pages = corpus["pages"].unionByName(spark.createDataFrame(
+        [p1, p2],
+        "url string, warc_ts timestamp, html binary, text string, lang string"))
+    cdx = corpus["cdx"].unionByName(spark.createDataFrame(
+        [c1, c2],
+        "surt string, datetime string, url string, mimetype string, status_code long, "
+        "sha1b32 string, sha1hex string, warc_csize long, warc_offset long, "
+        "warc_path string, redirect_url string"))
+    reqs = spark.createDataFrame(
+        [("seed", "s1", "html", noidx_url, 1, 0), ("seed", "s2", "html", follow_url, 1, 0)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": cdx, "pages": pages, "robots": corpus["robots"]}
+
+    runner = CrawlRunner(
+        spark, small, str(tmp_path / "on"),
+        respect_page_robots=True, rank_frontier=True,
+    )
+    entries = runner.run(max_rounds=2)
+    assert entries[0]["noindex"] == 1
+    res = {r.base_url: (r.status, r.hit) for r in runner.results.read().collect()}
+    assert res[noidx_url] == ("success", True)  # fetched, not reclassified
+    ext = runner.extraction.read()
+    assert ext.filter(F.col("sha1hex") == sha_noidx).count() == 0
+    assert ext.filter(F.col("sha1hex") == sha_pub).count() == 1
+    edges = spark.read.parquet(str(tmp_path / "on" / "link_edges" / "round=0"))
+    dsts = {r.dst_host for r in edges.collect()}
+    assert "followed.example.net" in dsts
+    assert "paid.example.net" not in dsts
+
+    # without the flag: extraction lands, nofollow edge counted
+    off = CrawlRunner(spark, small, str(tmp_path / "off"), rank_frontier=True)
+    off.run(max_rounds=2)
+    assert off.extraction.read().filter(F.col("sha1hex") == sha_noidx).count() == 1
+    edges_off = spark.read.parquet(str(tmp_path / "off" / "link_edges" / "round=0"))
+    assert "paid.example.net" in {r.dst_host for r in edges_off.collect()}
