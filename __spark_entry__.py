@@ -1109,6 +1109,83 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_PLANTS = {
+    1: "der hund und die katze ist nicht ein tier mit auf sich",
+    2: "le chat est dans les maisons que pour une qui pas",
+    3: "el gato es una de las casas que por con para los",
+    4: "il gatto che non sono per una con del di gli",
+    5: "zz qq xx vv ww yy kk jj",
+}
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-language closed-class-word ID: planted de/fr/es/it docs
+    # must classify to their language, gibberish to 'und', the
+    # untouched English corpus text to 'en'
+    from sandcrawler_spark.functions.script import lang_profile
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    for m, phrase in _LANG_PLANTS.items():
+        t = F.when(F.col("doc_id") % 6 == m, F.repeat(F.lit(phrase + " "), 10)).otherwise(t)
+    return lang_profile(
+        d.select(F.col("doc_id").cast("bigint").alias("doc_id"), t.alias("text"))
+    )
+
+
+def _lang_profile_oracle(min_hits_ppm: int = 40_000) -> str:
+    """lang_profile twin: same tokenization, per-language constant
+    word lists, integer ppm, max + first-match priority tie-break."""
+    from sandcrawler_spark.functions.script import _LANG_PRIORITY, LANG_STOPWORDS
+
+    plants = "\n           ".join(
+        f"WHEN {m} THEN repeat('{p} ', 10)" for m, p in _LANG_PLANTS.items()
+    )
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({LANG_STOPWORDS[lg]!r}, t))) AS BIGINT) AS h_{lg}"
+        for lg in _LANG_PRIORITY
+    )
+    ppm_cols = ",\n         ".join(
+        f"CASE WHEN n_tokens > 0 THEN (h_{lg} * CAST(1000000 AS BIGINT)) // n_tokens ELSE 0 END AS {lg}_ppm"
+        for lg in _LANG_PRIORITY
+    )
+    max_ppm = f"GREATEST({', '.join(lg + '_ppm' for lg in _LANG_PRIORITY)})"
+    chain = "\n            ".join(
+        f"WHEN {lg}_ppm = mx THEN '{lg}'" for lg in _LANG_PRIORITY
+    )
+    cols = ", ".join(lg + "_ppm" for lg in _LANG_PRIORITY)
+    return f"""
+WITH lp_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           {plants}
+           ELSE text END AS t
+  FROM documents
+),
+lp_tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS toks
+  FROM lp_docs
+),
+lp_hits AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {hit_cols}
+  FROM lp_tok
+),
+lp_ppm AS (
+  SELECT doc_id, n_tokens,
+         {ppm_cols}
+  FROM lp_hits
+),
+lp_mx AS (SELECT *, {max_ppm} AS mx FROM lp_ppm)
+SELECT doc_id, n_tokens, {cols},
+       CASE WHEN n_tokens = 0 OR mx < {min_hits_ppm} THEN 'und'
+            {chain}
+       END AS lang_pred
+FROM lp_mx
+"""
+
+
 def _script_oracle() -> str:
     """script_profile twin: the same hex ranges in RE2 syntax, the
     same first-match dominance chain and integer ppm."""
@@ -2909,6 +2986,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diagnostics": q_corpus_diagnostics,
         "script_profile": q_script_profile,
         "corpus_manifest": q_corpus_manifest,
+        "lang_profile": q_lang_profile,
         "quality_fusion": q_quality_fusion,
         "fingerprint_dedupe": q_fingerprint_dedupe,
         "jaccard_pairs": q_jaccard_pairs,
@@ -5206,6 +5284,7 @@ FROM s GROUP BY user_id, sid
         "semantic_dedupe": _semdedup_oracle(),
         "topic_balance": _topic_balance_oracle(),
         "script_profile": _script_oracle(),
+        "lang_profile": _lang_profile_oracle(),
         "quality_fusion": """
 WITH qf AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,

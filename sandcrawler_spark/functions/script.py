@@ -70,3 +70,66 @@ def script_profile(
         )
         .drop("_max_c")
     )
+
+
+# compact high-frequency function-word profiles (top closed-class
+# words that are near-unique per language; deliberately excludes
+# cross-language collisions like de/la shared by es+fr except where
+# the rest of the profile disambiguates). Order = tie-break priority.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "les", "des", "est", "dans", "que", "une", "pour", "qui", "pas"],
+    "es": ["el", "los", "las", "es", "en", "que", "una", "por", "con", "para"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono", "con", "del", "gli"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "zijn", "voor", "met"],
+}
+_LANG_PRIORITY = list(LANG_STOPWORDS)
+
+
+def lang_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_hits_ppm: int = 40_000,
+) -> DataFrame:
+    """Closed-class-word language ID over six European languages —
+    the multi-language upgrade of textstats.lang_id_en_score_col (one
+    language, one ratio): per doc, the hit rate of each language's
+    function-word profile in integer ppm, argmax with fixed priority
+    tie-break, 'und' (undetermined, the BCP-47 convention) when the
+    best rate is under min_hits_ppm (4%) or the doc has no tokens.
+
+    Scale shape: pure Catalyst — one tokenize, one array_intersect-
+    style filter per language (tiny constant arrays), no shuffle, no
+    UDF. The DuckDB twin replays token-for-token.
+
+    Returns (id, n_tokens, <lang>_ppm per language, lang_pred).
+    """
+    from sandcrawler_spark.functions.textstats import tokens_col
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "n_tokens", F.size("_toks").cast("long")
+    )
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(arr, t))
+        ).cast("long")
+        base = base.withColumn(f"_h_{lang}", hits).withColumn(
+            f"{lang}_ppm",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(_h_{lang} * CAST(1000000 AS BIGINT)) div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    max_ppm = F.greatest(*[F.col(f"{lg}_ppm") for lg in _LANG_PRIORITY])
+    pred = F.when(
+        (F.col("n_tokens") == 0) | (max_ppm < F.lit(min_hits_ppm)), F.lit("und")
+    )
+    for lg in _LANG_PRIORITY:
+        pred = pred.when(F.col(f"{lg}_ppm") == max_ppm, F.lit(lg))
+    return base.withColumn("lang_pred", pred).drop(
+        "_toks", *[f"_h_{lg}" for lg in _LANG_PRIORITY]
+    )

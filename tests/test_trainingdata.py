@@ -857,3 +857,32 @@ class TestBordaFuse:
         assert sorted(map(tuple, again)) == sorted(
             map(tuple, borda_fuse(df, ["a", "b"]).collect())
         )
+
+
+class TestLangProfile:
+    def test_six_language_classification(self, spark):
+        from sandcrawler_spark.functions.script import lang_profile
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat of the mat and it was good for it is that"),
+                (2, "der hund und die katze ist nicht ein tier mit auf sich"),
+                (3, "le chat est dans les maisons que pour une qui pas"),
+                (4, "el gato es una de las casas que por con para los"),
+                (5, "de kat het huis een van en dat niet zijn voor met"),
+                (6, "zz qq xx vv ww yy"),
+                (7, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.lang_pred for r in lang_profile(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "nl", 6: "und", 7: "und"}
+
+    def test_threshold_gates_weak_evidence(self, spark):
+        from sandcrawler_spark.functions.script import lang_profile
+
+        # one 'the' in 50 tokens = 20000 ppm < the 4% floor
+        text = "the " + " ".join(f"w{i}" for i in range(49))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = lang_profile(df).collect()[0]
+        assert r.en_ppm == 20_000 and r.lang_pred == "und"

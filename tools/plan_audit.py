@@ -63,7 +63,7 @@ AUDIT = [
     "context_pack", "containment_pairs", "ccnet_buckets", "nfc_normalize",
     "line_dedupe", "pq_codes", "ann_pq", "pq_recall",
     "host_triangles", "weighted_sample", "dust_rules", "host_hits",
-    "host_boilerplate", "boilerplate_strip", "semantic_dedupe", "corpus_split", "host_kcore", "topic_balance", "corpus_diagnostics", "community_modularity", "dust_apply", "script_profile", "corpus_manifest", "host_coupling", "page_robots", "nofollow_outlinks", "quality_fusion",
+    "host_boilerplate", "boilerplate_strip", "semantic_dedupe", "corpus_split", "host_kcore", "topic_balance", "corpus_diagnostics", "community_modularity", "dust_apply", "script_profile", "corpus_manifest", "host_coupling", "page_robots", "nofollow_outlinks", "quality_fusion", "lang_profile",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
     "kmv_overlap",
 ]
