@@ -700,6 +700,14 @@ def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading-ease / FK grade level in integer micro-units —
+    # deterministic vowel-group syllable proxy, pure Catalyst
+    from sandcrawler_spark.functions.textstats import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sandcrawler_spark.functions.textstats import (
         punct_ratio_col,
@@ -734,6 +742,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return winnow_fingerprints(d, k=5, w=4)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-defined chunking dedupe: shift-resilient chunk-hash
+    # duplication report (window=16, expected chunk ~64 chars)
+    from sandcrawler_spark.operators.cdc import cdc_dedupe_stats
+
+    return cdc_dedupe_stats(
+        _t(spark, sf_dir, "documents"), window=16, divisor=64, min_occurrences=2
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc top-3 TF-IDF keywords, integer micro-nat idf, skew-safe
+    # df aggregate + doc-bounded window
+    from sandcrawler_spark.operators.search import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
 
 
 def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2193,6 +2219,104 @@ def q_host_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spam mass: the PR fraction not inherited from the trust seeds —
+    # composes host_pagerank and trust_rank over the same host graph
+    from sandcrawler_spark.operators.linkgraph import (
+        host_graph,
+        host_pagerank,
+        spam_mass,
+        trust_rank,
+    )
+
+    edges = host_graph(_outlink_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    trusted = (
+        edges.select(F.col("dst_host").alias("host"))
+        .unionByName(edges.select(F.col("src_host").alias("host")))
+        .distinct()
+        .filter(F.col("host").endswith(".example.org"))
+    )
+    return spam_mass(host_pagerank(edges), trust_rank(edges, trusted))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Common-Crawl-style snapshot delta: latest capture per URL before
+    # vs after the split -> NEW/GONE/CHANGED/SAME
+    from sandcrawler_spark.operators.recrawl import snapshot_diff
+
+    return snapshot_diff(_captures(spark, sf_dir), "20240116000000")
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup-rate-over-crawl diagnostic: per doc-id bucket, the ppm of
+    # 8-gram instances whose gram first appears in that bucket
+    from sandcrawler_spark.operators.novelty import novelty_curve
+
+    return novelty_curve(_t(spark, sf_dir, "documents"), n=8, bucket_size=50)
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed integer covariance + driver power iteration: PC1 of
+    # the embedding cloud at L-inf 1000, exact DuckDB twin
+    from sandcrawler_spark.operators.pca import embedding_pca
+
+    return embedding_pca(_t(spark, sf_dir, "embeddings"), n_iter=5)
+
+
+def q_url_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RefinedWeb/UT1-style weighted URL soft blocklist over a planted
+    # frontier slice: path suffixes keyed on o_orderkey % 6 exercise
+    # every weight band (block / review / ok)
+    from sandcrawler_spark.functions.urlfilter import (
+        url_badword_score_col,
+        url_badword_verdict_col,
+    )
+
+    u = _urls(spark, sf_dir).select("url", "o_orderkey")
+    k = (F.col("o_orderkey") % 6).cast("int")
+    planted = u.select(
+        F.concat(
+            F.col("url"),
+            F.when(k == 0, F.lit("/casino-bonus-codes"))
+            .when(k == 1, F.lit("/research/article"))
+            .when(k == 2, F.lit("/free-download/win-prizes"))
+            .when(k == 3, F.lit("/viagra-pills-online"))
+            .when(k == 4, F.lit("/news/poker-tournament"))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    score = url_badword_score_col(F.col("url"))
+    return planted.select(
+        "url",
+        score.alias("badword_score"),
+        url_badword_verdict_col(score).alias("verdict"),
+    )
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chapman capture-recapture population estimate over the URL
+    # universe from two salted-md5 samples (auditable: n_true ships)
+    from sandcrawler_spark.operators.sketches import capture_recapture
+
+    return capture_recapture(_urls(spark, sf_dir).select("url"), mod=10, keep=3)
+
+
+def q_seed_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy max-coverage seed-host selection, 4 rounds, deterministic
+    # argmax/tiebreak — oracle unrolls the same greedy rounds
+    from sandcrawler_spark.operators.linkgraph import host_graph, seed_cover
+
+    return seed_cover(host_graph(_outlink_edges(spark, sf_dir)), k=4)
+
+
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broder bow-tie macro-structure: CORE/IN/OUT/OTHER per host
+    # relative to the max-degree pivot's bounded forward/backward reach
+    from sandcrawler_spark.operators.linkgraph import bowtie_classes, host_graph
+
+    return bowtie_classes(host_graph(_outlink_edges(spark, sf_dir)), max_rounds=8)
+
+
 def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Newman modularity of the LPA communities, per community in
     # integer micro-units — the partition-quality receipt next to
@@ -2869,6 +2993,10 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 20 last sampled in round 2; everything below them was green in
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
+    # round-4 session-6 additions — never driver-checked, sample first
+    "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
+    "cdc_chunks", "seed_cover", "capture_recapture", "url_badwords",
+    "embedding_pca", "snapshot_diff", "novelty_curve",
     # round-4 session-5 additions — never driver-checked, sample first
     "host_triangles", "weighted_sample", "dust_rules",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
@@ -2928,6 +3056,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
+        "spam_mass": q_spam_mass,
+        "bowtie_classes": q_bowtie_classes,
+        "seed_cover": q_seed_cover,
+        "capture_recapture": q_capture_recapture,
+        "url_badwords": q_url_badwords,
+        "embedding_pca": q_embedding_pca,
+        "snapshot_diff": q_snapshot_diff,
+        "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
         "trust_rank": q_trust_rank,
@@ -2956,10 +3092,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_canonical": q_surt_canonical,
         "word_counts": q_word_counts,
         "quality_scores": q_quality_scores,
+        "readability": q_readability,
         "lang_pred_counts": q_lang_pred_counts,
         "token_counts": q_token_counts,
         "winnow_fingerprints": q_winnow_fingerprints,
         "postings_stats": q_postings_stats,
+        "tfidf_keywords": q_tfidf_keywords,
+        "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
         "phrase_search": q_phrase_search,
         "lm_doc_scores": q_lm_doc_scores,
@@ -3730,7 +3869,7 @@ def _pagerank_oracle_ctes(
     pr = lambda i: f"pr{tag}{i}"  # noqa: E731
     dang = lambda i: f"dang{tag}{i}"  # noqa: E731
     parts = [
-        f"""{H} AS (
+        f"""{H} AS MATERIALIZED (
   SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
     SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
            regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
@@ -3754,10 +3893,10 @@ def _pagerank_oracle_ctes(
 )""")
     for i in range(n_iter):
         parts.append(
-            f"{dang(i)} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM {pr(i)} "
+            f"{dang(i)} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS d FROM {pr(i)} "
             f"WHERE host NOT IN (SELECT src_host FROM {O}))"
         )
-        parts.append(f"""{pr(i + 1)} AS (
+        parts.append(f"""{pr(i + 1)} AS MATERIALIZED (
   SELECT p.host,
          CAST(({scale} * {den - num}) // ({den} * (SELECT n FROM {N}))
            + COALESCE((SELECT SUM((r.rank * {num} * e.weight) // ({den} * e.outw))
@@ -3779,7 +3918,7 @@ def _trustrank_oracle_ctes(
     teleport + dangling mass restricted to the trust seed set."""
     scale = 1_000_000_000_000
     parts = [
-        """tredges AS (
+        """tredges AS MATERIALIZED (
   SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
     SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
            regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
@@ -3800,10 +3939,10 @@ def _trustrank_oracle_ctes(
     ]
     for i in range(n_iter):
         parts.append(
-            f"trdang{i} AS (SELECT COALESCE(SUM(rank), 0) AS d FROM trpr{i} "
+            f"trdang{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS d FROM trpr{i} "
             f"WHERE host NOT IN (SELECT src_host FROM troutw))"
         )
-        parts.append(f"""trpr{i + 1} AS (
+        parts.append(f"""trpr{i + 1} AS MATERIALIZED (
   SELECT p.host,
          CAST(CASE WHEN s.host IS NOT NULL
                THEN ({scale} * {den - num}) // ({den} * (SELECT nt FROM trnt))
@@ -3813,6 +3952,137 @@ def _trustrank_oracle_ctes(
                        FROM trew e JOIN trpr{i} r ON e.src_host = r.host
                        WHERE e.dst_host = p.host), 0) AS BIGINT) AS rank
   FROM trhosts p LEFT JOIN trseed s ON p.host = s.host
+)""")
+    return ",\n".join(parts)
+
+
+def _pca_oracle_ctes(n_iter: int = 5) -> str:
+    """Unrolled integer power-iteration twin (operators/pca.py):
+    milli-rounded components, sums-identity covariance with
+    truncating `//` by n², L∞-renormalized mat-vec rounds, leading-
+    component sign fix."""
+    parts = [
+        """pcc AS (
+  SELECT vec_id, embedding,
+         UNNEST(generate_series(CAST(1 AS BIGINT), CAST(len(embedding) AS BIGINT))) AS ii
+  FROM embeddings
+)""",
+        """pccm AS MATERIALIZED (
+  SELECT vec_id, CAST(ii - 1 AS INT) AS i,
+         CAST(round(CAST(embedding[CAST(ii AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS x
+  FROM pcc
+)""",
+        "pcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)",
+        """pccov AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         CAST(((SELECT n FROM pcn) * CAST(SUM(a.x * b.x) AS BIGINT)
+               - CAST(SUM(a.x) AS BIGINT) * CAST(SUM(b.x) AS BIGINT))
+              // ((SELECT n FROM pcn) * (SELECT n FROM pcn)) AS BIGINT) AS cov
+  FROM pccm a JOIN pccm b USING (vec_id)
+  GROUP BY a.i, b.i
+)""",
+        "pv0 AS (SELECT DISTINCT i, CAST(1000 AS BIGINT) AS val FROM pccov)",
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"pw{t} AS MATERIALIZED (SELECT c.i, CAST(SUM(c.cov * v.val) AS BIGINT) AS w "
+            f"FROM pccov c JOIN pv{t - 1} v ON c.j = v.i GROUP BY c.i)"
+        )
+        parts.append(
+            f"pm{t} AS (SELECT greatest(CAST(MAX(ABS(w)) AS BIGINT), 1) AS m FROM pw{t})"
+        )
+        parts.append(
+            f"pv{t} AS MATERIALIZED (SELECT i, CAST((w * 1000) // (SELECT m FROM pm{t}) AS BIGINT) AS val FROM pw{t})"
+        )
+    parts.append(f"pcmax AS (SELECT MAX(ABS(val)) AS m FROM pv{n_iter})")
+    parts.append(
+        f"pclead AS (SELECT MIN(i) AS li FROM pv{n_iter} "
+        f"WHERE ABS(val) = (SELECT m FROM pcmax))"
+    )
+    parts.append(
+        f"pcsign AS (SELECT CASE WHEN (SELECT val FROM pv{n_iter} "
+        f"WHERE i = (SELECT li FROM pclead)) < 0 THEN -1 ELSE 1 END AS s)"
+    )
+    return ",\n".join(parts)
+
+
+def _seedcover_oracle_ctes(k: int = 4) -> tuple[str, str]:
+    """Unrolled greedy max-coverage twin (operators/linkgraph.
+    seed_cover): per round, argmax-uncovered-targets pick (min-host
+    tiebreak) then covered-set union."""
+    parts = [
+        """sce AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+)""",
+        "sccov0 AS (SELECT CAST(NULL AS VARCHAR) AS dst_host WHERE 1 = 0)",
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""scpick{r} AS MATERIALIZED (
+  SELECT src_host, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM sce WHERE dst_host NOT IN (SELECT dst_host FROM sccov{r - 1})
+  GROUP BY src_host ORDER BY gain DESC, src_host ASC LIMIT 1
+)""")
+        parts.append(f"""sccov{r} AS MATERIALIZED (
+  SELECT dst_host FROM sccov{r - 1}
+  UNION
+  SELECT e.dst_host FROM sce e JOIN scpick{r} p USING (src_host)
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {r} AS "round", src_host AS host, gain,'
+        f" CAST((SELECT COUNT(*) FROM sccov{r}) AS BIGINT) AS covered_total"
+        f" FROM scpick{r}"
+        for r in range(1, k + 1)
+    )
+    return ",\n".join(parts), sel
+
+
+def _bowtie_oracle_ctes(max_rounds: int = 8) -> str:
+    """Unrolled bow-tie twin (operators/linkgraph.bowtie_classes):
+    max-degree pivot (min-host tiebreak), bounded forward/backward
+    reach over the distinct host edges, CORE/IN/OUT/OTHER labels."""
+    # every iterated CTE is MATERIALIZED: btf{i} is referenced twice
+    # (union + join) per round, and DuckDB re-inlines plain CTEs
+    # exponentially (the bpe_merges lesson)
+    parts = [
+        """btedges AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+)""",
+        """btdeg AS MATERIALIZED (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT src_host AS host FROM btedges
+    UNION ALL SELECT dst_host FROM btedges
+  ) GROUP BY host
+)""",
+        "btpivot AS (SELECT host FROM btdeg ORDER BY deg DESC, host ASC LIMIT 1)",
+        "btf0 AS (SELECT host FROM btpivot)",
+        "btb0 AS (SELECT host FROM btpivot)",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f"btf{i} AS MATERIALIZED (SELECT host FROM btf{i - 1} UNION "
+            f"SELECT e.dst_host FROM btedges e JOIN btf{i - 1} r ON e.src_host = r.host)"
+        )
+        parts.append(
+            f"btb{i} AS MATERIALIZED (SELECT host FROM btb{i - 1} UNION "
+            f"SELECT e.src_host FROM btedges e JOIN btb{i - 1} r ON e.dst_host = r.host)"
+        )
+    parts.append(f"""btcls AS (
+  SELECT d.host,
+         CASE WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'CORE'
+              WHEN b.host IS NOT NULL THEN 'IN'
+              WHEN f.host IS NOT NULL THEN 'OUT'
+              ELSE 'OTHER' END AS cls
+  FROM btdeg d
+  LEFT JOIN btf{max_rounds} f ON d.host = f.host
+  LEFT JOIN btb{max_rounds} b ON d.host = b.host
 )""")
     return ",\n".join(parts)
 
@@ -4134,6 +4404,14 @@ WITH {_URLS_CTE.strip()}
 SELECT url FROM urls WHERE o_orderkey % 3 <> 0
 """
     link_base = f"WITH {_URLS_CTE.strip()},\n{_LINK_EDGES_CTE.strip()}"
+    sc_ctes, sc_sel = _seedcover_oracle_ctes(4)
+    from sandcrawler_spark.functions.urlfilter import (
+        BLOCK_AT,
+        REVIEW_AT,
+        badwords_oracle_case,
+    )
+
+    bw_score = badwords_oracle_case("url")
     return {
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
@@ -4493,6 +4771,122 @@ SELECT p.host_a, p.host_b, p.common,
 FROM cppairs p
 JOIN cpdeg da ON p.host_a = da.src_host
 JOIN cpdeg db ON p.host_b = db.src_host
+""",
+        "spam_mass": f"""
+{link_base},
+{_pagerank_oracle_ctes(5)},
+{_trustrank_oracle_ctes(5)}
+SELECT p.host,
+       p.rank AS pr_rank,
+       CAST(COALESCE(t.rank, 0) AS BIGINT) AS trust_rank,
+       CAST((greatest(CAST(0 AS BIGINT), p.rank - COALESCE(t.rank, 0))
+             * CAST(1000000 AS BIGINT)) // p.rank AS BIGINT) AS spam_mass_ppm,
+       CAST((greatest(CAST(0 AS BIGINT), p.rank - COALESCE(t.rank, 0))
+             * CAST(1000000 AS BIGINT)) // p.rank AS BIGINT) >= 700000 AS is_spam
+FROM pr5 p LEFT JOIN trpr5 t USING (host)
+""",
+        "bowtie_classes": f"""
+{link_base},
+{_bowtie_oracle_ctes(8)}
+SELECT host, cls FROM btcls
+""",
+        "seed_cover": f"""
+{link_base},
+{sc_ctes}
+{sc_sel}
+""",
+        "snapshot_diff": f"""
+WITH {_CAPTURES_CTE.strip()},
+sdold AS (
+  SELECT url, sha1hex AS old_sha1 FROM (
+    SELECT url, sha1hex,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY datetime DESC, event_id DESC) AS rn
+    FROM captures WHERE datetime < '20240116000000'
+  ) WHERE rn = 1
+),
+sdnew AS (
+  SELECT url, sha1hex AS new_sha1 FROM (
+    SELECT url, sha1hex,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY datetime DESC, event_id DESC) AS rn
+    FROM captures WHERE datetime >= '20240116000000'
+  ) WHERE rn = 1
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.old_sha1 IS NULL THEN 'NEW'
+            WHEN n.new_sha1 IS NULL THEN 'GONE'
+            WHEN o.old_sha1 = n.new_sha1 THEN 'SAME'
+            ELSE 'CHANGED' END AS status,
+       o.old_sha1, n.new_sha1
+FROM sdold o FULL OUTER JOIN sdnew n ON o.url = n.url
+""",
+        "novelty_curve": """
+WITH nt AS (
+  SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+ng AS (
+  SELECT bucket,
+         UNNEST(CASE WHEN len(toks) >= 8
+                     THEN list_transform(generate_series(0, CAST(len(toks) - 8 AS BIGINT)),
+                          i -> array_to_string(list_slice(toks, CAST(i + 1 AS INT), CAST(i + 8 AS INT)), ' '))
+                     ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM nt
+),
+nf AS (SELECT gram, MIN(bucket) AS first_bucket FROM ng GROUP BY gram),
+na AS (
+  SELECT g.bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_instances,
+         CAST(SUM(CASE WHEN g.bucket = f.first_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ng g JOIN nf f USING (gram) GROUP BY g.bucket
+)
+SELECT bucket, n_instances, n_novel,
+       CAST((n_novel * CAST(1000000 AS BIGINT)) // n_instances AS BIGINT) AS novelty_ppm
+FROM na
+""",
+        "embedding_pca": f"""
+WITH {_pca_oracle_ctes(5)}
+SELECT CAST(v.i AS INT) AS dim_i,
+       c.cov AS var_milli2,
+       CAST(v.val * (SELECT s FROM pcsign) AS BIGINT) AS pc1_milli
+FROM pv5 v JOIN pccov c ON c.i = v.i AND c.j = v.i
+""",
+        "url_badwords": f"""
+WITH {_URLS_CTE.strip()},
+bwp AS (
+  SELECT url || CASE CAST(o_orderkey % 6 AS INT)
+           WHEN 0 THEN '/casino-bonus-codes'
+           WHEN 1 THEN '/research/article'
+           WHEN 2 THEN '/free-download/win-prizes'
+           WHEN 3 THEN '/viagra-pills-online'
+           WHEN 4 THEN '/news/poker-tournament'
+           ELSE '' END AS url
+  FROM urls
+)
+SELECT url, {bw_score} AS badword_score,
+       CASE WHEN {bw_score} >= {BLOCK_AT} THEN 'block'
+            WHEN {bw_score} >= {REVIEW_AT} THEN 'review'
+            ELSE 'ok' END AS verdict
+FROM bwp
+""",
+        "capture_recapture": f"""
+WITH {_URLS_CTE.strip()},
+crm AS (
+  SELECT CAST('0x' || substr(md5('a|' || url), 1, 15) AS BIGINT) % 10 < 3 AS am,
+         CAST('0x' || substr(md5('b|' || url), 1, 15) AS BIGINT) % 10 < 3 AS bm
+  FROM urls
+),
+cra AS (
+  SELECT CAST(SUM(CASE WHEN am THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN bm THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN am AND bm THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM crm
+)
+SELECT n1, n2, n_both,
+       CAST(((n1 + 1) * (n2 + 1)) // (n_both + 1) - 1 AS BIGINT) AS chapman_est,
+       n_true
+FROM cra
 """,
         "community_modularity": f"""
 {link_base},
@@ -5008,6 +5402,24 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc
 FROM documents
 """,
+        "readability": """
+WITH rc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_sum(list_transform(
+             regexp_extract_all(lower(text), '[a-z]+'),
+             w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835000 - (CAST(1015000 AS BIGINT) * n_words) // n_sentences
+            - (CAST(84600000 AS BIGINT) * n_syllables) // greatest(CAST(1 AS BIGINT), n_words) AS BIGINT) AS fre_micro,
+       CAST((CAST(390000 AS BIGINT) * n_words) // n_sentences
+            + (CAST(11800000 AS BIGINT) * n_syllables) // greatest(CAST(1 AS BIGINT), n_words)
+            - 15590000 AS BIGINT) AS fkgl_micro
+FROM rc
+""",
         "quality_scores": """
 WITH t AS (
   SELECT doc_id, text,
@@ -5070,6 +5482,64 @@ WITH t AS (
   FROM g
 )
 SELECT doc_id, unnest(fps) AS fingerprint FROM w
+""",
+        "cdc_chunks": """
+WITH cdcb AS (
+  SELECT doc_id, text, length(text) AS tlen,
+         [CAST(0 AS BIGINT)] ||
+         list_filter(
+           CASE WHEN length(text) >= 16
+                THEN list_transform(generate_series(CAST(16 AS BIGINT), CAST(length(text) AS BIGINT)),
+                     p -> CASE WHEN p < length(text)
+                                AND CAST('0x' || substr(md5(substr(text, CAST(p AS INT) - 15, 16)), 1, 4) AS INT) % 64 = 0
+                               THEN p END)
+                ELSE CAST([] AS BIGINT[]) END,
+           x -> x IS NOT NULL) ||
+         [CAST(length(text) AS BIGINT)] AS bnd
+  FROM documents
+),
+cdci AS (
+  SELECT doc_id, text, bnd,
+         UNNEST(generate_series(CAST(1 AS BIGINT), CAST(len(bnd) - 1 AS BIGINT))) AS i
+  FROM cdcb
+),
+cdcch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_seq,
+         substr(text, CAST(bnd[CAST(i AS INT)] AS INT) + 1,
+                CAST(bnd[CAST(i AS INT) + 1] - bnd[CAST(i AS INT)] AS INT)) AS chunk
+  FROM cdci
+)
+SELECT md5(chunk) AS chunk_md5,
+       CAST(MIN(length(chunk)) AS BIGINT) AS chunk_len,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM cdcch
+WHERE chunk <> ''
+GROUP BY md5(chunk)
+HAVING COUNT(*) >= 2
+""",
+        "tfidf_keywords": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (SELECT doc_id, UNNEST(toks) AS term FROM t),
+p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM s GROUP BY term, doc_id),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM p GROUP BY term),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT p.doc_id, p.term, p.tf, d.doc_freq,
+         CAST(p.tf * CAST(round(1000000.0 * ln(
+             (CAST((SELECT n FROM nd) AS DOUBLE) + 1.0)
+             / (CAST(d.doc_freq AS DOUBLE) + 1.0))) AS BIGINT) AS BIGINT) AS score_micro
+  FROM p JOIN dfq d USING (term)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rk
+  FROM sc
+)
+SELECT doc_id, term, tf, doc_freq, score_micro, rk FROM rk WHERE rk <= 3
 """,
         "postings_stats": """
 WITH t AS (

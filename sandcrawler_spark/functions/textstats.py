@@ -130,3 +130,76 @@ def fingerprint_col(text: Column) -> Column:
     norm = F.regexp_replace(norm, r"[^\w\s]", "")
     norm = F.regexp_replace(norm, r"\s+", " ")
     return F.md5(norm)
+
+
+def readability_counts_cols(text: Column) -> list[Column]:
+    """Surface counts for Flesch readability: words (maximal [a-z]+
+    runs of the lowercased text), sentences ([.!?]+ runs, floored at
+    1), and a deterministic dictionary-free syllable proxy — per word
+    max(1, number of [aeiouy]+ vowel groups).
+
+    Pure Catalyst: regexp_extract_all + a single-level aggregate over
+    the word array (no Python crossing, no nested higher-order
+    lambdas — the O(n²) inlining trap stays avoided). Each count is
+    BIGINT so the score arithmetic downstream is exact.
+    """
+    words = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+"), F.lit(0))
+    n_words = F.size(words).cast("long")
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+        ).cast("long"),
+    )
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+    ).cast("long")
+    return [
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ]
+
+
+def readability(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Flesch reading-ease + Flesch-Kincaid grade level in integer
+    micro-units — the classic surface readability gates a web-text
+    quality stack runs next to the C4/Gopher heuristics (readability
+    bands are a standard pretraining-corpus quality stratifier).
+
+    All arithmetic is integer with truncating division on
+    non-negative operands (Spark `div` == DuckDB `//` there), so
+    scores are bit-identical across engines and partitionings:
+
+      fre_micro  = 206_835_000 - (1_015_000*words) div sentences
+                              - (84_600_000*syllables) div words
+      fkgl_micro = (390_000*words) div sentences
+                 + (11_800_000*syllables) div words - 15_590_000
+
+    (word count floored at 1 in the divisors so empty docs score
+    rather than divide by zero). Narrow map, zero shuffles: runs at
+    full scan speed over 100 TB of documents.text.
+    """
+    return (
+        df.select(F.col(id_col), *readability_counts_cols(F.col(text_col)))
+        .withColumn("_w", F.expr("greatest(CAST(1 AS BIGINT), n_words)"))
+        .select(
+            id_col,
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.expr(
+                "CAST(206835000 - (CAST(1015000 AS BIGINT) * n_words) div n_sentences"
+                " - (CAST(84600000 AS BIGINT) * n_syllables) div _w AS BIGINT)"
+            ).alias("fre_micro"),
+            F.expr(
+                "CAST((CAST(390000 AS BIGINT) * n_words) div n_sentences"
+                " + (CAST(11800000 AS BIGINT) * n_syllables) div _w"
+                " - 15590000 AS BIGINT)"
+            ).alias("fkgl_micro"),
+        )
+    )

@@ -1053,3 +1053,180 @@ def host_coupling(
             ).alias("coupling_ppm"),
         )
     )
+
+
+def spam_mass(pagerank: DataFrame, trustrank: DataFrame, spam_ppm: int = 700_000) -> DataFrame:
+    """Spam mass (Gyöngyi, Garcia-Molina & Pedersen, "Link Spam
+    Detection Based on Mass Estimation"): the fraction of a host's
+    PageRank that does NOT come from the trusted core — relative mass
+    m(h) = (PR(h) - TR(h)) / PR(h). Hosts whose rank is almost
+    entirely self-manufactured (link farms) have mass ~1; hosts
+    reachable from the trust seeds have mass ~0. The crawl loop uses
+    it to demote high-PR-but-untrusted hosts the plain rank blend
+    would over-crawl (reference analog: sandcrawler's blocklist is a
+    manual version of this signal).
+
+    Integer discipline: both inputs are PR_SCALE fixed-point ranks
+    from host_pagerank / trust_rank; mass is reported in ppm with the
+    untrusted excess clamped at 0 (a trusted host whose TR exceeds its
+    PR has no spam mass, not negative mass — and the clamp keeps every
+    division operand non-negative so Spark's truncating `div` and
+    DuckDB's flooring `//` agree). PR's teleport base term guarantees
+    rank > 0 for every host, so the divide is total.
+
+    Scale shape: one broadcast-or-shuffle equi-join on host between two
+    host-cardinality relations — trivially cluster-safe.
+    """
+    pr = pagerank.select(F.col("host"), F.col("rank").alias("pr_rank"))
+    tr = trustrank.select(F.col("host"), F.col("rank").alias("trust_rank"))
+    return (
+        pr.join(tr, on="host", how="left")
+        .select(
+            "host",
+            "pr_rank",
+            F.coalesce(F.col("trust_rank"), F.lit(0)).cast("long").alias("trust_rank"),
+        )
+        .select(
+            "host",
+            "pr_rank",
+            "trust_rank",
+            F.expr(
+                "CAST((greatest(CAST(0 AS BIGINT), pr_rank - trust_rank)"
+                " * CAST(1000000 AS BIGINT)) div pr_rank AS BIGINT)"
+            ).alias("spam_mass_ppm"),
+        )
+        .withColumn("is_spam", F.col("spam_mass_ppm") >= F.lit(spam_ppm))
+    )
+
+
+def bowtie_classes(host_edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """Bow-tie decomposition of the directed host graph (Broder et
+    al., "Graph structure in the Web", WWW 2000): pick the
+    highest-degree host as the pivot of the giant strongly-connected
+    core, compute its bounded forward-reach set F and backward-reach
+    set B, and classify every host as
+
+      CORE  — in F ∩ B (the pivot's SCC, reachable both ways)
+      IN    — in B only (can reach the core but not vice versa)
+      OUT   — in F only (reachable from the core, no path back)
+      OTHER — in neither (tendrils / disconnected components)
+
+    The classic macro-structure report for a crawl corpus: a crawl
+    seeded inside CORE covers CORE+OUT; IN mass is only reachable via
+    external seeds — exactly the signal seed-selection needs.
+
+    Determinism: pivot = max (in+out) weighted degree, ties broken by
+    min host string. Reach is bounded at max_rounds BFS rounds on both
+    sides (the oracle unrolls the same bound); for the host-contracted
+    graph the diameter is far below the bound, so the bounded reach IS
+    the reach.
+
+    Scale shape: per round one equi-join frontier×edges + one
+    left-anti against the accumulated reach set, every round
+    localCheckpointed so the plan stays flat — the link_depth_bfs
+    discipline. Reach sets are host-cardinality (≪ URL scale).
+    """
+    e = host_edges.select("src_host", "dst_host").localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src_host").alias("host"))
+        .unionByName(e.select(F.col("dst_host").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
+    pivot_row = (
+        deg.orderBy(F.col("_deg").desc(), F.col("host").asc()).limit(1).collect()
+    )
+    if not pivot_row:
+        return deg.select("host", F.lit("OTHER").alias("cls"))
+    pivot = pivot_row[0]["host"]
+    spark = host_edges.sparkSession
+
+    def _reach(edges: DataFrame, src: str, dst: str) -> DataFrame:
+        reached = spark.createDataFrame([(pivot,)], ["host"]).localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(max_rounds):
+            nxt = (
+                frontier.join(edges, frontier["host"] == edges[src], "inner")
+                .select(F.col(dst).alias("host"))
+                .distinct()
+                .join(reached, on="host", how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return reached
+
+    fwd = _reach(e, "src_host", "dst_host").withColumn("_f", F.lit(1))
+    bwd = _reach(e, "dst_host", "src_host").withColumn("_b", F.lit(1))
+    return (
+        deg.select("host")
+        .join(F.broadcast(fwd), on="host", how="left")
+        .join(F.broadcast(bwd), on="host", how="left")
+        .select(
+            "host",
+            F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), "CORE")
+            .when(F.col("_b").isNotNull(), "IN")
+            .when(F.col("_f").isNotNull(), "OUT")
+            .otherwise("OTHER")
+            .alias("cls"),
+        )
+    )
+
+
+def seed_cover(host_edges: DataFrame, k: int = 4) -> DataFrame:
+    """Greedy maximum-coverage seed selection: pick k source hosts
+    whose out-link targets jointly cover the most of the reachable
+    host space — the classic (1-1/e)-approximate seed list for a
+    fresh crawl (maximum coverage is NP-hard; greedy is the standard
+    answer, cf. the k-max-cover treatment in Hochbaum's survey).
+    Round r picks the host with the most still-uncovered distinct
+    targets (ties: min host), then marks its targets covered.
+
+    Returns (round, host, gain, covered_total): gain = newly covered
+    targets, covered_total = cumulative covered distinct targets.
+
+    Determinism: pure max/min tiebreaks; bounded k rounds.
+
+    Scale shape: per round one left-anti of the edge set against the
+    covered set (host-cardinality, broadcastable), one groupBy(src)
+    count, and a TakeOrdered(1) — no window over the full edge list.
+    The covered set is localCheckpointed per round so the driver-
+    bounded loop keeps a flat plan (link_depth_bfs discipline).
+    """
+    spark = host_edges.sparkSession
+    e = (
+        host_edges.select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = spark.createDataFrame([], "dst_host string").localCheckpoint(eager=True)
+    out_rows: list[tuple[int, str, int, int]] = []
+    n_covered = 0
+    for r in range(1, k + 1):
+        cand = (
+            e.join(F.broadcast(covered), on="dst_host", how="left_anti")
+            .groupBy("src_host")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("src_host").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        host, gain = cand[0]["src_host"], int(cand[0]["gain"])
+        picked = spark.createDataFrame([(host,)], ["src_host"])
+        newly = (
+            e.join(F.broadcast(picked), on="src_host")
+            .select("dst_host")
+            .join(F.broadcast(covered), on="dst_host", how="left_anti")
+            .distinct()
+        )
+        covered = covered.unionByName(newly).localCheckpoint(eager=True)
+        n_covered += gain
+        out_rows.append((r, host, gain, n_covered))
+    return spark.createDataFrame(
+        out_rows, "round int, host string, gain bigint, covered_total bigint"
+    )

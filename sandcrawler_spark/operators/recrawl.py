@@ -84,3 +84,48 @@ def change_rate_schedule(
         rate.cast("long").alias("rate_micro_per_day"),
         interval.cast("long").alias("interval_days"),
     )
+
+
+def snapshot_diff(
+    captures: DataFrame,
+    split_datetime: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-snapshot diff: compare the latest capture of every URL
+    before `split_datetime` against the latest at-or-after it and
+    classify NEW / GONE / CHANGED / SAME — the per-release delta
+    report Common Crawl publishes for each snapshot, and the input a
+    recrawl scheduler audits its change-rate model against
+    (complements change_rate_schedule, which estimates rates from the
+    same capture stream).
+
+    Latest capture per (url, half) is the max (datetime, event_id)
+    struct — an argmax aggregate, NOT a window over the url's full
+    capture history: one groupBy per half with map-side partials, so a
+    URL with millions of captures never materializes in one task.
+    The halves join 1:1 per url afterwards (full outer).
+
+    Returns (url, status, old_sha1, new_sha1).
+    """
+    def _latest(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(url_col).alias("url")).agg(
+            F.max(F.struct("datetime", "event_id", "sha1hex"))
+            .getField("sha1hex")
+            .alias(out)
+        )
+
+    old = _latest(captures.filter(F.col("datetime") < split_datetime), "old_sha1")
+    new = _latest(captures.filter(F.col("datetime") >= split_datetime), "new_sha1")
+    return (
+        old.join(new, on="url", how="full_outer")
+        .select(
+            "url",
+            F.when(F.col("old_sha1").isNull(), "NEW")
+            .when(F.col("new_sha1").isNull(), "GONE")
+            .when(F.col("old_sha1") == F.col("new_sha1"), "SAME")
+            .otherwise("CHANGED")
+            .alias("status"),
+            "old_sha1",
+            "new_sha1",
+        )
+    )

@@ -297,3 +297,56 @@ def phrase_search(
             F.array_min("_hits").cast("long").alias("first_hit"),
         )
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the standard cheap
+    document descriptor (topic tags for corpus browsing, clustering
+    features, near-dup triage) a corpus user derives right after the
+    inverted index exists.
+
+    idf is the +1-smoothed ln((N+1)/(df+1)), rounded once to integer
+    micro-nats so the per-posting score tf*idf_micro is pure integer
+    arithmetic (the BM25/lm.py cross-engine discipline); ties broken
+    by term asc.
+
+    Scale shape: reuses build_postings' skew-safe plan (term-keyed
+    aggregate + join-back, no per-term window); the only window is
+    partitioned by doc_id, whose group size is bounded by the distinct
+    terms of ONE document — safe at any corpus size. N is a single
+    scalar count (one job), broadcast into the expression as a
+    literal.
+    """
+    from pyspark.sql import Window
+
+    postings = build_postings(df, id_col=id_col, text_col=text_col)
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = postings.select(
+        "doc_id",
+        "term",
+        "tf",
+        "doc_freq",
+        (
+            F.col("tf")
+            * F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.lit(float(n_docs)) + F.lit(1.0))
+                    / (F.col("doc_freq").cast("double") + F.lit(1.0))
+                )
+            ).cast("long")
+        ).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "score_micro", "rk")
+    )

@@ -612,3 +612,50 @@ SELECT {groups}, n_union_kept, est_union,
                  ELSE (n_both * est_union) // {k} END AS BIGINT) AS est_intersection
 FROM _kest
 """.strip()
+
+
+def capture_recapture(
+    df,
+    key_col: str = "url",
+    mod: int = 10,
+    keep: int = 3,
+):
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate
+    of a population size from two independent samples — the classic
+    way to estimate the size of a crawl frontier / search-engine index
+    you cannot enumerate (Lawrence & Giles, Science 1998 used exactly
+    this over engine overlap). Here the two "captures" are
+    deterministic md5 marks with different salts: item x is in sample
+    A iff md5('a|'||x) mod `mod` < `keep`, sample B likewise with salt
+    'b|' — independent uniform marks, fully replayable.
+
+      chapman = ((n1+1)(n2+1)) div (m+1) - 1,  m = |A ∩ B|
+
+    Returns ONE row: (n1, n2, n_both, chapman_est, n_true) — n_true
+    (the actual count) ships alongside so the estimate is auditable.
+
+    Scale shape: a single narrow scan + one global aggregate of four
+    counters (partial-aggregated map-side); no shuffle beyond the
+    1-row final combine. Integer arithmetic end to end.
+    """
+    mark = lambda salt: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 1, 15), 16, 10)
+        .cast("long") % mod < keep
+    )
+    agg = df.select(
+        mark("a|").alias("_a"), mark("b|").alias("_b")
+    ).agg(
+        F.sum(F.col("_a").cast("long")).cast("long").alias("n1"),
+        F.sum(F.col("_b").cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("_a") & F.col("_b")).cast("long")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("n_true"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_both",
+        F.expr(
+            "CAST(((n1 + 1) * (n2 + 1)) div (n_both + 1) - 1 AS BIGINT)"
+        ).alias("chapman_est"),
+        "n_true",
+    )

@@ -66,6 +66,13 @@ AUDIT = [
     "host_boilerplate", "boilerplate_strip", "semantic_dedupe", "corpus_split", "host_kcore", "topic_balance", "corpus_diagnostics", "community_modularity", "dust_apply", "script_profile", "corpus_manifest", "host_coupling", "page_robots", "nofollow_outlinks", "quality_fusion", "lang_profile",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
     "kmv_overlap",
+    # r4 session-6 (seed_cover excluded: its result is a k-row
+    # driver-assembled relation, no scan to audit)
+    "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
+    "cdc_chunks", "capture_recapture", "url_badwords",
+    # (embedding_pca excluded for the same reason as seed_cover: the
+    # distributed phase feeds a driver-assembled d-row result)
+    "snapshot_diff", "novelty_curve",
 ]
 
 
