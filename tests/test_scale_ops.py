@@ -293,3 +293,59 @@ def test_kmv_celebrity_group_skew(spark):
     print(f"\nkmv 1e6-key celebrity group: {wall:.1f}s, err {err:.3f}")
     assert err < 0.19
     assert wall < 120
+
+
+def test_cdc_hot_chunk_skew(spark):
+    """10^5 docs all sharing one boilerplate chunk content: the
+    md5(chunk)-keyed groupBy partial-aggregates map-side, so the
+    ~10^5-member hot group arrives as per-partition partials, never a
+    materialized cluster. Also exercises the per-doc array transform
+    at ~350-char docs."""
+    from sandcrawler_spark.operators.cdc import cdc_dedupe_stats
+
+    n = 100_000
+    tpl = "subscribe to our newsletter for daily updates on everything "
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(tpl * 4),
+            F.lit("unique tail "),
+            F.md5(F.col("id").cast("string")),
+        ).alias("text"),
+    ).repartition(64)
+    t0 = time.time()
+    stats = cdc_dedupe_stats(df, min_occurrences=n // 2).collect()
+    wall = time.time() - t0
+    # at least one template chunk is shared by (nearly) all docs
+    assert any(s.n_docs >= n * 9 // 10 for s in stats)
+    print(f"\ncdc 1e5-doc hot chunk: {wall:.1f}s")
+    assert wall < 180
+
+
+def test_novelty_hot_gram_skew(spark):
+    """A planted 8-gram present in 50% of 2*10^5 docs: first-bucket
+    aggregate partials map-side and the join-back streams per key —
+    no straggler task; novelty ratios stay exact."""
+    from sandcrawler_spark.operators.novelty import novelty_curve
+
+    n = 200_000
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0, F.lit(hot)
+        ).otherwise(
+            F.concat(F.lit("w"), F.col("id").cast("string"),
+                     F.lit(" two three four five six seven eight"))
+        ).alias("text"),
+    ).repartition(64)
+    t0 = time.time()
+    rows = novelty_curve(df, n=8, bucket_size=1000).collect()
+    wall = time.time() - t0
+    by_bucket = {r.bucket: r for r in rows}
+    # bucket 0 is all-novel; later buckets: the hot gram (half the
+    # instances) is never novel again, the unique grams always are
+    assert by_bucket[0].novelty_ppm == 1_000_000
+    assert all(r.novelty_ppm == 500_000 for b, r in by_bucket.items() if b > 0)
+    print(f"\nnovelty 2e5-doc 50% hot gram: {wall:.1f}s")
+    assert wall < 180
