@@ -2239,6 +2239,16 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spam_mass(host_pagerank(edges), trust_rank(edges, trusted))
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-card diversity: per-lang Shannon entropy of the source
+    # mix in micro-nats, with the uniform ceiling alongside
+    from sandcrawler_spark.operators.diagnostics import shannon_diversity
+
+    return shannon_diversity(
+        _t(spark, sf_dir, "documents"), key_col="source", group_col="lang"
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Common-Crawl-style snapshot delta: latest capture per URL before
     # vs after the split -> NEW/GONE/CHANGED/SAME
@@ -2996,7 +3006,7 @@ _STALE_FIRST = [
     # round-4 session-6 additions — never driver-checked, sample first
     "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
     "cdc_chunks", "seed_cover", "capture_recapture", "url_badwords",
-    "embedding_pca", "snapshot_diff", "novelty_curve",
+    "embedding_pca", "snapshot_diff", "novelty_curve", "source_diversity",
     # round-4 session-5 additions — never driver-checked, sample first
     "host_triangles", "weighted_sample", "dust_rules",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
@@ -3063,6 +3073,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_badwords": q_url_badwords,
         "embedding_pca": q_embedding_pca,
         "snapshot_diff": q_snapshot_diff,
+        "source_diversity": q_source_diversity,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -4794,6 +4805,24 @@ SELECT host, cls FROM btcls
 {link_base},
 {sc_ctes}
 {sc_sel}
+""",
+        "source_diversity": """
+WITH sdc AS (
+  SELECT lang AS grp, source AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY lang, source
+),
+sda AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS swln
+  FROM sdc GROUP BY grp
+)
+SELECT grp, n_keys, n_docs,
+       CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+            - swln // n_docs AS BIGINT) AS entropy_micronat,
+       CAST(round(ln(CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT) AS ceiling_micronat
+FROM sda
 """,
         "snapshot_diff": f"""
 WITH {_CAPTURES_CTE.strip()},

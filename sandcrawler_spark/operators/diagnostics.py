@@ -194,3 +194,55 @@ def borda_fuse(
         c = F.col(f"{s}_rank")
         borda = c if borda is None else borda + c
     return fused.withColumn("borda", borda.cast("long"))
+
+
+def shannon_diversity(
+    df: DataFrame,
+    key_col: str = "source",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-`group_col` Shannon entropy of the `key_col` mix in integer
+    micro-nats — the source-diversity number a dataset card reports
+    (a stratum whose tokens all come from one template farm scores ~0;
+    ln(n_keys) is the uniform ceiling, shipped alongside so the reader
+    sees evenness = entropy/ceiling without float math here).
+
+      H = ln(N) - (Σ_k cnt_k · ln(cnt_k)) / N        (plug-in MLE)
+
+    computed as round(1e6·ln(N)) - (Σ cnt·round(1e6·ln(cnt))) div N —
+    one ln per (group,key) row on identical inputs in both engines
+    (the lm.py micro-nat discipline), everything after integer.
+
+    Scale shape: one (group, key) count shuffle with map-side partials
+    + one group-keyed aggregate; output is group-cardinality.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    return (
+        counts.select(
+            "grp",
+            "cnt",
+            (F.col("cnt") * F.round(F.log(F.col("cnt").cast("double")) * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("_wln"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum("_wln").cast("long").alias("_swln"),
+        )
+        .select(
+            "grp",
+            "n_keys",
+            "n_docs",
+            F.expr(
+                "CAST(CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+                " - _swln div n_docs AS BIGINT)"
+            ).alias("entropy_micronat"),
+            F.expr(
+                "CAST(round(ln(CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("ceiling_micronat"),
+        )
+    )

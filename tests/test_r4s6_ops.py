@@ -274,3 +274,26 @@ def test_novelty_curve_monotone_on_repeats(spark):
     got = {r.bucket: r for r in novelty_curve(df, n=8, bucket_size=10).collect()}
     assert got[0].n_instances == 3 and got[0].novelty_ppm == 1_000_000
     assert got[1].n_instances == 3 and got[1].novelty_ppm == 0
+
+
+def test_shannon_diversity_uniform_vs_collapsed(spark):
+    import math
+
+    from sandcrawler_spark.operators.diagnostics import shannon_diversity
+
+    rows = (
+        # 'even': 4 sources x 25 docs -> H = ln(4), evenness 1
+        [(f"s{i % 4}", "even") for i in range(100)]
+        # 'mono': one source -> H = 0
+        + [("s0", "mono") for _ in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["source", "lang"])
+    got = {r.grp: r for r in shannon_diversity(df).collect()}
+    even = got["even"]
+    assert even.n_keys == 4 and even.n_docs == 100
+    expect = round(math.log(100) * 1e6) - (100 * round(math.log(25) * 1e6)) // 100
+    assert even.entropy_micronat == expect
+    assert abs(even.entropy_micronat - round(math.log(4) * 1e6)) <= 2
+    assert even.ceiling_micronat == round(math.log(4) * 1e6)
+    assert got["mono"].entropy_micronat == 0
+    assert got["mono"].ceiling_micronat == 0

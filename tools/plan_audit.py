@@ -72,7 +72,7 @@ AUDIT = [
     "cdc_chunks", "capture_recapture", "url_badwords",
     # (embedding_pca excluded for the same reason as seed_cover: the
     # distributed phase feeds a driver-assembled d-row result)
-    "snapshot_diff", "novelty_curve",
+    "snapshot_diff", "novelty_curve", "source_diversity",
 ]
 
 
