@@ -2311,6 +2311,14 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capture_recapture(_urls(spark, sf_dir).select("url"), mod=10, keep=3)
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # power-law diagnostic: log2-binned in/out degree histogram of the
+    # host graph, integer binning via binary-string length
+    from sandcrawler_spark.operators.linkgraph import degree_distribution, host_graph
+
+    return degree_distribution(host_graph(_outlink_edges(spark, sf_dir)))
+
+
 def q_seed_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     # greedy max-coverage seed-host selection, 4 rounds, deterministic
     # argmax/tiebreak — oracle unrolls the same greedy rounds
@@ -3007,6 +3015,7 @@ _STALE_FIRST = [
     "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
     "cdc_chunks", "seed_cover", "capture_recapture", "url_badwords",
     "embedding_pca", "snapshot_diff", "novelty_curve", "source_diversity",
+    "degree_distribution",
     # round-4 session-5 additions — never driver-checked, sample first
     "host_triangles", "weighted_sample", "dust_rules",
     "kmv_host_cardinality", "sb_lm_scores", "weighted_sample_stratified",
@@ -3074,6 +3083,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "snapshot_diff": q_snapshot_diff,
         "source_diversity": q_source_diversity,
+        "degree_distribution": q_degree_distribution,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -4800,6 +4810,27 @@ FROM pr5 p LEFT JOIN trpr5 t USING (host)
 {link_base},
 {_bowtie_oracle_ctes(8)}
 SELECT host, cls FROM btcls
+""",
+        "degree_distribution": f"""
+{link_base},
+dde AS MATERIALIZED (
+  SELECT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+ddd AS (
+  SELECT 'out' AS direction, CAST(length(bin(CAST(COUNT(*) AS BIGINT))) - 1 AS INT) AS bin
+  FROM dde GROUP BY src_host
+  UNION ALL
+  SELECT 'in', CAST(length(bin(CAST(COUNT(*) AS BIGINT))) - 1 AS INT)
+  FROM dde GROUP BY dst_host
+)
+SELECT direction, bin,
+       CAST(CAST(1 AS BIGINT) << bin AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts
+FROM ddd GROUP BY direction, bin
 """,
         "seed_cover": f"""
 {link_base},

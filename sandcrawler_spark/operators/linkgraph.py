@@ -1230,3 +1230,42 @@ def seed_cover(host_edges: DataFrame, k: int = 4) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round int, host string, gain bigint, covered_total bigint"
     )
+
+
+def degree_distribution(host_edges: DataFrame) -> DataFrame:
+    """Log-binned in/out-degree distribution of the host graph — the
+    power-law diagnostic every web-graph paper opens with (Broder et
+    al. 2000 §3): a healthy crawl shows a straight log-log tail; a
+    bulge of same-degree hosts is a template-farm / trap signature.
+
+    Bin = floor(log2(degree)), computed as length of the binary
+    string minus one (pure integer/string — no float log2, whose
+    value at exact powers of two is the kind of cross-engine edge
+    this repo bans). Returns (direction, bin, bin_lo, n_hosts) with
+    bin_lo = 2^bin.
+
+    Scale shape: two host-keyed degree aggregates (distinct-neighbor
+    counts over the already-contracted host graph) + a ~60-row bin
+    aggregate. Host-graph sized throughout.
+    """
+    def _side(src: str, label: str) -> DataFrame:
+        deg = (
+            host_edges.groupBy(F.col(src).alias("host"))
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        return deg.select(
+            F.lit(label).alias("direction"),
+            F.expr("CAST(length(conv(CAST(deg AS STRING), 10, 2)) - 1 AS INT)").alias("bin"),
+        )
+    return (
+        _side("src_host", "out")
+        .unionByName(_side("dst_host", "in"))
+        .groupBy("direction", "bin")
+        .agg(F.count("*").cast("long").alias("n_hosts"))
+        .select(
+            "direction",
+            "bin",
+            F.expr("CAST(1 AS BIGINT) << bin").alias("bin_lo"),
+            "n_hosts",
+        )
+    )

@@ -297,3 +297,16 @@ def test_shannon_diversity_uniform_vs_collapsed(spark):
     assert even.ceiling_micronat == round(math.log(4) * 1e6)
     assert got["mono"].entropy_micronat == 0
     assert got["mono"].ceiling_micronat == 0
+
+
+def test_degree_distribution_bins(spark):
+    from sandcrawler_spark.operators.linkgraph import degree_distribution
+
+    # hub -> t1..t5 (out-deg 5 -> bin 2); t1..t5 in-deg 1 -> bin 0;
+    # plus b -> hub so hub has in-deg 1 too
+    e = _edges(spark, [("hub", f"t{i}") for i in range(5)] + [("b", "hub")])
+    got = {(r.direction, r.bin): (r.bin_lo, r.n_hosts)
+           for r in degree_distribution(e).collect()}
+    assert got[("out", 2)] == (4, 1)      # hub: deg 5 -> floor(log2)=2
+    assert got[("out", 0)] == (1, 1)      # b: deg 1
+    assert got[("in", 0)] == (1, 6)       # t0..t4 + hub each in-deg 1

@@ -73,6 +73,7 @@ AUDIT = [
     # (embedding_pca excluded for the same reason as seed_cover: the
     # distributed phase feeds a driver-assembled d-row result)
     "snapshot_diff", "novelty_curve", "source_diversity",
+    "degree_distribution",
 ]
 
 
