@@ -2239,6 +2239,23 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spam_mass(host_pagerank(edges), trust_rank(edges, trusted))
 
 
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPIC cash/history importance after 5 synchronous rounds — the
+    # crawler-native adaptive priority signal; oracle unrolls the
+    # identical integer cash ledger round by round
+    from sandcrawler_spark.operators.linkgraph import host_graph, opic_scores
+
+    return opic_scores(host_graph(_outlink_edges(spark, sf_dir)), n_iter=5)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link prediction: inverse-log-weighted common neighbors over the
+    # undirected host graph, existing edges anti-joined away
+    from sandcrawler_spark.operators.linkgraph import adamic_adar, host_graph
+
+    return adamic_adar(host_graph(_outlink_edges(spark, sf_dir)))
+
+
 def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset-card diversity: per-lang Shannon entropy of the source
     # mix in micro-nats, with the uniform ceiling alongside
@@ -3011,6 +3028,8 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 20 last sampled in round 2; everything below them was green in
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
+    # round-4 session-7 additions — never driver-checked, sample first
+    "opic_scores", "adamic_adar",
     # round-4 session-6 additions — never driver-checked, sample first
     "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
     "cdc_chunks", "seed_cover", "capture_recapture", "url_badwords",
@@ -3076,6 +3095,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
         "spam_mass": q_spam_mass,
+        "opic_scores": q_opic_scores,
+        "adamic_adar": q_adamic_adar,
         "bowtie_classes": q_bowtie_classes,
         "seed_cover": q_seed_cover,
         "capture_recapture": q_capture_recapture,
@@ -3926,6 +3947,46 @@ def _pagerank_oracle_ctes(
            + ({num} * (SELECT d FROM {dang(i)})) // ({den} * (SELECT n FROM {N})) AS BIGINT) AS rank
   FROM {P} p
 )""")
+    return ",\n".join(parts)
+
+
+def _opic_oracle_ctes(n_iter: int = 5) -> str:
+    """Unrolled batch-synchronous OPIC — replays
+    operators/linkgraph.opic_scores integer-for-integer: per round,
+    every host spends all its cash (edge-weighted if linking,
+    uniformly if dangling) and banks the spend into history."""
+    scale = 1_000_000_000_000
+    parts = [
+        """ophe AS MATERIALIZED (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+)""",
+        "opp AS (SELECT src_host AS host FROM ophe UNION SELECT dst_host FROM ophe)",
+        "opn AS (SELECT COUNT(*) AS n FROM opp)",
+        "opo AS (SELECT src_host, CAST(SUM(weight) AS BIGINT) AS outw FROM ophe GROUP BY src_host)",
+        "ope AS (SELECT e.src_host, e.dst_host, e.weight, w.outw FROM ophe e JOIN opo w USING (src_host))",
+        f"opst0 AS (SELECT host, CAST({scale} // (SELECT n FROM opn) AS BIGINT) AS cash, CAST(0 AS BIGINT) AS hist FROM opp)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"opdang{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS d FROM opst{i} "
+            f"WHERE host NOT IN (SELECT src_host FROM opo))"
+        )
+        parts.append(f"""opst{i + 1} AS MATERIALIZED (
+  SELECT t.host,
+         CAST(COALESCE((SELECT CAST(SUM((s.cash * e.weight) // e.outw) AS BIGINT)
+                        FROM ope e JOIN opst{i} s ON e.src_host = s.host
+                        WHERE e.dst_host = t.host), 0)
+              + (SELECT d FROM opdang{i}) // (SELECT n FROM opn) AS BIGINT) AS cash,
+         CAST(t.hist + t.cash AS BIGINT) AS hist
+  FROM opst{i} t
+)""")
+    parts.append(
+        f"optot AS (SELECT CAST(SUM(cash + hist) AS BIGINT) AS tot FROM opst{n_iter})"
+    )
     return ",\n".join(parts)
 
 
@@ -4810,6 +4871,45 @@ FROM pr5 p LEFT JOIN trpr5 t USING (host)
 {link_base},
 {_bowtie_oracle_ctes(8)}
 SELECT host, cls FROM btcls
+""",
+        "opic_scores": f"""
+{link_base},
+{_opic_oracle_ctes(5)}
+SELECT host, cash, hist AS history,
+       CAST(((cash + hist) * CAST(1000000 AS BIGINT)) // (SELECT tot FROM optot) AS BIGINT) AS importance_ppm
+FROM opst5
+""",
+        "adamic_adar": f"""
+{link_base},
+aah AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(src_url, '^https?://([^/]+)', 1) AS a,
+                  regexp_extract(dst_url, '^https?://([^/]+)', 1) AS b
+  FROM link_edges
+),
+aaund AS MATERIALIZED (
+  SELECT a AS src_host, b AS dst_host FROM aah WHERE a <> b
+  UNION
+  SELECT b, a FROM aah WHERE a <> b
+),
+aadeg AS (SELECT src_host AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM aaund GROUP BY src_host),
+aaw AS (
+  SELECT z, CAST(1000000000000 AS BIGINT)
+            // CAST(round(ln(CAST(deg AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM aadeg WHERE deg >= 2 AND deg <= 1000
+),
+aazx AS (
+  SELECT u.src_host AS z, u.dst_host AS x, w.w_micro
+  FROM aaund u JOIN aaw w ON u.src_host = w.z
+)
+SELECT host_a, host_b, common, aa_micro FROM (
+  SELECT a.x AS host_a, b.x AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(a.w_micro) AS BIGINT) AS aa_micro
+  FROM aazx a JOIN aazx b ON a.z = b.z AND a.x < b.x
+  GROUP BY a.x, b.x HAVING COUNT(*) >= 2
+) p
+WHERE NOT EXISTS (SELECT 1 FROM aaund u
+                  WHERE u.src_host = p.host_a AND u.dst_host = p.host_b)
 """,
         "degree_distribution": f"""
 {link_base},

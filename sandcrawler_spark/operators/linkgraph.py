@@ -1269,3 +1269,182 @@ def degree_distribution(host_edges: DataFrame) -> DataFrame:
             "n_hosts",
         )
     )
+
+
+def opic_scores(host_edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the page-importance measure designed FOR
+    crawlers: unlike PageRank it needs no convergence phase, so a
+    frontier can rank hosts mid-crawl from whatever cash/history has
+    accumulated so far. This is the batch-synchronous variant: every
+    host starts with an equal share of the total cash; each round a
+    host spends ALL its cash — along its weighted out-edges if it has
+    any, uniformly to every host if it is dangling (the virtual-root
+    shortcut from §4 of the paper) — and banks what it spent into its
+    history. Importance after k rounds is (history + cash) over the
+    total, reported in ppm.
+
+    Integer discipline (same rationale as host_pagerank): cash is
+    carried in PR_SCALE fixed-point units with floor division, so the
+    crawl ordering induced by the scores is bit-identical across
+    engines and partitionings; the DuckDB oracle replays every round
+    verbatim. Floor residue leaks < outdeg * 1e-12 cash per host per
+    round — it only ever shrinks totals, never reorders ties.
+
+    Overflow headroom: cash <= PR_SCALE (1e12) total, history <=
+    n_iter * PR_SCALE; the final ppm multiply peaks ~ (n_iter+1) *
+    1e12 * 1e6 < 2^63. cash*weight is bounded exactly as in
+    host_pagerank (weights to ~5e5).
+
+    Per round: one equi-join of the host-cardinality cash table onto
+    the contracted edge list + one dst-sum + one scalar dangling agg —
+    the identical shuffle shape proven out by host_pagerank; the loop
+    is driver-bounded at n_iter.
+
+    Returns (host, cash, history, importance_ppm).
+
+    Reference analog: sandcrawler ranks recrawl candidates by static
+    priority lanes (pig/filter-cdx-paper-pdfs.pig); OPIC is the
+    adaptive importance signal a continuous crawl would blend in.
+    """
+    host_edges = host_edges.localCheckpoint(eager=True)
+    nodes = (
+        host_edges.select(F.col("src_host").alias("host"))
+        .unionByName(host_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_w = (
+        host_edges.groupBy("src_host")
+        .agg(F.sum("weight").alias("outw"))
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        host_edges.join(out_w, on="src_host")
+        .select("src_host", "dst_host", "weight", "outw")
+        .localCheckpoint(eager=True)
+    )
+    state = nodes.select(
+        "host",
+        F.lit(PR_SCALE // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        dangling = (
+            state.join(out_w, state["host"] == out_w["src_host"], "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+        dang_term = int(dangling) // n
+        inflow = (
+            e.join(state, e["src_host"] == state["host"], "inner")
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(cash * weight) div outw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        state = (
+            state.join(inflow, on="host", how="left")
+            .select(
+                "host",
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(dang_term))
+                .cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    total = state.agg(
+        F.sum(F.col("cash") + F.col("hist")).cast("long")
+    ).collect()[0][0]
+    return state.select(
+        "host",
+        "cash",
+        F.col("hist").alias("history"),
+        F.expr(
+            f"CAST(((cash + hist) * CAST(1000000 AS BIGINT)) div CAST({int(total)} AS BIGINT) AS BIGINT)"
+        ).alias("importance_ppm"),
+    )
+
+
+def adamic_adar(
+    host_edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected host graph
+    (Adamic & Adar, "Friends and neighbors on the Web", 2003): two
+    UNLINKED hosts sharing many low-degree neighbors are likely
+    related — the seed-expansion / related-site signal complementary
+    to host_coupling (shared out-targets) because it scores pairs the
+    graph does NOT yet connect, down-weighting promiscuous neighbors:
+
+      AA(a,b) = Σ_{z ∈ N(a) ∩ N(b)} 1 / ln(deg(z))
+
+    Integer discipline: each neighbor contributes
+    1e12 div round(1e6·ln(deg_z)) micro-units — ln is taken once per
+    neighbor host on an integer degree (identical input in both
+    engines, the lm.py micro-nat rounding), everything after is
+    integer. deg_z >= 2 for any shared neighbor, so the divisor is
+    never zero. Sum peaks at deg_cap * (1e12/693147) ~ 1.4e9 — no
+    overflow risk.
+
+    Scale shape: the wedge join through z fans out quadratically on a
+    celebrity neighbor (every host "shares" a CDN), and such neighbors
+    carry ~zero AA weight anyway (1/ln(deg) -> 0) — intermediates with
+    deg > max_degree are dropped before pairing, the same hot-key cap
+    as host_coupling / lsh_candidates. Existing edges are removed with
+    one anti-join on the normalized pair key.
+
+    Returns (host_a, host_b, common, aa_micro) for non-adjacent pairs
+    with >= min_common shared neighbors.
+    """
+    und = (
+        host_edges.select("src_host", "dst_host")
+        .unionByName(
+            host_edges.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+            )
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # und is symmetric: deg = out-neighbor count
+    deg = und.groupBy(F.col("src_host").alias("z")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # deg-1 hosts can never be a SHARED neighbor; drop them before the
+    # weight expr so ln(1)=0 never reaches the divisor
+    w = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_degree)).select(
+        "z",
+        F.expr(
+            "CAST(1000000000000 AS BIGINT) div "
+            "CAST(round(ln(CAST(deg AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    adj = und.select(F.col("src_host").alias("z_src"), F.col("dst_host"))
+    # wedges x1 - z - x2 through capped intermediates only
+    zx = (
+        und.select(F.col("src_host").alias("z"), F.col("dst_host").alias("x"))
+        .join(F.broadcast(w), "z")
+    )
+    a = zx.select("z", F.col("x").alias("host_a"), "w_micro")
+    b = zx.select("z", F.col("x").alias("host_b"))
+    pairs = (
+        a.join(b, "z")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+    existing = und.where(F.col("src_host") < F.col("dst_host")).select(
+        F.col("src_host").alias("host_a"), F.col("dst_host").alias("host_b")
+    )
+    return pairs.join(existing, ["host_a", "host_b"], "left_anti")

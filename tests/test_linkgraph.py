@@ -754,3 +754,67 @@ class TestPageRobots:
             "https://c.example.com/ugc": True,
             "https://a.example.com/fine": False,
         }
+
+
+class TestOpicScores:
+    def _hedges(self, spark, triples):
+        return spark.createDataFrame(triples, ["src_host", "dst_host", "weight"])
+
+    def test_cycle_is_uniform_and_cash_conserved(self, spark):
+        from sandcrawler_spark.operators.linkgraph import PR_SCALE, opic_scores
+
+        e = self._hedges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+        rows = {r.host: r for r in opic_scores(e, n_iter=4).collect()}
+        # symmetric cycle: identical cash/history/importance everywhere
+        assert len({(r.cash, r.history, r.importance_ppm) for r in rows.values()}) == 1
+        # all cash spent each round is banked: total(cash)+total(hist)
+        # == 5 * initial total (no floor loss on weight-1 out-degree-1)
+        init = (PR_SCALE // 3) * 3
+        assert sum(r.cash + r.history for r in rows.values()) == 5 * init
+
+    def test_star_center_dominates_and_dangling_recycles(self, spark):
+        from sandcrawler_spark.operators.linkgraph import opic_scores
+
+        # 3 spokes -> center; center is dangling (spends uniformly)
+        e = self._hedges(spark, [("s1", "hub", 1), ("s2", "hub", 1), ("s3", "hub", 1)])
+        rows = {r.host: r for r in opic_scores(e, n_iter=3).collect()}
+        assert rows["hub"].importance_ppm > rows["s1"].importance_ppm
+        # dangling redistribution keeps spokes alive (cash > 0)
+        assert rows["s1"].cash > 0
+        assert rows["s1"].importance_ppm == rows["s2"].importance_ppm
+
+
+class TestAdamicAdar:
+    def test_low_degree_neighbor_outweighs_hub_and_edges_excluded(self, spark):
+        from sandcrawler_spark.operators.linkgraph import adamic_adar
+
+        # a,b share private neighbor z (deg 2) and also hub h;
+        # c,d share ONLY the hub h (deg 4). No a-b or c-d edge exists.
+        edges = [
+            ("a", "z", 1), ("b", "z", 1),
+            ("a", "h", 1), ("b", "h", 1), ("c", "h", 1), ("d", "h", 1),
+        ]
+        df = spark.createDataFrame(edges, ["src_host", "dst_host", "weight"])
+        got = {(r.host_a, r.host_b): r for r in adamic_adar(df, min_common=1).collect()}
+        ab = got[("a", "b")]
+        cd = got[("c", "d")]
+        assert ab.common == 2 and cd.common == 1
+        # 1/ln(2) > 1/ln(4): the private neighbor contributes more
+        assert ab.aa_micro > 2 * cd.aa_micro
+        # pairs connected by an actual edge never appear
+        assert ("a", "z") not in got and ("a", "h") not in got
+
+    def test_existing_edge_anti_join(self, spark):
+        from sandcrawler_spark.operators.linkgraph import adamic_adar
+
+        # p and q share two neighbors AND link each other -> excluded
+        edges = [
+            ("p", "x", 1), ("q", "x", 1),
+            ("p", "y", 1), ("q", "y", 1),
+            ("p", "q", 1),
+        ]
+        df = spark.createDataFrame(edges, ["src_host", "dst_host", "weight"])
+        got = {(r.host_a, r.host_b) for r in adamic_adar(df, min_common=1).collect()}
+        assert ("p", "q") not in got
+        # x,y still predicted (share p and q, no x-y edge)
+        assert ("x", "y") in got
