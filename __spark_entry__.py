@@ -2266,6 +2266,30 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc char-level Shannon entropy (first 256 chars) — the
+    # binary/compressed-content detector run before extraction
+    from sandcrawler_spark.operators.diagnostics import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-lang generalized JS divergence between the even/odd crawl
+    # halves' token distributions, integer micro-nats
+    from sandcrawler_spark.operators.diagnostics import token_drift
+
+    return token_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf rank-frequency OLS fit (slope + r^2) over the top-1000
+    # vocabulary, integer milli-nat moments
+    from sandcrawler_spark.operators.diagnostics import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Common-Crawl-style snapshot delta: latest capture per URL before
     # vs after the split -> NEW/GONE/CHANGED/SAME
@@ -3029,7 +3053,7 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
     # round-4 session-7 additions — never driver-checked, sample first
-    "opic_scores", "adamic_adar",
+    "opic_scores", "adamic_adar", "char_entropy", "token_drift", "zipf_fit",
     # round-4 session-6 additions — never driver-checked, sample first
     "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
     "cdc_chunks", "seed_cover", "capture_recapture", "url_badwords",
@@ -3097,6 +3121,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "opic_scores": q_opic_scores,
         "adamic_adar": q_adamic_adar,
+        "char_entropy": q_char_entropy,
+        "token_drift": q_token_drift,
+        "zipf_fit": q_zipf_fit,
         "bowtie_classes": q_bowtie_classes,
         "seed_cover": q_seed_cover,
         "capture_recapture": q_capture_recapture,
@@ -4954,6 +4981,99 @@ SELECT grp, n_keys, n_docs,
             - swln // n_docs AS BIGINT) AS entropy_micronat,
        CAST(round(ln(CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT) AS ceiling_micronat
 FROM sda
+""",
+        "char_entropy": """
+WITH ceh AS (
+  SELECT doc_id, substring(text, 1, 256) AS h
+  FROM documents WHERE length(substring(text, 1, 256)) > 0
+),
+cec AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, CAST(length(h) AS BIGINT)),
+                i -> substring(h, CAST(i AS INT), 1))) AS ch
+  FROM ceh
+),
+cecnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt FROM cec GROUP BY doc_id, ch),
+ceagg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(cnt) AS BIGINT) AS n_chars,
+         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS swln
+  FROM cecnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(CAST(round(ln(CAST(a.n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+                     - a.swln // a.n_chars, 0) AS BIGINT) AS entropy_micronat,
+       CAST(COALESCE(CAST(round(ln(CAST(a.n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+                     - a.swln // a.n_chars, 0) AS BIGINT) >= 4500000 AS high_entropy
+FROM documents d LEFT JOIN ceagg a USING (doc_id)
+""",
+        "token_drift": """
+WITH tdc AS (
+  SELECT lang AS grp,
+         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tdcnt AS MATERIALIZED (
+  SELECT grp, side, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tdc GROUP BY grp, side, tok
+),
+tdpool AS (
+  SELECT grp,
+         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS pwln
+  FROM (SELECT grp, tok, CAST(SUM(cnt) AS BIGINT) AS cnt FROM tdcnt GROUP BY grp, tok)
+  GROUP BY grp
+),
+tdside AS (
+  SELECT grp, side, CAST(SUM(cnt) AS BIGINT) AS n_side,
+         CAST(SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS swln
+  FROM tdcnt GROUP BY grp, side
+),
+tdnh AS (
+  SELECT grp, n_side,
+         CAST(n_side * CAST(round(ln(CAST(n_side AS DOUBLE)) * 1000000) AS BIGINT) - swln AS BIGINT) AS nh
+  FROM tdside
+),
+tdagg AS (
+  SELECT grp, CAST(SUM(n_side) AS BIGINT) AS n_tokens, CAST(SUM(nh) AS BIGINT) AS sum_nh
+  FROM tdnh GROUP BY grp
+)
+SELECT a.grp, a.n_tokens,
+       CAST(CAST(round(ln(CAST(a.n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+            - p.pwln // a.n_tokens AS BIGINT) AS pooled_entropy_micronat,
+       CAST(a.sum_nh // a.n_tokens AS BIGINT) AS mean_side_entropy_micronat,
+       CAST((CAST(round(ln(CAST(a.n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+            - p.pwln // a.n_tokens) - a.sum_nh // a.n_tokens AS BIGINT) AS jsd_micronat
+FROM tdagg a JOIN tdpool p USING (grp)
+""",
+        "zipf_fit": """
+WITH zfc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok ORDER BY cnt DESC, tok LIMIT 1000
+),
+zfr AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank, cnt FROM zfc),
+zfxy AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+  FROM zfr
+),
+zfm AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM zfxy
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+       CAST((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+            // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT) AS r2_ppm
+FROM zfm
 """,
         "snapshot_diff": f"""
 WITH {_CAPTURES_CTE.strip()},

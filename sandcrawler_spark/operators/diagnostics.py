@@ -23,7 +23,7 @@ DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sandcrawler_spark.functions.textstats import tokens_col
@@ -245,4 +245,248 @@ def shannon_diversity(
                 "CAST(round(ln(CAST(n_keys AS DOUBLE)) * 1000000) AS BIGINT)"
             ).alias("ceiling_micronat"),
         )
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 256,
+    high_micronat: int = 4_500_000,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy over the first
+    `cap` characters — the classic cheap binary/compressed-content
+    detector a fetch pipeline runs before handing bytes to an
+    extractor (reference analog: sandcrawler gates on mimetype, but
+    mislabeled gzip/PDF bodies still reach the HTML path; entropy
+    catches them content-wise). Natural text plateaus ~4.2 nats;
+    compressed/random streams approach ln(alphabet) and land above
+    `high_micronat` -> flagged `high_entropy`.
+
+    Same plug-in MLE + integer micro-nat discipline as
+    shannon_diversity: H = ln(L) - (Σ_c cnt_c·round(1e6·ln cnt_c))/L,
+    one ln per (doc, char) count row, floor division after — exact
+    across engines and partitionings.
+
+    Scale shape: the explode is HARD-CAPPED at `cap` chars/doc (a
+    bounded 256x row blowup, not O(doc length)); one (doc, char)
+    count shuffle with map-side partials + one doc-keyed aggregate.
+    Empty docs are reported with entropy 0, not dropped.
+    """
+    head = F.substring(F.col(text_col), 1, cap)
+    chars = (
+        docs.select(F.col(id_col).alias("doc_id"), head.alias("_h"))
+        .where(F.length("_h") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(_h)), i -> substring(_h, i, 1))")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ent = (
+        chars.select(
+            "doc_id",
+            "cnt",
+            (F.col("cnt") * F.round(F.log(F.col("cnt").cast("double")) * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("_wln"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum("cnt").cast("long").alias("n_chars"),
+            F.sum("_wln").cast("long").alias("_swln"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct",
+            F.expr(
+                "CAST(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)"
+                " - _swln div n_chars AS BIGINT)"
+            ).alias("entropy_micronat"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("entropy_micronat", F.lit(0)).cast("long").alias("entropy_micronat"),
+        )
+        .withColumn("high_entropy", F.col("entropy_micronat") >= F.lit(high_micronat))
+    )
+
+
+def token_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Token-distribution drift between two crawl halves per stratum —
+    the generalized Jensen–Shannon divergence with sample-size weights
+    (equivalently: the mutual information I(token; side) between a
+    token draw and which half it came from), in integer micro-nats.
+    A template-stable stratum drifts ~0; a stratum whose vocabulary
+    turned over between snapshots scores high — the dataset-drift
+    number a continuous-crawl corpus card reports next to
+    source_diversity.
+
+      JSD_π = H(pooled) - (N_a·H(a) + N_b·H(b)) / N
+
+    with every entropy the same plug-in micro-nat form as
+    shannon_diversity (count·round(1e6·ln count) sums, floor div) —
+    all-integer after the per-count ln rounding, engine-exact.
+    Sides: doc_id parity (even = side a, odd = side b), the
+    deterministic stand-in for consecutive snapshot halves.
+
+    Scale shape: one (group, side, token) count shuffle with map-side
+    partials, then group-level sums; no window, no all-pairs. Output
+    is group-cardinality.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.when((F.col(id_col) % 2) == 0, F.lit("a")).otherwise(F.lit("b")).alias("side"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("grp", "side", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wln = lambda c: (  # noqa: E731
+        F.col(c) * F.round(F.log(F.col(c).cast("double")) * 1_000_000).cast("long")
+    ).cast("long")
+    # per (grp, tok): pooled count across sides; per (grp, side): totals
+    pooled = (
+        counts.groupBy("grp", "tok")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("grp", wln("cnt").alias("_wln"), "cnt")
+        .groupBy("grp")
+        .agg(F.sum("_wln").cast("long").alias("_pwln"))
+    )
+    sides = (
+        counts.select("grp", "side", "cnt", wln("cnt").alias("_wln"))
+        .groupBy("grp", "side")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_side"),
+            F.sum("_wln").cast("long").alias("_swln"),
+        )
+    )
+    lnm = lambda c: F.expr(  # noqa: E731
+        f"CAST(round(ln(CAST({c} AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    # H_side in micro-nats, then the weighted average via exact
+    # integer sums: Σ_side (n_side · H_side) = Σ n·ln n - Σ Σ wln
+    per_side = sides.select(
+        "grp",
+        "n_side",
+        (F.col("n_side") * lnm("n_side") - F.col("_swln")).cast("long").alias("_nh"),
+    )
+    agg = (
+        per_side.groupBy("grp")
+        .agg(
+            F.sum("n_side").cast("long").alias("n_tokens"),
+            F.sum("_nh").cast("long").alias("_sum_nh"),
+        )
+        .join(pooled, "grp")
+    )
+    return agg.select(
+        "grp",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - _pwln div n_tokens AS BIGINT)"
+        ).alias("pooled_entropy_micronat"),
+        F.expr("CAST(_sum_nh div n_tokens AS BIGINT)").alias("mean_side_entropy_micronat"),
+        F.expr(
+            "CAST((CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - _pwln div n_tokens) - _sum_nh div n_tokens AS BIGINT)"
+        ).alias("jsd_micronat"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf rank–frequency fit over the corpus vocabulary: OLS slope
+    of ln(freq) on ln(rank) for the top_k tokens, the one-number
+    language-health diagnostic (natural text slopes ~ -1; template
+    farms and boilerplate-heavy crawls flatten the head and steepen
+    the tail — Zipf deviation is a standard crawl-corpus QA check
+    alongside degree_distribution's power-law test).
+
+    Integer discipline: x = round(1000·ln rank), y = round(1000·ln
+    freq) (milli-nats — chosen so every OLS moment, including the r²
+    numerator num², stays within DECIMAL(38,0)); then
+
+      slope_milli = (1000·(nΣxy − ΣxΣy)) div (nΣxx − (Σx)²)
+      r2_ppm      = (1e6·num²) div (den_x · den_y)
+
+    floor-divided on DECIMAL(38,0) intermediates, quotients small
+    enough for the BIGINT `div` result. Engine-exact (DuckDB replays
+    with HUGEINT).
+
+    Scale shape: one token-count shuffle with map-side partials, then
+    TakeOrdered(top_k) — no global sort, no window over the full
+    vocabulary; ranks are assigned on the k-row survivor set. Output
+    is a single row.
+    """
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("tok")))
+        .cast("long")
+        .alias("rank"),
+        "cnt",
+    ).select(
+        F.expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT)").alias("y"),
+    )
+    moms = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: f"CAST({c} AS DECIMAL(38,0))"  # noqa: E731
+    return moms.select(
+        "n",
+        F.expr(
+            f"CAST((1000 * ({d('n')} * {d('sxy')} - {d('sx')} * {d('sy')}))"
+            f" div ({d('n')} * {d('sxx')} - {d('sx')} * {d('sx')}) AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            f"CAST((1000000 * ({d('n')} * {d('sxy')} - {d('sx')} * {d('sy')})"
+            f" * ({d('n')} * {d('sxy')} - {d('sx')} * {d('sy')}))"
+            f" div (({d('n')} * {d('sxx')} - {d('sx')} * {d('sx')})"
+            f" * ({d('n')} * {d('syy')} - {d('sy')} * {d('sy')})) AS BIGINT)"
+        ).alias("r2_ppm"),
     )

@@ -74,6 +74,8 @@ AUDIT = [
     # distributed phase feeds a driver-assembled d-row result)
     "snapshot_diff", "novelty_curve", "source_diversity",
     "degree_distribution",
+    # r4 session-7
+    "opic_scores", "adamic_adar", "char_entropy", "token_drift", "zipf_fit",
 ]
 
 
