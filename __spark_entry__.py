@@ -3046,6 +3046,37 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C6/F7 companion: magic-byte content sniffing vs the declared CDX
+    # mimetype — the declared-vs-actual mismatch report a crawl QA run
+    # starts with. Pure Catalyst (hex + regexp + when-chain), zero
+    # Python; reference ground truth: gen_file_metadata's libmagic
+    # sniff (/root/reference/python/sandcrawler/misc.py:50-81).
+    from sandcrawler_spark.functions.mime import normalize_mime_col, sniff_mime_col
+
+    c = _corpus(spark)
+    declared = (
+        c["cdx"]
+        .filter((F.col("status_code") == 200) & (F.col("mimetype") != "warc/revisit"))
+        .select("url", "mimetype")
+        .distinct()
+    )
+    j = declared.join(c["pages"].select("url", "html"), "url")
+    return (
+        j.select(
+            normalize_mime_col(F.col("mimetype")).alias("declared"),
+            sniff_mime_col(F.col("html")).alias("sniffed"),
+        )
+        .groupBy("declared", "sniffed")
+        .agg(
+            F.count("*").alias("n_caps"),
+            F.sum(
+                (F.coalesce(F.col("declared"), F.lit("?")) != F.col("sniffed")).cast("long")
+            ).alias("n_mismatch"),
+        )
+    )
+
+
 # Queries whose driver correctness row is oldest (or missing): listed
 # FIRST so a driver that samples a prefix of queries() re-checks the
 # entries with the stalest receipts. Never-driver-checked first, then
@@ -3053,6 +3084,7 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
 _STALE_FIRST = [
     # round-4 session-7 additions — never driver-checked, sample first
+    "mime_sniff",
     "opic_scores", "adamic_adar", "char_entropy", "token_drift", "zipf_fit",
     # round-4 session-6 additions — never driver-checked, sample first
     "spam_mass", "bowtie_classes", "readability", "tfidf_keywords",
@@ -3237,6 +3269,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_resolution": q_revisit_resolution,
         "recrawl_rates": q_recrawl_rates,
         "shard_assign": q_shard_assign,
+        "mime_sniff": q_mime_sniff,
         "incremental_pagerank": q_incremental_pagerank,
         "adaptive_delay": q_adaptive_delay,
         "hyperball_centrality": q_hyperball_centrality,
@@ -3624,6 +3657,35 @@ c_pages AS (SELECT * FROM read_parquet('{cd}/pages.parquet')),
 c_cdx AS (SELECT * FROM read_parquet('{cd}/cdx.parquet')),
 c_req AS (SELECT * FROM read_parquet('{cd}/ingest_request.parquet'))
 """.strip()
+
+
+def _mime_sniff_oracle() -> str:
+    """Declared-vs-sniffed mime report: both CASE chains are generated
+    from the same tables sniff_mime_col/normalize_mime_col compile
+    their when-chains from (functions/mime.py), over the same persisted
+    corpus parquet. The sniff window is 32 bytes = 64 hex chars."""
+    from sandcrawler_spark.functions.mime import (
+        normalize_mime_oracle_case,
+        sniff_mime_oracle_case,
+    )
+
+    sniff = sniff_mime_oracle_case("substring(upper(hex(p.html)), 1, 64)")
+    norm = normalize_mime_oracle_case("d.mimetype")
+    return f"""
+WITH {_corpus_oracle_tables()},
+d AS (
+  SELECT DISTINCT url, mimetype FROM c_cdx
+  WHERE status_code = 200 AND mimetype <> 'warc/revisit'
+),
+j AS (
+  SELECT {norm} AS declared,
+         {sniff} AS sniffed
+  FROM d JOIN c_pages p USING (url)
+)
+SELECT declared, sniffed, CAST(COUNT(*) AS BIGINT) AS n_caps,
+       CAST(SUM(CASE WHEN COALESCE(declared, '?') <> sniffed THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM j GROUP BY declared, sniffed
+"""
 
 
 def _fetch_statuses_oracle(max_hops: int = 4) -> str:
@@ -6821,6 +6883,7 @@ SELECT host, shard FROM (
   FROM w
 ) WHERE rn = 1
 """,
+        "mime_sniff": _mime_sniff_oracle(),
     }
 
 

@@ -87,6 +87,38 @@ def test_sniff_mimetype_classes():
     assert sniff_mimetype_py(b"PK\x03\x04zipzip") == "application/zip"
 
 
+def test_sniff_mime_col(spark):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.mime import sniff_mime_col
+
+    cases = [
+        (b"%PDF-1.7 ...", "application/pdf"),
+        (b"\x1f\x8b\x08rest", "application/gzip"),
+        (b"<!DOCTYPE html><html>", "text/html"),
+        (b"  \n\t<html><body>x", "text/html"),  # ws tolerance
+        (b"\xef\xbb\xbf<?xml version='1.0'?>", "text/xml"),  # BOM strip
+        (b"<HTML><HEAD>", "text/html"),
+        (b"plain old text", "text/plain"),
+        (b"   \n  ", "text/plain"),  # all-whitespace
+        (b"\x00\x01\x02\xff", "application/octet-stream"),
+        (b"\x89PNG\r\n\x1a\n", "image/png"),
+        (b"\xff\xd8\xff\xe0jfif", "image/jpeg"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"", "application/x-empty"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, (b, _) in enumerate(cases)], "i int, body binary"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", sniff_mime_col(F.col("body")).alias("m")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
 def test_clean_url():
     # reference misc.py:33-36 behaviors: strip bare colon port, scheme default
     assert clean_url_py("http://BLAH.COM/file.pdf") == "http://blah.com/file.pdf"
