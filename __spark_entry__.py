@@ -3082,7 +3082,100 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries with the stalest receipts. Never-driver-checked first, then
 # the 20 last sampled in round 2; everything below them was green in
 # round 3. (tools/check_oracle.py always sweeps all 75 regardless.)
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SALSA hub/authority via the closed form: bipartite connected
+    # components (large-star/small-star) + in/out-degree shares —
+    # degree-normalized counterpart to host_hits' power iteration
+    from sandcrawler_spark.operators.linkgraph import host_graph, salsa_scores
+
+    return salsa_scores(host_graph(_outlink_edges(spark, sf_dir)))
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-row Newman degree-assortativity receipt for the host graph
+    # (exact integer moments; denominator is sqrt-free on the
+    # symmetrized end list)
+    from sandcrawler_spark.operators.linkgraph import degree_assortativity, host_graph
+
+    return degree_assortativity(host_graph(_outlink_edges(spark, sf_dir)))
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucketed range join: events into overlapping per-host windows
+    # (deterministic pseudo-jittered offsets, NOT bucket-aligned) via
+    # day-bucket expansion + residual predicate — no BNLJ/cartesian
+    from sandcrawler_spark.operators.intervals import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.min("ts").alias("m")).select(
+        F.unix_timestamp(F.date_trunc("day", F.col("m"))).alias("a0")
+    )
+    points = e.select(
+        F.concat(
+            F.lit("site"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    w = (
+        spark.range(0, 200)
+        .select(F.expr("id div 4").alias("s"), F.expr("id % 4").alias("k"))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.concat(
+                F.lit("site"), F.col("s").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.expr("CAST(s * 4 + k AS BIGINT)").alias("w_id"),
+            F.expr("a0 + ((s * 7919 + k * 104729) % 672) * 3600").alias("start_sec"),
+            F.expr(
+                "a0 + ((s * 7919 + k * 104729) % 672) * 3600"
+                " + (6 + ((s * 31 + k * 17) % 42)) * 3600"
+            ).alias("end_sec"),
+        )
+    )
+    j = interval_join(points, w, key="host", bucket_seconds=86400)
+    return j.groupBy("host", "w_id", "start_sec", "end_sec").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov transition matrix of per-user event streams
+    # (lag window + pair counts, ppm row-normalized)
+    from sandcrawler_spark.operators.eventseq import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host hourly traffic anomalies: median + 3*MAD robust flag,
+    # integer-exact via 2x/8x scaling (exact percentile, never approx)
+    from sandcrawler_spark.operators.eventseq import hourly_rate_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("site"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+    )
+    return hourly_rate_anomalies(e, host, k_mad=3)
+
+
+def q_soft_dedupe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SoftDeDup: keep near-duplicates but down-weight by cluster size
+    # (1e6 div |cluster| ppm) — same LSH->verify->CC chain as
+    # neardup_dedupe plus one cluster-size agg
+    from sandcrawler_spark.operators.dedupe import soft_dedupe_weights
+
+    docs = _aug_docs(spark, sf_dir)
+    return soft_dedupe_weights(docs, n_shingle=3, k=8, bands=4, threshold=0.5)
+
+
 _STALE_FIRST = [
+    # round-4 session-8 additions — never driver-checked, sample first
+    "salsa_scores", "degree_assortativity", "interval_join",
+    "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
     "mime_sniff",
     "opic_scores", "adamic_adar", "char_entropy", "token_drift", "zipf_fit",
@@ -3164,6 +3257,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "source_diversity": q_source_diversity,
         "degree_distribution": q_degree_distribution,
+        "salsa_scores": q_salsa_scores,
+        "degree_assortativity": q_degree_assortativity,
+        "interval_join": q_interval_join,
+        "event_transitions": q_event_transitions,
+        "rate_anomalies": q_rate_anomalies,
+        "soft_dedupe_weights": q_soft_dedupe_weights,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5021,6 +5120,166 @@ SELECT direction, bin,
        CAST(COUNT(*) AS BIGINT) AS n_hosts
 FROM ddd GROUP BY direction, bin
 """,
+        # SALSA closed form replayed relationally: bipartite H:/A:
+        # node namespaces, min-label components via recursive reach
+        # (same pattern as the neardup CC twin), degree shares with
+        # HUGEINT products before the truncating ppm division
+        "salsa_scores": link_base.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+sse AS MATERIALIZED (
+  SELECT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+sbe AS (SELECT 'H:' || src_host AS s, 'A:' || dst_host AS t FROM sse),
+sedges AS MATERIALIZED (SELECT s, t FROM sbe UNION SELECT t, s FROM sbe),
+sreach AS (
+  SELECT s, t FROM sedges
+  UNION
+  SELECT r.s, e.t FROM sreach r JOIN sedges e ON r.t = e.s
+),
+snodes AS (SELECT DISTINCT s FROM sedges),
+slab AS MATERIALIZED (
+  SELECT n.s AS id, least(n.s, coalesce(min(r.t), n.s)) AS label
+  FROM snodes n LEFT JOIN sreach r ON r.s = n.s GROUP BY n.s
+),
+sdout AS (SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS d_out FROM sse GROUP BY src_host),
+sdin  AS (SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS d_in  FROM sse GROUP BY dst_host),
+shin AS (SELECT d.host, d.d_out, l.label FROM sdout d JOIN slab l ON l.id = 'H:' || d.host),
+sain AS (SELECT d.host, d.d_in,  l.label FROM sdin  d JOIN slab l ON l.id = 'A:' || d.host),
+shcomp AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_comp, CAST(SUM(d_out) AS BIGINT) AS d_comp FROM shin GROUP BY label),
+sacomp AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_comp, CAST(SUM(d_in)  AS BIGINT) AS d_comp FROM sain GROUP BY label),
+snh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_side FROM shin),
+sna AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_side FROM sain),
+shub AS (
+  SELECT h.host, h.d_out,
+         CAST((CAST(c.n_comp AS HUGEINT) * h.d_out * 1000000)
+              // (CAST(n.n_side AS HUGEINT) * c.d_comp) AS BIGINT) AS hub_ppm
+  FROM shin h JOIN shcomp c USING (label), snh n
+),
+sauth AS (
+  SELECT a.host, a.d_in,
+         CAST((CAST(c.n_comp AS HUGEINT) * a.d_in * 1000000)
+              // (CAST(n.n_side AS HUGEINT) * c.d_comp) AS BIGINT) AS authority_ppm
+  FROM sain a JOIN sacomp c USING (label), sna n
+)
+SELECT COALESCE(h.host, a.host) AS host,
+       CAST(COALESCE(h.d_out, 0) AS BIGINT) AS d_out,
+       CAST(COALESCE(a.d_in, 0) AS BIGINT) AS d_in,
+       CAST(COALESCE(h.hub_ppm, 0) AS BIGINT) AS hub_ppm,
+       CAST(COALESCE(a.authority_ppm, 0) AS BIGINT) AS authority_ppm
+FROM shub h FULL OUTER JOIN sauth a ON h.host = a.host
+""",
+        "degree_assortativity": f"""
+{link_base},
+dau AS MATERIALIZED (
+  SELECT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY 1, 2
+),
+dadeg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS host FROM dau UNION ALL SELECT b FROM dau)
+  GROUP BY host
+),
+daends AS (
+  SELECT da.deg AS j, db.deg AS k
+  FROM dau u JOIN dadeg da ON u.a = da.host JOIN dadeg db ON u.b = db.host
+),
+dasym AS (SELECT j, k FROM daends UNION ALL SELECT k AS j, j AS k FROM daends),
+daagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_ends,
+         CAST(SUM(j) AS BIGINT) AS sum_deg,
+         CAST(SUM(j * k) AS BIGINT) AS sum_prod,
+         CAST(SUM(j * j) AS BIGINT) AS sum_sq
+  FROM dasym
+)
+SELECT m_ends, sum_deg, sum_prod, sum_sq,
+  CAST(CASE
+    WHEN (CAST(m_ends AS HUGEINT) * sum_sq - CAST(sum_deg AS HUGEINT) * sum_deg) = 0 THEN 0
+    WHEN (CAST(m_ends AS HUGEINT) * sum_prod - CAST(sum_deg AS HUGEINT) * sum_deg) < 0
+    THEN -(( -(CAST(m_ends AS HUGEINT) * sum_prod - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000)
+           // (CAST(m_ends AS HUGEINT) * sum_sq - CAST(sum_deg AS HUGEINT) * sum_deg))
+    ELSE ((CAST(m_ends AS HUGEINT) * sum_prod - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000)
+         // (CAST(m_ends AS HUGEINT) * sum_sq - CAST(sum_deg AS HUGEINT) * sum_deg)
+  END AS BIGINT) AS r_micro
+FROM daagg
+""",
+        # plain range-predicate join — the relational ground truth the
+        # bucketed Spark plan must reproduce pair-for-pair
+        "interval_join": """
+WITH ija AS (
+  SELECT CAST(floor(epoch(date_trunc('day', min(ts)))) AS BIGINT) AS a0 FROM events
+),
+ijw AS (
+  SELECT s, k,
+         'site' || CAST(s AS VARCHAR) || '.example.com' AS host,
+         a0 + ((s * 7919 + k * 104729) % 672) * 3600 AS start_sec,
+         a0 + ((s * 7919 + k * 104729) % 672) * 3600
+            + (6 + ((s * 31 + k * 17) % 42)) * 3600 AS end_sec
+  FROM ija, (SELECT unnest(range(0, 50)) AS s), (SELECT unnest(range(0, 4)) AS k)
+),
+ijp AS (
+  SELECT event_id,
+         'site' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT w.host, CAST(w.s * 4 + w.k AS BIGINT) AS w_id,
+       CAST(w.start_sec AS BIGINT) AS start_sec,
+       CAST(w.end_sec AS BIGINT) AS end_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(p.value_cents) AS BIGINT) AS value_cents,
+       CAST(MIN(p.event_id) AS BIGINT) AS first_event
+FROM ijp p JOIN ijw w
+  ON p.host = w.host AND p.ts_sec >= w.start_sec AND p.ts_sec < w.end_sec
+GROUP BY w.host, w.s, w.k, w.start_sec, w.end_sec
+""",
+        "event_transitions": """
+WITH etp AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+etc AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM etp WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+),
+ett AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM etc GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST((c.n * CAST(1000000 AS HUGEINT)) // t.tot AS BIGINT) AS p_ppm
+FROM etc c JOIN ett t USING (prev_type)
+""",
+        # median/MAD in 2x/8x integer units: quantile_cont of integer
+        # counts is integer or half-integer, so both scaled medians
+        # are exactly representable and the flag compares pure int64
+        "rate_anomalies": """
+WITH rah AS (
+  SELECT 'site' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+         date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ram AS (
+  SELECT host, CAST(round(2 * quantile_cont(cnt, 0.5)) AS BIGINT) AS med2
+  FROM rah GROUP BY host
+),
+rad AS (
+  SELECT h.host, h.hour, h.cnt, m.med2,
+         abs(4 * h.cnt - 2 * m.med2) AS dev4
+  FROM rah h JOIN ram m USING (host)
+),
+raa AS (
+  SELECT host, CAST(round(2 * quantile_cont(dev4, 0.5)) AS BIGINT) AS mad8
+  FROM rad GROUP BY host
+)
+SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
+       (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
+FROM rad d JOIN raa a USING (host)
+""",
         "seed_cover": f"""
 {link_base},
 {sc_ctes}
@@ -6500,6 +6759,35 @@ SELECT d.doc_id,
        d.doc_id = least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS is_rep
 FROM aug_docs d LEFT JOIN reach r ON r.s = d.doc_id
 GROUP BY d.doc_id
+""",
+        # the neardup CC twin plus one cluster-size agg: SoftDeDup
+        # sampling weights = 1e6 div |cluster| ppm, singletons 1e6
+        "soft_dedupe_weights": f"""
+WITH RECURSIVE {_LSH_CTES},
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs
+),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+sdw_labels AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS rep_id
+  FROM aug_docs d LEFT JOIN reach r ON r.s = d.doc_id
+  GROUP BY d.doc_id
+),
+sdw_sizes AS (
+  SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM sdw_labels GROUP BY rep_id
+)
+SELECT l.doc_id, l.rep_id, s.cluster_size,
+       CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+FROM sdw_labels l JOIN sdw_sizes s USING (rep_id)
 """,
         "minhash_lsh": f"""
 WITH {_LSH_CTES}

@@ -643,3 +643,40 @@ def span_dedupe(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
         )
     )
+
+
+def soft_dedupe_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, keep
+    every document and emit a training-sampling weight inversely
+    proportional to its duplicate-cluster size (weight_ppm =
+    1e6 div |cluster|), so a cluster contributes ~one document's worth
+    of expected mass. This is the down-weighting alternative the data-
+    pruning literature keeps landing on (e.g. soft dedup in
+    DataComp-LM-style pipelines): hard dropping loses the distributional
+    signal that popular pages ARE popular; weighting keeps it bounded.
+
+    Reuses the full neardup pipeline (LSH candidates -> jaccard verify
+    -> O(log d) connected components), adds one cluster-size groupBy
+    (rank-free, map-side combined) and a join back on rep_id — the
+    cluster-id table is one row per doc but the size table is one row
+    per *cluster*, broadcast-able whenever clusters <~10^8. Singleton
+    docs get exactly 1_000_000.
+    """
+    labels = neardup_dedupe(df, id_col, text_col, n_shingle, k, bands, threshold)
+    sizes = labels.groupBy("rep_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "rep_id").select(
+        F.col(id_col),
+        "rep_id",
+        "cluster_size",
+        F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias("weight_ppm"),
+    )

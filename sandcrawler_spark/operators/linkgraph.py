@@ -1448,3 +1448,158 @@ def adamic_adar(
         F.col("src_host").alias("host_a"), F.col("dst_host").alias("host_b")
     )
     return pairs.join(existing, ["host_a", "host_b"], "left_anti")
+
+
+def salsa_scores(host_edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW'00) hub/authority scores on the
+    unweighted host-graph support, via the closed form instead of
+    power iteration.
+
+    SALSA replaces HITS's mutual reinforcement with two independent
+    random walks on the bipartite hub/authority graph, each step
+    normalized by degree. Its known closed form (the reason Twitter's
+    WTF system could run it at scale): the stationary authority
+    weight of node j is
+
+        a(j) = (|C_j ∩ A| / |A|) * (d_in(j) / D_{C_j})
+
+    where A is the set of authority-side nodes, C_j the connected
+    component of j in the bipartite support graph, and D_C the total
+    in-degree inside C — i.e. *within* a component authority mass is
+    proportional to in-degree, and components split mass by their
+    authority-node share. Hubs are symmetric with out-degree.
+
+    So the whole computation is: one distinct-edge projection, one
+    connected-components run on the bipartite graph ("H:src"/"A:dst"
+    node namespaces — the same large-star/small-star O(log d)
+    machinery the dedupe CC uses, operators/dedupe.py), two degree
+    aggs, two per-component sums, and exact integer ppm division
+    (decimal(38) products so |C| * d_in * 1e6 cannot overflow before
+    the div). No per-iteration normalization, no float anywhere —
+    unlike host_hits, whose power iteration needs driver-collected
+    scale factors per half-step.
+
+    Returns (host, d_out, d_in, hub_ppm, authority_ppm); hosts on one
+    side only get 0 on the other. Rankings equal exact SALSA; the ppm
+    floor-division is the only quantization.
+    """
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    e = (
+        host_edges.select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bip = e.select(
+        F.concat(F.lit("H:"), "src_host").alias("id_a"),
+        F.concat(F.lit("A:"), "dst_host").alias("id_b"),
+    )
+    labels = connected_components(bip, max_iter=max_iter).localCheckpoint(eager=True)
+
+    def _side(deg_on: str, prefix: str, deg_name: str, ppm_name: str) -> DataFrame:
+        deg = e.groupBy(F.col(deg_on).alias("host")).agg(
+            F.count("*").cast("long").alias(deg_name)
+        )
+        lab = labels.filter(F.col("id").startswith(prefix)).select(
+            F.expr("substring(id, 3)").alias("host"), "label"
+        )
+        d = deg.join(lab, "host")
+        n_side = d.count()
+        comp = d.groupBy("label").agg(
+            F.count("*").cast("long").alias("_n_comp"),
+            F.sum(deg_name).cast("long").alias("_d_comp"),
+        )
+        return (
+            d.join(comp, "label")
+            .select(
+                "host",
+                F.col(deg_name),
+                F.expr(
+                    f"CAST(CAST(_n_comp AS DECIMAL(38,0)) * {deg_name} * 1000000 "
+                    f"div (CAST({n_side} AS DECIMAL(38,0)) * _d_comp) AS BIGINT)"
+                ).alias(ppm_name),
+            )
+        )
+
+    hubs = _side("src_host", "H:", "d_out", "hub_ppm")
+    auths = _side("dst_host", "A:", "d_in", "authority_ppm")
+    return (
+        hubs.join(auths, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("d_out", F.lit(0)).cast("long").alias("d_out"),
+            F.coalesce("d_in", F.lit(0)).cast("long").alias("d_in"),
+            F.coalesce("hub_ppm", F.lit(0)).cast("long").alias("hub_ppm"),
+            F.coalesce("authority_ppm", F.lit(0)).cast("long").alias("authority_ppm"),
+        )
+    )
+
+
+def degree_assortativity(host_edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected host-graph support
+    (Newman, PRL'02): the Pearson correlation of the degrees at the
+    two ends of every edge. The web is famously *disassortative*
+    (hubs link to leaves), and a crawl frontier whose sampled
+    subgraph flips that sign is a biased-frontier smell — this is the
+    one-row QA receipt next to degree_distribution's histogram.
+
+    Exact-integer trick: on the symmetrized edge-end list both
+    marginals are identical, so Pearson's denominator
+    sqrt(var_x)*sqrt(var_y) collapses to plain var — no square root,
+    and r = (m*Sjk - Sj^2) / (m*Sj2 - Sj^2) is a ratio of exact
+    int64-derived decimal(38) products. The ppm result uses
+    sign-split truncating division (both engines truncate toward
+    zero; splitting the sign makes that explicit).
+
+    One distinct-edge shuffle, one degree agg (broadcast-joined
+    back), one scalar agg: nothing here accumulates per-key state, so
+    a celebrity host costs only its degree row. Returns a single row
+    (m_ends, sum_deg, sum_prod, sum_sq, r_micro); r_micro = 0 for
+    degenerate (regular or empty) graphs.
+    """
+    und = (
+        host_edges.select(
+            F.least("src_host", "dst_host").alias("a"),
+            F.greatest("src_host", "dst_host").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("host"))
+        .unionByName(und.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ends = (
+        und.join(F.broadcast(deg.withColumnRenamed("host", "a").withColumnRenamed("deg", "j")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("host", "b").withColumnRenamed("deg", "k")), "b")
+        .select("j", "k")
+    )
+    sym = ends.unionByName(ends.select(F.col("k").alias("j"), F.col("j").alias("k")))
+    agg = sym.agg(
+        F.count("*").cast("long").alias("m_ends"),
+        F.sum("j").cast("long").alias("sum_deg"),
+        F.sum(F.expr("j * k")).cast("long").alias("sum_prod"),
+        F.sum(F.expr("j * j")).cast("long").alias("sum_sq"),
+    )
+    num = (
+        "CAST(m_ends AS DECIMAL(38,0)) * sum_prod "
+        "- CAST(sum_deg AS DECIMAL(38,0)) * sum_deg"
+    )
+    den = (
+        "CAST(m_ends AS DECIMAL(38,0)) * sum_sq "
+        "- CAST(sum_deg AS DECIMAL(38,0)) * sum_deg"
+    )
+    return agg.select(
+        "m_ends",
+        "sum_deg",
+        "sum_prod",
+        "sum_sq",
+        F.expr(
+            f"CAST(CASE WHEN ({den}) = 0 THEN 0 "
+            f"WHEN ({num}) < 0 THEN -((-({num}) * 1000000) div ({den})) "
+            f"ELSE (({num}) * 1000000) div ({den}) END AS BIGINT)"
+        ).alias("r_micro"),
+    )

@@ -1,0 +1,181 @@
+"""Round-4 session-8 operators: SALSA closed-form hub/authority,
+degree assortativity, bucketed interval join, Markov event
+transitions, median+MAD rate anomalies, and SoftDeDup weights."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salsa_closed_form_star_graph(spark):
+    # star: h1,h2,h3 all -> hub.example; hub.example -> h1.
+    # Bipartite support is one connected component.
+    from sandcrawler_spark.operators.linkgraph import salsa_scores
+
+    edges = spark.createDataFrame(
+        [("h1", "hub"), ("h2", "hub"), ("h3", "hub"), ("hub", "h1")],
+        ["src_host", "dst_host"],
+    )
+    got = {r.host: r for r in salsa_scores(edges).collect()}
+    # bipartite support: H:hub and A:hub are DIFFERENT nodes, so there
+    # are two components: {H:h1,H:h2,H:h3,A:hub} and {H:hub,A:h1}.
+    # Authorities: comp1 {hub} n=1 D=3, comp2 {h1} n=1 D=1, |A|=2 ->
+    # a(hub) = (1/2)*(3/3) = 500000 ppm = a(h1)
+    assert got["hub"].authority_ppm == 500_000
+    assert got["h1"].authority_ppm == 500_000
+    # hub side: {h1,h2,h3,hub} each d_out per edge count; D=4, |H|=4,
+    # one component -> hub_ppm = d_out/4: h1..h3 = 250000, hub = 250000
+    for h in ("h1", "h2", "h3", "hub"):
+        assert got[h].hub_ppm == 250_000
+    # mass conservation: each side's ppm sums to ~1e6 (floor-div slack)
+    assert 1_000_000 - 4 <= sum(r.hub_ppm for r in got.values()) <= 1_000_000
+    assert 1_000_000 - 4 <= sum(r.authority_ppm for r in got.values()) <= 1_000_000
+
+
+def test_salsa_components_split_mass(spark):
+    # two disconnected bipartite components; the 2-authority component
+    # gets 2/3 of authority mass regardless of in-degree imbalance
+    from sandcrawler_spark.operators.linkgraph import salsa_scores
+
+    edges = spark.createDataFrame(
+        [("a1", "t1"), ("a2", "t1"), ("a1", "t2"), ("b1", "u1")],
+        ["src_host", "dst_host"],
+    )
+    got = {r.host: r for r in salsa_scores(edges).collect()}
+    # authorities: comp A = {t1(2), t2(1)} n=2 D=3; comp B = {u1(1)} n=1 D=1; |A|=3
+    assert got["t1"].authority_ppm == (2 * 2 * 1_000_000) // (3 * 3)
+    assert got["t2"].authority_ppm == (2 * 1 * 1_000_000) // (3 * 3)
+    assert got["u1"].authority_ppm == (1 * 1 * 1_000_000) // (3 * 1)
+    # source-only hosts have zero authority, sink-only zero hub
+    assert got["a1"].authority_ppm == 0 and got["t1"].hub_ppm == 0
+
+
+def test_degree_assortativity_signs(spark):
+    from sandcrawler_spark.operators.linkgraph import degree_assortativity
+
+    # star graph: perfectly disassortative -> r = -1
+    star = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(5)], ["src_host", "dst_host"]
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.r_micro == -1_000_000
+    # regular graph (every degree equal): denominator 0 -> defined 0
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src_host", "dst_host"]
+    )
+    assert degree_assortativity(tri).collect()[0].r_micro == 0
+
+
+def test_interval_join_boundaries_and_exactness(spark):
+    from sandcrawler_spark.operators.intervals import interval_join
+
+    points = spark.createDataFrame(
+        [("h", 100, "p_start"), ("h", 199, "p_last"), ("h", 200, "p_end"),
+         ("h", 99, "p_before"), ("g", 150, "p_otherhost")],
+        ["host", "ts_sec", "tag"],
+    )
+    windows = spark.createDataFrame(
+        [("h", 100, 200, 1), ("h", 300, 300, 2), ("h", 400, 350, 3)],
+        ["host", "start_sec", "end_sec", "w_id"],
+    )
+    got = interval_join(points, windows, bucket_seconds=7).collect()
+    tags = sorted((r.tag, r.w_id) for r in got)
+    # half-open [100,200): start in, end-1 in, end out, before out,
+    # other host out; empty/inverted windows dropped
+    assert tags == [("p_last", 1), ("p_start", 1)]
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    # bucketed plan == naive BETWEEN predicate, pair for pair, across
+    # bucket widths that are smaller, comparable, and larger than spans
+    from sandcrawler_spark.operators.intervals import interval_join
+
+    pts = spark.createDataFrame(
+        [(f"h{i % 3}", 50 * i + (i * i) % 37, i) for i in range(200)],
+        ["host", "ts_sec", "pid"],
+    )
+    wins = spark.createDataFrame(
+        [(f"h{j % 3}", 400 * j, 400 * j + 30 + 130 * (j % 5), j) for j in range(25)],
+        ["host", "start_sec", "end_sec", "w_id"],
+    )
+    naive = sorted(
+        pts.join(wins, "host")
+        .filter((F.col("ts_sec") >= F.col("start_sec")) & (F.col("ts_sec") < F.col("end_sec")))
+        .select("pid", "w_id")
+        .collect()
+    )
+    assert naive, "fixture must produce matches"
+    for b in (16, 256, 100_000):
+        got = sorted(interval_join(pts, wins, bucket_seconds=b).select("pid", "w_id").collect())
+        assert got == naive, f"bucket_seconds={b}"
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    from sandcrawler_spark.operators.eventseq import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> b   (a->b twice, b->a once)
+        (1, 1, "a", 10), (1, 2, "b", 20), (1, 3, "a", 30), (1, 4, "b", 40),
+        # user 2: a -> c             (a->c once)
+        (2, 5, "a", 10), (2, 6, "c", 20),
+        # user 3: single event, no transition
+        (3, 7, "z", 10),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    got = {(r.prev_type, r.next_type): r for r in event_transitions(df).collect()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert got[("a", "b")].n == 2 and got[("a", "b")].p_ppm == 666_666
+    assert got[("a", "c")].n == 1 and got[("a", "c")].p_ppm == 333_333
+    assert got[("b", "a")].p_ppm == 1_000_000
+
+
+def test_event_transitions_ts_tie_uses_tiebreak(spark):
+    from sandcrawler_spark.operators.eventseq import event_transitions
+
+    rows = [(1, 2, "b", 10), (1, 1, "a", 10), (1, 3, "c", 10)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "event_type", "ts"])
+    got = {(r.prev_type, r.next_type) for r in event_transitions(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}  # event_id order, deterministic
+
+
+def test_rate_anomalies_flags_planted_burst(spark):
+    import datetime as dt
+
+    from sandcrawler_spark.operators.eventseq import hourly_rate_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # host A: 2 events every hour for 48h, except hour 30 has 40 (burst)
+    for h in range(48):
+        n = 40 if h == 30 else 2
+        for i in range(n):
+            rows.append(("A", base + dt.timedelta(hours=h, seconds=i)))
+    # host B: perfectly flat -> MAD 0, nothing above median -> no flags
+    for h in range(48):
+        for i in range(3):
+            rows.append(("B", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, ["host", "ts"])
+    got = hourly_rate_anomalies(df, F.col("host"), k_mad=3).collect()
+    flagged = {(r.host, r.hour.hour + 24 * (r.hour.day - 1)) for r in got if r.is_anomaly}
+    assert flagged == {("A", 30)}
+    a = next(r for r in got if r.host == "A" and r.cnt == 40)
+    assert a.med2 == 4 and a.mad8 == 0  # median 2, MAD 0 (one outlier hour)
+
+
+def test_soft_dedupe_weights_cluster_inverse(spark):
+    from sandcrawler_spark.operators.dedupe import soft_dedupe_weights
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(i, shared) for i in range(4)]  # 4-doc duplicate cluster
+        + [(10, "completely different unique text about marine biology plankton"),
+           (11, "another singleton document concerning medieval castle economics")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           soft_dedupe_weights(df, n_shingle=3, k=8, bands=4, threshold=0.5).collect()}
+    assert len(got) == 6  # every doc kept — soft, not hard, dedupe
+    for i in range(4):
+        assert got[i].cluster_size == 4 and got[i].weight_ppm == 250_000
+    for i in (10, 11):
+        assert got[i].cluster_size == 1 and got[i].weight_ppm == 1_000_000

@@ -36,6 +36,9 @@ ALLOW_BNLJ = {
     # centroid-table broadcast assignment (the ann_ivf shape) + 1-row
     # temperature total
     "topic_balance",
+    # 1-row corpus-anchor crossJoin onto the synthetic window table
+    # (the interval join itself is a bucketed equi-join)
+    "interval_join",
 }
 
 AUDIT = [
@@ -76,6 +79,9 @@ AUDIT = [
     "degree_distribution",
     # r4 session-7
     "opic_scores", "adamic_adar", "char_entropy", "token_drift", "zipf_fit",
+    # r4 session-8
+    "salsa_scores", "degree_assortativity", "interval_join",
+    "event_transitions", "rate_anomalies", "soft_dedupe_weights",
 ]
 
 
