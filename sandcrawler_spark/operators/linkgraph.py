@@ -26,8 +26,9 @@ Scale notes (100 TB):
     groupBy), so the iterated part runs on the ~10^8-row host graph,
     not the 10^13-row URL graph. Fixed damping/iterations keep it
     deterministic; sums are rounded before any cross-engine compare.
-  - `blend_priority` joins tiny per-host ranks via broadcast and is
-    otherwise narrow.
+  - `blend_priority` ranks hosts globally via global_cumsum's range
+    shuffle (never an un-partitioned window), broadcasts the pctl
+    table back, and is otherwise narrow.
 """
 
 from __future__ import annotations
@@ -544,16 +545,26 @@ def blend_priority(
     where host_pctl is the host's PageRank percentile (0-100, computed
     on the rounded rank so it is engine-stable). Unreached URLs get
     depth max_depth+1 (score contribution 0). Integer arithmetic end
-    to end — no float compare risk. host_ranks is per-host (tiny):
-    broadcast join; depths join is url-keyed shuffle."""
+    to end — no float compare risk. host_ranks is per-host: the
+    percentile rank is a GLOBAL total order over that table, computed
+    via global_cumsum's range-shuffle machinery rather than an
+    un-partitioned Window.orderBy — at 10^8 hosts the window would
+    pull the whole rank table into one task. (rank, host) is tie-free
+    (host is the PK), so rank() == row_number() == the cumsum of 1s.
+    The resulting pctl table is broadcast back onto the frontier;
+    depths join is url-keyed shuffle."""
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
     n_hosts = host_ranks.count()
-    pctl = host_ranks.select(
+    rn = global_cumsum(
+        host_ranks.select("host", "rank").withColumn("_one", F.lit(1).cast("long")),
+        ["rank", "host"],
+        "_one",
+        out_col="_rn",
+    )
+    pctl = rn.select(
         F.col("host").alias("_h"),
-        (
-            (F.rank().over(Window.orderBy("rank", "host")) - 1)
-            * 100
-            / F.lit(max(n_hosts - 1, 1))
-        )
+        ((F.col("_rn") - 1) * 100 / F.lit(max(n_hosts - 1, 1)))
         .cast("int")
         .alias("host_pctl"),
     )

@@ -29,7 +29,7 @@ ALLOW_BNLJ = {
     "dsir_weights", "nb_quality", "domain_budget_alloc", "ccnet_buckets",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
-    "dedupe_recall",
+    "dedupe_recall", "ann_recall",
     # ADC scan broadcasts the (tiny) LUT-decorated query side un-keyed
     # by design; pq_recall additionally runs the exact-truth scan
     "ann_pq", "pq_recall",
@@ -82,6 +82,13 @@ AUDIT = [
     # r4 session-8
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
+    # r4 session-8: close the audit gap — every queries() entry audited
+    "ann_lsh", "ann_recall", "asof_closest", "canonical_aliases",
+    "embedding_pca", "extraction_roundtrip", "fetch_statuses",
+    "grobid_hook", "hit_rate_stats", "lang_pred_counts", "mime_sniff",
+    "multimodal_meta", "neardup_dedupe", "politeness_timing",
+    "quality_scores", "revisit_resolution", "seed_cover",
+    "slug_self_join", "surt_canonical", "surt_seed_join", "word_counts",
 ]
 
 
