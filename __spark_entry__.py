@@ -3172,8 +3172,55 @@ def q_soft_dedupe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return soft_dedupe_weights(docs, n_shingle=3, k=8, bands=4, threshold=0.5)
 
 
+def q_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing-7-day distinct-visitor estimate per (host, day): the
+    # mergeable-sketch payoff — raw keys shuffled ONCE into daily
+    # register partials, every window position is a bounded max-merge
+    from sandcrawler_spark.operators.sketches import hll_sliding_estimate
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("site"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.expr("unix_timestamp(date_trunc('day', ts)) div 86400").alias("day"),
+        F.col("user_id").cast("string").alias("visitor"),
+    )
+    return hll_sliding_estimate(e, "visitor", "host", "day", window_buckets=7, p=6)
+
+
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mirror/CDN detection: host pairs by shared content fingerprints
+    # (fp equi-join with hot-fp cap — never host x host), exact
+    # jaccard + directional containment in ppm
+    from sandcrawler_spark.operators.mirrors import host_mirror_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("host"),
+        F.concat(
+            F.col("l_partkey").cast("string"),
+            F.lit(":"),
+            F.col("l_quantity").cast("bigint").cast("string"),
+        ).alias("fp"),
+    )
+    return host_mirror_pairs(li, min_shared=2, max_fp_hosts=256)
+
+
+def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sustained per-host traffic drift via integer EWMA (alpha=1/8)
+    # over the hourly count series — complements rate_anomalies' MAD
+    # single-hour spikes; fold is narrow Catalyst, div-exact twins
+    from sandcrawler_spark.operators.eventseq import ewma_host_trend
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("site"), (F.col("user_id") % 50).cast("string"), F.lit(".example.com")
+    )
+    return ewma_host_trend(e, host, alpha_denom=8, band_pct=15)
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
+    "hll_sliding", "host_mirrors", "ewma_trend",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3263,6 +3310,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "rate_anomalies": q_rate_anomalies,
         "soft_dedupe_weights": q_soft_dedupe_weights,
+        "hll_sliding": q_hll_sliding,
+        "host_mirrors": q_host_mirrors,
+        "ewma_trend": q_ewma_trend,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -4665,6 +4715,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.sketches import (
         cms_oracle_sql,
         hll_oracle_sql,
+        hll_sliding_oracle_sql,
         kmv_intersection_oracle_sql,
         kmv_oracle_sql,
     )
@@ -5279,6 +5330,71 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # trailing-window HLL: same register math as the host
+        # cardinality twin, window membership as an integer range join
+        "hll_sliding": hll_sliding_oracle_sql(
+            "SELECT 'site' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host, "
+            "CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS day, "
+            "CAST(user_id AS VARCHAR) AS visitor FROM events",
+            "visitor",
+            "host",
+            "day",
+            window_buckets=7,
+            p=6,
+            out_group="host",
+            out_bucket="day",
+        ),
+        # exact relational twin of the mirror-pair join, hot-fp cap
+        # included (even though it never triggers at oracle SF — the
+        # semantics must match the operator, not just this input)
+        "host_mirrors": """
+WITH mhf AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS host,
+         CAST(l_partkey AS VARCHAR) || ':' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS fp
+  FROM lineitem
+),
+msz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM mhf GROUP BY host),
+mhot AS (SELECT fp FROM mhf GROUP BY fp HAVING COUNT(*) > 256),
+mcold AS (SELECT host, fp FROM mhf WHERE fp NOT IN (SELECT fp FROM mhot)),
+mp AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM mcold a JOIN mcold b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host HAVING COUNT(*) >= 2
+)
+SELECT p.host_a, p.host_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+       CAST((p.shared * CAST(1000000 AS HUGEINT)) // (sa.n + sb.n - p.shared) AS BIGINT) AS jaccard_ppm,
+       CAST((p.shared * CAST(1000000 AS HUGEINT)) // sa.n AS BIGINT) AS cont_a_ppm,
+       CAST((p.shared * CAST(1000000 AS HUGEINT)) // sb.n AS BIGINT) AS cont_b_ppm
+FROM mp p JOIN msz sa ON p.host_a = sa.host JOIN msz sb ON p.host_b = sb.host
+""",
+        # the EWMA fold replayed with list_reduce over the same sorted
+        # hourly series; div truncates toward zero in both engines
+        "ewma_trend": """
+WITH ewh AS (
+  SELECT 'site' || CAST(user_id % 50 AS VARCHAR) || '.example.com' AS host,
+         date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+ewa AS (
+  SELECT host, list(cnt ORDER BY hour) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS n_hours, CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+  FROM ewh GROUP BY host
+),
+ewf AS (
+  SELECT host, n_hours, sum_cnt,
+         list_reduce(list_prepend(CAST(-1 AS BIGINT), xs), (acc, x) ->
+           CASE WHEN acc < 0 THEN 8 * x ELSE acc + ((8 * x - acc) // 8) END) AS ewma_scaled,
+         (8 * sum_cnt) // n_hours AS mean_scaled
+  FROM ewa
+)
+SELECT host, n_hours, sum_cnt,
+       CAST(ewma_scaled AS BIGINT) AS ewma_scaled,
+       CAST(mean_scaled AS BIGINT) AS mean_scaled,
+       CASE WHEN ewma_scaled * 100 > mean_scaled * 115 THEN 'rising'
+            WHEN ewma_scaled * 100 < mean_scaled * 85 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM ewf
 """,
         "seed_cover": f"""
 {link_base},

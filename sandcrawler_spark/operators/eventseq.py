@@ -122,3 +122,63 @@ def hourly_rate_anomalies(
             ),
         )
     )
+
+
+def ewma_host_trend(
+    events: DataFrame,
+    host_col,
+    ts_col: str = "ts",
+    alpha_denom: int = 8,
+    band_pct: int = 15,
+) -> DataFrame:
+    """Per-host traffic trend via an integer EWMA over the hourly
+    count series: s_0 = D*x_0, s_t = s_{t-1} + (D*x_t - s_{t-1}) div D
+    (alpha = 1/D, state carried in D-ths so every step is exact
+    int64; `div` truncates toward zero in BOTH engines, so the fold
+    replays bit-for-bit). The EWMA weights recent hours, the mean
+    weights all equally — final EWMA more than band_pct% above the
+    mean flags a RISING host (rate-limit risk / trap signature),
+    below it a falling one. Complements hourly_rate_anomalies: MAD
+    catches single-hour spikes, the EWMA catches sustained drift that
+    never has an anomalous hour.
+
+    Scale shape: one (host, hour) count shuffle (map-side combined),
+    then one collect_list per host — bounded by hours-per-host
+    (8760/year), never request volume; the fold is a narrow Catalyst
+    higher-order function, zero Python. Returns (host, n_hours,
+    sum_cnt, ewma_scaled, mean_scaled, trend).
+    """
+    d = int(alpha_denom)
+    lo, hi = 100 - int(band_pct), 100 + int(band_pct)
+    hours = (
+        events.select(host_col.alias("host"), F.date_trunc("hour", ts_col).alias("hour"))
+        .groupBy("host", "hour")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    arrs = hours.groupBy("host").agg(
+        F.expr("transform(sort_array(collect_list(struct(hour, cnt))), e -> e.cnt)").alias("_xs"),
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    return arrs.select(
+        "host",
+        "n_hours",
+        "sum_cnt",
+        F.expr(
+            f"aggregate(_xs, CAST(-1 AS BIGINT), (acc, x) -> "
+            f"CASE WHEN acc < 0 THEN {d} * x "
+            f"ELSE acc + (({d} * x - acc) div {d}) END)"
+        ).alias("ewma_scaled"),
+        F.expr(f"CAST(({d} * sum_cnt) div n_hours AS BIGINT)").alias("mean_scaled"),
+    ).select(
+        "host",
+        "n_hours",
+        "sum_cnt",
+        "ewma_scaled",
+        "mean_scaled",
+        F.expr(
+            f"CASE WHEN ewma_scaled * 100 > mean_scaled * {hi} THEN 'rising' "
+            f"WHEN ewma_scaled * 100 < mean_scaled * {lo} THEN 'falling' "
+            f"ELSE 'flat' END"
+        ).alias("trend"),
+    )

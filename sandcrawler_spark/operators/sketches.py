@@ -659,3 +659,108 @@ def capture_recapture(
         ).alias("chapman_est"),
         "n_true",
     )
+
+
+def hll_sliding_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    bucket_col: str,
+    window_buckets: int = 7,
+    p: int = 10,
+) -> DataFrame:
+    """Trailing-window distinct estimate: for every (group, bucket)
+    present in the data, the HLL estimate of distinct key_col values
+    over buckets [bucket - window_buckets + 1, bucket] — e.g. the
+    trailing-7-day distinct-visitor count per host, per day.
+
+    This is the payoff of keeping sketches MERGEABLE (hll_partials):
+    the exact answer needs a distinct-shuffle of the raw keys once per
+    window position (W scans of the corpus for W window placements);
+    the sketch path builds per-(group, bucket) register tables once —
+    one shuffle over the raw keys total — then every window position
+    is a max-merge of at most `window_buckets` register rows per
+    (group, bkt). Register fan-out is window_buckets x, but state is
+    already bounded (groups x buckets x 2^p), never key-cardinality.
+
+    bucket_col must be an integer bucket number (e.g. epoch-day =
+    floor(unix_seconds / 86400)) so window membership is pure integer
+    arithmetic in both engines. Output: (group, bucket,
+    hll_registers_used, hll_estimate) with the hll_cardinality
+    estimator contract.
+    """
+    m = 1 << p
+    parts = hll_partials(
+        df.select(F.col(group_col).alias("_g"), F.col(bucket_col).alias("_b"), key_col),
+        key_col,
+        ["_g", "_b"],
+        p=p,
+    )
+    # fan each partial out to every window position it participates in
+    fan = parts.select(
+        "_g",
+        F.explode(
+            F.sequence(F.col("_b"), F.col("_b") + F.lit(int(window_buckets) - 1))
+        ).alias("_wb"),
+        "bkt",
+        "mreg",
+    )
+    # keep only window positions anchored at a bucket the group saw
+    anchors = parts.select("_g", F.col("_b").alias("_wb")).distinct()
+    fan = fan.join(anchors, ["_g", "_wb"], "left_semi")
+    est = hll_merge_estimate(fan, ["_g", "_wb"], p=p)
+    return est.select(
+        F.col("_g").alias(group_col),
+        F.col("_wb").alias(bucket_col),
+        "hll_registers_used",
+        "hll_estimate",
+    )
+
+
+def hll_sliding_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_expr: str,
+    bucket_expr: str,
+    window_buckets: int = 7,
+    p: int = 10,
+    out_group: str = "grp",
+    out_bucket: str = "bucket",
+) -> str:
+    """DuckDB twin of hll_sliding_estimate: same register math as
+    hll_oracle_sql, window membership replayed as an integer range
+    join against the distinct (group, bucket) anchor set. out_group /
+    out_bucket must match the Spark query's column names (the driver
+    compare sorts columns by name)."""
+    m = 1 << p
+    est_const = repr(_alpha(m) * m * m * float(1 << RHO_CAP))
+    w = int(window_buckets)
+    return f"""
+WITH _sl_keys AS (
+  SELECT {group_expr} AS g, {bucket_expr} AS b,
+         CAST('0x' || substr(md5({key_expr}), 1, 15) AS BIGINT) AS h
+  FROM ({source_sql})
+),
+_sl_regs AS (
+  SELECT g, b, h % {m} AS bkt,
+         MAX(CASE WHEN h // {m} = 0 THEN {RHO_CAP}
+              ELSE LEAST(bit_count(((h // {m}) & (-(h // {m}))) - 1) + 1, {RHO_CAP})
+         END) AS mreg
+  FROM _sl_keys GROUP BY g, b, h % {m}
+),
+_sl_anchors AS (SELECT DISTINCT g, b FROM _sl_regs),
+_sl_win AS (
+  SELECT a.g, a.b AS wb, r.bkt, MAX(r.mreg) AS mreg
+  FROM _sl_anchors a JOIN _sl_regs r
+    ON r.g = a.g AND r.b BETWEEN a.b - {w - 1} AND a.b
+  GROUP BY a.g, a.b, r.bkt
+)
+SELECT g AS {out_group},
+       CAST(wb AS BIGINT) AS {out_bucket},
+       CAST(COUNT(*) AS BIGINT) AS hll_registers_used,
+       ROUND({est_const} / (SUM(CAST(1 AS BIGINT) << ({RHO_CAP} - mreg))
+             + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {RHO_CAP})), 2)
+         AS hll_estimate
+FROM _sl_win
+GROUP BY g, wb
+""".strip()

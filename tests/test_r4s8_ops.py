@@ -179,3 +179,105 @@ def test_soft_dedupe_weights_cluster_inverse(spark):
         assert got[i].cluster_size == 4 and got[i].weight_ppm == 250_000
     for i in (10, 11):
         assert got[i].cluster_size == 1 and got[i].weight_ppm == 1_000_000
+
+
+def test_hll_sliding_matches_windowed_rebuild(spark):
+    # the trailing-window merge of daily partials must equal the HLL
+    # built directly on each window's raw keys (merge == single-shot)
+    from sandcrawler_spark.operators.sketches import (
+        hll_cardinality,
+        hll_sliding_estimate,
+    )
+
+    rows = [(f"h{i % 3}", d, f"k{(i * 13 + d * 7) % 40}")
+            for i in range(120) for d in range(5)]
+    df = spark.createDataFrame(rows, ["host", "day", "key"])
+    got = {(r.host, r.day): r for r in
+           hll_sliding_estimate(df, "key", "host", "day", window_buckets=3, p=6).collect()}
+    anchors = {(r.host, r.day) for r in df.select("host", "day").distinct().collect()}
+    assert set(got) == anchors
+    for (h, d) in sorted(anchors)[:6]:
+        direct = hll_cardinality(
+            df.filter((F.col("host") == h) & F.col("day").between(d - 2, d)),
+            "key", [], p=6,
+        ).collect()[0]
+        assert got[(h, d)].hll_registers_used == direct.hll_registers_used
+        assert got[(h, d)].hll_estimate == direct.hll_estimate
+
+
+def test_host_mirror_pairs_exact_sets(spark):
+    from sandcrawler_spark.operators.mirrors import host_mirror_pairs
+
+    rows = (
+        [("m1", f"f{i}") for i in range(10)]
+        + [("m2", f"f{i}") for i in range(10)]          # exact mirror of m1
+        + [("sub", f"f{i}") for i in range(5)]          # subset mirror
+        + [("other", f"g{i}") for i in range(10)]       # disjoint
+        + [("m1", "f0"), ("m1", "f1")]                  # dup rows: distinct-safe
+    )
+    df = spark.createDataFrame(rows, ["host", "fp"])
+    got = {(r.host_a, r.host_b): r for r in host_mirror_pairs(df, min_shared=2).collect()}
+    assert set(got) == {("m1", "m2"), ("m1", "sub"), ("m2", "sub")}
+    full = got[("m1", "m2")]
+    assert full.shared == 10 and full.jaccard_ppm == 1_000_000
+    sub = got[("m1", "sub")]
+    assert sub.shared == 5 and sub.jaccard_ppm == 500_000
+    assert sub.cont_a_ppm == 500_000 and sub.cont_b_ppm == 1_000_000
+
+
+def test_host_mirror_hot_fp_cap(spark):
+    # a boilerplate fp on every host is excluded before the join; pair
+    # sizes still count it (cap removes candidates, never inflates)
+    from sandcrawler_spark.operators.mirrors import host_mirror_pairs
+
+    rows = [(f"h{i}", "boiler") for i in range(10)] + [
+        ("h0", "x1"), ("h0", "x2"), ("h1", "x1"), ("h1", "x2")]
+    df = spark.createDataFrame(rows, ["host", "fp"])
+    got = host_mirror_pairs(df, min_shared=2, max_fp_hosts=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.host_a, r.host_b) == ("h0", "h1")
+    assert r.shared == 2 and r.n_a == 3 and r.n_b == 3  # boiler still counted in n
+    assert r.jaccard_ppm == 500_000
+
+
+def test_ewma_trend_directions(spark):
+    import datetime as dt
+
+    from sandcrawler_spark.operators.eventseq import ewma_host_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # rising: 1/hr for 30h then 20/hr for 10h -> EWMA near 20, mean ~5.75
+    for h in range(40):
+        for i in range(1 if h < 30 else 20):
+            rows.append(("up", base + dt.timedelta(hours=h, seconds=i)))
+    # falling: mirror image
+    for h in range(40):
+        for i in range(20 if h < 10 else 1):
+            rows.append(("down", base + dt.timedelta(hours=h, seconds=i)))
+    # flat: constant
+    for h in range(40):
+        for i in range(3):
+            rows.append(("steady", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, ["host", "ts"])
+    got = {r.host: r for r in ewma_host_trend(df, F.col("host")).collect()}
+    assert got["up"].trend == "rising"
+    assert got["down"].trend == "falling"
+    assert got["steady"].trend == "flat"
+    assert got["steady"].ewma_scaled == 24 and got["steady"].mean_scaled == 24
+
+
+def test_ewma_fold_exact_known_series(spark):
+    # hand-computed integer fold, D=8: xs=[5,3,4] -> 40, 38, 38
+    import datetime as dt
+
+    from sandcrawler_spark.operators.eventseq import ewma_host_trend
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, n in enumerate([5, 3, 4]):
+        for i in range(n):
+            rows.append(("h", base + dt.timedelta(hours=h, seconds=i)))
+    r = ewma_host_trend(spark.createDataFrame(rows, ["host", "ts"]), F.col("host")).collect()[0]
+    assert r.ewma_scaled == 38 and r.n_hours == 3 and r.sum_cnt == 12

@@ -82,6 +82,7 @@ AUDIT = [
     # r4 session-8
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
+    "hll_sliding", "host_mirrors", "ewma_trend",
     # r4 session-8: close the audit gap — every queries() entry audited
     "ann_lsh", "ann_recall", "asof_closest", "canonical_aliases",
     "embedding_pca", "extraction_roundtrip", "fetch_statuses",
