@@ -1859,6 +1859,23 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the billion-scale composite: IVF coarse routing (id-mod cells,
+    # nprobe=2) + ADC code scan INSIDE the probed cells only — per
+    # query nprobe/ncells of the m-byte code table is touched
+    from sandcrawler_spark.operators.pq import ivfpq_topk
+
+    e, dim, book = _pq_book(spark, sf_dir)
+    sample = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(sample, e, book, dim=dim, k=5, centroid_mod=25, nprobe=2).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("adist_micro").cast("bigint").alias("adist_micro"),
+    )
+
+
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall@5 of the ADC scan vs the exact (micro-int) L2 top-5 —
     # the compression/accuracy trade measured as a driver query
@@ -3220,7 +3237,7 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
-    "hll_sliding", "host_mirrors", "ewma_trend",
+    "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3401,6 +3418,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "pq_codes": q_pq_codes,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "pq_recall": q_pq_recall,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
@@ -3692,11 +3710,15 @@ def _sql_l2m(a: str, b: str) -> str:
 
 
 def _pq_oracle(query: str, m: int = 4, n_iters: int = 2, mod: int = 25,
-               n_q: int = 5, k: int = 5) -> str:
+               n_q: int = 5, k: int = 5, coarse_mod: int = 25,
+               nprobe: int = 2) -> str:
     """End-to-end DuckDB twin of the PQ family (operators/pq.py):
     per-subspace k-means (same sorted-fold/round-6 Lloyd updates as the
     IVF oracle), dense-code assignment, and — for `ann_pq`/`pq_recall`
-    — the ADC LUT scan. query in {'codes', 'ann', 'recall'}."""
+    — the ADC LUT scan. query in {'codes', 'ann', 'recall', 'ivfpq'};
+    'ivfpq' additionally replays the id-mod coarse quantizer
+    (rounded-cosine assignment + nprobe probe, the ann_ivf CTEs) and
+    restricts the ADC scan to probed cells."""
     base = f"""
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 dims AS (SELECT max(len(v)) AS dim FROM e),
@@ -3766,6 +3788,47 @@ approx AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_micro ASC, vec_id ASC) AS rn
     FROM adist) WHERE rn <= {k}
 )"""
+    if query == "ivfpq":
+        return f"""
+WITH {base},
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {n_q}),
+qsub AS (
+  SELECT q.q_id, s.sub,
+         q.qv[s.sub * sd.subdim + 1 : (s.sub + 1) * sd.subdim] AS qsv
+  FROM q, subs s, sd
+),
+lut AS (
+  SELECT qs.q_id, b.sub, b.code, {_sql_l2m('qs.qsv', 'b.cv')} AS d
+  FROM qsub qs JOIN book b ON qs.sub = b.sub
+),
+ccents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {coarse_mod} = 0),
+cassigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {_sql_cos('e.v', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM e, ccents c) WHERE rn = 1
+),
+cprobes AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.q_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             {_sql_cos('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS rn
+    FROM q, ccents c) WHERE rn <= {nprobe}
+),
+adist AS (
+  SELECT p.q_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist_micro
+  FROM codes c
+  JOIN cassigned a ON c.vec_id = a.vec_id
+  JOIN cprobes p ON a.cent_id = p.cent_id
+  JOIN lut l ON c.sub = l.sub AND c.code = l.code AND l.q_id = p.q_id
+  GROUP BY p.q_id, c.vec_id
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, CAST(vec_id AS BIGINT) AS vec_id, adist_micro
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist_micro ASC, vec_id ASC) AS rn
+  FROM adist) WHERE rn <= {k}
+"""
     if query == "ann":
         return f"""
 WITH {base}{adc}
@@ -7213,6 +7276,8 @@ GROUP BY 1, 2
         "ann_recall": _ann_recall_oracle(),
         "pq_codes": _pq_oracle("codes", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD),
         "ann_pq": _pq_oracle("ann", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=5, k=5),
+        "ann_ivfpq": _pq_oracle("ivfpq", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD,
+                                n_q=5, k=5, coarse_mod=25, nprobe=2),
         "pq_recall": _pq_oracle("recall", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=20, k=5),
         # corpus twins: independent DuckDB recomputation over the same
         # persisted seed=42 parquet fixture both engines read

@@ -261,3 +261,97 @@ def exact_l2_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    book: list[list[tuple[int, list[float]]]],
+    dim: int,
+    k: int = 5,
+    centroid_mod: int = 25,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite tier (Jégou et al. TPAMI'11, the production
+    billion-scale layout): the IVF coarse quantizer routes a query to
+    its `nprobe` nearest cells, and inside those cells distance is the
+    ADC code scan — so per query the work is nprobe/ncells of the
+    CODE table (m bytes/vector), not of the raw vectors, and not of
+    the whole corpus. Vectors are PQ-encoded directly (no residual
+    subtraction — the by_residual=false variant), which keeps the
+    code table reusable by the flat ADC scan and the oracle replay
+    exact.
+
+    Coarse routing uses the same deterministic id-mod centroids and
+    rounded-cosine assignment as ivf_topk (similarity.py), so the cell
+    layout is engine-reproducible; ADC distances are integer
+    micro-units with (adist, id) ordering. Two-level top-k per query.
+
+    Scale shape: centroids broadcast twice (assignment + probe), ONE
+    equi-join on cent_id between the probe set and the code table,
+    no all-pairs anywhere; the codes table carries its cell id so
+    repeated query batches reuse one encode+assign pass
+    (localCheckpoint it at the call site for that).
+    """
+    from pyspark.sql import Window
+
+    from sandcrawler_spark.operators.similarity import cosine_sim_col
+
+    m = len(book)
+    subdim = dim // m
+    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    cells = (
+        embeddings.join(F.broadcast(cents))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col(vec_col), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(asg_w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cent_id")
+    )
+    codes = pq_encode(embeddings, book, dim, id_col=id_col, vec_col=vec_col).join(
+        cells, id_col
+    )
+    probe_w = Window.partitionBy(q_id).orderBy(F.desc("_csim"), F.asc("cent_id"))
+    qv = F.col(q_vec).cast("array<double>")
+    lut_cols = [
+        F.array(*[
+            _sq_l2_micro(_subvec(qv, s, subdim), _lit_vec(cv))
+            for (_cid, cv) in book[s]
+        ]).alias(f"_lut{s}")
+        for s in range(m)
+    ]
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col(q_vec), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(q_id, *lut_cols, "cent_id")
+    )
+    j = codes.join(F.broadcast(probes), on="cent_id")
+    adist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_lut{s}"), F.element_at(F.col("codes"), s + 1) + 1)
+        adist = term if adist is None else adist + term
+    scored = j.select(
+        F.col(q_id), F.col(id_col), adist.cast("long").alias("adist_micro"),
+        F.spark_partition_id().alias("_part"),
+    )
+    order = (F.asc("adist_micro"), F.asc(id_col))
+    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_part")
+    )
+    w2 = Window.partitionBy(q_id).orderBy(*order)
+    return (
+        partial.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -93,3 +93,58 @@ def test_pq_adc_recall_vs_exact(spark, emb):
     # self-hit: every query must appear in its own top-5
     self_hits = approx.filter(F.col("q_id") == F.col("vec_id")).count()
     assert self_hits == 10
+
+
+def test_ivfpq_full_probe_equals_flat_adc(spark):
+    # with nprobe >= ncells the coarse router prunes nothing, so the
+    # composite must reproduce the flat ADC scan row for row
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.pq import (
+        collect_codebook,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    dim, m = 8, 4
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 + (1.0 if j == i % dim else 0.0)
+                 for j in range(dim)]) for i in range(60)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    book = collect_codebook(pq_train(e, dim=dim, m=m, centroid_mod=10), m)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    codes = pq_encode(e, book, dim)
+    flat = sorted(pq_adc_topk(qs, codes, book, dim, k=4).collect())
+    comp = sorted(
+        ivfpq_topk(qs, e, book, dim, k=4, centroid_mod=10, nprobe=6).collect())
+    assert comp == flat
+
+
+def test_ivfpq_narrow_probe_subsets_flat_distances(spark):
+    # with nprobe=1 results come only from probed cells, but every
+    # returned distance must still equal the flat ADC distance
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.pq import (
+        collect_codebook,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    dim, m = 8, 2
+    rows = [(i, [float((i * 5 + j) % 9) for j in range(dim)]) for i in range(50)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    book = collect_codebook(pq_train(e, dim=dim, m=m, centroid_mod=10), m)
+    qs = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    codes = pq_encode(e, book, dim)
+    flat = {(r.q_id, r.vec_id): r.adist_micro
+            for r in pq_adc_topk(qs, codes, book, dim, k=50).collect()}
+    comp = ivfpq_topk(qs, e, book, dim, k=5, centroid_mod=10, nprobe=1).collect()
+    assert comp, "narrow probe must still return rows"
+    for r in comp:
+        assert flat[(r.q_id, r.vec_id)] == r.adist_micro

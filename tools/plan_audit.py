@@ -31,8 +31,10 @@ ALLOW_BNLJ = {
     # fixture (150 docs) + 1-row count crossJoins
     "dedupe_recall", "ann_recall",
     # ADC scan broadcasts the (tiny) LUT-decorated query side un-keyed
-    # by design; pq_recall additionally runs the exact-truth scan
-    "ann_pq", "pq_recall",
+    # by design; pq_recall additionally runs the exact-truth scan;
+    # ann_ivfpq's coarse assignment broadcasts the centroid table
+    # un-keyed (the ann_ivf shape)
+    "ann_pq", "pq_recall", "ann_ivfpq",
     # centroid-table broadcast assignment (the ann_ivf shape) + 1-row
     # temperature total
     "topic_balance",
@@ -82,7 +84,7 @@ AUDIT = [
     # r4 session-8
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
-    "hll_sliding", "host_mirrors", "ewma_trend",
+    "hll_sliding", "host_mirrors", "ewma_trend", "ann_ivfpq",
     # r4 session-8: close the audit gap — every queries() entry audited
     "ann_lsh", "ann_recall", "asof_closest", "canonical_aliases",
     "embedding_pca", "extraction_roundtrip", "fetch_statuses",
