@@ -3235,9 +3235,61 @@ def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_host_trend(e, host, alpha_denom=8, band_pct=15)
 
 
+def q_pct_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 3986 percent-encoding normalization: decode unreserved
+    # escapes, uppercase the rest — planted escape variants derived
+    # deterministically from the order key so the oracle replays both
+    # the construction AND the split/transform normalization
+    from sandcrawler_spark.functions.urls import pct_normalize_col
+
+    u = _urls(spark, sf_dir)
+    planted = F.concat(
+        F.col("url"),
+        F.expr(
+            "CASE CAST(o_orderkey % 5 AS INT) "
+            "WHEN 0 THEN '/%7euser' "          # decode -> ~user
+            "WHEN 1 THEN '/a%2fb?x=%41%4a' "   # upper %2F, decode AJ
+            "WHEN 2 THEN '/p%' "               # trailing malformed
+            "WHEN 3 THEN '/100%25%2e' "        # keep %25, decode .
+            "ELSE '/%zz%5F' END"               # invalid hex + decode _
+        ),
+    )
+    return u.select(
+        "o_orderkey",
+        planted.alias("url_raw"),
+        pct_normalize_col(planted).alias("url_norm"),
+    )
+
+
+def q_stratum_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all-pairs stratum overlap from per-stratum KMV synopses (one
+    # corpus pass; pair merge on k-row sketches): audience overlap
+    # between event types as the stand-in for snapshot/shard overlap
+    from sandcrawler_spark.operators.sketches import kmv_pairwise_overlap
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stratum"),
+        F.col("user_id").cast("string").alias("visitor"),
+    )
+    return kmv_pairwise_overlap(e, "visitor", "stratum", k=64)
+
+
+def q_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # web-graph distance distribution + effective diameter (Broder'00
+    # 90% readout) from the HyperBall neighborhood function — integer
+    # cents/ppm end to end
+    from sandcrawler_spark.operators.hyperball import distance_profile
+    from sandcrawler_spark.operators.linkgraph import host_graph
+
+    return distance_profile(
+        host_graph(_outlink_edges(spark, sf_dir)), n_iter=3, p=8, direction="in"
+    )
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
+    "pct_normalize", "stratum_overlap", "distance_profile",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3330,6 +3382,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding": q_hll_sliding,
         "host_mirrors": q_host_mirrors,
         "ewma_trend": q_ewma_trend,
+        "pct_normalize": q_pct_normalize,
+        "stratum_overlap": q_stratum_overlap,
+        "distance_profile": q_distance_profile,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -4781,6 +4836,7 @@ def oracle_sql() -> dict[str, str]:
         hll_sliding_oracle_sql,
         kmv_intersection_oracle_sql,
         kmv_oracle_sql,
+        kmv_pairwise_oracle_sql,
     )
 
     seen_sql = f"""
@@ -5393,6 +5449,73 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # independent replay of the percent-normalizer: DuckDB splits
+        # on '%' and folds the pieces with the same unreserved/upper
+        # CASE — not a construction-derived expected value
+        "pct_normalize": f"""
+WITH {_URLS_CTE.strip()},
+pn AS (
+  SELECT o_orderkey,
+         url || CASE CAST(o_orderkey % 5 AS INT)
+           WHEN 0 THEN '/%7euser'
+           WHEN 1 THEN '/a%2fb?x=%41%4a'
+           WHEN 2 THEN '/p%'
+           WHEN 3 THEN '/100%25%2e'
+           ELSE '/%zz%5F' END AS url_raw
+  FROM urls
+),
+pnp AS (SELECT o_orderkey, url_raw, str_split(url_raw, '%') AS parts FROM pn)
+SELECT o_orderkey, url_raw,
+       parts[1] || array_to_string(list_transform(parts[2:], pc ->
+         CASE
+           WHEN NOT regexp_matches(pc, '^[0-9A-Fa-f]{{2}}') THEN '%' || pc
+           WHEN CAST('0x' || upper(pc[1:2]) AS INT) BETWEEN 48 AND 57
+             OR CAST('0x' || upper(pc[1:2]) AS INT) BETWEEN 65 AND 90
+             OR CAST('0x' || upper(pc[1:2]) AS INT) BETWEEN 97 AND 122
+             OR CAST('0x' || upper(pc[1:2]) AS INT) IN (45, 46, 95, 126)
+           THEN chr(CAST('0x' || upper(pc[1:2]) AS INT)) || pc[3:]
+           ELSE '%' || upper(pc[1:2]) || pc[3:]
+         END), '') AS url_norm
+FROM pnp
+""",
+        "stratum_overlap": kmv_pairwise_oracle_sql(
+            "SELECT event_type AS stratum, CAST(user_id AS VARCHAR) AS visitor FROM events",
+            "visitor",
+            "stratum",
+            k=64,
+        ),
+        # neighborhood-function readout over the shared HyperBall CTEs:
+        # cents totals per hop, ppm coverage, first-t>=90% flag
+        "distance_profile": f"""
+{link_base},
+{_hyperball_oracle_ctes(3, 8)},
+dp_tot AS (
+  SELECT CAST(SUM(round(e0.ball_0 * 100)) AS BIGINT) AS n0,
+         CAST(SUM(round(e1.ball_1 * 100)) AS BIGINT) AS n1,
+         CAST(SUM(round(e2.ball_2 * 100)) AS BIGINT) AS n2,
+         CAST(SUM(round(e3.ball_3 * 100)) AS BIGINT) AS n3
+  FROM hbest0 e0 JOIN hbest1 e1 USING (host)
+       JOIN hbest2 e2 USING (host) JOIN hbest3 e3 USING (host)
+),
+dp_deff AS (
+  SELECT *, CASE WHEN n0 * 100 >= n3 * 90 THEN 0
+                 WHEN n1 * 100 >= n3 * 90 THEN 1
+                 WHEN n2 * 100 >= n3 * 90 THEN 2
+                 ELSE 3 END AS deff
+  FROM dp_tot
+),
+dp_rows AS (
+  SELECT 0 AS t, n0 AS pairs_cents, n3, deff FROM dp_deff
+  UNION ALL SELECT 1, n1, n3, deff FROM dp_deff
+  UNION ALL SELECT 2, n2, n3, deff FROM dp_deff
+  UNION ALL SELECT 3, n3, n3, deff FROM dp_deff
+)
+SELECT CAST(t AS INT) AS t, pairs_cents,
+       CAST(CASE WHEN n3 = 0 THEN 0
+                 ELSE (pairs_cents * CAST(1000000 AS HUGEINT)) // n3 END AS BIGINT) AS frac_ppm,
+       (t = deff) AS is_effective_diameter
+FROM dp_rows
 """,
         # trailing-window HLL: same register math as the host
         # cardinality twin, window membership as an integer range join

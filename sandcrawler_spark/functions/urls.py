@@ -131,3 +131,45 @@ def surt_host_key_col(url: Column) -> Column:
     host = host_col(url)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     return F.array_join(F.reverse(F.split(host, r"\.")), ",")
+
+
+def pct_normalize_col(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure Catalyst:
+    decode %XX escapes of UNRESERVED characters (ALPHA / DIGIT / '-' /
+    '.' / '_' / '~') to the literal character, and uppercase the hex
+    digits of every other valid escape ('%2f' -> '%2F'); malformed
+    escapes (no two hex digits after '%') pass through unchanged.
+    These are the two normalizations every conformant URL normalizer
+    must apply before comparison — without them '%7Euser' and '~user'
+    (or '%2f' vs '%2F') hash apart and evade the seen set, splitting
+    crawl history for one resource across aliases (the DUST family's
+    encoding axis; the reference's clean_url handles only whitespace
+    and tag-soup artifacts, python/sandcrawler/misc.py clean_url).
+
+    Shape: split on '%', one narrow transform over the pieces, rejoin
+    — zero shuffle, zero Python, fully codegen'd; safe on arbitrary
+    byte soup (no decode() call that could throw on invalid UTF-8).
+    """
+    parts = F.split(url, "%", -1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def _fix(p: Column) -> Column:
+        hh = F.upper(F.substring(p, 1, 2))
+        code = F.conv(hh, 16, 10).cast("int")
+        is_hex = p.rlike("^[0-9A-Fa-f]{2}")
+        unreserved = (
+            code.between(48, 57)
+            | code.between(65, 90)
+            | code.between(97, 122)
+            | code.isin(45, 46, 95, 126)
+        )
+        tail = F.substring(p, 3, 1 << 30)
+        return (
+            F.when(~is_hex, F.concat(F.lit("%"), p))
+            .when(unreserved, F.concat(F.char(code), tail))
+            .otherwise(F.concat(F.lit("%"), hh, tail))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(rest, _fix), "")
+    )

@@ -121,3 +121,71 @@ def hyperball(
         )
         harmonic = term if harmonic is None else harmonic + term
     return out.withColumn("harmonic_micro", harmonic.cast("long"))
+
+
+def distance_profile(
+    host_edges: DataFrame,
+    n_iter: int = 3,
+    p: int = 8,
+    direction: str = "in",
+    pct: int = 90,
+) -> DataFrame:
+    """Neighborhood-function readout of the HyperBall sketches: the
+    graph-wide distance distribution N(t) = sum over hosts of
+    |ball_t(host)| and the EFFECTIVE DIAMETER — the smallest t at
+    which N(t) covers `pct`% of all reachable pairs found by hop
+    n_iter (Palmer/ANF KDD'02; Boldi-Vigna HyperBall §5 — the '90%'
+    web-graph diameter numbers in Broder'00 are exactly this readout).
+    A crawl sample whose effective diameter collapses to 1-2 is
+    hub-dominated; one that keeps growing past n_iter was cut off too
+    early.
+
+    All arithmetic on the 2dp-rounded ball estimates in integer cents
+    (the hyperball harmonic discipline): N_t_cents is an exact BIGINT
+    sum, the coverage fraction is ppm floor-division, and the flag
+    compares N_t * 100 >= N_max * pct — no float at any boundary.
+
+    Output: one row per hop t (0..n_iter) with (t, pairs_cents,
+    frac_ppm, is_effective_diameter). Scale: everything after the
+    hyperball run is a |V|-row aggregate to ONE row, then a constant
+    n_iter+1-row explode.
+    """
+    hb = hyperball(host_edges, n_iter=n_iter, p=p, direction=direction)
+    totals = hb.agg(
+        *[
+            F.sum(F.expr(f"CAST(round(ball_{t} * 100) AS BIGINT)"))
+            .cast("long")
+            .alias(f"_n{t}")
+            for t in range(n_iter + 1)
+        ]
+    )
+    # effective diameter: first t whose cumulative cents reach pct% of
+    # the deepest ball's total
+    d_eff = "CASE"
+    for t in range(n_iter + 1):
+        d_eff += f" WHEN _n{t} * 100 >= _n{n_iter} * {int(pct)} THEN {t}"
+    d_eff += f" ELSE {n_iter} END"
+    rows = totals.select(
+        F.expr(d_eff).cast("int").alias("_deff"),
+        F.col(f"_n{n_iter}").alias("_nmax"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("t"),
+                        F.col(f"_n{t}").alias("pairs_cents"),
+                    )
+                    for t in range(n_iter + 1)
+                ]
+            )
+        ).alias("_e"),
+    )
+    return rows.select(
+        F.col("_e.t").alias("t"),
+        F.col("_e.pairs_cents").alias("pairs_cents"),
+        F.expr(
+            "CASE WHEN _nmax = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(_e.pairs_cents * CAST(1000000 AS BIGINT) div _nmax AS BIGINT) END"
+        ).alias("frac_ppm"),
+        (F.col("_e.t") == F.col("_deff")).alias("is_effective_diameter"),
+    )

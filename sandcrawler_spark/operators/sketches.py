@@ -764,3 +764,136 @@ SELECT g AS {out_group},
 FROM _sl_win
 GROUP BY g, wb
 """.strip()
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """All-pairs stratum overlap matrix from ONE pass over the corpus:
+    a KMV synopsis per stratum (<= k rows each), then every stratum
+    pair (a < b) merges its two synopses into the union bottom-k and
+    applies the kmv_intersection estimator — audience overlap between
+    crawl snapshots, URL overlap between TLD shards, fingerprint
+    contamination between train strata, without |strata| choose 2
+    distinct-joins over raw keys.
+
+    Scale shape: the corpus is touched once (the skew-safe two-level
+    bottom-k in kmv_bottomk); everything after operates on the
+    |strata| * k synopsis table — pair expansion is synopsis x strata
+    (tiny x tiny), and the per-pair rank window holds at most 2k rows.
+    Exactly like kmv_intersection, pairs whose combined synopsis kept
+    the whole union (n_union_kept < k) report EXACT union and
+    intersection counts.
+
+    Returns (stratum_a, stratum_b, n_union_kept, est_union,
+    est_intersection, jaccard_ppm) for every unordered stratum pair.
+    """
+    from pyspark.sql import Window
+
+    sk = kmv_bottomk(df, key_col, [stratum_col], k).localCheckpoint(eager=True)
+    strata = sk.select(F.col(stratum_col).alias("_s")).distinct()
+    pairs = (
+        strata.select(F.col("_s").alias("stratum_a"))
+        .join(strata.select(F.col("_s").alias("stratum_b")))
+        .filter(F.col("stratum_a") < F.col("stratum_b"))
+    )
+    side_a = pairs.join(
+        sk.select(F.col(stratum_col).alias("stratum_a"), "h"), "stratum_a"
+    ).select("stratum_a", "stratum_b", "h", F.lit(1).alias("_m"))
+    side_b = pairs.join(
+        sk.select(F.col(stratum_col).alias("stratum_b"), "h"), "stratum_b"
+    ).select("stratum_a", "stratum_b", "h", F.lit(2).alias("_m"))
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("stratum_a", "stratum_b", "h")
+        .agg(F.sum("_m").cast("int").alias("_mask"))
+    )
+    w = Window.partitionBy("stratum_a", "stratum_b").orderBy(F.asc("h"))
+    bk = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    agg = bk.groupBy("stratum_a", "stratum_b").agg(
+        F.count("*").cast("long").alias("n_union_kept"),
+        F.max("h").cast("long").alias("_kth"),
+        F.sum(F.when(F.col("_mask") == 3, 1).otherwise(0)).cast("long").alias("_both"),
+    )
+    est_union = F.when(F.col("n_union_kept") < k, F.col("n_union_kept")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("_kth").cast("double")
+        ).cast("long")
+    )
+    out = agg.withColumn("est_union", est_union)
+    est_inter = F.when(F.col("n_union_kept") < k, F.col("_both")).otherwise(
+        F.expr(f"(_both * est_union) div {k}")
+    )
+    out = out.withColumn("est_intersection", est_inter.cast("long")).drop("_kth", "_both")
+    return out.withColumn(
+        "jaccard_ppm",
+        F.expr(
+            "CASE WHEN est_union = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(est_intersection * CAST(1000000 AS BIGINT) div est_union AS BIGINT) END"
+        ),
+    )
+
+
+def kmv_pairwise_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    stratum_expr: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of kmv_pairwise_overlap: same 60-bit md5 hash,
+    per-stratum bottom-k, pair merge, and floored estimator."""
+    return f"""
+WITH _kp_h AS (
+  SELECT DISTINCT {stratum_expr} AS s,
+         CAST('0x' || substr(md5({key_expr}), 1, 15) AS BIGINT) AS h
+  FROM ({source_sql})
+),
+_kp_sk AS (
+  SELECT s, h FROM (
+    SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h ASC) AS rn
+    FROM _kp_h) WHERE rn <= {k}
+),
+_kp_pairs AS (
+  SELECT a.s AS sa, b.s AS sb
+  FROM (SELECT DISTINCT s FROM _kp_sk) a, (SELECT DISTINCT s FROM _kp_sk) b
+  WHERE a.s < b.s
+),
+_kp_m AS (
+  SELECT sa, sb, h, SUM(m) AS mask FROM (
+    SELECT p.sa, p.sb, x.h, 1 AS m FROM _kp_pairs p JOIN _kp_sk x ON x.s = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, x.h, 2 AS m FROM _kp_pairs p JOIN _kp_sk x ON x.s = p.sb)
+  GROUP BY sa, sb, h
+),
+_kp_bk AS (
+  SELECT * FROM (
+    SELECT sa, sb, h, mask,
+           ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn
+    FROM _kp_m) WHERE rn <= {k}
+),
+_kp_agg AS (
+  SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_union_kept,
+         CAST(MAX(h) AS BIGINT) AS kth,
+         CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+  FROM _kp_bk GROUP BY sa, sb
+),
+_kp_est AS (
+  SELECT sa, sb, n_union_kept,
+         CASE WHEN n_union_kept < {k} THEN n_union_kept
+              ELSE CAST(floor({float(k - 1)!r} * {_KMV_SPACE!r} / CAST(kth AS DOUBLE)) AS BIGINT)
+         END AS est_union,
+         nboth
+  FROM _kp_agg
+)
+SELECT sa AS stratum_a, sb AS stratum_b, n_union_kept, est_union,
+       CAST(CASE WHEN n_union_kept < {k} THEN nboth
+                 ELSE (nboth * est_union) // {k} END AS BIGINT) AS est_intersection,
+       CAST(CASE WHEN est_union = 0 THEN 0
+                 ELSE (CASE WHEN n_union_kept < {k} THEN nboth
+                            ELSE (nboth * est_union) // {k} END * CAST(1000000 AS HUGEINT)) // est_union
+            END AS BIGINT) AS jaccard_ppm
+FROM _kp_est
+""".strip()

@@ -281,3 +281,92 @@ def test_ewma_fold_exact_known_series(spark):
             rows.append(("h", base + dt.timedelta(hours=h, seconds=i)))
     r = ewma_host_trend(spark.createDataFrame(rows, ["host", "ts"]), F.col("host")).collect()[0]
     assert r.ewma_scaled == 38 and r.n_hours == 3 and r.sum_cnt == 12
+
+
+def test_pct_normalize_rfc3986_cases(spark):
+    from sandcrawler_spark.functions.urls import pct_normalize_col
+
+    cases = [
+        ("http://h/%7euser", "http://h/~user"),          # decode unreserved
+        ("http://h/a%2fb", "http://h/a%2Fb"),            # uppercase reserved
+        ("http://h/%41%4a%30%2d%2e%5f%7e", "http://h/AJ0-._~"),
+        ("http://h/100%25", "http://h/100%25"),          # %25 stays encoded
+        ("http://h/p%", "http://h/p%"),                  # trailing malformed
+        ("http://h/%zz", "http://h/%zz"),                # invalid hex
+        ("%", "%"),
+        ("no-escapes", "no-escapes"),
+        ("%2F%2f%2F", "%2F%2F%2F"),
+    ]
+    df = spark.createDataFrame(cases, ["u", "expect"]).select(
+        "u", "expect", pct_normalize_col(F.col("u")).alias("got"))
+    for r in df.collect():
+        assert r.got == r.expect, f"{r.u!r}: {r.got!r} != {r.expect!r}"
+    # idempotent: normalizing twice is a no-op
+    df2 = df.select("got", pct_normalize_col(F.col("got")).alias("twice"))
+    for r in df2.collect():
+        assert r.twice == r.got
+
+
+def test_kmv_pairwise_overlap_exact_below_k(spark):
+    from sandcrawler_spark.operators.sketches import kmv_pairwise_overlap
+
+    rows = (
+        [("a", f"k{i}") for i in range(30)]
+        + [("b", f"k{i}") for i in range(15, 45)]   # |a ∩ b| = 15, |a ∪ b| = 45
+        + [("c", f"z{i}") for i in range(10)]       # disjoint from both
+    )
+    df = spark.createDataFrame(rows, ["stratum", "key"])
+    got = {(r.stratum_a, r.stratum_b): r
+           for r in kmv_pairwise_overlap(df, "key", "stratum", k=64).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # all unions fit in k=64 -> exact counts
+    assert ab.est_union == 45 and ab.est_intersection == 15
+    assert ab.jaccard_ppm == 15 * 1_000_000 // 45
+    assert got[("a", "c")].est_intersection == 0
+    assert got[("b", "c")].jaccard_ppm == 0
+
+
+def test_kmv_pairwise_matches_kmv_intersection(spark):
+    # the pairwise matrix must agree with the two-source operator on
+    # each pair, including in the estimated (n >= k) regime
+    from sandcrawler_spark.operators.sketches import (
+        kmv_intersection,
+        kmv_pairwise_overlap,
+    )
+
+    rows = (
+        [("x", f"u{i}") for i in range(300)]
+        + [("y", f"u{i}") for i in range(150, 450)]
+    )
+    df = spark.createDataFrame(rows, ["stratum", "key"])
+    pair = kmv_pairwise_overlap(df, "key", "stratum", k=32).collect()[0]
+    two = kmv_intersection(
+        df.filter(F.col("stratum") == "x").withColumn("g", F.lit(1)),
+        df.filter(F.col("stratum") == "y").withColumn("g", F.lit(1)),
+        "key", ["g"], k=32,
+    ).collect()[0]
+    assert pair.n_union_kept == two.n_union_kept == 32
+    assert pair.est_union == two.est_union
+    assert pair.est_intersection == two.est_intersection
+
+
+def test_distance_profile_star_vs_path(spark):
+    from sandcrawler_spark.operators.hyperball import distance_profile
+
+    # star (hub -> leaves): everything reachable within 1 hop on the
+    # 'in' direction -> effective diameter 1 (ball_0 covers only 1/row)
+    star = spark.createDataFrame(
+        [("hub", f"l{i}") for i in range(8)], ["src_host", "dst_host"]
+    )
+    rows = {r.t: r for r in distance_profile(star, n_iter=3, p=8).collect()}
+    assert [rows[t].is_effective_diameter for t in range(4)].count(True) == 1
+    assert rows[1].is_effective_diameter  # hop 1 reaches >= 90% of final
+    assert rows[3].frac_ppm == 1_000_000
+    # path a->b->c->d: balls keep growing through hop 3
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src_host", "dst_host"]
+    )
+    prows = {r.t: r for r in distance_profile(path, n_iter=3, p=8).collect()}
+    assert prows[3].is_effective_diameter
+    assert prows[0].pairs_cents < prows[1].pairs_cents < prows[2].pairs_cents < prows[3].pairs_cents

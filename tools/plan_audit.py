@@ -41,6 +41,9 @@ ALLOW_BNLJ = {
     # 1-row corpus-anchor crossJoin onto the synthetic window table
     # (the interval join itself is a bucketed equi-join)
     "interval_join",
+    # stratum-pair expansion is a |strata| x |strata| crossJoin of the
+    # DISTINCT stratum list (synopsis-sized, never the corpus)
+    "stratum_overlap",
 }
 
 AUDIT = [
@@ -85,6 +88,7 @@ AUDIT = [
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     "hll_sliding", "host_mirrors", "ewma_trend", "ann_ivfpq",
+    "pct_normalize", "stratum_overlap", "distance_profile",
     # r4 session-8: close the audit gap — every queries() entry audited
     "ann_lsh", "ann_recall", "asof_closest", "canonical_aliases",
     "embedding_pca", "extraction_roundtrip", "fetch_statuses",
