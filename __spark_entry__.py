@@ -3286,10 +3286,52 @@ def q_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hreflang document alignment: pages declare language alternates
+    # in three shapes (absolute rel-first, root-relative href-first
+    # single-quoted, none) + an x-default that must be excluded from
+    # pairs; output = aligned translation-pair candidates
+    from sandcrawler_spark.operators.linkgraph import (
+        extract_hreflang,
+        hreflang_pairs,
+    )
+
+    u = _urls(spark, sf_dir).select("url", "host", "o_orderkey")
+    okey = F.col("o_orderkey").cast("string")
+    head = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="en" href="'), F.col("url"), F.lit('"/>'),
+                F.lit("<link href='/de/order/"), okey, F.lit("' hreflang='de' rel=alternate>"),
+                F.lit('<link rel="alternate" hreflang="x-default" href="//'),
+                F.col("host"), F.lit("/order/"), okey, F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(
+                F.lit("<link rel='alternate' hreflang='en' href='/en/order/"), okey, F.lit("'>"),
+                F.lit("<link href='/fr/order/"), okey, F.lit("' rel=alternate hreflang='fr'>"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = u.select(
+        "url",
+        F.encode(
+            F.concat(F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return hreflang_pairs(extract_hreflang(pages))
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
+    "hreflang_pairs",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3385,6 +3427,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_normalize": q_pct_normalize,
         "stratum_overlap": q_stratum_overlap,
         "distance_profile": q_distance_profile,
+        "hreflang_pairs": q_hreflang_pairs,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5449,6 +5492,22 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # relational twin: derives the aligned pairs from the same
+        # construction arithmetic (the canonical_aliases discipline —
+        # the regex extraction itself is pytest-covered on real forms)
+        "hreflang_pairs": f"""
+WITH {_URLS_CTE.strip()}
+SELECT 'de' AS lang_a,
+       'https://' || host || '/de/order/' || CAST(o_orderkey AS VARCHAR) AS url_a,
+       'en' AS lang_b, url AS url_b
+FROM urls WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'en' AS lang_a,
+       'https://' || host || '/en/order/' || CAST(o_orderkey AS VARCHAR) AS url_a,
+       'fr' AS lang_b,
+       'https://' || host || '/fr/order/' || CAST(o_orderkey AS VARCHAR) AS url_b
+FROM urls WHERE o_orderkey % 3 = 1
 """,
         # independent replay of the percent-normalizer: DuckDB splits
         # on '%' and folds the pieces with the same unreserved/upper

@@ -1614,3 +1614,91 @@ def degree_assortativity(host_edges: DataFrame) -> DataFrame:
             f"ELSE (({num}) * 1000000) div ({den}) END AS BIGINT)"
         ).alias("r_micro"),
     )
+
+
+# one <link ...> tag; lang + href pulled from the SAME tag afterwards,
+# so attribute order inside the tag doesn't matter
+_LINK_TAG = r"<link\b[^>]*>"
+_HREFLANG_ATTR = r"""hreflang=["']?([A-Za-z0-9-]+)"""
+_HREF_ATTR = r"""href=["']([^"']+)["']"""
+
+
+def extract_hreflang(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, hreflang, alt_url, is_default) — one row per declared
+    language alternate: <link rel="alternate" hreflang="xx" href=...>.
+    hreflang clusters are the web's own DOCUMENT ALIGNMENT layer — a
+    multilingual corpus builder gets translation-pair candidates
+    (bitext mining seeds) and per-language variant routing for free,
+    where near-dup detection would wrongly merge and language-ID can
+    only bucket. is_default marks hreflang="x-default".
+
+    Extraction is pure codegen: regexp_extract_all pulls whole <link>
+    tags, an array filter keeps rel=alternate tags carrying both
+    attributes, and lang/href are extracted per tag — so attribute
+    ORDER inside the tag is free, unlike the two-pattern canonical
+    approach. href resolution reuses the outlink RFC-3986 subset.
+    Zero shuffle: one narrow projection over the page scan.
+    """
+    doc = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)
+    scheme_host = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    tags = F.filter(
+        F.regexp_extract_all(doc, F.lit(_LINK_TAG), F.lit(0)),
+        lambda t: t.rlike(r"""rel=["']?alternate""")
+        & t.rlike(_HREFLANG_ATTR)
+        & t.rlike(_HREF_ATTR),
+    )
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, _HREFLANG_ATTR, 1)).alias("hreflang"),
+            F.regexp_extract(t, _HREF_ATTR, 1).alias("href"),
+        ),
+    )
+    raw = pages.select(
+        F.col(url_col).alias("url"),
+        scheme.alias("_sc"),
+        scheme_host.alias("_sh"),
+        F.explode(pairs).alias("_p"),
+    )
+    alt = _resolve_dst(F.col("_p.href"), F.col("_sc"), F.col("_sh"))
+    return (
+        raw.select(
+            "url",
+            F.col("_p.hreflang").alias("hreflang"),
+            alt.alias("alt_url"),
+        )
+        .where(F.col("alt_url").isNotNull())
+        .withColumn("is_default", F.col("hreflang") == F.lit("x-default"))
+    )
+
+
+def hreflang_pairs(alternates: DataFrame) -> DataFrame:
+    """Aligned translation-pair candidates from the hreflang table:
+    within each declaring page's alternate set, every ordered pair of
+    DIFFERENT non-default languages — (url_a, lang_a, url_b, lang_b)
+    with lang_a < lang_b, deduped across declaring pages (each member
+    of a cluster re-declares the same set, so the same pair surfaces
+    |cluster| times).
+
+    Scale shape: the self-join key is the declaring page URL — fan-out
+    is bounded by languages-per-page (tens at most, a site's locale
+    count), never corpus-sized; the dedupe is one distinct on the pair.
+    """
+    base = alternates.filter(~F.col("is_default"))
+    a = base.select(
+        "url", F.col("hreflang").alias("lang_a"), F.col("alt_url").alias("url_a")
+    )
+    b = base.select(
+        "url", F.col("hreflang").alias("lang_b"), F.col("alt_url").alias("url_b")
+    )
+    return (
+        a.join(b, "url")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .select("lang_a", "url_a", "lang_b", "url_b")
+        .distinct()
+    )

@@ -818,3 +818,51 @@ class TestAdamicAdar:
         assert ("p", "q") not in got
         # x,y still predicted (share p and q, no x-y edge)
         assert ("x", "y") in got
+
+
+def test_extract_hreflang_forms_and_exclusions(spark):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.linkgraph import (
+        extract_hreflang,
+        hreflang_pairs,
+    )
+
+    html = (
+        "<html><head>"
+        '<link rel="alternate" hreflang="en" href="https://ex.com/en/p"/>'
+        "<link hreflang='de' href='/de/p' rel=alternate>"          # href/order variant
+        '<link rel="alternate" hreflang="PT-br" href="//ex.com/br/p">'  # case + proto-rel
+        '<link rel="alternate" hreflang="x-default" href="/p">'
+        '<link rel="canonical" href="https://ex.com/en/p">'        # not hreflang
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'  # no hreflang
+        '<link rel="alternate" hreflang="fr" href="relative/no.html">'    # unresolvable
+        "</head><body></body></html>"
+    )
+    df = spark.createDataFrame([("https://ex.com/en/p", html.encode())], ["url", "html"])
+    alts = {r.hreflang: r for r in extract_hreflang(df).collect()}
+    assert set(alts) == {"en", "de", "pt-br", "x-default"}  # fr dropped, lang lowered
+    assert alts["de"].alt_url == "https://ex.com/de/p"
+    assert alts["pt-br"].alt_url == "https://ex.com/br/p"
+    assert alts["x-default"].is_default and not alts["en"].is_default
+    pairs = sorted((r.lang_a, r.lang_b) for r in hreflang_pairs(extract_hreflang(df)).collect())
+    assert pairs == [("de", "en"), ("de", "pt-br"), ("en", "pt-br")]
+
+
+def test_hreflang_pairs_dedupe_across_cluster(spark):
+    # both cluster members declare the same alternate set -> the pair
+    # must surface once
+    from sandcrawler_spark.operators.linkgraph import (
+        extract_hreflang,
+        hreflang_pairs,
+    )
+
+    head = ('<link rel="alternate" hreflang="en" href="https://ex.com/en"/>'
+            '<link rel="alternate" hreflang="de" href="https://ex.com/de"/>')
+    html = f"<html><head>{head}</head><body></body></html>".encode()
+    df = spark.createDataFrame(
+        [("https://ex.com/en", html), ("https://ex.com/de", html)], ["url", "html"])
+    got = hreflang_pairs(extract_hreflang(df)).collect()
+    assert len(got) == 1
+    assert (got[0].lang_a, got[0].url_a, got[0].lang_b, got[0].url_b) == (
+        "de", "https://ex.com/de", "en", "https://ex.com/en")
