@@ -3327,11 +3327,88 @@ def q_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_pairs(extract_hreflang(pages))
 
 
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # client-side redirect channel: meta refresh in three planted
+    # shapes (instant absolute, delayed root-relative single-quoted
+    # with attribute order flipped, none) — the 200-then-redirect
+    # shells the hop loop can't see
+    from sandcrawler_spark.operators.linkgraph import extract_meta_refresh
+
+    u = _urls(spark, sf_dir).select("url", "host", "o_orderkey")
+    okey = F.col("o_orderkey").cast("string")
+    head = (
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0;url=https://'),
+                F.col("host"), F.lit("/moved/"), okey, F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(
+                F.lit("<meta content='5; URL=/slow/"), okey,
+                F.lit("' http-equiv=refresh>"),
+            ),
+        )
+        .otherwise(F.lit("<meta charset='utf-8'>"))
+    )
+    pages = u.select(
+        "url",
+        F.encode(
+            F.concat(F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return extract_meta_refresh(pages)
+
+
+def q_host_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # site-migration detection: site k%10==7 hosts redirect ~all their
+    # URLs to site (k+1), everything else only sporadically redirects
+    # (okey%17) to a mixed set — only the migrated hosts may flag
+    from sandcrawler_spark.operators.linkgraph import host_moves
+
+    u = _urls(spark, sf_dir).select("url", "host", "site_id", "o_orderkey")
+    redir = u.filter(
+        ((F.col("site_id") % 10 == 7) & (F.col("o_orderkey") % 5 != 0))
+        | (F.col("o_orderkey") % 17 == 0)
+    ).select(
+        F.col("url").alias("src_url"),
+        F.concat(
+            F.lit("https://site"),
+            F.when(F.col("site_id") % 10 == 7, (F.col("site_id") + 1) % 50)
+            .otherwise((F.col("o_orderkey") % 50)).cast("int").cast("string"),
+            F.lit(".example.com/order/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_moves(redir, min_count=5, share_ppm=800_000)
+
+
+def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # politeness-feasibility plan: per-host demand vs the fetches a
+    # 1h round can legally serve at that host's crawl delay
+    from sandcrawler_spark.operators.politeness import host_capacity_plan
+
+    u = _urls(spark, sf_dir)
+    delays = (
+        u.select("host", "site_id")
+        .distinct()
+        .filter(F.col("site_id") % 4 != 3)  # some hosts have no delay row
+        .select(
+            "host",
+            (F.lit(250) * (F.lit(1) + F.col("site_id") % 7)).cast("long").alias("delay_ms"),
+        )
+    )
+    return host_capacity_plan(u, delays, round_seconds=600)
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
-    "hreflang_pairs",
+    "hreflang_pairs", "meta_refresh", "host_moves", "crawl_capacity",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3428,6 +3505,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_overlap": q_stratum_overlap,
         "distance_profile": q_distance_profile,
         "hreflang_pairs": q_hreflang_pairs,
+        "meta_refresh": q_meta_refresh,
+        "host_moves": q_host_moves,
+        "crawl_capacity": q_crawl_capacity,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5492,6 +5572,65 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # construction-derived twins (canonical_aliases discipline)
+        "meta_refresh": f"""
+WITH {_URLS_CTE.strip()}
+SELECT url, CAST(0 AS BIGINT) AS delay_sec,
+       'https://' || host || '/moved/' || CAST(o_orderkey AS VARCHAR) AS target_url
+FROM urls WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT url, CAST(5 AS BIGINT) AS delay_sec,
+       'https://' || host || '/slow/' || CAST(o_orderkey AS VARCHAR) AS target_url
+FROM urls WHERE o_orderkey % 3 = 1
+""",
+        # replays the redirect construction AND the argmax/share logic
+        "host_moves": f"""
+WITH {_URLS_CTE.strip()},
+hmr AS (
+  SELECT host AS src_host,
+         'site' || CAST(CASE WHEN site_id % 10 = 7 THEN (site_id + 1) % 50
+                             ELSE o_orderkey % 50 END AS VARCHAR)
+           || '.example.com' AS dst_host
+  FROM urls
+  WHERE (site_id % 10 = 7 AND o_orderkey % 5 <> 0) OR o_orderkey % 17 = 0
+),
+hme AS (SELECT src_host, dst_host FROM hmr WHERE src_host <> dst_host),
+hmp AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM hme GROUP BY src_host, dst_host
+),
+hmt AS (SELECT src_host, CAST(SUM(n_pair) AS BIGINT) AS n_total FROM hmp GROUP BY src_host),
+hmtop AS (
+  SELECT src_host, dst_host, n_pair FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_host
+                                 ORDER BY n_pair DESC, dst_host ASC) AS rn
+    FROM hmp) WHERE rn = 1
+)
+SELECT t.src_host, t.dst_host, t.n_pair, x.n_total,
+       CAST((t.n_pair * CAST(1000000 AS HUGEINT)) // x.n_total AS BIGINT) AS share_ppm,
+       (x.n_total >= 5 AND (t.n_pair * CAST(1000000 AS HUGEINT)) // x.n_total >= 800000) AS moved
+FROM hmtop t JOIN hmt x USING (src_host)
+""",
+        "crawl_capacity": f"""
+WITH {_URLS_CTE.strip()},
+ccd AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM urls GROUP BY host
+),
+ccdel AS (
+  SELECT host, CAST(250 * (1 + site_id % 7) AS BIGINT) AS delay_ms
+  FROM (SELECT DISTINCT host, site_id FROM urls)
+  WHERE site_id % 4 <> 3
+),
+ccj AS (
+  SELECT d.host, d.demand, COALESCE(l.delay_ms, 1000) AS delay_ms,
+         GREATEST(CAST(600 * 1000 AS BIGINT) // COALESCE(l.delay_ms, 1000), 1) AS capacity
+  FROM ccd d LEFT JOIN ccdel l USING (host)
+)
+SELECT host, demand, delay_ms, capacity,
+       GREATEST(demand - capacity, 0) AS deficit,
+       CAST((demand + capacity - 1) // capacity AS BIGINT) AS rounds_to_drain
+FROM ccj
 """,
         # relational twin: derives the aligned pairs from the same
         # construction arithmetic (the canonical_aliases discipline —

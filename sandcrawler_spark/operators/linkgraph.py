@@ -1702,3 +1702,114 @@ def hreflang_pairs(alternates: DataFrame) -> DataFrame:
         .select("lang_a", "url_a", "lang_b", "url_b")
         .distinct()
     )
+
+
+_META_TAG = r"<meta\b[^>]*>"
+# content="5; url=/new" | content='0;URL=http://x' — delay, then the
+# target after the (case-insensitive) url= key, quotes optional
+_REFRESH_DELAY = r"""content=["']?\s*(\d+)"""
+_REFRESH_URL = r"""[Uu][Rr][Ll]\s*=\s*["']?([^"'>\s]+)"""
+
+
+def extract_meta_refresh(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, delay_sec, target_url) — one row per page carrying a
+    <meta http-equiv="refresh" content="N;url=..."> client-side
+    redirect: the third redirect channel after HTTP 3xx and
+    rel=canonical, and the one soft-alias/parked-domain farms favor
+    (the reference's hop loop follows only HTTP redirects,
+    python/sandcrawler/ia.py; pages that 200-then-meta-refresh leak
+    into the corpus as empty shells unless caught here).
+
+    Same codegen shape as extract_hreflang: regexp_extract_all over
+    <meta> tags, an array filter for http-equiv=refresh (any case,
+    either attribute order), delay + target pulled from the SAME tag,
+    RFC-3986-subset href resolution. delay_sec is exact integer; a
+    page with several refresh tags contributes its first (document
+    order, the browser rule). Zero shuffle.
+    """
+    doc = F.decode(F.col(html_col), "UTF-8")
+    scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)
+    scheme_host = F.regexp_extract(F.col(url_col), r"^(https?://[^/]+)", 1)
+    tags = F.filter(
+        F.regexp_extract_all(doc, F.lit(_META_TAG), F.lit(0)),
+        lambda t: t.rlike(r"""(?i)http-equiv=["']?refresh""")
+        & t.rlike(_REFRESH_URL),
+    )
+    first = F.get(tags, 0)  # NULL on no-refresh pages (element_at throws under ANSI)
+    raw = pages.select(
+        F.col(url_col).alias("url"),
+        scheme.alias("_sc"),
+        scheme_host.alias("_sh"),
+        first.alias("_t"),
+    ).where(F.col("_t").isNotNull())
+    target = _resolve_dst(
+        F.regexp_extract(F.col("_t"), _REFRESH_URL, 1), F.col("_sc"), F.col("_sh")
+    )
+    return (
+        raw.select(
+            "url",
+            F.coalesce(
+                F.nullif(F.regexp_extract(F.col("_t"), _REFRESH_DELAY, 1), F.lit("")),
+                F.lit("0"),
+            )
+            .cast("long")
+            .alias("delay_sec"),
+            target.alias("target_url"),
+        )
+        .where(F.col("target_url").isNotNull())
+    )
+
+
+def host_moves(
+    redirects: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    min_count: int = 5,
+    share_ppm: int = 800_000,
+) -> DataFrame:
+    """Site-migration detection from observed redirects: a host whose
+    redirecting URLs overwhelmingly land on ONE other host has moved —
+    the frontier should rewrite its queued URLs and the seen set
+    should alias its history (the reference re-discovers moved sites
+    URL by URL through the hop loop; this lifts it to one host-level
+    decision). Returns per redirecting host its top destination host:
+    (src_host, dst_host, n_pair, n_total, share_ppm, moved).
+
+    One (src_host, dst_host) count shuffle + a same-key total agg
+    joined back + a min(struct) argmax per src_host — no windows, a
+    mega-host costs its distinct-destination rows only. Self-host
+    redirects (http->https, path shuffles) are excluded up front.
+    """
+    hp = r"^https?://([^/]+)"
+    e = redirects.select(
+        F.regexp_extract(F.col(src_col), hp, 1).alias("src_host"),
+        F.regexp_extract(F.col(dst_col), hp, 1).alias("dst_host"),
+    ).filter(
+        (F.col("src_host") != "") & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    pairs = e.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("long").alias("n_pair")
+    )
+    totals = pairs.groupBy("src_host").agg(F.sum("n_pair").cast("long").alias("n_total"))
+    top = pairs.groupBy("src_host").agg(
+        F.min(
+            F.struct((-F.col("n_pair")).alias("neg"), F.col("dst_host").alias("dst_host"))
+        ).alias("_top")
+    ).select(
+        "src_host",
+        F.col("_top.dst_host").alias("dst_host"),
+        (-F.col("_top.neg")).cast("long").alias("n_pair"),
+    )
+    out = top.join(totals, "src_host").withColumn(
+        "share_ppm",
+        F.expr("CAST(n_pair * CAST(1000000 AS BIGINT) div n_total AS BIGINT)"),
+    )
+    return out.withColumn(
+        "moved",
+        (F.col("n_total") >= min_count) & (F.col("share_ppm") >= share_ppm),
+    )

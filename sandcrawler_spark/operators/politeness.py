@@ -273,3 +273,58 @@ def adapt_crawl_delays(
         )
     )
     return nxt
+
+
+def host_capacity_plan(
+    frontier: DataFrame,
+    delays: DataFrame,
+    round_seconds: int = 3600,
+    host_col: str = "host",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness-feasibility planner: given per-host crawl delays
+    (static, or adapt_crawl_delays' output) and the queued frontier,
+    how much of each host's demand can one round legally serve, and
+    how many rounds until the queue drains? The scheduler can only
+    ORDER requests; this is the arithmetic that says which hosts are
+    structurally oversubscribed (demand > capacity no matter the
+    order) — those need a budget decision (water-filling) or a longer
+    round, not a better sort. The reference discovers this by timing
+    out (workers.py backoff); here it is a one-join plan.
+
+    capacity = round_seconds*1000 div delay_ms (min 1 fetch/round),
+    deficit  = max(demand - capacity, 0),
+    rounds_to_drain = ceil-div(demand, capacity) — all exact int64.
+
+    One demand count agg + one broadcast join against the
+    host-cardinality delay table. Hosts with no delay row get
+    `default_missing` = 1000 ms.
+    """
+    demand = frontier.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("demand")
+    )
+    d = delays.select(
+        F.col(host_col), F.col(delay_col).cast("long").alias("_delay_ms")
+    )
+    out = demand.join(F.broadcast(d), host_col, "left").select(
+        host_col,
+        "demand",
+        F.coalesce("_delay_ms", F.lit(1000)).alias("delay_ms"),
+    )
+    cap = F.greatest(
+        F.expr(f"CAST({int(round_seconds)} * 1000 AS BIGINT) div delay_ms"),
+        F.lit(1).cast("long"),
+    )
+    out = out.withColumn("capacity", cap)
+    return out.select(
+        host_col,
+        "demand",
+        "delay_ms",
+        "capacity",
+        F.greatest(F.col("demand") - F.col("capacity"), F.lit(0).cast("long")).alias(
+            "deficit"
+        ),
+        F.expr("CAST((demand + capacity - 1) div capacity AS BIGINT)").alias(
+            "rounds_to_drain"
+        ),
+    )

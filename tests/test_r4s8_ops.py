@@ -370,3 +370,73 @@ def test_distance_profile_star_vs_path(spark):
     prows = {r.t: r for r in distance_profile(path, n_iter=3, p=8).collect()}
     assert prows[3].is_effective_diameter
     assert prows[0].pairs_cents < prows[1].pairs_cents < prows[2].pairs_cents < prows[3].pairs_cents
+
+
+def test_extract_meta_refresh_forms(spark):
+    from sandcrawler_spark.operators.linkgraph import extract_meta_refresh
+
+    pages = [
+        ("https://ex.com/a",
+         b'<html><head><meta http-equiv="refresh" content="0;url=https://new.com/a"></head></html>'),
+        ("https://ex.com/b",
+         b"<html><head><meta content='7; URL=/b2' http-equiv=REFRESH></head></html>"),
+        ("https://ex.com/c",  # no url= -> not a redirect
+         b'<html><head><meta http-equiv="refresh" content="30"></head></html>'),
+        ("https://ex.com/d", b"<html><head><meta charset='utf-8'></head></html>"),
+        ("https://ex.com/e",  # two tags: first wins
+         b'<html><head><meta http-equiv=refresh content="1;url=/first">'
+         b'<meta http-equiv=refresh content="2;url=/second"></head></html>'),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    got = {r.url: r for r in extract_meta_refresh(df).collect()}
+    assert set(got) == {"https://ex.com/a", "https://ex.com/b", "https://ex.com/e"}
+    assert got["https://ex.com/a"].delay_sec == 0
+    assert got["https://ex.com/a"].target_url == "https://new.com/a"
+    assert got["https://ex.com/b"].delay_sec == 7
+    assert got["https://ex.com/b"].target_url == "https://ex.com/b2"
+    assert got["https://ex.com/e"].target_url == "https://ex.com/first"
+
+
+def test_host_moves_majority_and_noise(spark):
+    from sandcrawler_spark.operators.linkgraph import host_moves
+
+    rows = (
+        # moved.com: 9/10 redirects to new.com -> moved
+        [(f"https://moved.com/p{i}", "https://new.com/p") for i in range(9)]
+        + [("https://moved.com/x", "https://cdn.com/x")]
+        + # scattered.com: 3 destinations, max share 2/4 -> not moved
+        [("https://scattered.com/1", "https://a.com/"), ("https://scattered.com/2", "https://b.com/"),
+         ("https://scattered.com/3", "https://c.com/"), ("https://scattered.com/4", "https://a.com/")]
+        + # tiny.com: 100% but only 2 redirects -> below min_count
+        [("https://tiny.com/1", "https://t2.com/"), ("https://tiny.com/2", "https://t2.com/")]
+        + # self redirects excluded entirely
+        [("https://self.com/a", "https://self.com/b")]
+    )
+    df = spark.createDataFrame(rows, ["src_url", "dst_url"])
+    got = {r.src_host: r for r in host_moves(df, min_count=5, share_ppm=800_000).collect()}
+    assert set(got) == {"moved.com", "scattered.com", "tiny.com"}
+    m = got["moved.com"]
+    assert m.moved and m.dst_host == "new.com" and m.share_ppm == 900_000
+    assert not got["scattered.com"].moved
+    assert not got["tiny.com"].moved and got["tiny.com"].share_ppm == 1_000_000
+
+
+def test_host_capacity_plan_arithmetic(spark):
+    from sandcrawler_spark.operators.politeness import host_capacity_plan
+
+    frontier = spark.createDataFrame(
+        [("fast", i) for i in range(10)] + [("slow", i) for i in range(10)]
+        + [("nodelay", 0)],
+        ["host", "i"],
+    )
+    delays = spark.createDataFrame(
+        [("fast", 100), ("slow", 60_000), ("unqueued", 100)], ["host", "delay_ms"])
+    got = {r.host: r for r in
+           host_capacity_plan(frontier, delays, round_seconds=60).collect()}
+    assert set(got) == {"fast", "slow", "nodelay"}  # unqueued host absent
+    f = got["fast"]   # 60s/100ms = 600 capacity >= 10 demand
+    assert f.capacity == 600 and f.deficit == 0 and f.rounds_to_drain == 1
+    s = got["slow"]   # 60s/60s = 1 fetch/round
+    assert s.capacity == 1 and s.deficit == 9 and s.rounds_to_drain == 10
+    n = got["nodelay"]  # default 1000ms -> 60 capacity
+    assert n.delay_ms == 1000 and n.capacity == 60 and n.rounds_to_drain == 1
