@@ -349,3 +349,64 @@ def test_novelty_hot_gram_skew(spark):
     assert all(r.novelty_ppm == 500_000 for b, r in by_bucket.items() if b > 0)
     print(f"\nnovelty 2e5-doc 50% hot gram: {wall:.1f}s")
     assert wall < 180
+
+
+def test_interval_join_hot_host_1e6(spark):
+    # ONE host holds every point and every window: the bucket explode
+    # spreads the hot key over (key, bucket) cells, so the join stays
+    # an ordinary hash join — the naive BNLJ would be 1e6 * 2e4 = 2e10
+    # range compares. Verified against a closed-form pair count.
+    from sandcrawler_spark.operators.intervals import interval_join
+
+    n_pts, n_win, span, stride = 1_000_000, 20_000, 500, 1_000
+    pts = spark.range(n_pts).select(
+        F.lit("hot.example.com").alias("host"),
+        (F.col("id") * 20).cast("long").alias("ts_sec"),  # every 20s
+        F.col("id").alias("pid"),
+    )
+    wins = spark.range(n_win).select(
+        F.lit("hot.example.com").alias("host"),
+        (F.col("id") * stride).cast("long").alias("start_sec"),
+        (F.col("id") * stride + span).cast("long").alias("end_sec"),
+        F.col("id").alias("w_id"),
+    )
+    t0 = time.time()
+    got = interval_join(pts, wins, bucket_seconds=3600).count()
+    wall = time.time() - t0
+    # windows [1000w, 1000w+500) catch points ts=20p in [50w, 50w+25):
+    # exactly 25 points per window while both ranges overlap
+    full_windows = min(n_win, (n_pts * 20) // stride)
+    expect = full_windows * (span // 20)
+    assert got == expect
+    print(f"\ninterval_join hot host: {n_pts} pts x {n_win} wins -> "
+          f"{got} pairs in {wall:.1f}s")
+    assert wall < 120
+
+
+def test_host_mirrors_hot_fp_1e5(spark):
+    # a boilerplate fingerprint shared by 1e5 hosts would explode the
+    # fp self-join quadratically (1e10 pairs); the hot-fp cap excises
+    # it while the planted true mirror pair still surfaces exactly.
+    from sandcrawler_spark.operators.mirrors import host_mirror_pairs
+
+    n_hosts = 100_000
+    boiler = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.lit("BOILERPLATE").alias("fp"),
+    )
+    mirror = spark.range(40).select(
+        F.explode(F.array(F.lit("h7"), F.lit("h8"))).alias("host"),
+        F.concat(F.lit("doc"), F.col("id").cast("string")).alias("fp"),
+    )
+    df = boiler.unionByName(mirror)
+    t0 = time.time()
+    got = host_mirror_pairs(df, min_shared=2, max_fp_hosts=256).collect()
+    wall = time.time() - t0
+    assert len(got) == 1
+    r = got[0]
+    assert (r.host_a, r.host_b) == ("h7", "h8") and r.shared == 40
+    # sizes still count the capped fp (41 each): jaccard = 40/42
+    assert r.n_a == r.n_b == 41 and r.jaccard_ppm == 40 * 1_000_000 // 42
+    print(f"\nhost_mirrors hot fp: {n_hosts} hosts sharing one fp -> "
+          f"{len(got)} pair in {wall:.1f}s")
+    assert wall < 120
