@@ -3404,11 +3404,27 @@ def q_crawl_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_capacity_plan(u, delays, round_seconds=600)
 
 
+def q_topic_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # focused-crawl host relevance: cosine between each host's mean
+    # content embedding and a 3-doc topic seed — exact integer sums
+    # per (host, dim), one double sequence per host, rounded 6dp
+    from sandcrawler_spark.operators.similarity import host_topic_affinity
+
+    e = _t(spark, sf_dir, "embeddings")
+    docs = e.select(
+        F.concat(F.lit("site"), (F.col("vec_id") % 40).cast("string"), F.lit(".example.com")).alias("host"),
+        "embedding",
+    )
+    seed = e.filter(F.col("vec_id") < 3).select("embedding")
+    return host_topic_affinity(docs, seed=seed)
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
     "hreflang_pairs", "meta_refresh", "host_moves", "crawl_capacity",
+    "topic_affinity",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3508,6 +3524,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh": q_meta_refresh,
         "host_moves": q_host_moves,
         "crawl_capacity": q_crawl_capacity,
+        "topic_affinity": q_topic_affinity,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5572,6 +5589,44 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # integer (host, dim) sums -> one double cosine per host, the
+        # embedding_pca micro-round discipline
+        "topic_affinity": """
+WITH tae AS (
+  SELECT 'site' || CAST(vec_id % 40 AS VARCHAR) || '.example.com' AS host,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+tah AS (
+  SELECT host, i.pos,
+         CAST(SUM(CAST(round(v[CAST(i.pos AS INT) + 1] * 1000000) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM tae, (SELECT unnest(range(0, (SELECT max(len(v)) FROM tae))) AS pos) i
+  GROUP BY host, i.pos
+),
+taq AS (
+  SELECT i.pos,
+         CAST(SUM(CAST(round(v[CAST(i.pos AS INT) + 1] * 1000000) AS BIGINT)) AS BIGINT) AS q
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 3) s,
+       (SELECT unnest(range(0, (SELECT max(len(v)) FROM tae))) AS pos) i
+  GROUP BY i.pos
+),
+taa AS (
+  SELECT h.host, MAX(h.n) AS n_docs,
+         SUM(CAST(h.s AS HUGEINT) * q.q) AS dot,
+         SUM(CAST(h.s AS HUGEINT) * h.s) AS vv,
+         SUM(CAST(q.q AS HUGEINT) * q.q) AS qq
+  FROM tah h JOIN taq q USING (pos)
+  GROUP BY h.host
+)
+SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+       CASE WHEN vv = 0 OR qq = 0 THEN 0.0
+            ELSE round(CAST(dot AS DOUBLE) /
+                       (sqrt(CAST(vv AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))), 6)
+       END AS affinity
+FROM taa
 """,
         # construction-derived twins (canonical_aliases discipline)
         "meta_refresh": f"""

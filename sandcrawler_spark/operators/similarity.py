@@ -478,3 +478,75 @@ def semantic_dedupe(
         )
         .withColumn("is_rep", F.col("rep_id") == F.col(id_col))
     )
+
+
+def host_topic_affinity(
+    embeddings: DataFrame,
+    host_col: str = "host",
+    vec_col: str = "embedding",
+    seed: DataFrame | None = None,
+    seed_vec_col: str = "embedding",
+) -> DataFrame:
+    """Focused-crawl relevance (Chakrabarti et al. WWW'99): score every
+    HOST by the cosine between its mean content embedding and a topic
+    seed vector, so the frontier can prefer on-topic sites instead of
+    only well-linked ones — the topical axis PageRank/OPIC cannot see.
+
+    Determinism at any parallelism: per-document values are micro-
+    rounded to int64 FIRST, so the per-(host, dim) sums are EXACT
+    integers (addition of longs commutes — no float-order hazard, the
+    embedding_pca sums-identity discipline) and bounded state
+    (hosts x dim rows, never docs). The single float sequence per host
+    — dot/(|V| |Q|) from DECIMAL(38) products — happens once, in the
+    same order in both engines, then rounds to 6dp. The seed side is
+    ONE row (mean of the seed set, same integer sums), broadcast.
+
+    Returns (host, n_docs, affinity) sorted-free; affinity in [-1, 1]
+    rounded to 6dp. Sum products ride DECIMAL(38): a host with 10^8
+    docs has |component| <= 10^14, and the dot term 10^14 * 10^8
+    overflows int64 — decimal keeps it exact.
+    """
+    micro = lambda c: F.expr(f"CAST(round({c} * 1000000) AS BIGINT)")  # noqa: E731
+
+    def _sums(df: DataFrame, group: list[str]) -> DataFrame:
+        ex = df.select(
+            *group, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v")
+        )
+        return ex.groupBy(*group, "pos").agg(
+            F.sum(micro("_v")).cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    if seed is None:
+        raise ValueError("seed DataFrame of topic exemplar vectors is required")
+    hv = _sums(embeddings.select(F.col(host_col).alias("host"), vec_col), ["host"])
+    qv = (
+        seed.select(F.posexplode(F.col(seed_vec_col).cast("array<double>")).alias("pos", "_v"))
+        .groupBy("pos")
+        .agg(F.sum(micro("_v")).cast("long").alias("q"))
+    )
+    j = hv.join(F.broadcast(qv), "pos")
+    agg = j.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * q")).alias("_dot"),
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("_vv"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("_qq"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        F.when(
+            (F.col("_vv") == 0) | (F.col("_qq") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_vv").cast("double"))
+                    * F.sqrt(F.col("_qq").cast("double"))
+                ),
+                6,
+            )
+        )
+        .alias("affinity"),
+    )

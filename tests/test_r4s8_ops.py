@@ -440,3 +440,37 @@ def test_host_capacity_plan_arithmetic(spark):
     assert s.capacity == 1 and s.deficit == 9 and s.rounds_to_drain == 10
     n = got["nodelay"]  # default 1000ms -> 60 capacity
     assert n.delay_ms == 1000 and n.capacity == 60 and n.rounds_to_drain == 1
+
+
+def test_host_topic_affinity_known_geometry(spark):
+    from sandcrawler_spark.operators.similarity import host_topic_affinity
+
+    rows = [
+        ("aligned", [1.0, 0.0, 0.0]), ("aligned", [1.0, 0.0, 0.0]),
+        ("orthogonal", [0.0, 1.0, 0.0]),
+        ("opposite", [-1.0, 0.0, 0.0]),
+        ("mixed", [1.0, 1.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(rows, ["host", "embedding"])
+    seed = spark.createDataFrame([([1.0, 0.0, 0.0],)], ["embedding"])
+    got = {r.host: r for r in host_topic_affinity(docs, seed=seed).collect()}
+    assert got["aligned"].affinity == 1.0 and got["aligned"].n_docs == 2
+    assert got["orthogonal"].affinity == 0.0
+    assert got["opposite"].affinity == -1.0
+    assert abs(got["mixed"].affinity - 0.707107) < 1e-6
+
+
+def test_host_topic_affinity_partitioning_invariant(spark):
+    # integer (host, dim) sums commute: any input partitioning gives
+    # the identical affinity table
+    from sandcrawler_spark.operators.similarity import host_topic_affinity
+
+    rows = [(f"h{i % 5}", [((i * 7 + j) % 13) / 13.0 - 0.4 for j in range(8)])
+            for i in range(200)]
+    seed_rows = [([0.3] * 8,), ([0.1] * 8,)]
+    seed = spark.createDataFrame(seed_rows, ["embedding"])
+    a = spark.createDataFrame(rows, ["host", "embedding"]).repartition(1)
+    b = spark.createDataFrame(rows, ["host", "embedding"]).repartition(17, "host")
+    ra = sorted(host_topic_affinity(a, seed=seed).collect())
+    rb = sorted(host_topic_affinity(b, seed=seed).collect())
+    assert ra == rb
