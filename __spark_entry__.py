@@ -3419,12 +3419,22 @@ def q_topic_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_topic_affinity(docs, seed=seed)
 
 
+def q_shard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fleet coordination traffic under rendezvous sharding: per shard,
+    # internal vs cross-shard host-graph edges (codegen argmax shard
+    # on both endpoints, no shard table join)
+    from sandcrawler_spark.operators.linkgraph import host_graph
+    from sandcrawler_spark.operators.sharding import shard_cut
+
+    return shard_cut(host_graph(_outlink_edges(spark, sf_dir)), n_shards=8)
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
     "hreflang_pairs", "meta_refresh", "host_moves", "crawl_capacity",
-    "topic_affinity",
+    "topic_affinity", "shard_cut",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3525,6 +3535,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_moves": q_host_moves,
         "crawl_capacity": q_crawl_capacity,
         "topic_affinity": q_topic_affinity,
+        "shard_cut": q_shard_cut,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5589,6 +5600,39 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # rendezvous argmax replayed on both endpoints via a host->
+        # shard map joined twice (the shard_assign twin, edge-applied)
+        "shard_cut": link_base + """,
+sce AS (
+  SELECT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+sch AS (SELECT src_host AS host FROM sce UNION SELECT dst_host FROM sce),
+scw AS (
+  SELECT host, CAST(t.i AS INT) AS shard,
+         md5(host || ':' || CAST(t.i AS VARCHAR)) AS wgt
+  FROM sch CROSS JOIN range(0, 8) t(i)
+),
+scm AS (
+  SELECT host, shard FROM (
+    SELECT host, shard,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY wgt DESC, shard DESC) AS rn
+    FROM scw) WHERE rn = 1
+),
+sct AS (
+  SELECT a.shard AS shard, (a.shard = b.shard) AS internal
+  FROM sce e JOIN scm a ON e.src_host = a.host JOIN scm b ON e.dst_host = b.host
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+       CAST(COUNT(*) - SUM(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       CAST(((COUNT(*) - SUM(CASE WHEN internal THEN 1 ELSE 0 END)) * CAST(1000000 AS HUGEINT))
+            // COUNT(*) AS BIGINT) AS cross_ppm
+FROM sct GROUP BY shard
 """,
         # integer (host, dim) sums -> one double cosine per host, the
         # embedding_pca micro-round discipline

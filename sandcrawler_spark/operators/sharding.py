@@ -68,3 +68,54 @@ def shard_balance(
         )
         .select("shard", "n_keys", "n_rows")
     )
+
+
+def shard_cut(
+    edges: DataFrame,
+    n_shards: int = 8,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Partition-quality readout for rendezvous sharding: per shard,
+    how many of its outgoing host-graph edges stay INTERNAL vs cross
+    to another shard — the coordination-traffic estimate for a
+    sharded crawler fleet (a discovered cross-shard link must be
+    handed to the owning shard's frontier; RFC `sandcrawler-rfc.md`'s
+    single-pipeline design never pays this, a 4N-executor fleet always
+    does). Rendezvous hashing ignores topology, so cross_ppm ~
+    (n_shards-1)/n_shards * 1e6 is the expected baseline; a
+    community-aware assignment (host_lpa) should beat it — this query
+    is the yardstick.
+
+    Pure codegen shard columns on both endpoints (no shard table, no
+    join — the rendezvous argmax is an expression), one distinct-edge
+    shuffle, one shard-keyed agg.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    tagged = e.select(
+        rendezvous_shard_col(F.col("_s"), n_shards).alias("shard"),
+        (
+            rendezvous_shard_col(F.col("_s"), n_shards)
+            == rendezvous_shard_col(F.col("_d"), n_shards)
+        ).alias("_internal"),
+    )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.col("_internal").cast("long")).cast("long").alias("n_internal"),
+        )
+        .select(
+            "shard",
+            "n_edges",
+            "n_internal",
+            (F.col("n_edges") - F.col("n_internal")).alias("n_cross"),
+            F.expr(
+                "CAST((n_edges - n_internal) * CAST(1000000 AS BIGINT) div n_edges AS BIGINT)"
+            ).alias("cross_ppm"),
+        )
+    )

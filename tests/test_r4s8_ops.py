@@ -474,3 +474,28 @@ def test_host_topic_affinity_partitioning_invariant(spark):
     ra = sorted(host_topic_affinity(a, seed=seed).collect())
     rb = sorted(host_topic_affinity(b, seed=seed).collect())
     assert ra == rb
+
+
+def test_shard_cut_accounting(spark):
+    from sandcrawler_spark.operators.sharding import (
+        assign_shards,
+        shard_cut,
+    )
+
+    rows = [(f"a{i}", f"b{(i * 3) % 20}") for i in range(60)] + [("x", "x")]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host"])
+    got = shard_cut(edges, n_shards=4).collect()
+    # every distinct non-self edge accounted exactly once
+    n_distinct = edges.filter("src_host <> dst_host").distinct().count()
+    assert sum(r.n_edges for r in got) == n_distinct
+    for r in got:
+        assert r.n_internal + r.n_cross == r.n_edges
+        assert r.cross_ppm == r.n_cross * 1_000_000 // r.n_edges
+    # internal flags agree with a join against the assignment map
+    m = {r.host: r.shard for r in assign_shards(
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host"))).distinct(),
+        "host", n_shards=4).collect()}
+    expect_internal = sum(
+        1 for (s, d) in set(map(tuple, rows)) if s != d and m[s] == m[d])
+    assert sum(r.n_internal for r in got) == expect_internal
