@@ -3429,12 +3429,24 @@ def q_shard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_cut(host_graph(_outlink_edges(spark, sf_dir)), n_shards=8)
 
 
+def q_community_shard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the yardstick comparison: shard by LPA community (md5 of label
+    # mod n) instead of per-host rendezvous — inter-community edges
+    # are the only cross-shard traffic left
+    from sandcrawler_spark.operators.linkgraph import host_graph
+    from sandcrawler_spark.operators.sharding import community_shard_cut
+
+    return community_shard_cut(
+        host_graph(_outlink_edges(spark, sf_dir)), n_shards=8, n_rounds=3
+    )
+
+
 _STALE_FIRST = [
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
     "hreflang_pairs", "meta_refresh", "host_moves", "crawl_capacity",
-    "topic_affinity", "shard_cut",
+    "topic_affinity", "shard_cut", "community_shard_cut",
     "salsa_scores", "degree_assortativity", "interval_join",
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     # round-4 session-7 additions — never driver-checked, sample first
@@ -3536,6 +3548,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_capacity": q_crawl_capacity,
         "topic_affinity": q_topic_affinity,
         "shard_cut": q_shard_cut,
+        "community_shard_cut": q_community_shard_cut,
         "novelty_curve": q_novelty_curve,
         "page_robots": q_page_robots,
         "nofollow_outlinks": q_nofollow_outlinks,
@@ -5600,6 +5613,34 @@ raa AS (
 SELECT d.host, d.hour, d.cnt, d.med2, a.mad8,
        (8 * d.cnt > 4 * d.med2 + 3 * a.mad8) AS is_anomaly
 FROM rad d JOIN raa a USING (host)
+""",
+        # LPA labels (shared unrolled CTEs) hashed to shards, then the
+        # same per-shard internal/cross accounting as shard_cut
+        "community_shard_cut": f"""
+{link_base},
+{_lpa_oracle_ctes(3)},
+cce AS (
+  SELECT src_host, dst_host FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+ccs AS (
+  SELECT host,
+         CAST(CAST('0x' || substr(md5(label), 1, 15) AS BIGINT) % 8 AS INT) AS shard
+  FROM lpa3
+),
+cct AS (
+  SELECT a.shard AS shard, (a.shard = b.shard) AS internal
+  FROM cce e JOIN ccs a ON e.src_host = a.host JOIN ccs b ON e.dst_host = b.host
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+       CAST(COUNT(*) - SUM(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       CAST(((COUNT(*) - SUM(CASE WHEN internal THEN 1 ELSE 0 END)) * CAST(1000000 AS HUGEINT))
+            // COUNT(*) AS BIGINT) AS cross_ppm
+FROM cct GROUP BY shard
 """,
         # rendezvous argmax replayed on both endpoints via a host->
         # shard map joined twice (the shard_assign twin, edge-applied)

@@ -119,3 +119,64 @@ def shard_cut(
             ).alias("cross_ppm"),
         )
     )
+
+
+def community_shard_cut(
+    edges: DataFrame,
+    n_shards: int = 8,
+    n_rounds: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """The topology-aware counterpart to `shard_cut`: hosts are
+    sharded by their LPA COMMUNITY (md5 of the community label mod
+    n_shards), so densely-linked host clusters land on one shard and
+    their internal frontier hand-offs become free. Same output shape
+    as shard_cut — run both and compare cross_ppm: rendezvous sits at
+    the topology-blind (n-1)/n baseline, community sharding pays cross
+    traffic only on inter-community edges (plus hash collisions of
+    community labels). The trade is balance: a giant community can
+    overload its shard — pair this readout with shard_balance before
+    adopting.
+
+    `edges` is the WEIGHTED host graph (host_graph output: src_host,
+    dst_host, weight) — LPA votes by weight, exactly as
+    host_communities. One LPA run (bounded rounds, min-struct argmax —
+    skew-safe), one label join per endpoint, one shard agg.
+    """
+    from sandcrawler_spark.operators.linkgraph import host_lpa
+    from sandcrawler_spark.operators.sketches import hll_hash
+
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = host_lpa(edges, n_rounds=n_rounds).select(
+        "host",
+        F.pmod(hll_hash(F.col("community")), F.lit(int(n_shards)))
+        .cast("int")
+        .alias("shard"),
+    )
+    la = labels.select(F.col("host").alias("_s"), F.col("shard").alias("shard"))
+    lb = labels.select(F.col("host").alias("_d"), F.col("shard").alias("_shard_d"))
+    tagged = e.join(la, "_s").join(lb, "_d").select(
+        "shard", (F.col("shard") == F.col("_shard_d")).alias("_internal")
+    )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.col("_internal").cast("long")).cast("long").alias("n_internal"),
+        )
+        .select(
+            "shard",
+            "n_edges",
+            "n_internal",
+            (F.col("n_edges") - F.col("n_internal")).alias("n_cross"),
+            F.expr(
+                "CAST((n_edges - n_internal) * CAST(1000000 AS BIGINT) div n_edges AS BIGINT)"
+            ).alias("cross_ppm"),
+        )
+    )

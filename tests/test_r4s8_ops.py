@@ -499,3 +499,32 @@ def test_shard_cut_accounting(spark):
     expect_internal = sum(
         1 for (s, d) in set(map(tuple, rows)) if s != d and m[s] == m[d])
     assert sum(r.n_internal for r in got) == expect_internal
+
+
+def test_community_shard_cut_beats_rendezvous_on_clusters(spark):
+    # two dense 6-cliques joined by one bridge edge: community
+    # sharding keeps each clique whole (cross traffic = at most the
+    # bridge), rendezvous scatters them
+    from sandcrawler_spark.operators.sharding import (
+        community_shard_cut,
+        shard_cut,
+    )
+
+    rows = []
+    for base in ("a", "b"):
+        for i in range(6):
+            for j in range(6):
+                if i != j:
+                    rows.append((f"{base}{i}", f"{base}{j}", 5))
+    rows.append(("a0", "b0", 1))  # bridge
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host", "weight"])
+    comm = community_shard_cut(edges, n_shards=8, n_rounds=3).collect()
+    rdv = shard_cut(edges, n_shards=8).collect()
+    cross_comm = sum(r.n_cross for r in comm)
+    cross_rdv = sum(r.n_cross for r in rdv)
+    total = sum(r.n_edges for r in comm)
+    assert total == sum(r.n_edges for r in rdv)  # same distinct edge set
+    assert cross_comm <= 1  # at most the bridge (0 if labels collide)
+    assert cross_rdv > cross_comm  # rendezvous scatters the cliques
+    for r in comm:
+        assert r.n_internal + r.n_cross == r.n_edges

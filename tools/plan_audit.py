@@ -89,7 +89,7 @@ AUDIT = [
     "event_transitions", "rate_anomalies", "soft_dedupe_weights",
     "hll_sliding", "host_mirrors", "ewma_trend", "ann_ivfpq",
     "pct_normalize", "stratum_overlap", "distance_profile", "hreflang_pairs", "meta_refresh", "host_moves", "crawl_capacity",
-    "topic_affinity", "shard_cut",
+    "topic_affinity", "shard_cut", "community_shard_cut",
     # r4 session-8: close the audit gap — every queries() entry audited
     "ann_lsh", "ann_recall", "asof_closest", "canonical_aliases",
     "embedding_pca", "extraction_roundtrip", "fetch_statuses",
