@@ -74,6 +74,12 @@ def main() -> None:
         "from meta-nofollow pages from the rank-frontier edge store",
     )
     ap.add_argument(
+        "--rewrite-moved-hosts", action="store_true",
+        help="site-migration rewriting: when a host's observed "
+        "redirects concentrate on one destination host, rewrite its "
+        "queued frontier rows to the new host before the seen filter",
+    )
+    ap.add_argument(
         "--discover", action="store_true",
         help="sitemap/feed discovery: fetched bodies that are sitemap "
         "or RSS/Atom XML contribute new ingest requests to the next "
@@ -106,6 +112,7 @@ def main() -> None:
         discover=args.discover,
         circuit_breaker=tuple(args.circuit_breaker) if args.circuit_breaker else None,
         respect_page_robots=args.respect_page_robots,
+        rewrite_moved_hosts=args.rewrite_moved_hosts,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

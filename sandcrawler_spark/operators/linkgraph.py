@@ -1795,6 +1795,18 @@ def host_moves(
     pairs = e.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("long").alias("n_pair")
     )
+    return host_moves_from_counts(pairs, min_count=min_count, share_ppm=share_ppm)
+
+
+def host_moves_from_counts(
+    pairs: DataFrame,
+    min_count: int = 5,
+    share_ppm: int = 800_000,
+) -> DataFrame:
+    """host_moves' decision half over a pre-aggregated
+    (src_host, dst_host, n_pair) count table — the form a crawl
+    runner accumulates across rounds (counts SUM-merge, so the store
+    is mergeable state like the CMS cells)."""
     totals = pairs.groupBy("src_host").agg(F.sum("n_pair").cast("long").alias("n_total"))
     top = pairs.groupBy("src_host").agg(
         F.min(

@@ -49,6 +49,7 @@ class CrawlRunner:
         soft404_filter: bool = False,
         circuit_breaker: tuple[int, int] | None = None,
         respect_page_robots: bool = False,
+        rewrite_moved_hosts: bool = False,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -107,6 +108,15 @@ class CrawlRunner:
         # store, and link discovery for the rank frontier excludes
         # rel=nofollow edges and all edges out of meta-nofollow pages.
         self.respect_page_robots = respect_page_robots
+        # Site-migration rewriting (operators/linkgraph.py host_moves):
+        # cross-host redirects observed by the fetch loop accumulate in
+        # a round-versioned (src_host, dst_host, n_pair) count store;
+        # once a host's redirects concentrate on ONE destination
+        # (>=80% share, >=5 observations) its queued frontier rows are
+        # rewritten to the new host BEFORE the seen filter — one
+        # host-level decision instead of rediscovering the move URL by
+        # URL through redirect hops every round.
+        self.rewrite_moved_hosts = rewrite_moved_hosts
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -209,6 +219,91 @@ class CrawlRunner:
         adapt_crawl_delays(obs, current).write.mode("overwrite").parquet(
             self._delays_dir(r)
         )
+
+    # ---- site-migration rewriting ----------------------------------------
+    _MOVES_SCHEMA = "src_host string, dst_host string, n_pair long"
+
+    def _update_moves(self, results: DataFrame, r: int) -> None:
+        """Fold this round's observed cross-host redirects into the
+        cumulative (src_host, dst_host) count store, versioned at
+        round=r (counts SUM-merge; replay of round r rereads the same
+        round r-1 state and recomputes the same table)."""
+        hp = r"^https?://([^/]+)"
+        obs = (
+            results.filter(F.col("terminal_url").isNotNull())
+            .select(
+                F.regexp_extract("base_url", hp, 1).alias("src_host"),
+                F.regexp_extract("terminal_url", hp, 1).alias("dst_host"),
+            )
+            .filter(
+                (F.col("src_host") != "")
+                & (F.col("dst_host") != "")
+                & (F.col("src_host") != F.col("dst_host"))
+            )
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").cast("long").alias("n_pair"))
+        )
+        prior = self._read_versioned("redirect_moves", self._MOVES_SCHEMA, r - 1)
+        cur = obs if prior is None else (
+            obs.unionByName(prior)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("n_pair").cast("long").alias("n_pair"))
+        )
+        cur.write.mode("overwrite").parquet(self._versioned_dir("redirect_moves", r))
+
+    def _apply_moves(self, frontier: DataFrame, r: int):
+        """Rewrite frontier rows whose host has MOVED (host_moves
+        verdict over the cumulative redirect counts) to the
+        destination host, then re-dedupe by canonical URL (a rewritten
+        row may now collide with a native row for the same target).
+        Runs BEFORE the seen filter, so a rewritten URL that was
+        already fetched under its new host is dropped like any other
+        seen URL. Returns (frontier, n_rewritten)."""
+        from pyspark.sql import Window
+
+        from sandcrawler_spark.functions.urls import surt_udf
+        from sandcrawler_spark.operators.linkgraph import host_moves_from_counts
+
+        state = self._read_versioned("redirect_moves", self._MOVES_SCHEMA, r - 1)
+        if state is None:
+            return frontier, 0
+        moves = (
+            host_moves_from_counts(state)
+            .filter(F.col("moved"))
+            .select(F.col("src_host").alias("host"), F.col("dst_host"))
+        )
+        j = frontier.join(F.broadcast(moves), on="host", how="left")
+        hit = F.col("dst_host").isNotNull()
+        # '://old-host/' -> '://new-host/': canonical URLs always carry
+        # a path slash (clean_url), so the delimiter-bounded replace
+        # touches only the authority
+        rewrite = lambda c: F.when(  # noqa: E731
+            hit,
+            F.expr(
+                f"replace({c}, '://' || host || '/', '://' || dst_host || '/')"
+            ),
+        ).otherwise(F.col(c))
+        out = (
+            j.withColumn("_moved", hit)
+            .withColumn("base_url", rewrite("base_url"))
+            .withColumn("canon_url", rewrite("canon_url"))
+            .withColumn("url", rewrite("url"))
+            .withColumn("host", F.when(hit, F.col("dst_host")).otherwise(F.col("host")))
+            .withColumn("surt", F.when(hit, surt_udf(F.col("canon_url"))).otherwise(F.col("surt")))
+            .drop("dst_host")
+        )
+        n_moved = out.filter(F.col("_moved")).count()
+        if n_moved:
+            w = Window.partitionBy("ingest_type", "canon_url").orderBy(
+                F.desc("priority"), F.asc("base_url")
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            self.metrics.inc("moved_hosts_rewritten", n_moved)
+        return out.drop("_moved"), n_moved
 
     # ---- failure circuit breaker -------------------------------------------
     _BREAKER_SCHEMA = "host string, fail_streak long, blackout_until long"
@@ -521,6 +616,9 @@ class CrawlRunner:
             self.results.read(),
             now_expr=self.now_expr,
         )
+        n_moved = 0
+        if self.rewrite_moved_hosts:
+            frontier, n_moved = self._apply_moves(frontier, r)
         seen_df = self.seen.read()
         if seen_df is not None:
             frontier = unseen_exact(frontier, seen_df, "canon_url")
@@ -563,6 +661,8 @@ class CrawlRunner:
         results = results.withColumn("updated", F.expr(self.now_expr))
         if self.adaptive_politeness:
             self._update_delays(results, batch, r)
+        if self.rewrite_moved_hosts:
+            self._update_moves(results, r)
         if self.circuit_breaker is not None:
             self._update_breaker(results, r)
         if self.rank_frontier:
@@ -733,6 +833,7 @@ class CrawlRunner:
             "round": r,
             "frontier": n_frontier,
             "rank_dropped": n_rank_dropped,
+            "moved_rewritten": n_moved,
             "scheduled": n_batch,
             "deferred": n_deferred,
             "breaker_deferred": n_breaker,

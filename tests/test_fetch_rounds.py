@@ -561,3 +561,69 @@ def test_page_robots_enforcement_rounds(spark, corpus, tmp_path):
     assert off.extraction.read().filter(F.col("sha1hex") == sha_noidx).count() == 1
     edges_off = spark.read.parquet(str(tmp_path / "off" / "link_edges" / "round=0"))
     assert "paid.example.net" in {r.dst_host for r in edges_off.collect()}
+
+
+def test_rewrite_moved_hosts_rounds(spark, corpus, tmp_path):
+    """--rewrite-moved-hosts: after enough observed redirects
+    concentrate old.example.org onto new.example.org, the still-queued
+    frontier rows for the old host are rewritten to the new host
+    BEFORE the seen filter and fetch directly (no redirect hops)."""
+    import base64
+    import hashlib
+
+    ts = corpus["pages"].select("warc_ts").first()[0]
+    dtstr = ts.strftime("%Y%m%d%H%M%S")
+    old, new = "old.example.org", "new.example.org"
+    page_rows, cdx_rows, req_rows = [], [], []
+    for i in range(8):
+        ou, nu = f"https://{old}/p{i}", f"https://{new}/p{i}"
+        body = f"<html><head><title>moved {i}</title></head><body>doc {i} text</body></html>"
+        digest = hashlib.sha1(body.encode()).digest()
+        b32 = base64.b32encode(digest).decode().rstrip("=")
+        # old URL: 301 -> new URL
+        cdx_rows.append((f"org,example,old)/p{i}", dtstr, ou, "text/html", 301,
+                         b32, digest.hex(), 0, 0, "SC-TEST/SC-1.warc.gz", nu))
+        # new URL: 200 html capture + body
+        cdx_rows.append((f"org,example,new)/p{i}", dtstr, nu, "text/html", 200,
+                         b32, digest.hex(), len(body), 0, "SC-TEST/SC-1.warc.gz", None))
+        page_rows.append((nu, ts, bytearray(body.encode()), None, None))
+        req_rows.append(("seed", f"m{i}", "html", ou, 1, 0))
+    pages = corpus["pages"].unionByName(spark.createDataFrame(
+        page_rows, "url string, warc_ts timestamp, html binary, text string, lang string"))
+    cdx = corpus["cdx"].unionByName(spark.createDataFrame(
+        cdx_rows,
+        "surt string, datetime string, url string, mimetype string, status_code long, "
+        "sha1b32 string, sha1hex string, warc_csize long, warc_offset long, "
+        "warc_path string, redirect_url string"))
+    reqs = spark.createDataFrame(
+        req_rows,
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": cdx, "pages": pages,
+             "robots": corpus["robots"]}
+
+    runner = CrawlRunner(spark, small, str(tmp_path / "mv"), rewrite_moved_hosts=True)
+    entries = runner.run(max_rounds=8)
+    by_round = {e["round"]: e for e in entries}
+    # default quota 2/round: rounds 0-2 fetch via redirects (cum moves
+    # 2, 4, 6); round 3 crosses min_count=5 -> the 2 queued rows rewrite
+    assert [by_round[r].get("moved_rewritten", 0) for r in range(3)] == [0, 0, 0]
+    assert by_round[3]["moved_rewritten"] == 2
+    res = runner.results.read().collect()
+    stat = {r.base_url: r for r in res}
+    # rewritten rows were fetched UNDER THE NEW HOST, in one hop
+    for i in (6, 7):
+        assert f"https://{new}/p{i}" in stat, sorted(stat)
+        assert stat[f"https://{new}/p{i}"].status == "success"
+        assert f"https://{old}/p{i}" not in stat
+    # earlier rows went through the redirect (old base_url, new terminal)
+    assert stat[f"https://{old}/p0"].status == "success"
+    assert stat[f"https://{old}/p0"].terminal_url == f"https://{new}/p0"
+    assert entries[-1]["done"]
+
+    # without the flag every row pays the redirect hop forever
+    r2 = CrawlRunner(spark, small, str(tmp_path / "off"))
+    e2 = r2.run(max_rounds=8)
+    assert all(e.get("moved_rewritten", 0) == 0 for e in e2)
+    s2 = {r.base_url for r in r2.results.read().collect()}
+    assert f"https://{old}/p7" in s2 and f"https://{new}/p7" not in s2
