@@ -3441,7 +3441,97 @@ def q_community_shard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ucb_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UCB1 host scheduling: each frontier URL is one trial on its host
+    # arm (success = order status 'F'); integer micro-unit means +
+    # exact-isqrt exploration bonuses pick the next 10 hosts
+    # (operators/bandit.py)
+    from sandcrawler_spark.operators.bandit import ucb_host_scores
+
+    trials = _urls(spark, sf_dir).select(
+        "host", (F.col("o_orderstatus") == "F").cast("int").alias("success")
+    )
+    return ucb_host_scores(trials, top_k=10)
+
+
+def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pagination completeness mining: single-number URL templates form
+    # numeric sequences; holes are pages link discovery missed (the
+    # inverse of trap detection). /order/N and /part/N are sparse per
+    # host (gaps expected); the /page/N run from nation is contiguous
+    # (complete control) (operators/traps.py)
+    from sandcrawler_spark.operators.traps import pagination_gaps
+
+    u = _urls(spark, sf_dir).select("host", "url")
+    p = _t(spark, sf_dir, "part").select(
+        F.concat(
+            F.lit("site"), (F.col("p_partkey") % 50).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit(".example.com/part/"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url"),
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.lit("news.example.com").alias("host"),
+        F.concat(
+            F.lit("https://news.example.com/page/"), F.col("n_nationkey").cast("string")
+        ).alias("url"),
+    )
+    return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
+
+
+def q_alloc_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fairness receipt for the round-budget arbitration: Gini (ppm) of
+    # the raw per-host demand vs the water-filled allocation — the
+    # allocator should compress inequality, and this one-pair report
+    # proves by how much (operators/budget.py)
+    from sandcrawler_spark.operators.budget import allocate_budget, allocation_gini
+
+    demands = _urls(spark, sf_dir).groupBy("host").agg(
+        F.count("*").cast("long").alias("demand")
+    )
+    alloc = allocate_budget(demands, 10_000)
+    g_dem = allocation_gini(demands, key_col="host", value_col="demand").withColumn(
+        "series", F.lit("demand")
+    )
+    g_alloc = allocation_gini(alloc, key_col="host", value_col="alloc").withColumn(
+        "series", F.lit("alloc")
+    )
+    return g_dem.unionByName(g_alloc).select("series", "n_keys", "total", "gini_ppm")
+
+
+def q_revalidation_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional-GET economics: bytes a 304-aware recrawl would have
+    # saved, per capture mimetype — consecutive same-digest recaptures
+    # priced by their compressed size (operators/recrawl.py)
+    from sandcrawler_spark.operators.recrawl import revalidation_savings
+
+    e = _t(spark, sf_dir, "events")
+    caps = e.select(
+        F.concat(
+            F.lit("https://stream.example.org/u/"), F.col("user_id").cast("string")
+        ).alias("url"),
+        F.col("event_type").alias("mimetype"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                (F.col("event_id") % 3).cast("string"),
+            )
+        ).alias("sha1hex"),
+        (F.col("event_id") % 1000).cast("long").alias("warc_csize"),
+    )
+    return revalidation_savings(caps)
+
+
 _STALE_FIRST = [
+    # round-4 session-9 additions — never driver-checked, sample first
+    "ucb_frontier", "pagination_gaps", "alloc_fairness",
+    "revalidation_savings",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3571,6 +3661,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_roundtrip": q_feed_roundtrip,
         "temperature_mix": q_temperature_mix,
         "url_traps": q_url_traps,
+        "ucb_frontier": q_ucb_frontier,
+        "pagination_gaps": q_pagination_gaps,
+        "alloc_fairness": q_alloc_fairness,
+        "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
         "asof_closest": q_asof_closest,
         "paper_filter_slice": q_paper_filter_slice,
@@ -4989,7 +5083,8 @@ SELECT doc_id, status, reason, reason IS NOT NULL AS is_soft404 FROM verdicts
 def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
-    from sandcrawler_spark.operators.budget import budget_oracle_sql
+    from sandcrawler_spark.operators.bandit import ucb_oracle_sql
+    from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
     from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
@@ -6477,6 +6572,97 @@ SELECT p.url, COALESCE(t.true_count, 0) AS true_count, e.cms_estimate
 FROM probes p
 LEFT JOIN truth t ON p.url = t.url
 JOIN est e ON p.url = e.url
+""",
+        "ucb_frontier": ucb_oracle_sql(
+            f"""
+WITH {_URLS_CTE.strip()}
+SELECT host, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS success FROM urls
+""".strip(),
+            top_k=10,
+        ),
+        "pagination_gaps": f"""
+WITH {_URLS_CTE.strip()},
+mixed AS (
+  SELECT host, url FROM urls
+  UNION ALL
+  SELECT 'site' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR) || '.example.com' AS host,
+         'https://site' || CAST(CAST(p_partkey % 50 AS INT) AS VARCHAR)
+         || '.example.com/part/' || CAST(p_partkey AS VARCHAR) AS url
+  FROM part
+  UNION ALL
+  SELECT 'news.example.com' AS host,
+         'https://news.example.com/page/' || CAST(n_nationkey AS VARCHAR) AS url
+  FROM nation
+),
+shaped AS (
+  SELECT host,
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1),
+           '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+           '[0-9]+', 'N', 'g'),
+           '=[^&#]*', '=*', 'g') AS template,
+         regexp_extract(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1),
+           '([0-9]+)', 1) AS numtxt
+  FROM mixed
+),
+ok AS (
+  SELECT host, template, CAST(numtxt AS BIGINT) AS page_n
+  FROM shaped
+  WHERE length(regexp_replace(template, '[^N]', '', 'g')) = 1
+    AND numtxt <> '' AND length(numtxt) <= 18
+),
+g AS (
+  SELECT host, template,
+         CAST(COUNT(DISTINCT page_n) AS BIGINT) AS n_pages,
+         CAST(MIN(page_n) AS BIGINT) AS min_page,
+         CAST(MAX(page_n) AS BIGINT) AS max_page
+  FROM ok GROUP BY host, template
+)
+SELECT host, template, n_pages, min_page, max_page,
+       CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
+       max_page - min_page + 1 = n_pages AS complete
+FROM g WHERE n_pages >= 3
+""",
+        "alloc_fairness": f"""
+WITH dem AS (
+  WITH {_URLS_CTE.strip()}
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS demand FROM urls GROUP BY host
+)
+SELECT 'demand' AS series, n_keys, total, gini_ppm
+FROM ({gini_oracle_sql("SELECT host, demand FROM dem", value_col="demand")})
+UNION ALL
+SELECT 'alloc' AS series, n_keys, total, gini_ppm
+FROM ({gini_oracle_sql(budget_oracle_sql("SELECT host, demand FROM dem", 10_000))})
+""",
+        "revalidation_savings": """
+WITH caps AS (
+  SELECT 'https://stream.example.org/u/' || CAST(user_id AS VARCHAR) AS url,
+         event_type AS grp,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         md5(CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 3 AS VARCHAR)) AS dg,
+         CAST(event_id % 1000 AS BIGINT) AS sz
+  FROM events
+),
+flagged AS (
+  SELECT grp, sz,
+         LAG(dg) OVER (PARTITION BY url ORDER BY ep, dg) AS prev,
+         dg
+  FROM caps
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_caps,
+         CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recaps,
+         CAST(SUM(CASE WHEN prev = dg THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         CAST(SUM(CASE WHEN prev = dg THEN sz ELSE 0 END) AS BIGINT) AS bytes_saved
+  FROM flagged GROUP BY grp
+)
+SELECT grp, n_caps, n_recaps, n_unchanged, bytes_saved,
+       CAST(CASE WHEN n_recaps = 0 THEN 0
+            ELSE CAST(1000000 AS BIGINT) * n_unchanged // n_recaps END AS BIGINT)
+         AS unchanged_ppm
+FROM g
 """,
         "url_traps": f"""
 WITH {_URLS_CTE.strip()},

@@ -135,3 +135,69 @@ SELECT host, demand,
        END AS BIGINT) AS alloc
 FROM _sat CROSS JOIN _star
 """.strip()
+
+
+def allocation_gini(
+    allocs: DataFrame,
+    key_col: str = "host",
+    value_col: str = "alloc",
+) -> DataFrame:
+    """Fairness audit of a budget split: the Gini coefficient of the
+    per-host allocation, in integer ppm. A water-filled allocation
+    should be dramatically more equal than proportional-to-demand —
+    this is the one-row receipt that proves it (and the alarm when a
+    scheduler change quietly starves the tail).
+
+    For values x_(1) <= ... <= x_(n) (ties broken by key):
+        G = (2 * sum(i * x_(i)) - (n+1) * sum(x)) / (n * sum(x))
+    All terms are integers; gini_ppm = 1e6 * numerator div denominator
+    (numerator >= 0 for the ascending order, so truncating div is
+    floor in both engines).
+
+    Scale shape: ranks come from global_cumsum over the (value, key)
+    range-partitioned total order — one range shuffle, NO single-task
+    global window; the weighted sum and the final division are a
+    single aggregate row. At 10^7 hosts this is the same shape
+    corpus_pack runs at."""
+    d = allocs.select(
+        F.col(key_col).alias("_k"), F.col(value_col).cast("long").alias("_v")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = global_cumsum(
+        d, [F.col("_v").asc(), F.col("_k").asc()], "_one", out_col="_rk"
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("_v").cast("long").alias("total"),
+        F.sum(F.col("_rk") * F.col("_v")).cast("long").alias("_wsum"),
+    )
+    return agg.select(
+        "n_keys",
+        "total",
+        F.expr(
+            "CAST(1000000 AS BIGINT) * (2 * _wsum - (n_keys + 1) * total)"
+            " div (n_keys * total)"
+        ).alias("gini_ppm"),
+    )
+
+
+def gini_oracle_sql(allocs_sql: str, key_col: str = "host", value_col: str = "alloc") -> str:
+    """DuckDB twin: same sorted-rank weighted-sum identity (the oracle
+    may use a window — it is single-node by construction)."""
+    return f"""
+WITH a AS ({allocs_sql}),
+r AS (
+  SELECT {key_col} AS k, CAST({value_col} AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST({value_col} AS BIGINT) ASC, {key_col} ASC) AS rk
+  FROM a
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(v) AS BIGINT) AS total,
+         CAST(SUM(rk * v) AS BIGINT) AS wsum
+  FROM r
+)
+SELECT n_keys, total,
+       CAST(CAST(1000000 AS BIGINT) * (2 * wsum - (n_keys + 1) * total)
+            // (n_keys * total) AS BIGINT) AS gini_ppm
+FROM s
+""".strip()

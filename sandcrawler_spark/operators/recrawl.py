@@ -129,3 +129,67 @@ def snapshot_diff(
             "new_sha1",
         )
     )
+
+
+def revalidation_savings(
+    captures: DataFrame,
+    url_col: str = "url",
+    group_col: str = "mimetype",
+    epoch_col: str = "epoch_s",
+    digest_col: str = "sha1hex",
+    size_col: str = "warc_csize",
+) -> DataFrame:
+    """Conditional-GET economics: if the crawler had sent
+    If-None-Match/If-Modified-Since on every recapture, how many bytes
+    would 304s have saved? A recapture whose content digest equals the
+    previous capture's digest is a wasted full fetch — the reference
+    eats this cost on every weekly re-ingest dump
+    (sql/dump_reingest_weekly.sql); this is the report that prices it.
+
+    Per group (e.g. mimetype or warc collection):
+      n_caps        all captures
+      n_recaps      captures with a predecessor (candidates for a
+                    conditional request)
+      n_unchanged   recaptures whose digest matched the predecessor
+                    (would have been 304 Not Modified)
+      bytes_saved   sum of the unchanged recaptures' compressed sizes
+      unchanged_ppm 1e6 * n_unchanged div n_recaps (0 when no recaps)
+
+    Scale shape: ONE shuffle keyed by url; the lag() window runs over
+    a single URL's capture history (bounded by per-URL capture counts,
+    never corpus-sized); the group rollup that follows is map-side
+    combinable. No Python anywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_u").orderBy("_ep", "_dg")
+    flagged = (
+        captures.select(
+            F.col(url_col).alias("_u"),
+            F.col(group_col).alias("grp"),
+            F.col(epoch_col).cast("long").alias("_ep"),
+            F.col(digest_col).alias("_dg"),
+            F.col(size_col).cast("long").alias("_sz"),
+        )
+        .withColumn("_prev", F.lag("_dg").over(w))
+        .withColumn("_is_recap", F.col("_prev").isNotNull())
+        .withColumn("_same", F.col("_prev").isNotNull() & (F.col("_prev") == F.col("_dg")))
+    )
+    g = flagged.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_caps"),
+        F.sum(F.col("_is_recap").cast("long")).cast("long").alias("n_recaps"),
+        F.sum(F.col("_same").cast("long")).cast("long").alias("n_unchanged"),
+        F.sum(F.when(F.col("_same"), F.col("_sz")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bytes_saved"),
+    )
+    return g.select(
+        F.col("grp").alias("grp"),
+        "n_caps",
+        "n_recaps",
+        "n_unchanged",
+        "bytes_saved",
+        F.expr(
+            "CASE WHEN n_recaps = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(1000000 AS BIGINT) * n_unchanged div n_recaps END"
+        ).alias("unchanged_ppm"),
+    )

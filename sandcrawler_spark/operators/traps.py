@@ -80,3 +80,67 @@ def tag_frontier_traps(
         .withColumn("in_trap", F.coalesce("_trap", F.lit(False)))
         .drop("_trap", "template")
     )
+
+
+def pagination_gaps(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    min_pages: int = 3,
+) -> DataFrame:
+    """Pagination completeness per (host, template): URL templates
+    whose single variable component is a page/id number (exactly one
+    digit-run in the URL) form a numeric sequence; holes in that
+    sequence are pages the crawl never saw — frontier candidates a
+    sitemap or link discovery missed (the inverse of trap detection:
+    instead of capping an exploding template, it back-fills a sparse
+    one). Heritrix seeds these by hand; here they're mined from the
+    crawl log itself.
+
+    Per (host, template) with >= min_pages distinct observed numbers:
+      n_pages     distinct page numbers seen
+      min_page /
+      max_page    observed numeric range (longs)
+      n_missing   (max-min+1) - n_pages  = holes to back-fill
+      complete    n_missing = 0
+
+    Scale shape: pure codegen regexp to shape, ONE shuffle on
+    (host, template) with map-side partial distinct-count; no window,
+    no Python. Templates with >1 digit-run (dates, offsets) are
+    excluded BEFORE the shuffle — the template cardinality that
+    survives is bounded by site structure, not corpus size.
+
+    The template here is over the URL's PATH+QUERY only (the host —
+    which routinely carries digits: shard/cdn hostnames — stays a
+    separate key column, untemplated)."""
+    path = F.regexp_extract(F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    shaped = urls.select(
+        F.col(host_col).alias("host"),
+        url_template_col(path).alias("template"),
+        F.regexp_extract(path, r"([0-9]+)", 1).alias("_num"),
+    ).filter(
+        # exactly one digit-run in the normalized path and it parses as
+        # a page number that fits a long (18 digits = BIGINT-safe)
+        (F.length(F.regexp_replace("template", r"[^N]", "")) == 1)
+        & (F.col("_num") != "")
+        & (F.length("_num") <= 18)
+    )
+    g = (
+        shaped.withColumn("page_n", F.col("_num").cast("long"))
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("page_n").cast("long").alias("n_pages"),
+            F.min("page_n").alias("min_page"),
+            F.max("page_n").alias("max_page"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    return g.select(
+        "host",
+        "template",
+        "n_pages",
+        "min_page",
+        "max_page",
+        (F.col("max_page") - F.col("min_page") + 1 - F.col("n_pages")).alias("n_missing"),
+        (F.col("max_page") - F.col("min_page") + 1 == F.col("n_pages")).alias("complete"),
+    )

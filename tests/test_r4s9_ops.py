@@ -1,0 +1,122 @@
+"""Round-4 session-9 operators: UCB1 host scheduling, pagination-gap
+mining, allocation Gini fairness, conditional-GET savings."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_isqrt_exact(spark):
+    from sandcrawler_spark.operators.bandit import isqrt_col
+
+    # perfect squares, off-by-one neighbors, and big values near the
+    # float-seed error zone
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 10**6, 10**6 - 1, 4 * 10**13, 4 * 10**13 + 1]
+    vals += [k * k for k in (7, 1000, 6_324_555)] + [k * k - 1 for k in (7, 1000, 6_324_555)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.s for r in df.select("x", isqrt_col(F.col("x")).alias("s")).collect()}
+    for v in vals:
+        assert got[v] == math.isqrt(v), (v, got[v], math.isqrt(v))
+
+
+def test_ucb_scores_and_selection(spark):
+    from sandcrawler_spark.operators.bandit import ucb_host_scores
+
+    # host a: 8/10 success; host b: 1/2; host c: 0/1 (big bonus)
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1), ("b", 0), ("c", 0)]
+    trials = spark.createDataFrame(rows, ["host", "success"])
+    got = {r.host: r for r in ucb_host_scores(trials, top_k=2).collect()}
+
+    n_total = 13
+    ln_micro = round(math.log(n_total) * 1_000_000)
+    for host, n, s in (("a", 10, 8), ("b", 2, 1), ("c", 1, 0)):
+        r = got[host]
+        assert r.n_trials == n and r.n_success == s
+        assert r.mean_micro == s * 1_000_000 // n
+        assert r.bonus_micro == math.isqrt(2 * ln_micro * 1_000_000 // n)
+        assert r.ucb_micro == r.mean_micro + r.bonus_micro
+
+    # rarely-tried c has the largest exploration bonus and is selected
+    assert got["c"].bonus_micro > got["a"].bonus_micro
+    sel = {h for h, r in got.items() if r.selected}
+    top2 = sorted(got, key=lambda h: (-got[h].ucb_micro, h))[:2]
+    assert sel == set(top2) and len(sel) == 2
+
+
+def test_ucb_fewer_hosts_than_k(spark):
+    from sandcrawler_spark.operators.bandit import ucb_host_scores
+
+    trials = spark.createDataFrame([("a", 1), ("b", 0)], ["host", "success"])
+    got = ucb_host_scores(trials, top_k=10).collect()
+    assert all(r.selected for r in got) and len(got) == 2
+
+
+def test_pagination_gaps(spark):
+    from sandcrawler_spark.operators.traps import pagination_gaps
+
+    rows = [("a.org", f"https://a.org/page/{i}") for i in (1, 2, 3, 4, 5)]  # complete
+    rows += [("a.org", f"https://a.org/item/{i}") for i in (10, 20, 30)]  # 18 holes
+    rows += [("b.org", "https://b.org/p/1"), ("b.org", "https://b.org/p/2")]  # < min_pages
+    rows += [("c.org", f"https://c.org/2024/{i}/post" ) for i in (1, 2, 3)]  # 2 digit runs: excluded
+    rows += [("a.org", "https://a.org/page/3")]  # duplicate page: distinct-counted once
+    df = spark.createDataFrame(rows, ["host", "url"])
+    got = {(r.host, r.template): r for r in pagination_gaps(df, min_pages=3).collect()}
+
+    assert set(got) == {("a.org", "/page/N"), ("a.org", "/item/N")}
+    comp = got[("a.org", "/page/N")]
+    assert (comp.n_pages, comp.min_page, comp.max_page, comp.n_missing, comp.complete) == (
+        5, 1, 5, 0, True,
+    )
+    gap = got[("a.org", "/item/N")]
+    assert (gap.n_pages, gap.n_missing, gap.complete) == (3, 18, False)
+
+
+def test_allocation_gini(spark):
+    from sandcrawler_spark.operators.budget import allocation_gini
+
+    # equal split -> gini 0; one-host-takes-all over 4 hosts -> 3/4
+    eq = spark.createDataFrame([(f"h{i}", 10) for i in range(5)], ["host", "alloc"])
+    assert allocation_gini(eq).collect()[0].gini_ppm == 0
+
+    uneq = spark.createDataFrame(
+        [("h0", 0), ("h1", 0), ("h2", 0), ("h3", 100)], ["host", "alloc"]
+    )
+    r = allocation_gini(uneq).collect()[0]
+    assert (r.n_keys, r.total, r.gini_ppm) == (4, 100, 750_000)
+
+
+def test_gini_water_filling_compresses_inequality(spark):
+    from sandcrawler_spark.operators.budget import allocate_budget, allocation_gini
+
+    demands = spark.createDataFrame(
+        [("h0", 5), ("h1", 10), ("h2", 200), ("h3", 1000)], ["host", "demand"]
+    )
+    alloc = allocate_budget(demands, 100)
+    g_dem = allocation_gini(demands, value_col="demand").collect()[0].gini_ppm
+    g_all = allocation_gini(alloc, value_col="alloc").collect()[0].gini_ppm
+    assert g_all < g_dem  # the waterline flattens the split
+
+
+def test_revalidation_savings(spark):
+    from sandcrawler_spark.operators.recrawl import revalidation_savings
+
+    # url u1 (html): digests A A B A -> 3 recaps, 1 unchanged (the 2nd A,
+    # size 7); url u2 (pdf): single capture -> no recaps
+    rows = [
+        ("u1", "html", 100, "A", 5),
+        ("u1", "html", 200, "A", 7),
+        ("u1", "html", 300, "B", 9),
+        ("u1", "html", 400, "A", 11),
+        ("u2", "pdf", 100, "X", 99),
+    ]
+    df = spark.createDataFrame(rows, ["url", "mimetype", "epoch_s", "sha1hex", "warc_csize"])
+    got = {r.grp: r for r in revalidation_savings(df).collect()}
+    h = got["html"]
+    assert (h.n_caps, h.n_recaps, h.n_unchanged, h.bytes_saved) == (4, 3, 1, 7)
+    assert h.unchanged_ppm == 1_000_000 * 1 // 3
+    p = got["pdf"]
+    assert (p.n_caps, p.n_recaps, p.n_unchanged, p.bytes_saved, p.unchanged_ppm) == (
+        1, 0, 0, 0, 0,
+    )

@@ -44,6 +44,9 @@ ALLOW_BNLJ = {
     # stratum-pair expansion is a |strata| x |strata| crossJoin of the
     # DISTINCT stratum list (synopsis-sized, never the corpus)
     "stratum_overlap",
+    # 1-row stat broadcasts: UCB total-trials row + k-th-key row onto
+    # the per-host table; gini runs two water-filling 1-row crossJoins
+    "ucb_frontier", "alloc_fairness",
 }
 
 AUDIT = [
@@ -97,6 +100,9 @@ AUDIT = [
     "multimodal_meta", "neardup_dedupe", "politeness_timing",
     "quality_scores", "revisit_resolution", "seed_cover",
     "slug_self_join", "surt_canonical", "surt_seed_join", "word_counts",
+    # r4 session-9
+    "ucb_frontier", "pagination_gaps", "alloc_fairness",
+    "revalidation_savings",
 ]
 
 
