@@ -3441,6 +3441,57 @@ def q_community_shard_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-truss of the undirected host graph: per-EDGE triangle-support
+    # peeling (stronger than the 3-core — stars fall out, only
+    # mutually-triangulated neighborhoods survive); degree-oriented
+    # wedge enumeration keeps hub fan-out sqrt-bounded
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_ktruss
+
+    return host_ktruss(host_graph(_outlink_edges(spark, sf_dir)), k=3, max_rounds=6)
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Common-Crawl WET export roundtrip: per-lang WET files built from
+    # extracted page text as pure-Catalyst conversion records, then
+    # re-parsed through the mapInPandas WARC scanner; the oracle
+    # derives (lang, url, byte-length, md5) relationally from the same
+    # persisted corpus parquet — it never touches WET bytes
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs, wet_record_col
+
+    pages = _corpus(spark)["pages"].filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    rec = wet_record_col(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.col("text"),
+    )
+    blobs = (
+        pages.select("lang", "url", rec.alias("_rec"))
+        .groupBy("lang")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("url", "_rec"))),
+                        lambda s: s["_rec"],
+                    ),
+                    "",
+                ),
+                "utf-8",
+            ).alias("content")
+        )
+    )
+    recs = scan_warc_blobs(blobs, path_col="lang", content_col="content")
+    return recs.select(
+        F.col("path").alias("lang"),
+        F.col("target_uri").alias("url"),
+        "rec_content_length",
+        "payload_md5",
+    )
+
+
 def q_ucb_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UCB1 host scheduling: each frontier URL is one trial on its host
     # arm (success = order status 'F'); integer micro-unit means +
@@ -3531,7 +3582,7 @@ def q_revalidation_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STALE_FIRST = [
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
-    "revalidation_savings",
+    "revalidation_savings", "host_ktruss", "wet_roundtrip",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3603,6 +3654,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_hits": q_host_hits,
         "host_kcore": q_host_kcore,
+        "host_ktruss": q_host_ktruss,
+        "wet_roundtrip": q_wet_roundtrip,
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
@@ -4900,6 +4953,43 @@ def _kcore_oracle_ctes(k: int = 3, max_rounds: int = 8) -> str:
     return ",\n".join(parts)
 
 
+def _ktruss_oracle_ctes(k: int = 3, max_rounds: int = 6) -> str:
+    """Unrolled synchronous k-truss peeling twin of host_ktruss: round
+    i enumerates each triangle of round i-1's edge set once (at its
+    smallest vertex — edges are stored a<b), explodes it into its 3
+    edges, counts per-edge support, and keeps support >= k-2. The
+    Spark side's early stop lands on the same fixed point."""
+    parts = [
+        """kte0 AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host
+)""",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(f"""ktt{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM kte{i - 1} e1
+  JOIN kte{i - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN kte{i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b
+)""")
+        parts.append(f"""kts{i} AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+    SELECT x AS a, y AS b FROM ktt{i}
+    UNION ALL SELECT x AS a, z AS b FROM ktt{i}
+    UNION ALL SELECT y AS a, z AS b FROM ktt{i}
+  ) GROUP BY a, b
+)""")
+        parts.append(f"""kte{i} AS MATERIALIZED (
+  SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+  FROM kte{i - 1} e LEFT JOIN kts{i} s ON s.a = e.a AND s.b = e.b
+  WHERE COALESCE(s.support, 0) >= {k - 2}
+)""")
+    return ",\n".join(parts)
+
+
 def _lpa_oracle_ctes(n_rounds: int = 3) -> str:
     """Unrolled synchronous weighted LPA twin of host_lpa: symmetrize
     the host contraction, then per round vote = SUM(weight) per
@@ -5406,6 +5496,19 @@ SELECT host, rank FROM pr5
 {link_base},
 {_kcore_oracle_ctes(3, 8)}
 SELECT host, core_degree FROM kcn8
+""",
+        "host_ktruss": f"""
+{link_base},
+{_ktruss_oracle_ctes(3, 6)}
+SELECT a, b, CAST(support AS BIGINT) AS support FROM kte6
+""",
+        "wet_roundtrip": f"""
+WITH {_corpus_oracle_tables()}
+SELECT lang, url,
+       CAST(strlen(text) AS BIGINT) AS rec_content_length,
+       md5(text) AS payload_md5
+FROM c_pages
+WHERE text IS NOT NULL AND lang IS NOT NULL
 """,
         "host_hits": f"""
 {link_base},

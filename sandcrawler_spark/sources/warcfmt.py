@@ -109,7 +109,12 @@ def parse_warc_blob_rows(blob: bytes, path: str = "") -> list[dict]:
             "payload_md5": None,
             "payload_bytes": None,
         }
-        if rec["warc_type"] == "response" and block.startswith(b"HTTP/"):
+        if rec["warc_type"] == "conversion":
+            # WET-style conversion record: the block IS the payload
+            # (extracted text), no HTTP envelope
+            rec["payload_md5"] = hashlib.md5(block).hexdigest()
+            rec["payload_bytes"] = block
+        elif rec["warc_type"] == "response" and block.startswith(b"HTTP/"):
             he = block.find(CRLF + CRLF)
             if he >= 0:
                 hlines = block[:he].decode("utf-8", "replace").split("\r\n")
@@ -163,3 +168,26 @@ def scan_warc_blobs(blobs: DataFrame, path_col: str = "path",
             )
 
     return cols.mapInPandas(_parse, schema=WARC_RECORD_SCHEMA)
+
+
+def wet_record_col(url, date_iso, text):
+    """WET-style WARC/1.0 `conversion` record as a pure-Catalyst string
+    column — the Common-Crawl WET export (crawl text distilled to
+    extracted-text records) built JVM-side, no Python in the loop.
+    Content-Length counts the payload's UTF-8 BYTES (octet_length);
+    the deterministic record id digests (url, date) like
+    build_warc_response does."""
+    rid = F.md5(F.concat(url, F.lit(" "), date_iso))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        date_iso,
+        F.lit("\r\nWARC-Record-ID: <urn:md5:"),
+        rid,
+        F.lit(">\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )

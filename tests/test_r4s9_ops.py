@@ -120,3 +120,65 @@ def test_revalidation_savings(spark):
     assert (p.n_caps, p.n_recaps, p.n_unchanged, p.bytes_saved, p.unchanged_ppm) == (
         1, 0, 0, 0, 0,
     )
+
+
+def test_host_ktruss_star_vs_clique(spark):
+    from sandcrawler_spark.operators.linkgraph import host_ktruss
+
+    # 4-clique (every edge in 2 triangles) + star hub with 5 leaves
+    # (no triangles, peeled by the 3-truss) + a lone triangle (each
+    # edge support 1 — survives the 3-truss, falls to the 4-truss)
+    clique = ["c0", "c1", "c2", "c3"]
+    rows = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    rows += [("hub", f"leaf{i}") for i in range(5)]
+    rows += [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host"])
+    got = {(r.a, r.b): r.support for r in host_ktruss(edges, k=3).collect()}
+
+    # star edges gone; clique edges support 2; lone triangle support 1
+    assert all(not a.startswith("hub") for a, _ in got)
+    assert got[("c0", "c1")] == 2 and len([e for e in got if e[0].startswith("c")]) == 6
+    assert got[("t1", "t2")] == 1
+
+    # 4-truss: every edge needs >= 2 triangles -> only the clique stays
+    got4 = {(r.a, r.b) for r in host_ktruss(edges, k=4).collect()}
+    assert got4 == {(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]}
+
+
+def test_ktruss_cascading_peel(spark):
+    from sandcrawler_spark.operators.linkgraph import host_ktruss
+
+    # K4 on {a,b,c,d} plus pendant triangle cde: triangles are
+    # abc, abd, acd, bcd, cde — every edge is in >= 1 triangle, so the
+    # whole graph survives the 3-truss with edge (a,b) at support 2
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"),
+            ("c", "d"), ("c", "e"), ("d", "e")]
+    edges = spark.createDataFrame(rows, ["src_host", "dst_host"])
+    got3 = {(r.a, r.b): r.support for r in host_ktruss(edges, k=3).collect()}
+    assert ("c", "e") in got3 and got3[("a", "b")] >= 2
+
+
+def test_wet_record_roundtrip(spark):
+    from sandcrawler_spark.sources.warcfmt import (
+        parse_warc_blob_rows,
+        wet_record_col,
+    )
+
+    df = spark.createDataFrame(
+        [("https://x.org/a", "2024-01-01T00:00:00Z", "héllo wörld"),
+         ("https://x.org/b", "2024-01-02T00:00:00Z", "")],
+        ["url", "date", "text"],
+    )
+    blob = "".join(
+        r.rec
+        for r in df.select(
+            wet_record_col(F.col("url"), F.col("date"), F.col("text")).alias("rec")
+        ).collect()
+    ).encode("utf-8")
+    recs = parse_warc_blob_rows(blob, path="p")
+    assert [r["warc_type"] for r in recs] == ["conversion", "conversion"]
+    a, b = recs
+    assert a["target_uri"] == "https://x.org/a"
+    assert a["rec_content_length"] == len("héllo wörld".encode("utf-8"))
+    assert bytes(a["payload_bytes"]).decode("utf-8") == "héllo wörld"
+    assert b["rec_content_length"] == 0 and b["payload_md5"] is not None

@@ -102,7 +102,7 @@ AUDIT = [
     "slug_self_join", "surt_canonical", "surt_seed_join", "word_counts",
     # r4 session-9
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
-    "revalidation_savings",
+    "revalidation_savings", "host_ktruss", "wet_roundtrip",
 ]
 
 
