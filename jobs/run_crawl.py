@@ -80,6 +80,13 @@ def main() -> None:
         "queued frontier rows to the new host before the seen filter",
     )
     ap.add_argument(
+        "--ucb-hosts", type=int, default=None,
+        help="UCB1 host scheduling: admit only the K best host arms "
+        "per round (reward = fetch hit; untried hosts first, then "
+        "mean + exploration bonus over the round-versioned cumulative "
+        "trial stats; unselected hosts' rows are deferred)",
+    )
+    ap.add_argument(
         "--discover", action="store_true",
         help="sitemap/feed discovery: fetched bodies that are sitemap "
         "or RSS/Atom XML contribute new ingest requests to the next "
@@ -113,6 +120,7 @@ def main() -> None:
         circuit_breaker=tuple(args.circuit_breaker) if args.circuit_breaker else None,
         respect_page_robots=args.respect_page_robots,
         rewrite_moved_hosts=args.rewrite_moved_hosts,
+        ucb_hosts=args.ucb_hosts,
     )
     done_before = len(runner.rounds_done())
     entries = runner.run(max_rounds=args.rounds)

@@ -50,6 +50,7 @@ class CrawlRunner:
         circuit_breaker: tuple[int, int] | None = None,
         respect_page_robots: bool = False,
         rewrite_moved_hosts: bool = False,
+        ucb_hosts: int | None = None,
     ):
         self.spark = spark
         self.corpus = corpus
@@ -117,6 +118,17 @@ class CrawlRunner:
         # host-level decision instead of rediscovering the move URL by
         # URL through redirect hops every round.
         self.rewrite_moved_hosts = rewrite_moved_hosts
+        # UCB1 host scheduling (operators/bandit.py): treat each host
+        # as a bandit arm (reward = fetch hit) and admit only the
+        # ucb_hosts best arms per round — untried hosts first (UCB's
+        # init phase: every arm once), then by mean + exploration
+        # bonus over the CUMULATIVE per-host trial history, which is
+        # round-versioned like adaptive_delays (replay-stable).
+        # Unselected hosts' rows are deferred, not dropped — they stay
+        # unseen and re-enter the frontier; UCB guarantees every arm
+        # with pending work is eventually re-selected (its bonus grows
+        # with ln of total trials while untouched).
+        self.ucb_hosts = ucb_hosts
         # F9: poison-pill content hashes skipped before every extraction
         # (BAD_PDF_SHA1HEX analog, pdfextract.py:19-146)
         self.denylist = list(denylist or [])
@@ -360,6 +372,92 @@ class CrawlRunner:
             carried = prior.join(per_host.select("host"), on="host", how="left_anti")
             updated = updated.unionByName(carried)
         updated.write.mode("overwrite").parquet(self._versioned_dir("breaker", r))
+
+    # ---- UCB1 host scheduling ----------------------------------------------
+    _UCB_SCHEMA = "host string, n_trials long, n_success long"
+
+    def _read_ucb(self, r: int) -> DataFrame | None:
+        return self._read_versioned("ucb_stats", self._UCB_SCHEMA, r)
+
+    def _apply_ucb(self, batch: DataFrame, r: int):
+        """Admit only the ucb_hosts best host arms this round:
+        never-tried hosts first (host-asc for determinism — UCB1's
+        try-every-arm-once init), remaining slots by
+        (ucb_micro DESC, host ASC) over the cumulative stats. Returns
+        (admitted, n_deferred)."""
+        from sandcrawler_spark.operators.bandit import MICRO, isqrt_col
+
+        k = self.ucb_hosts
+        hosts = batch.select("host").distinct()
+        state = self._read_ucb(r - 1)
+        if state is None:
+            chosen = hosts.orderBy("host").limit(k)
+        else:
+            tried = hosts.join(state, on="host", how="inner")
+            untried = hosts.join(state.select("host"), on="host", how="left_anti")
+            n_untried = untried.count()
+            chosen = untried.orderBy("host").limit(k).select("host")
+            slots = k - n_untried
+            if slots > 0:
+                # N = total trials in the whole state (the bandit's
+                # clock), not just this batch's hosts
+                tot = state.agg(F.sum("n_trials").cast("long").alias("_n_total"))
+                scored = (
+                    tried.crossJoin(F.broadcast(tot))
+                    .withColumn(
+                        "_ln_micro",
+                        F.round(F.log(F.col("_n_total").cast("double")) * MICRO).cast("long"),
+                    )
+                    .withColumn(
+                        "_ucb",
+                        F.expr(f"n_success * CAST({MICRO} AS BIGINT) div n_trials")
+                        + isqrt_col(
+                            F.expr(f"2 * _ln_micro * CAST({MICRO} AS BIGINT) div n_trials")
+                        ),
+                    )
+                )
+                best = scored.orderBy(F.col("_ucb").desc(), F.col("host").asc()).limit(
+                    slots
+                ).select("host")
+                chosen = chosen.unionByName(best)
+        admitted = batch.join(F.broadcast(chosen), on="host", how="left_semi")
+        n_deferred = batch.count() - admitted.count()
+        self.metrics.inc("ucb_deferred", n_deferred)
+        return admitted, n_deferred
+
+    def _update_ucb(self, results: DataFrame, r: int) -> None:
+        """Fold this round's outcomes into the cumulative per-host
+        trial stats (every scheduled fetch = one arm pull, hit =
+        reward 1). Versioned under round=r, idempotent on replay."""
+        from sandcrawler_spark.functions.urls import host_col
+
+        per_host = results.groupBy(
+            host_col(F.col("base_url")).alias("host")
+        ).agg(
+            F.count("*").cast("long").alias("_t"),
+            F.sum(F.col("hit").cast("long")).cast("long").alias("_s"),
+        )
+        prior = self._read_ucb(r - 1)
+        if prior is not None:
+            merged = (
+                per_host.join(prior, on="host", how="full")
+                .select(
+                    "host",
+                    (F.coalesce("_t", F.lit(0)) + F.coalesce("n_trials", F.lit(0)))
+                    .cast("long")
+                    .alias("n_trials"),
+                    (F.coalesce("_s", F.lit(0)) + F.coalesce("n_success", F.lit(0)))
+                    .cast("long")
+                    .alias("n_success"),
+                )
+            )
+        else:
+            merged = per_host.select(
+                "host",
+                F.col("_t").alias("n_trials"),
+                F.col("_s").alias("n_success"),
+            )
+        merged.write.mode("overwrite").parquet(self._versioned_dir("ucb_stats", r))
 
     # ---- link-rank frontier prioritization ---------------------------------
     _EDGE_SCHEMA = "src_host string, dst_host string, weight long"
@@ -642,6 +740,9 @@ class CrawlRunner:
         n_breaker = 0
         if self.circuit_breaker is not None:
             batch, n_breaker = self._apply_breaker(batch, r)
+        n_ucb = 0
+        if self.ucb_hosts is not None:
+            batch, n_ucb = self._apply_ucb(batch, r)
         batch = batch.persist()
         n_batch = batch.count()
         if n_batch == 0:
@@ -650,9 +751,11 @@ class CrawlRunner:
             entry = {
                 "round": r, "frontier": n_frontier, "scheduled": 0,
                 "deferred": n_deferred, "breaker_deferred": n_breaker,
-                # breaker-deferred work is only PAUSED — the blackout
-                # expires, so an empty batch must not end the crawl
-                "done": n_breaker == 0,
+                "ucb_deferred": n_ucb,
+                # breaker/UCB-deferred work is only PAUSED — the
+                # blackout expires / the arm gets re-selected, so an
+                # empty batch must not end the crawl
+                "done": n_breaker == 0 and n_ucb == 0,
             }
             self._record_round(entry)
             return entry
@@ -665,6 +768,8 @@ class CrawlRunner:
             self._update_moves(results, r)
         if self.circuit_breaker is not None:
             self._update_breaker(results, r)
+        if self.ucb_hosts is not None:
+            self._update_ucb(results, r)
         if self.rank_frontier:
             self._update_link_ranks(results, batch, r)
 
@@ -837,6 +942,7 @@ class CrawlRunner:
             "scheduled": n_batch,
             "deferred": n_deferred,
             "breaker_deferred": n_breaker,
+            "ucb_deferred": n_ucb,
             "extracted": n_extracted,
             "discovered": n_discovered,
             "soft404": n_soft404,

@@ -627,3 +627,94 @@ def test_rewrite_moved_hosts_rounds(spark, corpus, tmp_path):
     assert all(e.get("moved_rewritten", 0) == 0 for e in e2)
     s2 = {r.base_url for r in r2.results.read().collect()}
     assert f"https://{old}/p7" in s2 and f"https://{new}/p7" not in s2
+
+
+def test_ucb_host_scheduling_rounds(spark, tmp_path):
+    """UCB1 host scheduling (ucb_hosts=1): with three equally-dead
+    hosts the policy degenerates to deterministic round-robin — every
+    arm tried once (host-asc init), one host per round, deferred work
+    PAUSED not dropped — and the cumulative trial store is
+    round-versioned."""
+    hosts = ["a.dead.example.net", "b.dead.example.net", "c.dead.example.net"]
+    reqs = spark.createDataFrame(
+        [("seed", f"{h}-{i}", "html", f"https://{h}/p{i}", 1, 0)
+         for h in hosts for i in range(2)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    # robots/cdx/pages can be empty-shaped: every fetch is a miss
+    empty_cdx = spark.createDataFrame(
+        [], "surt string, datetime string, url string, mimetype string, "
+            "status_code long, sha1b32 string, sha1hex string, warc_csize long, "
+            "warc_offset long, warc_path string, redirect_url string")
+    empty_pages = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string")
+    robots = spark.createDataFrame(
+        [(h, 0.0, [], 2) for h in hosts],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>, "
+        "max_parallel long")
+    small = {"ingest_request": reqs, "cdx": empty_cdx, "pages": empty_pages,
+             "robots": robots}
+
+    r = CrawlRunner(spark, small, str(tmp_path / "ucb"), ucb_hosts=1)
+    entries = r.run(max_rounds=6)
+    shape = [(e["round"], e["scheduled"], e["ucb_deferred"], e["done"]) for e in entries]
+    assert shape == [
+        (0, 2, 4, False),  # untried init: a.dead first (host asc)
+        (1, 2, 2, False),  # b.dead
+        (2, 2, 0, False),  # c.dead
+        (3, 0, 0, True),   # all attempted once, frontier drained
+    ]
+    st = {x.host: (x.n_trials, x.n_success)
+          for x in spark.read.parquet(str(tmp_path / "ucb/ucb_stats/round=2")).collect()}
+    assert st == {h: (2, 0) for h in hosts}
+    # round-0 store only knows the first arm
+    st0 = {x.host for x in spark.read.parquet(str(tmp_path / "ucb/ucb_stats/round=0")).collect()}
+    assert st0 == {"a.dead.example.net"}
+
+
+def test_ucb_prefers_rewarding_host(spark, corpus, corpus_pd, tmp_path):
+    """After the init pass, the live (all-hits) host is exploited until
+    its queue drains while the dead host (tried first, host-asc) waits
+    — mean 1e6 + bonus always beats mean 0 + equal-or-smaller bonus."""
+    cdx = corpus_pd["cdx"]
+    live_urls = sorted(
+        cdx[(cdx["status_code"] == 200) & (cdx["mimetype"] == "text/html")
+            & cdx["url"].str.contains("/articles/")
+            & cdx["url"].str.startswith("https://")]["url"].unique()
+    )
+    by_host = {}
+    for u in live_urls:
+        by_host.setdefault(u.split("/")[2], []).append(u)
+    live_host, urls = next((h, us) for h, us in sorted(by_host.items()) if len(us) >= 4)
+    urls = urls[:4]
+    dead = "aaa.dead.example.net"  # sorts before every corpus host
+    rows = [("seed", f"l{i}", "html", u, 1, 0) for i, u in enumerate(urls)]
+    rows += [("seed", f"d{i}", "html", f"https://{dead}/p{i}", 1, 0) for i in range(4)]
+    reqs = spark.createDataFrame(
+        rows,
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": corpus["cdx"],
+             "pages": corpus["pages"], "robots": corpus["robots"]}
+
+    r = CrawlRunner(spark, small, str(tmp_path / "pref"), ucb_hosts=1)
+    entries = r.run(max_rounds=8)
+    # reconstruct the per-round schedule from the versioned stats
+    trials = []
+    for i in range(len([e for e in entries if e["scheduled"]])):
+        st = {x.host: x.n_trials
+              for x in spark.read.parquet(str(tmp_path / f"pref/ucb_stats/round={i}")).collect()}
+        trials.append(st)
+    # init: dead first (asc), then live; afterwards live is exploited
+    # to exhaustion before dead gets another slot
+    assert set(trials[0]) == {dead}
+    assert trials[1][live_host] > 0
+    live_done_at = next(i for i, st in enumerate(trials) if st.get(live_host, 0) == 4)
+    dead_done_at = next(i for i, st in enumerate(trials) if st.get(dead, 0) == 4)
+    assert live_done_at < dead_done_at
+    # the live host really rewarded the bandit
+    final = {x.host: (x.n_trials, x.n_success)
+             for x in spark.read.parquet(
+                 str(tmp_path / f"pref/ucb_stats/round={len(trials) - 1}")).collect()}
+    assert final[live_host][0] == 4 and final[live_host][1] >= 1
+    assert final[dead] == (4, 0)

@@ -410,3 +410,31 @@ def test_host_mirrors_hot_fp_1e5(spark):
     print(f"\nhost_mirrors hot fp: {n_hosts} hosts sharing one fp -> "
           f"{len(got)} pair in {wall:.1f}s")
     assert wall < 120
+
+
+def test_ktruss_hot_hub_star(spark):
+    """k-truss hub safety: a 10^5-leaf star (zero triangles) plus a
+    30-clique. The degree-oriented wedge enumeration must not explode
+    the hub — orientation gives the hub out-degree 0/1 per wedge
+    source, so the wedge join stays clique-sized. The star must peel
+    in round 1, the clique must survive with support k-2 at every
+    edge."""
+    from sandcrawler_spark.operators.linkgraph import host_ktruss
+
+    n_leaves = int(os.environ.get("SPARK_GRAFT_KTRUSS_LEAVES", 100_000))
+    clique = [f"c{i:02d}" for i in range(30)]
+    star = spark.range(n_leaves).select(
+        F.lit("hub.example.net").alias("src_host"),
+        F.concat(F.lit("leaf"), F.col("id").cast("string"), F.lit(".net")).alias("dst_host"),
+    )
+    cl = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]],
+        ["src_host", "dst_host"],
+    )
+    t0 = time.time()
+    got = host_ktruss(star.unionByName(cl), k=4, max_rounds=4).collect()
+    wall = time.time() - t0
+    print(f"\n# ktruss star({n_leaves})+K30: {len(got)} edges in {wall:.1f}s")
+    assert len(got) == 30 * 29 // 2
+    assert all(r.support == 28 for r in got)
+    assert wall < 120
