@@ -3492,6 +3492,69 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-quality eval per corpus stratum: fertility (units per
+    # word) + full-word-merge share under the fixed encode merge list —
+    # the practical OOV signal for an open-vocab BPE
+    from sandcrawler_spark.operators.bpe import segment_coverage
+
+    return segment_coverage(
+        _t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES, stratum_col="source"
+    )
+
+
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sitemap-lastmod-driven recrawl: per-host sitemaps built from the
+    # page store (lastmod = capture day shifted by a deterministic
+    # per-url delta), parsed back through the codegen sitemap parser,
+    # and joined against the CDX capture log — an entry whose lastmod
+    # postdates the newest capture needs a refetch. The oracle derives
+    # the same report relationally and never touches XML.
+    from sandcrawler_spark.functions.sitemaps import build_urlset_xml, parse_sitemap
+
+    c = _corpus(spark)
+    pages = c["pages"]
+    shift = (
+        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 5 - 2
+    ).cast("int")
+    lastmod = F.date_format(F.date_add(F.to_date("warc_ts"), shift), "yyyy-MM-dd")
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    block = build_urlset_xml(F.col("url"), lastmod, F.lit("0.5"))
+    xml = (
+        pages.select(host.alias("host"), F.col("url"), block.alias("_b"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("url", "_b"))),
+                        lambda s: s["_b"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    parsed = parse_sitemap(xml, "xml", keep_cols=["host"]).filter(
+        F.col("kind") == "url"
+    )
+    latest = c["cdx"].groupBy("url").agg(F.max("datetime").alias("_dt"))
+    return (
+        parsed.join(latest, parsed["loc"] == latest["url"], "inner")
+        .select(
+            "host",
+            F.col("loc"),
+            F.col("lastmod"),
+            F.substring("_dt", 1, 8).alias("last_capture_day"),
+            (
+                F.regexp_replace("lastmod", "-", "") > F.substring("_dt", 1, 8)
+            ).alias("needs_refetch"),
+        )
+    )
+
+
 def q_ucb_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UCB1 host scheduling: each frontier URL is one trial on its host
     # arm (success = order status 'F'); integer micro-unit means +
@@ -3583,6 +3646,7 @@ _STALE_FIRST = [
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
+    "bpe_coverage", "sitemap_recrawl",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3656,6 +3720,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_host_kcore,
         "host_ktruss": q_host_ktruss,
         "wet_roundtrip": q_wet_roundtrip,
+        "bpe_coverage": q_bpe_coverage,
+        "sitemap_recrawl": q_sitemap_recrawl,
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
@@ -7201,6 +7267,47 @@ FROM bigr b JOIN best x ON b.w1 = x.w1 AND b.w2 = x.w2
 GROUP BY b.doc_id
 """,
         "bpe_merges": bpe_oracle_sql("SELECT text FROM documents", k=6),
+        "bpe_coverage": f"""
+WITH seg AS (
+  SELECT word, n_units
+  FROM ({bpe_apply_oracle_sql("SELECT text FROM documents", _BPE_ENCODE_MERGES)})
+),
+per AS (
+  SELECT stratum, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT source AS stratum,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY stratum, word
+),
+j AS (SELECT p.stratum, p.freq, s.n_units FROM per p JOIN seg s USING (word)),
+g AS (
+  SELECT stratum, CAST(SUM(freq) AS BIGINT) AS n_words,
+         CAST(SUM(freq * n_units) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN n_units = 1 THEN freq ELSE 0 END) AS BIGINT) AS one
+  FROM j GROUP BY stratum
+)
+SELECT stratum, n_words, n_tokens,
+       CAST(CAST(1000000 AS BIGINT) * n_tokens // n_words AS BIGINT) AS fertility_ppm,
+       CAST(CAST(1000000 AS BIGINT) * one // n_words AS BIGINT) AS one_unit_ppm
+FROM g
+""",
+        "sitemap_recrawl": f"""
+WITH {_corpus_oracle_tables()},
+sm AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         url AS loc,
+         strftime(CAST(warc_ts AS DATE)
+                  + (CAST(CAST('0x' || substr(md5(url), 1, 4) AS UBIGINT) % 5 AS BIGINT) - 2)
+                    * INTERVAL 1 DAY,
+                  '%Y-%m-%d') AS lastmod
+  FROM c_pages
+),
+latest AS (SELECT url, MAX(datetime) AS dt FROM c_cdx GROUP BY url)
+SELECT s.host, s.loc, s.lastmod,
+       substr(l.dt, 1, 8) AS last_capture_day,
+       replace(s.lastmod, '-', '') > substr(l.dt, 1, 8) AS needs_refetch
+FROM sm s JOIN latest l ON s.loc = l.url
+""",
         "bpe_encode": bpe_apply_oracle_sql(
             "SELECT text FROM documents", _BPE_ENCODE_MERGES
         ),

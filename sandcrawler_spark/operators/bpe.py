@@ -251,3 +251,58 @@ st{r} AS MATERIALIZED (
     )
     parts.append(f"\nSELECT CAST(round AS INT) AS round, a, b, pair_count FROM ({sel}) ORDER BY round")
     return "".join(parts).strip()
+
+
+def segment_coverage(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-quality readout per stratum for a FIXED merge list
+    (the eval a tokenizer training run ships with): how well do the
+    learned merges compress each slice of the corpus?
+
+      n_words       word occurrences in the stratum
+      n_tokens      BPE units those words segment into (sum)
+      fertility_ppm 1e6 * n_tokens div n_words  (1e6 = perfectly
+                    merged, higher = more subword splitting)
+      one_unit_ppm  1e6 * (occurrences segmented to a SINGLE unit)
+                    div n_words  (full-word vocab coverage)
+
+    A stratum whose fertility is far above the training mix's is
+    under-served by the tokenizer (the practical OOV signal for an
+    open-vocab BPE, where literal OOV is impossible by construction).
+
+    Scale shape: the merge fold runs once over the GLOBAL distinct
+    word table (vocab-sized — the bpe_learn discipline), never per
+    stratum; per-stratum word counts join the segmented vocab on the
+    word key (one shuffle each side), then a stratum-keyed agg."""
+    seg = bpe_segment(df, merges, text_col=text_col).select(
+        "word", F.size("units").cast("long").alias("n_units")
+    )
+    toks = tokens_col(F.lower(F.col(text_col)))
+    per_stratum = (
+        df.select(F.col(stratum_col).alias("stratum"), toks.alias("_w"))
+        .select("stratum", F.explode("_w").alias("word"))
+        .groupBy("stratum", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    joined = per_stratum.join(seg, on="word", how="inner")
+    return (
+        joined.groupBy("stratum")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_units")).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("n_units") == 1, F.col("freq")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("_one"),
+        )
+        .select(
+            "stratum",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(1000000 AS BIGINT) * n_tokens div n_words").alias("fertility_ppm"),
+            F.expr("CAST(1000000 AS BIGINT) * _one div n_words").alias("one_unit_ppm"),
+        )
+    )

@@ -182,3 +182,20 @@ def test_wet_record_roundtrip(spark):
     assert a["rec_content_length"] == len("héllo wörld".encode("utf-8"))
     assert bytes(a["payload_bytes"]).decode("utf-8") == "héllo wörld"
     assert b["rec_content_length"] == 0 and b["payload_md5"] is not None
+
+
+def test_segment_coverage(spark):
+    from sandcrawler_spark.operators.bpe import segment_coverage
+
+    docs = spark.createDataFrame(
+        [("X", "ab abc"), ("Y", "xyz")], ["source", "text"]
+    )
+    got = {r.stratum: r for r in segment_coverage(docs, [("a", "b")]).collect()}
+    x = got["X"]  # ab -> 1 unit, abc -> ab|c = 2 units
+    assert (x.n_words, x.n_tokens, x.fertility_ppm, x.one_unit_ppm) == (
+        2, 3, 1_500_000, 500_000,
+    )
+    y = got["Y"]  # xyz: no merge applies -> 3 char units
+    assert (y.n_words, y.n_tokens, y.fertility_ppm, y.one_unit_ppm) == (
+        1, 3, 3_000_000, 0,
+    )
