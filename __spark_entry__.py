@@ -3492,6 +3492,18 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reshard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fleet-growth churn: share of frontier URLs changing owner when
+    # the crawler fleet grows 8 -> 9 shards, mod-hash vs rendezvous vs
+    # consistent-hash ring (operators/sharding.py) — pure codegen maps,
+    # one count agg, three report rows
+    from sandcrawler_spark.operators.sharding import reshard_churn
+
+    return reshard_churn(
+        _urls(spark, sf_dir).select("url"), key_col="url", n_from=8, n_to=9, vnodes=16
+    )
+
+
 def q_bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer-quality eval per corpus stratum: fertility (units per
     # word) + full-word-merge share under the fixed encode merge list —
@@ -3646,7 +3658,7 @@ _STALE_FIRST = [
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
-    "bpe_coverage", "sitemap_recrawl",
+    "bpe_coverage", "sitemap_recrawl", "reshard_churn",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3722,6 +3734,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "bpe_coverage": q_bpe_coverage,
         "sitemap_recrawl": q_sitemap_recrawl,
+        "reshard_churn": q_reshard_churn,
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
@@ -5240,6 +5253,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
     from sandcrawler_spark.operators.bandit import ucb_oracle_sql
+    from sandcrawler_spark.operators.sharding import reshard_oracle_sql
     from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
@@ -8210,6 +8224,12 @@ SELECT host, shard FROM (
 ) WHERE rn = 1
 """,
         "mime_sniff": _mime_sniff_oracle(),
+        "reshard_churn": reshard_oracle_sql(
+            f"WITH {_URLS_CTE.strip()} SELECT url AS k FROM urls",
+            n_from=8,
+            n_to=9,
+            vnodes=16,
+        ),
     }
 
 

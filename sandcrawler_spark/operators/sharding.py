@@ -180,3 +180,163 @@ def community_shard_cut(
             ).alias("cross_ppm"),
         )
     )
+
+
+def _ring_vnodes(n_shards: int, vnodes: int) -> list[tuple[str, int]]:
+    """Sorted (position, shard) virtual-node points: pos =
+    md5('ring:<shard>:<v>') — deterministic, no ring metadata service,
+    recomputable by any observer (both engines get the SAME literal
+    table from this one function)."""
+    import hashlib
+
+    pts = [
+        (hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest(), s)
+        for s in range(n_shards)
+        for v in range(vnodes)
+    ]
+    return sorted(pts)
+
+
+def ring_shard_col(key: Column, n_shards: int, vnodes: int = 16) -> Column:
+    """Consistent-hash ring owner of a key (Karger et al. 1997):
+    the first virtual node clockwise from md5(key), wrapping to the
+    ring's first point. The vnode table is a plan-time literal array
+    (n_shards * vnodes structs) — pure codegen, no join, no shuffle.
+    Tie order on equal positions is (pos, shard) — matched by the
+    oracle's zero-padded string min."""
+    pts = _ring_vnodes(n_shards, vnodes)
+    arr = F.array(
+        *[F.struct(F.lit(p).alias("pos"), F.lit(s).alias("shard")) for p, s in pts]
+    )
+    kh = F.md5(key)
+    cand = F.filter(arr, lambda x: x["pos"] >= kh)
+    owner = F.when(F.size(cand) > 0, F.array_min(cand)).otherwise(F.array_min(arr))
+    return owner["shard"]
+
+
+def mod_shard_col(key: Column, n_shards: int) -> Column:
+    """Naive mod-hash shard: md5-prefix mod n — the strawman every
+    reshard-churn comparison needs (moves ~n/(n+1) of all keys on
+    grow, vs ~1/(n+1) for rendezvous/ring)."""
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return (h % n_shards).cast("int")
+
+
+def reshard_churn(
+    df: DataFrame,
+    key_col: str = "host",
+    n_from: int = 8,
+    n_to: int = 9,
+    vnodes: int = 16,
+) -> DataFrame:
+    """Fleet-growth churn report: how many keys change owner when the
+    crawler fleet grows n_from -> n_to shards, per strategy
+    (mod-hash / rendezvous / consistent-hash ring). The number every
+    resharding decision hinges on: a moved host re-warms robots +
+    politeness + seen caches on its new executor.
+
+      (strategy, n_keys, n_moved, moved_ppm)
+
+    mod-hash reshuffles ~n/(n+1) of the world; rendezvous moves the
+    information-theoretic minimum (exactly the keys the new shard
+    wins); the ring approximates the minimum with variance set by
+    vnodes. Scale shape: pure codegen per-key maps (no shuffle), one
+    count agg, a 3-row stack."""
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    flags = keys.select(
+        (mod_shard_col(F.col("k"), n_from) != mod_shard_col(F.col("k"), n_to))
+        .cast("long")
+        .alias("_mod"),
+        (
+            rendezvous_shard_col(F.col("k"), n_from)
+            != rendezvous_shard_col(F.col("k"), n_to)
+        )
+        .cast("long")
+        .alias("_rdv"),
+        (
+            ring_shard_col(F.col("k"), n_from, vnodes)
+            != ring_shard_col(F.col("k"), n_to, vnodes)
+        )
+        .cast("long")
+        .alias("_ring"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_mod").cast("long").alias("m_mod"),
+        F.sum("_rdv").cast("long").alias("m_rdv"),
+        F.sum("_ring").cast("long").alias("m_ring"),
+    )
+    out = agg.selectExpr(
+        "stack(3, 'mod', n, m_mod, 'rendezvous', n, m_rdv, 'ring', n, m_ring)"
+        " AS (strategy, n_keys, n_moved)"
+    )
+    return out.select(
+        "strategy",
+        "n_keys",
+        "n_moved",
+        F.expr("CAST(1000000 AS BIGINT) * n_moved div n_keys").alias("moved_ppm"),
+    )
+
+
+def reshard_oracle_sql(
+    keys_sql: str, n_from: int = 8, n_to: int = 9, vnodes: int = 16
+) -> str:
+    """DuckDB twin of reshard_churn over a (k) key relation: same md5
+    maps, same literal vnode tables (generated by the same
+    _ring_vnodes call), ring ownership replayed as a zero-padded
+    string MIN with the plan-time global-minimum fallback."""
+
+    def ring_cte(name: str, n: int) -> str:
+        pts = _ring_vnodes(n, vnodes)
+        vals = ", ".join(f"('{p}', {s})" for p, s in pts)
+        fallback = f"'{pts[0][0]}:{pts[0][1]:04d}'"
+        return f"""
+{name}v(pos, shard) AS (VALUES {vals}),
+{name} AS (
+  SELECT k, CAST(CAST(substr(COALESCE(
+           MIN(CASE WHEN v.pos >= md5(k) THEN v.pos || ':' || lpad(CAST(v.shard AS VARCHAR), 4, '0') END),
+           {fallback}), 34) AS INT) AS INT) AS shard
+  FROM ks CROSS JOIN {name}v v
+  GROUP BY k
+)"""
+
+    def rdv_cte(name: str, n: int) -> str:
+        return f"""
+{name} AS (
+  SELECT k, shard FROM (
+    SELECT k, CAST(t.i AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY md5(k || ':' || CAST(t.i AS VARCHAR)) DESC, t.i DESC) AS rn
+    FROM ks CROSS JOIN range(0, {n}) t(i)
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH ks AS (SELECT k FROM ({keys_sql})),
+modc AS (
+  SELECT k,
+         CAST(CAST('0x' || substr(md5(k), 1, 15) AS UBIGINT) % {n_from} AS INT) AS s_b,
+         CAST(CAST('0x' || substr(md5(k), 1, 15) AS UBIGINT) % {n_to} AS INT) AS s_a
+  FROM ks
+),
+{rdv_cte("rdvb", n_from)},
+{rdv_cte("rdva", n_to)},
+{ring_cte("ringb", n_from)},
+{ring_cte("ringa", n_to)},
+moved AS (
+  SELECT 'mod' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN s_b <> s_a THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM modc
+  UNION ALL
+  SELECT 'rendezvous', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END) AS BIGINT)
+  FROM rdvb b JOIN rdva a USING (k)
+  UNION ALL
+  SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END) AS BIGINT)
+  FROM ringb b JOIN ringa a USING (k)
+)
+SELECT strategy, n_keys, n_moved,
+       CAST(CAST(1000000 AS BIGINT) * n_moved // n_keys AS BIGINT) AS moved_ppm
+FROM moved
+""".strip()

@@ -199,3 +199,35 @@ def test_segment_coverage(spark):
     assert (y.n_words, y.n_tokens, y.fertility_ppm, y.one_unit_ppm) == (
         1, 3, 3_000_000, 0,
     )
+
+
+def test_reshard_churn_strategies(spark):
+    from sandcrawler_spark.operators.sharding import reshard_churn, ring_shard_col
+
+    keys = spark.range(2000).select(F.concat(F.lit("host"), F.col("id")).alias("k"))
+    got = {r.strategy: r for r in reshard_churn(keys, key_col="k", n_from=8, n_to=9).collect()}
+    # mod reshuffles ~8/9 of the world; rendezvous moves ~1/9 and ONLY
+    # onto the new shard; the ring approximates 1/9
+    assert got["mod"].moved_ppm > 800_000
+    assert got["rendezvous"].moved_ppm < 200_000
+    assert got["ring"].moved_ppm < 250_000
+    assert all(r.n_keys == 2000 for r in got.values())
+
+    # ring ownership is total: every key gets a shard in [0, n)
+    shards = keys.select(ring_shard_col(F.col("k"), 8, vnodes=8).alias("s"))
+    lo, hi = shards.agg(F.min("s"), F.max("s")).collect()[0]
+    assert 0 <= lo and hi <= 7
+
+
+def test_rendezvous_growth_moves_only_to_new_shard(spark):
+    from sandcrawler_spark.operators.sharding import rendezvous_shard_col
+
+    keys = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    pair = keys.select(
+        rendezvous_shard_col(F.col("k"), 8).alias("b"),
+        rendezvous_shard_col(F.col("k"), 9).alias("a"),
+    )
+    moved = pair.filter(F.col("b") != F.col("a"))
+    # minimal-disruption property: a key only ever moves to the NEW shard
+    assert moved.filter(F.col("a") != 8).count() == 0
+    assert 0 < moved.count() < 1000 * 25 // 100

@@ -103,7 +103,7 @@ AUDIT = [
     # r4 session-9
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
-    "bpe_coverage", "sitemap_recrawl",
+    "bpe_coverage", "sitemap_recrawl", "reshard_churn",
 ]
 
 
