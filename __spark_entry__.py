@@ -3492,6 +3492,28 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar-quantization ANN tier (SQ8): per-dim 8-bit codes from a
+    # min/max training pass, symmetric code-space L2 (all-integer),
+    # two-level top-k — the 4x-compression tier between flat scan and
+    # PQ (operators/pq.py)
+    from sandcrawler_spark.operators.pq import sq_bounds, sq_encode_col, sq_topk
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bounds = sq_bounds(e)
+    codes = e.select(
+        "vec_id", sq_encode_col("embedding", bounds).alias("sq_codes")
+    ).localCheckpoint(eager=True)
+    sample = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sq_topk(sample, codes, bounds, k=5).select(
+        F.col("q_id").cast("bigint").alias("q_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sqdist_code").cast("bigint").alias("sqdist_code"),
+    )
+
+
 def q_reshard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fleet-growth churn: share of frontier URLs changing owner when
     # the crawler fleet grows 8 -> 9 shards, mod-hash vs rendezvous vs
@@ -3658,7 +3680,7 @@ _STALE_FIRST = [
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
-    "bpe_coverage", "sitemap_recrawl", "reshard_churn",
+    "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3735,6 +3757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_coverage": q_bpe_coverage,
         "sitemap_recrawl": q_sitemap_recrawl,
         "reshard_churn": q_reshard_churn,
+        "ann_sq8": q_ann_sq8,
         "host_communities": q_host_communities,
         "community_modularity": q_community_modularity,
         "host_coupling": q_host_coupling,
@@ -5253,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.functions.textstats import EN_STOPWORDS
     from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
     from sandcrawler_spark.operators.bandit import ucb_oracle_sql
+    from sandcrawler_spark.operators.pq import sq_oracle_sql
     from sandcrawler_spark.operators.sharding import reshard_oracle_sql
     from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
@@ -8224,6 +8248,7 @@ SELECT host, shard FROM (
 ) WHERE rn = 1
 """,
         "mime_sniff": _mime_sniff_oracle(),
+        "ann_sq8": sq_oracle_sql(n_q=5, k=5),
         "reshard_churn": reshard_oracle_sql(
             f"WITH {_URLS_CTE.strip()} SELECT url AS k FROM urls",
             n_from=8,

@@ -231,3 +231,31 @@ def test_rendezvous_growth_moves_only_to_new_shard(spark):
     # minimal-disruption property: a key only ever moves to the NEW shard
     assert moved.filter(F.col("a") != 8).count() == 0
     assert 0 < moved.count() < 1000 * 25 // 100
+
+
+def test_sq8_self_query_rank1(spark):
+    from sandcrawler_spark.operators.pq import sq_bounds, sq_encode_col, sq_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bounds = sq_bounds(e)
+    assert len(bounds) == 8 and all(lo <= hi for lo, hi in bounds)
+    codes = e.select("vec_id", sq_encode_col("embedding", bounds).alias("sq_codes"))
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = sq_topk(qs, codes, bounds, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rs in by_q.items():
+        best = min(rs, key=lambda r: (r.sqdist_code, r.vec_id))
+        # a vector quantized with the same bounds is code-identical to
+        # itself: self-distance 0, rank 1
+        assert best.vec_id == q_id and best.sqdist_code == 0
+    # codes are bytes
+    mx = codes.select(F.array_max("sq_codes").alias("m")).agg(F.max("m")).collect()[0][0]
+    assert 0 <= mx <= 255

@@ -34,7 +34,7 @@ ALLOW_BNLJ = {
     # by design; pq_recall additionally runs the exact-truth scan;
     # ann_ivfpq's coarse assignment broadcasts the centroid table
     # un-keyed (the ann_ivf shape)
-    "ann_pq", "pq_recall", "ann_ivfpq",
+    "ann_pq", "pq_recall", "ann_ivfpq", "ann_sq8",
     # centroid-table broadcast assignment (the ann_ivf shape) + 1-row
     # temperature total
     "topic_balance",
@@ -103,7 +103,7 @@ AUDIT = [
     # r4 session-9
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
-    "bpe_coverage", "sitemap_recrawl", "reshard_churn",
+    "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
 ]
 
 
