@@ -1212,6 +1212,67 @@ FROM lp_mx
 """
 
 
+def _lang_mismatch_oracle(min_hits_ppm: int = 40_000) -> str:
+    """lang_mismatch twin: lang_profile's stopword-hit pipeline over
+    the persisted corpus pages, grouped declared-vs-predicted (the
+    mime_sniff report shape)."""
+    from sandcrawler_spark.functions.script import _LANG_PRIORITY, LANG_STOPWORDS
+
+    hit_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> list_contains({LANG_STOPWORDS[lg]!r}, t))) AS BIGINT) AS h_{lg}"
+        for lg in _LANG_PRIORITY
+    )
+    ppm_cols = ",\n         ".join(
+        f"CASE WHEN n_tokens > 0 THEN (h_{lg} * CAST(1000000 AS BIGINT)) // n_tokens ELSE 0 END AS {lg}_ppm"
+        for lg in _LANG_PRIORITY
+    )
+    max_ppm = f"GREATEST({', '.join(lg + '_ppm' for lg in _LANG_PRIORITY)})"
+    chain = "\n            ".join(
+        f"WHEN {lg}_ppm = mx THEN '{lg}'" for lg in _LANG_PRIORITY
+    )
+    plants = "\n           ".join(
+        f"WHEN {m} THEN text || ' ' || repeat('{p} ', 8)"
+        for m, p in _LANG_PLANTS.items()
+    )
+    return f"""
+WITH {_corpus_oracle_tables()},
+lm_docs AS (
+  SELECT url, lang AS declared,
+         CASE CAST(CAST('0x' || substr(md5(url), 1, 4) AS UBIGINT) % 6 AS INT)
+           {plants}
+           ELSE text END AS text
+  FROM c_pages
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+lm_tok AS (
+  SELECT url, declared,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM lm_docs
+),
+lm_hits AS (
+  SELECT url, declared, CAST(len(toks) AS BIGINT) AS n_tokens,
+         {hit_cols}
+  FROM lm_tok
+),
+lm_ppm AS (
+  SELECT url, declared, n_tokens,
+         {ppm_cols}
+  FROM lm_hits
+),
+lm_mx AS (SELECT *, {max_ppm} AS mx FROM lm_ppm),
+lm_pred AS (
+  SELECT url, declared,
+         CASE WHEN n_tokens = 0 OR mx < {min_hits_ppm} THEN 'und'
+            {chain}
+         END AS predicted
+  FROM lm_mx
+)
+SELECT declared, predicted, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN declared <> predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM lm_pred GROUP BY declared, predicted
+"""
+
+
 def _script_oracle() -> str:
     """script_profile twin: the same hex ranges in RE2 syntax, the
     same first-match dominance chain and integer ppm."""
@@ -3492,6 +3553,71 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weakly-connected components of the host graph (frontier islands:
+    # a component unreachable from the seed set never gets crawled by
+    # link discovery alone — the map of where seeds are needed).
+    # Large-star/small-star CC (O(log d) rounds) + one size rollup.
+    from sandcrawler_spark.operators.dedupe import connected_components
+    from sandcrawler_spark.operators.linkgraph import host_graph
+
+    edges = host_graph(_outlink_edges(spark, sf_dir))
+    # CC machinery labels by MIN over an integral id: hash hosts to a
+    # stable 60-bit key, keep the (key -> host) map for readback
+    hosts = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .withColumn("hid", F.conv(F.substring(F.md5("host"), 1, 15), 16, 10).cast("long"))
+    )
+    pairs = (
+        edges.select(
+            F.conv(F.substring(F.md5("src_host"), 1, 15), 16, 10).cast("long").alias("id_a"),
+            F.conv(F.substring(F.md5("dst_host"), 1, 15), 16, 10).cast("long").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    cc = connected_components(pairs)
+    labeled = hosts.join(cc, hosts["hid"] == cc["id"], "left").select(
+        "host", F.coalesce(cc["label"], hosts["hid"]).alias("component")
+    )
+    sizes = labeled.groupBy("component").agg(F.count("*").cast("long").alias("comp_size"))
+    return labeled.join(sizes, on="component").select("host", "component", "comp_size")
+
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declared-vs-predicted language QA over the crawl corpus (the
+    # lang-column analog of mime_sniff's declared-vs-sniffed report):
+    # closed-class-word prediction per page vs the stored lang column.
+    # The synthetic corpus text is function-word-free, so a md5-keyed
+    # slice of pages gets a language phrase APPENDED (same derivation
+    # in both engines) — the report exercises real predictions, not
+    # just the 'und' floor. lang_profile is a row-wise projection:
+    # declared rides through a struct id, no join, no url-dup fan-out.
+    from sandcrawler_spark.functions.script import lang_profile
+
+    pages = _corpus(spark)["pages"].filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    slot = F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long") % 6
+    t = F.col("text")
+    for m, phrase in _LANG_PLANTS.items():
+        t = F.when(slot == m, F.concat(t, F.lit(" "), F.repeat(F.lit(phrase + " "), 8))).otherwise(t)
+    prof = lang_profile(
+        pages.select(F.struct("url", "lang").alias("doc_id"), t.alias("text")),
+        id_col="doc_id",
+    )
+    return prof.select(
+        F.col("doc_id.lang").alias("declared"), F.col("lang_pred").alias("predicted")
+    ).groupBy("declared", "predicted").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(
+            (F.col("declared") != F.col("predicted")).cast("long")
+        ).cast("long").alias("n_mismatch"),
+    )
+
+
 def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-quantization ANN tier (SQ8): per-dim 8-bit codes from a
     # min/max training pass, symmetric code-space L2 (all-integer),
@@ -3681,6 +3807,7 @@ _STALE_FIRST = [
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
+    "host_wcc", "lang_mismatch",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3753,6 +3880,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_hits": q_host_hits,
         "host_kcore": q_host_kcore,
         "host_ktruss": q_host_ktruss,
+        "host_wcc": q_host_wcc,
+        "lang_mismatch": q_lang_mismatch,
         "wet_roundtrip": q_wet_roundtrip,
         "bpe_coverage": q_bpe_coverage,
         "sitemap_recrawl": q_sitemap_recrawl,
@@ -5606,6 +5735,40 @@ SELECT host, core_degree FROM kcn8
 {_ktruss_oracle_ctes(3, 6)}
 SELECT a, b, CAST(support AS BIGINT) AS support FROM kte6
 """,
+        "host_wcc": f"""
+{link_base},
+wedges AS (
+  SELECT DISTINCT src_host AS a, dst_host AS b FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+),
+whosts AS (
+  SELECT host,
+         CAST(CAST('0x' || substr(md5(host), 1, 15) AS UBIGINT) AS BIGINT) AS hid
+  FROM (SELECT a AS host FROM wedges UNION SELECT b FROM wedges)
+),
+wsym AS (
+  SELECT a, b FROM wedges WHERE a <> b
+  UNION SELECT b, a FROM wedges WHERE a <> b
+),
+wreach AS (
+  WITH RECURSIVE r(h, t) AS (
+    SELECT host, host FROM whosts
+    UNION
+    SELECT r.h, e.b FROM r JOIN wsym e ON e.a = r.t
+  )
+  SELECT * FROM r
+),
+wlabel AS (
+  SELECT r.h AS host, MIN(t.hid) AS component
+  FROM wreach r JOIN whosts t ON t.host = r.t
+  GROUP BY r.h
+),
+wsize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS comp_size FROM wlabel GROUP BY component)
+SELECT l.host, l.component, s.comp_size
+FROM wlabel l JOIN wsize s USING (component)
+""",
         "wet_roundtrip": f"""
 WITH {_corpus_oracle_tables()}
 SELECT lang, url,
@@ -7430,6 +7593,7 @@ FROM s GROUP BY user_id, sid
         "topic_balance": _topic_balance_oracle(),
         "script_profile": _script_oracle(),
         "lang_profile": _lang_profile_oracle(),
+        "lang_mismatch": _lang_mismatch_oracle(),
         "quality_fusion": """
 WITH qf AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -259,3 +259,22 @@ def test_sq8_self_query_rank1(spark):
     # codes are bytes
     mx = codes.select(F.array_max("sq_codes").alias("m")).agg(F.max("m")).collect()[0][0]
     assert 0 <= mx <= 255
+
+
+def test_host_wcc_query_islands(spark):
+    # two disjoint islands in a crafted edge set -> two components with
+    # the right sizes, labels = min 60-bit md5 id per island
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    def hid(h):
+        import hashlib
+        return int(hashlib.md5(h.encode()).hexdigest()[:15], 16)
+
+    rows = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(
+        [(hid(a), hid(b)) for a, b in rows], ["id_a", "id_b"]
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got[hid("a")] == got[hid("b")] == got[hid("c")] == min(map(hid, "abc"))
+    assert got[hid("x")] == got[hid("y")] == min(map(hid, "xy"))
+    assert got[hid("a")] != got[hid("x")]
