@@ -3757,6 +3757,28 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_pagination_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frontier synthesis from pagination holes: /page/N (nation keys
+    # with every 7th dropped) and /cat/N (region keys * 3) sequences
+    # back-fill their missing page URLs; unbounded/hex templates are
+    # excluded by construction (operators/traps.py)
+    from sandcrawler_spark.operators.traps import pagination_fill
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 7 != 3).select(
+        F.lit("news.example.com").alias("host"),
+        F.concat(
+            F.lit("https://news.example.com/page/"), F.col("n_nationkey").cast("string")
+        ).alias("url"),
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.lit("news.example.com").alias("host"),
+        F.concat(
+            F.lit("https://news.example.com/cat/"), (F.col("r_regionkey") * 3).cast("string")
+        ).alias("url"),
+    )
+    return pagination_fill(n.unionByName(r), min_pages=3, max_fill=200)
+
+
 def q_alloc_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fairness receipt for the round-budget arbitration: Gini (ppm) of
     # the raw per-host demand vs the water-filled allocation — the
@@ -3807,7 +3829,7 @@ _STALE_FIRST = [
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
-    "host_wcc", "lang_mismatch",
+    "host_wcc", "lang_mismatch", "pagination_fill",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3947,6 +3969,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "ucb_frontier": q_ucb_frontier,
         "pagination_gaps": q_pagination_gaps,
+        "pagination_fill": q_pagination_fill,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -6993,6 +7016,65 @@ SELECT host, template, n_pages, min_page, max_page,
        CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
        max_page - min_page + 1 = n_pages AS complete
 FROM g WHERE n_pages >= 3
+""",
+        "pagination_fill": """
+WITH pfmixed AS (
+  SELECT 'news.example.com' AS host,
+         'https://news.example.com/page/' || CAST(n_nationkey AS VARCHAR) AS url
+  FROM nation WHERE n_nationkey % 7 <> 3
+  UNION ALL
+  SELECT 'news.example.com',
+         'https://news.example.com/cat/' || CAST(r_regionkey * 3 AS VARCHAR)
+  FROM region
+),
+pfshaped AS (
+  SELECT host,
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1),
+           '[0-9a-fA-F]{8,}', 'H', 'g'),
+           '[0-9]+', 'N', 'g'),
+           '=[^&#]*', '=*', 'g') AS template,
+         regexp_extract(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$', 1),
+           '([0-9]+)', 1) AS numtxt
+  FROM pfmixed
+),
+pfok AS (
+  SELECT host, template, CAST(numtxt AS BIGINT) AS page_n
+  FROM pfshaped
+  WHERE numtxt <> '' AND length(numtxt) <= 18
+),
+pfg AS (
+  SELECT host, template,
+         CAST(COUNT(DISTINCT page_n) AS BIGINT) AS n_pages,
+         CAST(MIN(page_n) AS BIGINT) AS min_page,
+         CAST(MAX(page_n) AS BIGINT) AS max_page
+  FROM pfok
+  WHERE length(regexp_replace(template, '[^N]', '', 'g')) = 1
+  GROUP BY host, template
+  HAVING COUNT(DISTINCT page_n) >= 3
+),
+pfbounded AS (
+  SELECT * FROM pfg
+  WHERE max_page - min_page + 1 - n_pages BETWEEN 1 AND 200
+    AND max_page - min_page < 10000
+    AND template NOT LIKE '%H%'
+),
+pffull AS (
+  SELECT host, template,
+         CAST(UNNEST(generate_series(min_page, max_page)) AS BIGINT) AS page_n
+  FROM pfbounded
+),
+pfmissing AS (
+  SELECT f.host, f.template, f.page_n
+  FROM pffull f
+  LEFT JOIN (SELECT DISTINCT host, template, page_n FROM pfok) o
+    ON f.host = o.host AND f.template = o.template AND f.page_n = o.page_n
+  WHERE o.page_n IS NULL
+)
+SELECT host, template, page_n,
+       'https://' || host || replace(template, 'N', CAST(page_n AS VARCHAR)) AS url
+FROM pfmissing
 """,
         "alloc_fairness": f"""
 WITH dem AS (

@@ -144,3 +144,61 @@ def pagination_gaps(
         (F.col("max_page") - F.col("min_page") + 1 - F.col("n_pages")).alias("n_missing"),
         (F.col("max_page") - F.col("min_page") + 1 == F.col("n_pages")).alias("complete"),
     )
+
+
+def pagination_fill(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    min_pages: int = 3,
+    max_fill: int = 200,
+) -> DataFrame:
+    """Frontier synthesis from pagination gaps: for each (host,
+    template) sequence with holes, emit the MISSING page URLs —
+    host + template with the number substituted back — as crawl
+    candidates. Sequences needing more than max_fill back-fills are
+    skipped whole (an unbounded range is a trap signal, not a gap;
+    detect_traps owns that case), so the fan-out per template is
+    bounded by construction.
+
+    Returns (host, template, page_n, url). Scale shape: the gaps
+    relation is template-cardinality (small); the only expansion is
+    sequence(min, max) explode bounded by max_fill, anti-joined
+    against the observed page numbers on the same (host, template,
+    page_n) key."""
+    gaps = pagination_gaps(urls, url_col=url_col, host_col=host_col, min_pages=min_pages)
+    bounded = gaps.filter(
+        (F.col("n_missing") > 0)
+        & (F.col("n_missing") <= max_fill)
+        & (F.col("max_page") - F.col("min_page") < 10_000)
+        # templates that also collapsed a hex run can't be rebuilt into
+        # a concrete URL (the H stands for an unknown id) — skip them
+        & (~F.col("template").contains("H"))
+    )
+    # Spark sequence(a, b) DESCENDS when a > b — bounded rows always
+    # have max_page > min_page (n_missing > 0 implies a hole), so the
+    # ascending guard is structural here
+    full = bounded.select(
+        "host",
+        "template",
+        F.explode(F.sequence(F.col("min_page"), F.col("max_page"))).alias("page_n"),
+    )
+    path = F.regexp_extract(F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    observed = urls.select(
+        F.col(host_col).alias("host"),
+        url_template_col(path).alias("template"),
+        F.regexp_extract(path, r"([0-9]+)", 1).alias("_num"),
+    ).filter((F.col("_num") != "") & (F.length("_num") <= 18)).select(
+        "host", "template", F.col("_num").cast("long").alias("page_n")
+    )
+    missing = full.join(observed, ["host", "template", "page_n"], "left_anti")
+    return missing.select(
+        "host",
+        "template",
+        "page_n",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.regexp_replace("template", "N", F.col("page_n").cast("string")),
+        ).alias("url"),
+    )

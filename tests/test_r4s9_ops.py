@@ -278,3 +278,27 @@ def test_host_wcc_query_islands(spark):
     assert got[hid("a")] == got[hid("b")] == got[hid("c")] == min(map(hid, "abc"))
     assert got[hid("x")] == got[hid("y")] == min(map(hid, "xy"))
     assert got[hid("a")] != got[hid("x")]
+
+
+def test_pagination_fill(spark):
+    from sandcrawler_spark.operators.traps import pagination_fill
+
+    rows = [("a.org", f"https://a.org/page/{i}") for i in (1, 2, 4, 6)]  # missing 3, 5
+    rows += [("a.org", f"https://a.org/doc/deadbeefcafe{i}/x") for i in (1, 2, 3)]  # hex: skipped
+    rows += [("b.org", f"https://b.org/p/{i}") for i in (1, 1000,)]  # < min_pages
+    df = spark.createDataFrame(rows, ["host", "url"])
+    got = sorted(
+        (r.host, r.page_n, r.url) for r in pagination_fill(df, min_pages=3).collect()
+    )
+    assert got == [
+        ("a.org", 3, "https://a.org/page/3"),
+        ("a.org", 5, "https://a.org/page/5"),
+    ]
+
+
+def test_pagination_fill_respects_max_fill(spark):
+    from sandcrawler_spark.operators.traps import pagination_fill
+
+    rows = [("a.org", f"https://a.org/item/{i}") for i in (1, 2, 5000)]  # 4997 holes
+    df = spark.createDataFrame(rows, ["host", "url"])
+    assert pagination_fill(df, min_pages=3, max_fill=200).count() == 0
