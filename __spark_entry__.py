@@ -3757,6 +3757,42 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_frontier_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # starvation-free frontier scheduling: a low-priority URL's rank
+    # grows with wait time (aged = priority*100 + min(age_days div 4,
+    # 300) — the aging term can cross up to 3 priority levels, so
+    # nothing waits forever behind a firehose of urgent requests);
+    # report per URL the pure-priority vs aged crawl round and whether
+    # aging promoted it. Per-host window = per-host frontier slice
+    # (bounded, the politeness_schedule shape).
+    u = _urls(spark, sf_dir).withColumn(
+        "age_days",
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long"),
+    ).withColumn(
+        "aged_priority",
+        (F.col("priority").cast("long") * 100
+         + F.least(F.expr("age_days div 4"), F.lit(300).cast("long"))).cast("long"),
+    )
+    w_pure = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("url"))
+    w_aged = Window.partitionBy("host").orderBy(F.col("aged_priority").desc(), F.col("url"))
+    ranked = (
+        u.withColumn("_q", (F.lit(1) + (F.col("site_id") % 4)).cast("long"))
+        .withColumn("_rp", F.row_number().over(w_pure).cast("long") - 1)
+        .withColumn("_ra", F.row_number().over(w_aged).cast("long") - 1)
+    )
+    return ranked.select(
+        "url",
+        "host",
+        "priority",
+        "age_days",
+        "aged_priority",
+        F.expr("_rp div _q").alias("round_pure"),
+        F.expr("_ra div _q").alias("round_aged"),
+        (F.col("_ra") < F.col("_rp")).alias("promoted"),
+    )
+
+
 def q_pagination_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier synthesis from pagination holes: /page/N (nation keys
     # with every 7th dropped) and /cat/N (region keys * 3) sequences
@@ -3829,7 +3865,7 @@ _STALE_FIRST = [
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
-    "host_wcc", "lang_mismatch", "pagination_fill",
+    "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -3970,6 +4006,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucb_frontier": q_ucb_frontier,
         "pagination_gaps": q_pagination_gaps,
         "pagination_fill": q_pagination_fill,
+        "frontier_aging": q_frontier_aging,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -7016,6 +7053,32 @@ SELECT host, template, n_pages, min_page, max_page,
        CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
        max_page - min_page + 1 = n_pages AS complete
 FROM g WHERE n_pages >= 3
+""",
+        "frontier_aging": f"""
+WITH {_URLS_CTE.strip()},
+aged AS (
+  SELECT url, host, priority, site_id,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS age_days
+  FROM urls
+),
+a2 AS (
+  SELECT *,
+         CAST(CAST(priority AS BIGINT) * 100
+              + least(age_days // 4, CAST(300 AS BIGINT)) AS BIGINT) AS aged_priority,
+         CAST(1 + (site_id % 4) AS BIGINT) AS q
+  FROM aged
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1 AS rp,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY aged_priority DESC, url) - 1 AS ra
+  FROM a2
+)
+SELECT url, host, priority, age_days, aged_priority,
+       CAST(rp // q AS BIGINT) AS round_pure,
+       CAST(ra // q AS BIGINT) AS round_aged,
+       ra < rp AS promoted
+FROM rk
 """,
         "pagination_fill": """
 WITH pfmixed AS (

@@ -104,7 +104,7 @@ AUDIT = [
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
-    "host_wcc", "lang_mismatch", "pagination_fill",
+    "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
 ]
 
 
