@@ -3757,6 +3757,44 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sketch-error receipt: per host, exact distinct URLs vs the
+    # HLL (p=6) and KMV (k=64) estimates with integer-ppm relative
+    # errors — the dashboard row that says which synopsis to trust at
+    # which cardinality (KMV is exact below k; raw HLL carries the
+    # small-range bias at m=64). Errors are computed in integer space
+    # (estimate scaled x100 first) so both engines agree bit-for-bit.
+    from sandcrawler_spark.operators.sketches import hll_cardinality, kmv_cardinality
+
+    urls = _urls(spark, sf_dir).select("host", "url")
+    true = urls.groupBy("host").agg(
+        F.countDistinct("url").cast("long").alias("true_distinct")
+    )
+    hll = hll_cardinality(urls, "url", ["host"], p=6).select(
+        "host", F.col("hll_estimate")
+    )
+    kmv = kmv_cardinality(urls, "url", ["host"], k=64).select("host", "est_distinct")
+    j = (
+        true.join(hll, on="host")
+        .join(kmv, on="host")
+        .withColumn("_hx", F.expr("CAST(round(hll_estimate * 100) AS BIGINT)"))
+    )
+    return j.select(
+        "host",
+        "true_distinct",
+        "hll_estimate",
+        F.col("est_distinct").alias("kmv_estimate"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) * abs(_hx - true_distinct * 100)"
+            " div (true_distinct * 100)"
+        ).alias("hll_err_ppm"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) * abs(est_distinct - true_distinct)"
+            " div true_distinct"
+        ).alias("kmv_err_ppm"),
+    )
+
+
 def q_frontier_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     # starvation-free frontier scheduling: a low-priority URL's rank
     # grows with wait time (aged = priority*100 + min(age_days div 4,
@@ -3866,6 +3904,7 @@ _STALE_FIRST = [
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
+    "sketch_accuracy",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -4007,6 +4046,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_gaps": q_pagination_gaps,
         "pagination_fill": q_pagination_fill,
         "frontier_aging": q_frontier_aging,
+        "sketch_accuracy": q_sketch_accuracy,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -7053,6 +7093,32 @@ SELECT host, template, n_pages, min_page, max_page,
        CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
        max_page - min_page + 1 = n_pages AS complete
 FROM g WHERE n_pages >= 3
+""",
+        "sketch_accuracy": f"""
+WITH skt AS (
+  WITH {_URLS_CTE.strip()}
+  SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS true_distinct FROM urls GROUP BY host
+),
+skh AS (
+  SELECT host, hll_estimate
+  FROM ({hll_oracle_sql(f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls", "url", ["host"], p=6)})
+),
+skk AS (
+  SELECT host, est_distinct
+  FROM ({kmv_oracle_sql(f"WITH {_URLS_CTE.strip()} SELECT host, url FROM urls", "url", ["host"], k=64)})
+),
+skj AS (
+  SELECT t.host, t.true_distinct, h.hll_estimate, k.est_distinct,
+         CAST(round(h.hll_estimate * 100) AS BIGINT) AS hx
+  FROM skt t JOIN skh h USING (host) JOIN skk k USING (host)
+)
+SELECT host, true_distinct, hll_estimate,
+       CAST(est_distinct AS BIGINT) AS kmv_estimate,
+       CAST(CAST(1000000 AS BIGINT) * abs(hx - true_distinct * 100)
+            // (true_distinct * 100) AS BIGINT) AS hll_err_ppm,
+       CAST(CAST(1000000 AS BIGINT) * abs(est_distinct - true_distinct)
+            // true_distinct AS BIGINT) AS kmv_err_ppm
+FROM skj
 """,
         "frontier_aging": f"""
 WITH {_URLS_CTE.strip()},
