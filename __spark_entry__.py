@@ -3757,6 +3757,32 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_host_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-tree shape per host: distinct path nodes per depth +
+    # branching factor between depths — the frontier-size forecast
+    # input (a branching factor that never decays = infinite URL
+    # space). Mixed depth-2 order paths and depth-3 category trees.
+    from sandcrawler_spark.operators.traps import host_branching
+
+    u = _urls(spark, sf_dir).select("host", "url")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.lit("site"), (F.col("l_suppkey") % 20).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("l_suppkey") % 20).cast("string"),
+            F.lit(".example.com/c"),
+            (F.col("l_partkey") % 7).cast("string"),
+            F.lit("/s"),
+            (F.col("l_suppkey") % 5).cast("string"),
+            F.lit("/item"),
+            F.col("l_orderkey").cast("string"),
+        ).alias("url"),
+    )
+    return host_branching(u.unionByName(li), max_depth=8)
+
+
 def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch-error receipt: per host, exact distinct URLs vs the
     # HLL (p=6) and KMV (k=64) estimates with integer-ppm relative
@@ -3904,7 +3930,7 @@ _STALE_FIRST = [
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
-    "sketch_accuracy",
+    "sketch_accuracy", "host_branching",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -4047,6 +4073,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_fill": q_pagination_fill,
         "frontier_aging": q_frontier_aging,
         "sketch_accuracy": q_sketch_accuracy,
+        "host_branching": q_host_branching,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -7093,6 +7120,48 @@ SELECT host, template, n_pages, min_page, max_page,
        CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
        max_page - min_page + 1 = n_pages AS complete
 FROM g WHERE n_pages >= 3
+""",
+        "host_branching": f"""
+WITH {_URLS_CTE.strip()},
+hbmixed AS (
+  SELECT host, url FROM urls
+  UNION ALL
+  SELECT 'site' || CAST(CAST(l_suppkey % 20 AS INT) AS VARCHAR) || '.example.com' AS host,
+         'https://site' || CAST(CAST(l_suppkey % 20 AS INT) AS VARCHAR)
+         || '.example.com/c' || CAST(CAST(l_partkey % 7 AS INT) AS VARCHAR)
+         || '/s' || CAST(CAST(l_suppkey % 5 AS INT) AS VARCHAR)
+         || '/item' || CAST(l_orderkey AS VARCHAR) AS url
+  FROM lineitem
+),
+hbsegs AS (
+  SELECT host,
+         list_filter(string_split(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)?', 1),
+           '/'), x -> x <> '') AS segs
+  FROM hbmixed
+),
+hbex AS (
+  SELECT DISTINCT host, CAST(t.d AS BIGINT) AS depth,
+         array_to_string(segs[1:CAST(t.d AS INT)], '/') AS prefix
+  FROM hbsegs, UNNEST(generate_series(1, least(len(segs), 8))) AS t(d)
+  WHERE array_to_string(segs[1:CAST(t.d AS INT)], '/') <> ''
+),
+hbnodes AS (
+  SELECT host, depth, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM hbex GROUP BY host, depth
+),
+hbparents AS (
+  SELECT host, depth, CAST(COUNT(*) AS BIGINT) AS parent_nodes FROM (
+    SELECT DISTINCT host, depth,
+           array_to_string(string_split(prefix, '/')[1:CAST(depth - 1 AS INT)], '/') AS parent
+    FROM hbex WHERE depth > 1
+  ) GROUP BY host, depth
+)
+SELECT n.host, n.depth, n.n_nodes,
+       COALESCE(p.parent_nodes, 1) AS parent_nodes,
+       CAST(CAST(1000000 AS BIGINT) * n.n_nodes
+            // greatest(COALESCE(p.parent_nodes, 1), 1) AS BIGINT) AS branching_ppm
+FROM hbnodes n LEFT JOIN hbparents p ON n.host = p.host AND n.depth = p.depth
 """,
         "sketch_accuracy": f"""
 WITH skt AS (

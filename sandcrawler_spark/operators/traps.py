@@ -202,3 +202,63 @@ def pagination_fill(
             F.regexp_replace("template", "N", F.col("page_n").cast("string")),
         ).alias("url"),
     )
+
+
+def host_branching(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    max_depth: int = 8,
+) -> DataFrame:
+    """URL-tree shape per host: how many distinct path nodes exist at
+    each depth, and the branching factor between consecutive depths —
+    the crawl-shape diagnostic behind frontier-size forecasts (a
+    branching factor that never decays = an infinite URL space; cf.
+    detect_traps, which catches the same pathology per template).
+
+    Per (host, depth <= max_depth):
+      n_nodes        distinct path prefixes with exactly `depth`
+                     segments
+      parent_nodes   distinct prefixes at depth-1 that have children
+                     at this depth (0 at depth 1's virtual root -> 1)
+      branching_ppm  1e6 * n_nodes div max(parent_nodes, 1)
+
+    Scale shape: one split + bounded prefix explode per URL (<=
+    max_depth rows), one (host, depth, prefix) distinct shuffle, then
+    depth-keyed aggregates; no windows, no Python."""
+    path = F.regexp_extract(F.lower(F.col(url_col)), r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)?", 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth_ids = F.sequence(F.lit(1), F.least(F.size(segs), F.lit(max_depth)))
+    prefixes = F.transform(depth_ids, lambda d: F.array_join(F.slice(segs, 1, d), "/"))
+    ex = urls.select(
+        F.col(host_col).alias("host"), F.posexplode(prefixes).alias("_i", "prefix")
+    ).select("host", (F.col("_i") + 1).alias("depth"), "prefix").filter(
+        F.col("prefix") != ""
+    ).distinct()
+    nodes = ex.groupBy("host", "depth").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    parents = (
+        ex.filter(F.col("depth") > 1)
+        .select(
+            "host",
+            F.col("depth"),
+            F.expr("substring_index(prefix, '/', CAST(depth - 1 AS INT))").alias("parent"),
+        )
+        .distinct()
+        .groupBy("host", "depth")
+        .agg(F.count("*").cast("long").alias("parent_nodes"))
+    )
+    return (
+        nodes.join(parents, ["host", "depth"], "left")
+        .withColumn("parent_nodes", F.coalesce("parent_nodes", F.lit(1).cast("long")))
+        .select(
+            "host",
+            F.col("depth").cast("long").alias("depth"),
+            "n_nodes",
+            "parent_nodes",
+            F.expr(
+                "CAST(1000000 AS BIGINT) * n_nodes div greatest(parent_nodes, CAST(1 AS BIGINT))"
+            ).alias("branching_ppm"),
+        )
+    )

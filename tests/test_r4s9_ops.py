@@ -302,3 +302,23 @@ def test_pagination_fill_respects_max_fill(spark):
     rows = [("a.org", f"https://a.org/item/{i}") for i in (1, 2, 5000)]  # 4997 holes
     df = spark.createDataFrame(rows, ["host", "url"])
     assert pagination_fill(df, min_pages=3, max_fill=200).count() == 0
+
+
+def test_host_branching(spark):
+    from sandcrawler_spark.operators.traps import host_branching
+
+    rows = [
+        ("a.org", "https://a.org/x/1"),
+        ("a.org", "https://a.org/x/2"),
+        ("a.org", "https://a.org/y/1"),
+        ("a.org", "https://a.org/y/1"),  # dup URL: distinct-counted once
+        ("a.org", "https://a.org/x/1/deep?q=1"),  # query stripped
+    ]
+    df = spark.createDataFrame(rows, ["host", "url"])
+    got = {r.depth: r for r in host_branching(df).collect()}
+    # depth 1: {x, y}; depth 2: {x/1, x/2, y/1} (3 nodes from 2 parents);
+    # depth 3: {x/1/deep} from 1 parent
+    assert (got[1].n_nodes, got[1].parent_nodes) == (2, 1)
+    assert (got[2].n_nodes, got[2].parent_nodes) == (3, 2)
+    assert got[2].branching_ppm == 1_500_000
+    assert (got[3].n_nodes, got[3].parent_nodes, got[3].branching_ppm) == (1, 1, 1_000_000)
