@@ -3757,6 +3757,41 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9110 Retry-After parsing over a synthesized header stream:
+    # delta-seconds form, HTTP-date form, and an unparseable arm
+    # (NULL -> AIMD fallback); delay computed against the event's own
+    # epoch so timezone handling cancels (operators/politeness.py)
+    from sandcrawler_spark.operators.politeness import parse_retry_after_col
+
+    e = _t(spark, sf_dir, "events")
+    form = (F.col("event_id") % 3).cast("int")
+    http_date = F.concat(
+        F.date_format(
+            F.expr("ts + make_dt_interval(0, 0, 0, CAST(event_id % 90 + 10 AS DOUBLE))"),
+            "EEE, dd MMM yyyy HH:mm:ss",
+        ),
+        F.lit(" GMT"),
+    )
+    hdr = (
+        F.when(form == 0, (F.col("event_id") % 120 + 1).cast("string"))
+        .when(form == 1, http_date)
+        .otherwise(F.lit("soon"))
+    )
+    base = e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        form.alias("form"),
+        hdr.alias("retry_after"),
+        F.unix_timestamp("ts").cast("long").alias("now_epoch"),
+    )
+    return base.select(
+        "event_id",
+        "form",
+        "retry_after",
+        parse_retry_after_col(F.col("retry_after"), F.col("now_epoch")).alias("delay_s"),
+    )
+
+
 def q_host_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
     # URL-tree shape per host: distinct path nodes per depth +
     # branching factor between depths — the frontier-size forecast
@@ -3930,7 +3965,7 @@ _STALE_FIRST = [
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
-    "sketch_accuracy", "host_branching",
+    "sketch_accuracy", "host_branching", "retry_after",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -4074,6 +4109,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_aging": q_frontier_aging,
         "sketch_accuracy": q_sketch_accuracy,
         "host_branching": q_host_branching,
+        "retry_after": q_retry_after,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -7120,6 +7156,34 @@ SELECT host, template, n_pages, min_page, max_page,
        CAST(max_page - min_page + 1 - n_pages AS BIGINT) AS n_missing,
        max_page - min_page + 1 = n_pages AS complete
 FROM g WHERE n_pages >= 3
+""",
+        "retry_after": """
+WITH ra AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(event_id % 3 AS INT) AS form,
+         CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN CAST(event_id % 120 + 1 AS VARCHAR)
+           WHEN 1 THEN strftime(ts + (event_id % 90 + 10) * INTERVAL 1 SECOND,
+                                '%a, %d %b %Y %H:%M:%S') || ' GMT'
+           ELSE 'soon' END AS retry_after,
+         CAST(floor(epoch(ts)) AS BIGINT) AS now_epoch
+  FROM events
+),
+parsed AS (
+  SELECT *,
+         try_strptime(regexp_replace(regexp_replace(retry_after, ' GMT$', ''),
+                                     '^[A-Za-z]{3}, ', ''),
+                      '%d %b %Y %H:%M:%S') AS dt
+  FROM ra
+)
+SELECT event_id, form, retry_after,
+       CAST(CASE WHEN regexp_matches(retry_after, '^[0-9]{1,9}$')
+              THEN CAST(retry_after AS BIGINT)
+            WHEN dt IS NOT NULL
+              THEN greatest(CAST(floor(epoch(dt)) AS BIGINT) - now_epoch,
+                            CAST(0 AS BIGINT))
+            ELSE NULL END AS BIGINT) AS delay_s
+FROM parsed
 """,
         "host_branching": f"""
 WITH {_URLS_CTE.strip()},

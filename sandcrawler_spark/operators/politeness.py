@@ -328,3 +328,32 @@ def host_capacity_plan(
             "rounds_to_drain"
         ),
     )
+
+
+def parse_retry_after_col(value, now_epoch):
+    """RFC 9110 §10.2.3 Retry-After parsing, pure Catalyst: the header
+    a 429/503 answer carries is EITHER delta-seconds ('120') or an
+    HTTP-date ('Tue, 01 Feb 2024 00:02:00 GMT'); the reference's
+    blanket 40x5s backoff (workers.py:534-554) never reads it — this
+    lets the AIMD delay controller honor the server's own ask.
+
+    Returns delay seconds from now_epoch (long): the delta value, or
+    max(http-date epoch - now_epoch, 0), or NULL when unparseable
+    (callers fall back to the AIMD delay). try_to_timestamp keeps the
+    unparseable arm NULL instead of throwing under ANSI mode."""
+    is_delta = value.rlike(r"^[0-9]{1,9}$")
+    # Spark's post-3.0 parser rejects EEE in PARSE patterns (weekday
+    # text is format-only), so the weekday token is stripped first —
+    # it is redundant with the date anyway
+    stripped = F.regexp_replace(
+        F.regexp_replace(value, r" GMT$", ""), r"^[A-Za-z]{3}, ", ""
+    )
+    dt = F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss"))
+    return (
+        F.when(is_delta, value.cast("long"))
+        .when(
+            dt.isNotNull(),
+            F.greatest(F.unix_timestamp(dt) - now_epoch, F.lit(0).cast("long")),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )

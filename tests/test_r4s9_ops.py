@@ -322,3 +322,27 @@ def test_host_branching(spark):
     assert (got[2].n_nodes, got[2].parent_nodes) == (3, 2)
     assert got[2].branching_ppm == 1_500_000
     assert (got[3].n_nodes, got[3].parent_nodes, got[3].branching_ppm) == (1, 1, 1_000_000)
+
+
+def test_parse_retry_after(spark):
+    from sandcrawler_spark.operators.politeness import parse_retry_after_col
+
+    now = 1_700_000_000  # epoch anchor for the http-date rows
+    rows = [
+        ("120", now, 120),                                  # delta-seconds
+        ("0", now, 0),
+        ("Tue, 14 Nov 2023 22:15:00 GMT", now, 100),        # now (22:13:20) + 100 s
+        ("Tue, 14 Nov 2023 21:00:00 GMT", now, 0),          # past -> clamp 0
+        ("soon", now, None),                                # unparseable
+        ("12abc", now, None),
+    ]
+    df = spark.createDataFrame(
+        [(v, n) for v, n, _ in rows], ["retry_after", "now_epoch"]
+    )
+    got = [
+        r.d
+        for r in df.select(
+            parse_retry_after_col(F.col("retry_after"), F.col("now_epoch")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, _, want in rows]
