@@ -3757,6 +3757,18 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ring's one knob, measured: per-shard URL load at 4 vs 32
+    # vnodes with rendezvous as the optimal-balance reference
+    # (operators/sharding.py)
+    from sandcrawler_spark.operators.sharding import ring_balance
+
+    return ring_balance(
+        _urls(spark, sf_dir).select("url"), key_col="url", n_shards=8,
+        vnode_counts=(4, 32),
+    )
+
+
 def q_retry_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RFC 9110 Retry-After parsing over a synthesized header stream:
     # delta-seconds form, HTTP-date form, and an unparseable arm
@@ -3965,7 +3977,7 @@ _STALE_FIRST = [
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
-    "sketch_accuracy", "host_branching", "retry_after",
+    "sketch_accuracy", "host_branching", "retry_after", "ring_balance",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -4110,6 +4122,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy": q_sketch_accuracy,
         "host_branching": q_host_branching,
         "retry_after": q_retry_after,
+        "ring_balance": q_ring_balance,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -5569,7 +5582,10 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.bpe import bpe_apply_oracle_sql, bpe_oracle_sql
     from sandcrawler_spark.operators.bandit import ucb_oracle_sql
     from sandcrawler_spark.operators.pq import sq_oracle_sql
-    from sandcrawler_spark.operators.sharding import reshard_oracle_sql
+    from sandcrawler_spark.operators.sharding import (
+        reshard_oracle_sql,
+        ring_balance_oracle_sql,
+    )
     from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
     from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
@@ -8757,6 +8773,11 @@ SELECT host, shard FROM (
 """,
         "mime_sniff": _mime_sniff_oracle(),
         "ann_sq8": sq_oracle_sql(n_q=5, k=5),
+        "ring_balance": ring_balance_oracle_sql(
+            f"WITH {_URLS_CTE.strip()} SELECT url AS k FROM urls",
+            n_shards=8,
+            vnode_counts=(4, 32),
+        ),
         "reshard_churn": reshard_oracle_sql(
             f"WITH {_URLS_CTE.strip()} SELECT url AS k FROM urls",
             n_from=8,

@@ -340,3 +340,72 @@ SELECT strategy, n_keys, n_moved,
        CAST(CAST(1000000 AS BIGINT) * n_moved // n_keys AS BIGINT) AS moved_ppm
 FROM moved
 """.strip()
+
+
+def ring_balance(
+    df: DataFrame,
+    key_col: str = "host",
+    n_shards: int = 8,
+    vnode_counts: tuple[int, ...] = (4, 32),
+) -> DataFrame:
+    """Load-balance readout for the consistent-hash ring's one knob:
+    per-shard distinct-key counts at each virtual-node count, with
+    rendezvous as the optimal-balance reference row set. Few vnodes =
+    cheap lookups but lumpy arcs (some shards own 2-3x their share);
+    more vnodes smooth the arcs toward the rendezvous baseline — this
+    is the table that picks the knob. Pure codegen maps + one count
+    agg per strategy."""
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    parts = [
+        keys.select(
+            F.lit(f"ring_v{v}").alias("strategy"),
+            ring_shard_col(F.col("k"), n_shards, v).alias("shard"),
+        )
+        for v in vnode_counts
+    ]
+    parts.append(
+        keys.select(
+            F.lit("rendezvous").alias("strategy"),
+            rendezvous_shard_col(F.col("k"), n_shards).alias("shard"),
+        )
+    )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("strategy", "shard").agg(
+        F.count("*").cast("long").alias("n_keys")
+    )
+
+
+def ring_balance_oracle_sql(
+    keys_sql: str, n_shards: int = 8, vnode_counts: tuple[int, ...] = (4, 32)
+) -> str:
+    """DuckDB twin of ring_balance (same literal vnode tables, same
+    zero-padded string-min ring ownership, same rendezvous argmax)."""
+    blocks = []
+    for v in vnode_counts:
+        pts = _ring_vnodes(n_shards, v)
+        vals = ", ".join(f"('{p}', {s})" for p, s in pts)
+        fallback = f"'{pts[0][0]}:{pts[0][1]:04d}'"
+        blocks.append(f"""
+SELECT 'ring_v{v}' AS strategy, shard, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+  SELECT k, CAST(substr(COALESCE(
+           MIN(CASE WHEN v.pos >= md5(k) THEN v.pos || ':' || lpad(CAST(v.shard AS VARCHAR), 4, '0') END),
+           {fallback}), 34) AS INT) AS shard
+  FROM ks CROSS JOIN (VALUES {vals}) v(pos, shard)
+  GROUP BY k
+) GROUP BY shard""")
+    blocks.append(f"""
+SELECT 'rendezvous' AS strategy, shard, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+  SELECT k, shard FROM (
+    SELECT k, CAST(t.i AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY k
+             ORDER BY md5(k || ':' || CAST(t.i AS VARCHAR)) DESC, t.i DESC) AS rn
+    FROM ks CROSS JOIN range(0, {n_shards}) t(i)
+  ) WHERE rn = 1
+) GROUP BY shard""")
+    u = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH ks AS (SELECT k FROM ({keys_sql}))
+{u}
+""".strip()

@@ -346,3 +346,17 @@ def test_parse_retry_after(spark):
         ).collect()
     ]
     assert got == [want for _, _, want in rows]
+
+
+def test_ring_balance_vnodes_smooth_load(spark):
+    from sandcrawler_spark.operators.sharding import ring_balance
+
+    keys = spark.range(4000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    got = ring_balance(keys, key_col="k", n_shards=8, vnode_counts=(2, 64)).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.strategy, []).append(r.n_keys)
+    # totals conserved per strategy; more vnodes => lower max/mean skew
+    assert sum(by["ring_v2"]) == sum(by["ring_v64"]) == sum(by["rendezvous"]) == 4000
+    skew = {s: max(v) * len(v) / sum(v) for s, v in by.items()}
+    assert skew["ring_v64"] < skew["ring_v2"]

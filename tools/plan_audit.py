@@ -105,7 +105,7 @@ AUDIT = [
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
-    "sketch_accuracy", "host_branching", "retry_after",
+    "sketch_accuracy", "host_branching", "retry_after", "ring_balance",
 ]
 
 
