@@ -3757,6 +3757,15 @@ def q_pagination_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagination_gaps(u.unionByName(p).unionByName(n), min_pages=3)
 
 
+def q_seen_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 10^10-seen-set capacity plan: bits/key -> optimal k + FPR
+    # over this frontier's measured distinct count, extrapolated to
+    # the north-star scale (operators/seen.py bloom_sizing_plan)
+    from sandcrawler_spark.operators.seen import bloom_sizing_plan
+
+    return bloom_sizing_plan(_urls(spark, sf_dir).select("url"), url_col="url")
+
+
 def q_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ring's one knob, measured: per-shard URL load at 4 vs 32
     # vnodes with rendezvous as the optimal-balance reference
@@ -3978,6 +3987,7 @@ _STALE_FIRST = [
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
     "sketch_accuracy", "host_branching", "retry_after", "ring_balance",
+    "seen_sizing",
     # round-4 session-8 additions — never driver-checked, sample first
     "ann_ivfpq", "hll_sliding", "host_mirrors", "ewma_trend",
     "pct_normalize", "stratum_overlap", "distance_profile",
@@ -4123,6 +4133,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_branching": q_host_branching,
         "retry_after": q_retry_after,
         "ring_balance": q_ring_balance,
+        "seen_sizing": q_seen_sizing,
         "alloc_fairness": q_alloc_fairness,
         "revalidation_savings": q_revalidation_savings,
         "best_capture": q_best_capture,
@@ -8773,6 +8784,26 @@ SELECT host, shard FROM (
 """,
         "mime_sniff": _mime_sniff_oracle(),
         "ann_sq8": sq_oracle_sql(n_q=5, k=5),
+        "seen_sizing": f"""
+WITH {_URLS_CTE.strip()},
+szn AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls FROM urls),
+szb AS (SELECT CAST(UNNEST([4, 6, 8, 10, 12, 14, 16, 20]) AS BIGINT) AS bits_per_key),
+szk AS (
+  SELECT n_urls, bits_per_key,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(round(0.6931471805599453 * bits_per_key) AS BIGINT)) AS k_opt
+  FROM szn CROSS JOIN szb
+)
+SELECT n_urls, bits_per_key,
+       CAST(bits_per_key * n_urls AS BIGINT) AS m_bits,
+       k_opt,
+       CAST(round(pow(1.0 - exp(-CAST(k_opt AS DOUBLE) / CAST(bits_per_key AS DOUBLE)),
+                      CAST(k_opt AS DOUBLE)) * 1000000) AS BIGINT) AS fpr_ppm,
+       CAST(bits_per_key * n_urls // 8 // 1048576 AS BIGINT) AS mem_mb,
+       CAST(bits_per_key * CAST(10000000000 AS BIGINT) // 8 // 1073741824 AS BIGINT)
+         AS mem_gb_at_1e10
+FROM szk
+""",
         "ring_balance": ring_balance_oracle_sql(
             f"WITH {_URLS_CTE.strip()} SELECT url AS k FROM urls",
             n_shards=8,

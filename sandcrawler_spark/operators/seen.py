@@ -335,3 +335,49 @@ def unseen_bloom_exact(
     if materialize:
         out = out.localCheckpoint(eager=True)
     return out
+
+
+def bloom_sizing_plan(
+    urls,
+    url_col: str = "url",
+    bits_options: tuple[int, ...] = (4, 6, 8, 10, 12, 14, 16, 20),
+):
+    """Capacity-planning table for the URL-seen bloom filter: for each
+    bits-per-key budget, the optimal hash count k = round(ln2 * bits)
+    and the resulting false-positive rate — evaluated for THIS
+    frontier's measured distinct-URL count and extrapolated to the
+    north-star 10^10-key set. One distinct-count aggregate + a
+    literal-array explode; fpr = (1 - e^(-k/bits))^k with ONE
+    round-to-ppm per row (exp/pow are the same libm call on the same
+    doubles in both engines — the lm.py discipline).
+
+    Returns (n_urls, bits_per_key, m_bits, k_opt, fpr_ppm, mem_mb,
+    mem_gb_at_1e10)."""
+    from pyspark.sql import functions as F
+
+    n = urls.agg(F.countDistinct(url_col).cast("long").alias("n_urls"))
+    opts = F.explode(
+        F.array(*[F.lit(int(b)) for b in bits_options])
+    ).alias("bits_per_key")
+    t = n.select("n_urls", opts)
+    k_opt = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(F.lit(0.6931471805599453) * F.col("bits_per_key")).cast("long"),
+    )
+    t = t.withColumn("k_opt", k_opt)
+    fpr = F.pow(
+        F.lit(1.0) - F.exp(-F.col("k_opt").cast("double") / F.col("bits_per_key").cast("double")),
+        F.col("k_opt").cast("double"),
+    )
+    return t.select(
+        "n_urls",
+        F.col("bits_per_key").cast("long").alias("bits_per_key"),
+        (F.col("bits_per_key") * F.col("n_urls")).cast("long").alias("m_bits"),
+        "k_opt",
+        F.round(fpr * 1_000_000).cast("long").alias("fpr_ppm"),
+        F.expr("bits_per_key * n_urls div 8 div 1048576").cast("long").alias("mem_mb"),
+        F.expr(
+            "CAST(bits_per_key AS BIGINT) * CAST(10000000000 AS BIGINT)"
+            " div 8 div 1073741824"
+        ).alias("mem_gb_at_1e10"),
+    )

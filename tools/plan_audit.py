@@ -106,6 +106,7 @@ AUDIT = [
     "bpe_coverage", "sitemap_recrawl", "reshard_churn", "ann_sq8",
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
     "sketch_accuracy", "host_branching", "retry_after", "ring_balance",
+    "seen_sizing",
 ]
 
 
