@@ -3980,7 +3980,166 @@ def q_revalidation_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revalidation_savings(caps)
 
 
+def q_tag_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host markup-vs-text density over the raw page store (the
+    # corpus-wide form of the per-doc boilerplate/quality gates);
+    # codegen string scan + ONE host agg, html bytes never shuffle
+    from sandcrawler_spark.functions.htmlstats import tag_density
+
+    return tag_density(_corpus(spark)["pages"])
+
+
+def q_title_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # identical-<title> clusters across captures/URLs/hosts — the
+    # soft-404/cookie-wall/mirror triage table
+    from sandcrawler_spark.functions.htmlstats import title_clusters
+
+    return title_clusters(_corpus(spark)["pages"], min_pages=2)
+
+
+def q_meta_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-wide <meta name=...> vocabulary: which metadata standards
+    # the crawl actually carries (decides if the biblio cascade fires)
+    from sandcrawler_spark.functions.htmlstats import meta_tag_profile
+
+    return meta_tag_profile(_corpus(spark)["pages"])
+
+
+def q_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # varint index-size estimate from delta-gap stats: term-keyed
+    # aggregate only (min/max/count), no per-term window, no sorted
+    # posting-list materialization — skew-safe at stopword scale
+    from sandcrawler_spark.operators.search import postings_compression
+
+    return postings_compression(_t(spark, sf_dir, "documents"))
+
+
+def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-source frontier fold (fatcat-ingest ∪ SPN ∪ bulk backfill
+    # keep-best semantics) as one URL-keyed aggregate — union is free,
+    # no window, no join
+    from sandcrawler_spark.operators.frontier import merge_frontiers
+
+    u = _urls(spark, sf_dir)
+    snap_a = u.filter(F.col("o_orderkey") % 3 != 0).select(
+        "url", "host", "priority",
+        F.col("o_orderdate").alias("discovered_ts"),
+        F.lit("fatcat-ingest").alias("source"),
+    )
+    snap_b = u.filter(F.col("o_orderkey") % 2 == 0).select(
+        "url", "host",
+        F.least(F.lit(5), F.col("priority") + 1).alias("priority"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("discovered_ts"),
+        F.lit("savepapernow").alias("source"),
+    )
+    snap_c = u.filter(F.col("o_orderkey") % 5 == 0).select(
+        "url", "host",
+        F.lit(1).alias("priority"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("discovered_ts"),
+        F.lit("bulk-backfill").alias("source"),
+    )
+    return merge_frontiers(snap_a, snap_b, snap_c)
+
+
+def q_circuit_breaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host closed/open/half-open breaker states from the fetch
+    # log: two host-keyed aggregates (no per-host sequence window),
+    # explicit event-time `now` — deterministic and replayable
+    from sandcrawler_spark.operators.breaker import circuit_breaker
+
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        F.concat(F.lit("site"), (F.col("user_id") % 499).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.col("ts"),
+        (F.col("event_type") != "error").alias("success"),
+    )
+    return circuit_breaker(
+        log,
+        now_expr="timestamp'2024-02-01 00:00:00'",
+        fail_threshold=2,
+        cooloff_s=172800,
+    )
+
+
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Common-Crawl WAT sidecar roundtrip: per-page metadata (title +
+    # outlink hrefs) serialized as JSON into WARC `metadata` records
+    # (pure Catalyst), re-parsed through the mapInPandas WARC scanner,
+    # and the JSON payload decoded back with from_json; the oracle
+    # derives (url, title, n_links) relationally from the same corpus
+    # parquet — it never touches WAT bytes
+    from pyspark.sql import types as T
+
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs, wat_record_col
+
+    pages = _corpus(spark)["pages"].where(
+        F.hex(F.expr("substring(html, 1, 1)")) == "3C"
+    )
+    s = F.decode(F.col("html"), "UTF-8")
+    payload = F.to_json(
+        F.struct(
+            F.col("url").alias("u"),
+            F.regexp_extract(s, r"<title>([^<]*)</title>", 1).alias("t"),
+            F.regexp_extract_all(s, F.lit(r'href="([^"]*)"'), 1).alias("l"),
+        )
+    )
+    rec = wat_record_col(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        payload,
+    )
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    blobs = (
+        pages.select(host.alias("host"), F.col("url"), rec.alias("_rec"))
+        .groupBy("host")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("url", "_rec"))),
+                        lambda x: x["_rec"],
+                    ),
+                    "",
+                ),
+                "utf-8",
+            ).alias("content")
+        )
+    )
+    recs = scan_warc_blobs(blobs, path_col="host", content_col="content")
+    meta_schema = T.StructType(
+        [
+            T.StructField("u", T.StringType()),
+            T.StructField("t", T.StringType()),
+            T.StructField("l", T.ArrayType(T.StringType())),
+        ]
+    )
+    parsed = recs.select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_type"),
+        F.from_json(F.decode("payload_bytes", "UTF-8"), meta_schema).alias("m"),
+    )
+    return parsed.select(
+        "url",
+        "warc_type",
+        F.col("m.t").alias("title"),
+        F.size("m.l").cast("int").alias("n_links"),
+    )
+
+
+def q_outlink_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host outlink-target Shannon entropy (link-farm funnel
+    # signal) in exact integer micro-nats over the contracted host
+    # graph — one host-keyed aggregate after the host_graph groupBy
+    from sandcrawler_spark.operators.linkgraph import host_graph, host_outlink_entropy
+
+    return host_outlink_entropy(host_graph(_outlink_edges(spark, sf_dir)))
+
+
 _STALE_FIRST = [
+    # round-4 session-10 additions — never driver-checked, sample first
+    "tag_density", "title_dupes", "meta_tags", "postings_compression",
+    "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
@@ -4038,6 +4197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tag_density": q_tag_density,
+        "title_dupes": q_title_dupes,
+        "meta_tags": q_meta_tags,
+        "postings_compression": q_postings_compression,
+        "frontier_merge": q_frontier_merge,
+        "outlink_entropy": q_outlink_entropy,
+        "circuit_breaker": q_circuit_breaker,
+        "wat_export": q_wat_export,
         "lineitem_rollup": q_lineitem_rollup,
         "status_counts": q_status_counts,
         "hit_rate_stats": q_hit_rate_stats,
@@ -8783,6 +8950,187 @@ SELECT host, shard FROM (
 ) WHERE rn = 1
 """,
         "mime_sniff": _mime_sniff_oracle(),
+        "tag_density": f"""
+WITH {_corpus_oracle_tables()},
+tdh AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         decode(html) AS s, text
+  FROM c_pages WHERE substring(upper(hex(html)), 1, 2) = '3C'
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(length(s)) AS BIGINT) AS html_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+       CAST(SUM(length(s) - length(replace(s, '<', ''))) AS BIGINT) AS n_tags,
+       CAST(SUM((length(s) - length(replace(s, '<p>', ''))) // 3) AS BIGINT) AS n_para,
+       CAST(SUM((length(s) - length(replace(s, '<a ', ''))) // 3) AS BIGINT) AS n_anchor,
+       CAST(SUM((length(s) - length(replace(s, '<meta ', ''))) // 6) AS BIGINT) AS n_meta,
+       CAST((1000 * CAST(SUM(length(text)) AS BIGINT))
+            // greatest(CAST(1 AS BIGINT), CAST(SUM(length(s)) AS BIGINT)) AS BIGINT) AS text_permille
+FROM tdh GROUP BY host
+""",
+        "title_dupes": f"""
+WITH {_corpus_oracle_tables()},
+tth AS (
+  -- CASE-guarded decode: DuckDB may evaluate projections before the
+  -- WHERE filter, and decode() hard-errors on non-UTF8 (pdf/gzip) rows
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(CASE WHEN substring(upper(hex(html)), 1, 2) = '3C'
+                             THEN decode(html) ELSE '' END,
+                        '<title>([^<]*)</title>', 1) AS title
+  FROM c_pages WHERE substring(upper(hex(html)), 1, 2) = '3C'
+)
+SELECT title,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       MIN(url) AS exemplar_url
+FROM tth WHERE title <> '' GROUP BY title HAVING COUNT(*) >= 2
+""",
+        "meta_tags": f"""
+WITH {_corpus_oracle_tables()},
+mth AS (
+  SELECT url, decode(html) AS s FROM c_pages
+  WHERE substring(upper(hex(html)), 1, 2) = '3C'
+),
+mtx AS (
+  SELECT url, UNNEST(regexp_extract_all(s, '<meta name="([a-z_]+)"', 1)) AS meta_name
+  FROM mth
+)
+SELECT meta_name, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_pages
+FROM mtx GROUP BY meta_name
+""",
+        "postings_compression": r"""
+WITH pct AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+pcd AS (SELECT DISTINCT term, doc_id FROM pct),
+pcterm AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+  FROM pcd GROUP BY term
+),
+pcg AS (
+  SELECT term, n_docs,
+         CASE WHEN n_docs > 1 THEN (max_id - min_id) // (n_docs - 1) ELSE max_id END AS mean_gap
+  FROM pcterm
+),
+pcv AS (
+  SELECT n_docs,
+         CAST(CASE WHEN mean_gap < 128 THEN 1 WHEN mean_gap < 16384 THEN 2
+                   WHEN mean_gap < 2097152 THEN 3 WHEN mean_gap < 268435456 THEN 4
+                   ELSE 5 END AS INT) AS varint_bytes,
+         CASE WHEN n_docs = 1 THEN '1' WHEN n_docs < 10 THEN '2-9'
+              WHEN n_docs < 100 THEN '10-99' WHEN n_docs < 1000 THEN '100-999'
+              ELSE '1000+' END AS df_class
+  FROM pcg
+)
+SELECT df_class, varint_bytes, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(n_docs) AS BIGINT) AS n_postings,
+       CAST(SUM(n_docs * varint_bytes) AS BIGINT) AS est_bytes
+FROM pcv GROUP BY df_class, varint_bytes
+""",
+        "frontier_merge": f"""
+WITH {_URLS_CTE.strip()},
+fmall AS (
+  SELECT url, host, priority, o_orderdate AS discovered_ts,
+         'fatcat-ingest' AS source
+  FROM urls WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT url, host, CAST(least(5, priority + 1) AS INT) AS priority,
+         o_orderdate + INTERVAL 1 DAY AS discovered_ts, 'savepapernow' AS source
+  FROM urls WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT url, host, CAST(1 AS INT) AS priority,
+         o_orderdate + INTERVAL 7 DAY AS discovered_ts, 'bulk-backfill' AS source
+  FROM urls WHERE o_orderkey % 5 = 0
+),
+fmagg AS (
+  SELECT url, MAX(host) AS host, CAST(MAX(priority) AS INT) AS priority,
+         MIN(discovered_ts) AS discovered_ts,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM fmall GROUP BY url
+),
+fmbest AS (
+  SELECT url, source AS best_source FROM (
+    SELECT url, source,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY priority DESC, source ASC) AS rn
+    FROM fmall
+  ) WHERE rn = 1
+)
+SELECT a.url, a.host, a.priority, a.discovered_ts, a.n_sources, b.best_source
+FROM fmagg a JOIN fmbest b USING (url)
+""",
+        "circuit_breaker": """
+WITH cblog AS (
+  SELECT 'site' || CAST(user_id % 499 AS VARCHAR) || '.example.com' AS host,
+         ts, event_type <> 'error' AS success
+  FROM events
+),
+cbagg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(SUM(CASE WHEN NOT success THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+         MAX(ts) AS last_attempt,
+         MAX(CASE WHEN success THEN ts END) AS last_success
+  FROM cblog GROUP BY host
+),
+cbtrail AS (
+  SELECT l.host, CAST(COUNT(*) AS BIGINT) AS trailing_failures
+  FROM cblog l JOIN cbagg a ON l.host = a.host
+  WHERE a.last_success IS NULL OR l.ts > a.last_success
+  GROUP BY l.host
+)
+SELECT a.host, a.n_attempts, a.n_fail, a.last_attempt, a.last_success,
+       CAST(COALESCE(t.trailing_failures, 0) AS BIGINT) AS trailing_failures,
+       CASE WHEN COALESCE(t.trailing_failures, 0) >= 2
+                 AND a.last_attempt + INTERVAL 172800 SECOND <= TIMESTAMP '2024-02-01 00:00:00'
+            THEN 'half_open'
+            WHEN COALESCE(t.trailing_failures, 0) >= 2 THEN 'open'
+            ELSE 'closed' END AS state
+FROM cbagg a LEFT JOIN cbtrail t ON a.host = t.host
+""",
+        "wat_export": f"""
+WITH {_corpus_oracle_tables()},
+wath AS (
+  SELECT url,
+         CASE WHEN substring(upper(hex(html)), 1, 2) = '3C'
+              THEN decode(html) ELSE '' END AS s
+  FROM c_pages WHERE substring(upper(hex(html)), 1, 2) = '3C'
+)
+SELECT url, 'metadata' AS warc_type,
+       regexp_extract(s, '<title>([^<]*)</title>', 1) AS title,
+       CAST(len(regexp_extract_all(s, 'href="([^"]*)"', 1)) AS INT) AS n_links
+FROM wath
+""",
+        "outlink_entropy": f"""
+{link_base},
+oehosts AS (
+  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+         regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+  FROM link_edges
+),
+oew AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight
+  FROM oehosts WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+oeagg AS (
+  SELECT src_host,
+         CAST(COUNT(*) AS BIGINT) AS n_targets,
+         CAST(SUM(weight) AS BIGINT) AS n_outlinks,
+         CAST(SUM(weight * CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS swln
+  FROM oew GROUP BY src_host
+)
+SELECT src_host, n_targets, n_outlinks,
+       CAST(CAST(round(ln(CAST(n_outlinks AS DOUBLE)) * 1000000) AS BIGINT)
+            - swln // n_outlinks AS BIGINT) AS entropy_micronat,
+       ((CAST(round(ln(CAST(n_outlinks AS DOUBLE)) * 1000000) AS BIGINT)
+         - swln // n_outlinks) < 200000 AND n_targets > 1) AS funnel
+FROM oeagg
+""",
         "ann_sq8": sq_oracle_sql(n_q=5, k=5),
         "seen_sizing": f"""
 WITH {_URLS_CTE.strip()},

@@ -98,3 +98,42 @@ def build_frontier(
         # deterministic "shuf | head -N": md5-order spreads hosts
         out = out.orderBy(F.md5(F.concat_ws("|", "ingest_type", "canon_url"))).limit(cap)
     return out
+
+
+def merge_frontiers(*snapshots: DataFrame) -> DataFrame:
+    """Merge frontier snapshots from independent request sources into
+    one deduplicated frontier — the reference continuously folds
+    fatcat-ingest, save-paper-now, and bulk-backfill request streams
+    into one postgres ingest_request table keyed by (type, base_url)
+    with ON CONFLICT keep-best semantics (/root/reference/sql/
+    sandcrawler_schema.sql ingest_request PK + python/persist
+    upserts); this is that merge as a relational operator.
+
+    Each snapshot carries (url, host, priority, discovered_ts,
+    source). Per URL across all snapshots: highest priority wins,
+    earliest discovery timestamp is kept (recrawl scheduling keys off
+    first-seen), and the source lineage is preserved as a distinct
+    count + the lexicographically-first source tag of a
+    highest-priority row (deterministic exemplar).
+
+    Scale shape: union is free (no shuffle); ONE groupBy(url)
+    aggregate with map-side partials does everything — no window, no
+    join. URL keys are near-unique so the shuffle is skew-free; a
+    10^10-row frontier merge is exactly one exchange.
+    """
+    if not snapshots:
+        raise ValueError("merge_frontiers needs at least one snapshot")
+    cols = ["url", "host", "priority", "discovered_ts", "source"]
+    u = snapshots[0].select(*cols)
+    for s in snapshots[1:]:
+        u = u.unionByName(s.select(*cols))
+    # min_by over a (priority desc, source asc) sort key: the exemplar
+    # is the lexicographically-first source among the highest-priority
+    # rows — one aggregate, no window
+    return u.groupBy("url").agg(
+        F.max("host").alias("host"),
+        F.max(F.col("priority").cast("int")).alias("priority"),
+        F.min("discovered_ts").alias("discovered_ts"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr("min_by(source, struct(-priority, source))").alias("best_source"),
+    )

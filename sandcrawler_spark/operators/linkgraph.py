@@ -1940,3 +1940,56 @@ def host_ktruss(host_edges: DataFrame, k: int = 3, max_rounds: int = 6) -> DataF
     if out is None:  # max_rounds = 0
         return und.withColumn("support", F.lit(0).cast("long"))
     return out.select("a", "b", "support")
+
+
+def host_outlink_entropy(
+    host_edges: DataFrame,
+    low_micronat: int = 200_000,
+    min_targets_for_flag: int = 1,
+) -> DataFrame:
+    """Per-host Shannon entropy of the outlink target distribution —
+    the cheap link-farm / SEO-spam signal: an organic host spreads its
+    outlinks across many targets (high entropy), a farm funnels them
+    into a handful of boosted targets (entropy near 0 with large
+    volume). Complements spam_mass (linkgraph) which needs a seed set;
+    entropy needs only the host graph itself.
+
+    Same integer micro-nat discipline as diagnostics.char_entropy:
+    H = ln(L) - (Σ_t w_t · round(1e6·ln w_t)) / L with ONE rounding per
+    (host, target) weight and floor division after — exact across
+    engines and partitionings. Hosts with a single target have H = 0;
+    flagged `funnel` when entropy < low_micronat with more than
+    min_targets_for_flag targets (volume present, diversity absent).
+
+    Scale shape: input is the already-contracted host graph (one
+    groupBy from URL scale); this adds ONE host-keyed aggregate with
+    map-side partials. No window, no join.
+    """
+    wln = (
+        F.col("weight").cast("long")
+        * F.round(F.log(F.col("weight").cast("double")) * 1_000_000).cast("long")
+    ).cast("long")
+    return (
+        host_edges.select("src_host", F.col("weight").cast("long").alias("weight"))
+        .withColumn("_wln", wln)
+        .groupBy("src_host")
+        .agg(
+            F.count("*").cast("long").alias("n_targets"),
+            F.sum("weight").cast("long").alias("n_outlinks"),
+            F.sum("_wln").cast("long").alias("_swln"),
+        )
+        .select(
+            "src_host",
+            "n_targets",
+            "n_outlinks",
+            F.expr(
+                "CAST(CAST(round(ln(CAST(n_outlinks AS DOUBLE)) * 1000000) AS BIGINT)"
+                " - _swln div n_outlinks AS BIGINT)"
+            ).alias("entropy_micronat"),
+        )
+        .withColumn(
+            "funnel",
+            (F.col("entropy_micronat") < F.lit(low_micronat))
+            & (F.col("n_targets") > F.lit(min_targets_for_flag)),
+        )
+    )

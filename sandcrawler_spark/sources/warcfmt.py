@@ -109,9 +109,10 @@ def parse_warc_blob_rows(blob: bytes, path: str = "") -> list[dict]:
             "payload_md5": None,
             "payload_bytes": None,
         }
-        if rec["warc_type"] == "conversion":
-            # WET-style conversion record: the block IS the payload
-            # (extracted text), no HTTP envelope
+        if rec["warc_type"] in ("conversion", "metadata"):
+            # WET-style conversion record (extracted text) or WAT-style
+            # metadata record (JSON sidecar): the block IS the payload,
+            # no HTTP envelope
             rec["payload_md5"] = hashlib.md5(block).hexdigest()
             rec["payload_bytes"] = block
         elif rec["warc_type"] == "response" and block.startswith(b"HTTP/"):
@@ -189,5 +190,26 @@ def wet_record_col(url, date_iso, text):
         F.octet_length(text).cast("string"),
         F.lit("\r\n\r\n"),
         text,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def wat_record_col(url, date_iso, payload_json):
+    """WAT-style WARC/1.0 `metadata` record (Common-Crawl WAT sidecar:
+    per-page metadata as a JSON payload — outlinks, title, headers)
+    as a pure-Catalyst string column, mirroring wet_record_col.
+    Content-Length counts the JSON payload's UTF-8 BYTES."""
+    rid = F.md5(F.concat(url, F.lit(" "), date_iso, F.lit(" wat")))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: "),
+        date_iso,
+        F.lit("\r\nWARC-Record-ID: <urn:md5:"),
+        rid,
+        F.lit(">\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length(payload_json).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload_json,
         F.lit("\r\n\r\n"),
     )

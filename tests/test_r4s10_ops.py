@@ -1,0 +1,191 @@
+"""Round-4 session-10 operators: HTML structure stats (tag density,
+title clusters, meta-tag profile), postings varint-size planning,
+multi-source frontier merge, outlink-target entropy, per-host circuit
+breaker, WAT metadata-sidecar roundtrip."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode("utf-8") if isinstance(h, str) else h), t) for u, h, t in rows],
+        "url string, html binary, text string",
+    )
+
+
+def test_tag_density_counts_and_binary_exclusion(spark):
+    from sandcrawler_spark.functions.htmlstats import tag_density
+
+    html = '<html><head><meta name="a" content="x"></head><body><p>hi</p><a href="/x">y</a></body></html>'
+    rows = [
+        ("https://h1.example.com/a", html, "hi y"),
+        ("https://h1.example.com/b", html, "hi y"),
+        # non-markup bodies must be excluded by the magic-byte gate
+        ("https://h1.example.com/pdf", b"%PDF-1.4 xxxx", ""),
+        ("https://h2.example.com/gz", b"\x1f\x8b\x08\x00junk", ""),
+    ]
+    got = {r.host: r for r in tag_density(_pages(spark, rows)).collect()}
+    assert set(got) == {"h1.example.com"}
+    r = got["h1.example.com"]
+    assert r.n_pages == 2
+    assert r.html_chars == 2 * len(html)
+    assert r.text_chars == 2 * len("hi y")
+    assert r.n_tags == 2 * html.count("<")
+    assert r.n_para == 2 * html.count("<p>")
+    assert r.n_anchor == 2 * html.count("<a ")
+    assert r.n_meta == 2 * html.count("<meta ")
+    assert r.text_permille == (1000 * r.text_chars) // r.html_chars
+
+
+def test_title_clusters_spread(spark):
+    from sandcrawler_spark.functions.htmlstats import title_clusters
+
+    mk = lambda t: f"<html><head><title>{t}</title></head><body></body></html>"  # noqa: E731
+    rows = [
+        ("https://a.com/1", mk("cookieAbsent"), ""),
+        ("https://b.com/2", mk("cookieAbsent"), ""),
+        ("https://b.com/2", mk("cookieAbsent"), ""),  # recapture, same url
+        ("https://c.com/3", mk("unique page"), ""),
+        ("https://d.com/4", "<html><body>no title</body></html>", ""),
+    ]
+    got = {r.title: r for r in title_clusters(_pages(spark, rows), min_pages=2).collect()}
+    assert set(got) == {"cookieAbsent"}
+    r = got["cookieAbsent"]
+    assert (r.n_pages, r.n_urls, r.n_hosts) == (3, 2, 2)
+    assert r.exemplar_url == "https://a.com/1"
+
+
+def test_meta_tag_profile(spark):
+    from sandcrawler_spark.functions.htmlstats import meta_tag_profile
+
+    h1 = '<meta name="citation_title" content="x"><meta name="citation_author" content="a"><meta name="citation_author" content="b">'
+    h2 = '<meta name="citation_title" content="y">'
+    rows = [("https://a.com/1", "<html>" + h1, ""), ("https://a.com/2", "<html>" + h2, "")]
+    got = {r.meta_name: r for r in meta_tag_profile(_pages(spark, rows)).collect()}
+    assert got["citation_title"].n_occurrences == 2 and got["citation_title"].n_pages == 2
+    assert got["citation_author"].n_occurrences == 2 and got["citation_author"].n_pages == 1
+
+
+def test_postings_compression_classes(spark):
+    from sandcrawler_spark.operators.search import postings_compression
+
+    # 'dense' in consecutive docs 1..5 (mean gap 1 -> 1 byte);
+    # 'wide' in docs 0 and 40000 (mean gap 40000 -> 3 bytes);
+    # 'lone' only in doc 300 (absolute id 300 -> 2 bytes)
+    rows = [(i, "dense") for i in range(1, 6)]
+    rows += [(0, "wide"), (40000, "wide"), (300, "lone")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.df_class, r.varint_bytes): r for r in postings_compression(docs).collect()}
+    assert got[("2-9", 1)].n_terms == 1 and got[("2-9", 1)].n_postings == 5
+    assert got[("2-9", 3)].n_postings == 2 and got[("2-9", 3)].est_bytes == 6
+    assert got[("1", 2)].n_terms == 1 and got[("1", 2)].est_bytes == 2
+
+
+def test_merge_frontiers_keep_best(spark):
+    from sandcrawler_spark.operators.frontier import merge_frontiers
+
+    a = spark.createDataFrame(
+        [("u1", "h", 3, "2024-01-05 00:00:00", "fatcat"),
+         ("u2", "h", 1, "2024-01-01 00:00:00", "fatcat")],
+        "url string, host string, priority int, discovered_ts string, source string",
+    ).withColumn("discovered_ts", F.col("discovered_ts").cast("timestamp"))
+    b = spark.createDataFrame(
+        [("u1", "h", 5, "2024-01-09 00:00:00", "spn"),
+         ("u3", "h", 2, "2024-01-02 00:00:00", "spn")],
+        "url string, host string, priority int, discovered_ts string, source string",
+    ).withColumn("discovered_ts", F.col("discovered_ts").cast("timestamp"))
+    c = spark.createDataFrame(
+        [("u1", "h", 5, "2024-01-03 00:00:00", "bulk")],
+        "url string, host string, priority int, discovered_ts string, source string",
+    ).withColumn("discovered_ts", F.col("discovered_ts").cast("timestamp"))
+
+    got = {r.url: r for r in merge_frontiers(a, b, c).collect()}
+    assert set(got) == {"u1", "u2", "u3"}
+    u1 = got["u1"]
+    assert u1.priority == 5 and u1.n_sources == 3
+    assert u1.discovered_ts.strftime("%Y-%m-%d") == "2024-01-03"
+    # among the two priority-5 sources (spn, bulk) the lexicographically
+    # first wins deterministically
+    assert u1.best_source == "bulk"
+    assert got["u2"].best_source == "fatcat" and got["u2"].n_sources == 1
+
+
+def test_host_outlink_entropy_uniform_vs_funnel(spark):
+    from sandcrawler_spark.operators.linkgraph import host_outlink_entropy
+
+    # uniform: 4 targets x weight 2 -> H = ln(4); funnel: 99-vs-1
+    rows = [("uni", f"t{i}", 2) for i in range(4)]
+    rows += [("fun", "boost", 99), ("fun", "decoy", 1)]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string, weight long")
+    got = {r.src_host: r for r in host_outlink_entropy(edges).collect()}
+
+    uni = got["uni"]
+    assert (uni.n_targets, uni.n_outlinks) == (4, 8)
+    # exact integer replay: ln(8)*1e6 rounded - sum(2*round(ln(2)*1e6)) div 8
+    expect = round(math.log(8) * 1e6) - (4 * 2 * round(math.log(2) * 1e6)) // 8
+    assert uni.entropy_micronat == expect
+    assert abs(uni.entropy_micronat - round(math.log(4) * 1e6)) < 5
+    assert not uni.funnel
+
+    fun = got["fun"]
+    assert fun.entropy_micronat < 200_000 and fun.funnel
+
+
+def test_circuit_breaker_states(spark):
+    from sandcrawler_spark.operators.breaker import circuit_breaker
+
+    rows = [
+        # ok: recent success, no trailing failures
+        ("ok", "2024-01-01 00:00:00", True),
+        ("ok", "2024-01-02 00:00:00", False),
+        ("ok", "2024-01-03 00:00:00", True),
+        # hot: 3 failures after last success, last attempt recent -> open
+        ("hot", "2024-01-30 00:00:00", True),
+        ("hot", "2024-01-31 10:00:00", False),
+        ("hot", "2024-01-31 11:00:00", False),
+        ("hot", "2024-01-31 12:00:00", False),
+        # cold: tripped long ago, cooled off -> half_open
+        ("cold", "2024-01-01 00:00:00", False),
+        ("cold", "2024-01-02 00:00:00", False),
+        ("cold", "2024-01-03 00:00:00", False),
+        # never succeeded but below threshold -> closed
+        ("new", "2024-01-29 00:00:00", False),
+    ]
+    log = spark.createDataFrame(rows, "host string, ts string, success boolean").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {r.host: r for r in circuit_breaker(
+        log, now_expr="timestamp'2024-02-01 00:00:00'",
+        fail_threshold=3, cooloff_s=86400,
+    ).collect()}
+    assert got["ok"].state == "closed" and got["ok"].trailing_failures == 0
+    assert got["hot"].state == "open" and got["hot"].trailing_failures == 3
+    assert got["cold"].state == "half_open" and got["cold"].last_success is None
+    assert got["new"].state == "closed" and got["new"].trailing_failures == 1
+
+
+def test_wat_metadata_record_roundtrip(spark):
+    import hashlib
+    import json
+
+    from sandcrawler_spark.sources.warcfmt import parse_warc_blob_rows
+
+    payload = json.dumps({"u": "https://a.com/1", "t": "T", "l": ["/x", "/y"]},
+                         separators=(",", ":"))
+    rec = (
+        "WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://a.com/1\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:md5:x>\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n{payload}\r\n\r\n"
+    ).encode()
+    rows = parse_warc_blob_rows(rec * 2, path="p")
+    assert len(rows) == 2
+    for r in rows:
+        assert r["warc_type"] == "metadata"
+        assert bytes(r["payload_bytes"]) == payload.encode()
+        assert r["payload_md5"] == hashlib.md5(payload.encode()).hexdigest()
+        assert json.loads(bytes(r["payload_bytes"]))["l"] == ["/x", "/y"]

@@ -107,6 +107,9 @@ AUDIT = [
     "host_wcc", "lang_mismatch", "pagination_fill", "frontier_aging",
     "sketch_accuracy", "host_branching", "retry_after", "ring_balance",
     "seen_sizing",
+    # r4 session-10
+    "tag_density", "title_dupes", "meta_tags", "postings_compression",
+    "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
 ]
 
 
