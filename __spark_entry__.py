@@ -4127,6 +4127,32 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (bands, rows) sweep over ONE k=8 MinHash signature: empirical
+    # candidate volume / recall / precision vs the exact Jaccard>=1/2
+    # truth (integer cross-multiplied — no float crosses engines).
+    # Eval-only all-pairs truth on the tiny planted-dup fixture, the
+    # dedupe_recall discipline
+    from sandcrawler_spark.operators.dedupe import lsh_tuning
+
+    return lsh_tuning(_aug_docs(spark, sf_dir), n_shingle=3)
+
+
+def q_robots_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host share of the frontier blocked by robots rules — the
+    # crawl-planning rollup of robots_match (how much of a host's
+    # queue is even fetchable decides its budget allocation); one
+    # host-keyed aggregate on top of the RFC 9309 matcher
+    rm = q_robots_match(spark, sf_dir)
+    return rm.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.when(F.col("disallowed"), 1).otherwise(0)).cast("long").alias("n_blocked"),
+    ).withColumn(
+        "blocked_ppm",
+        F.expr("CAST((1000000 * n_blocked) div n_urls AS BIGINT)"),
+    )
+
+
 def q_outlink_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-host outlink-target Shannon entropy (link-farm funnel
     # signal) in exact integer micro-nats over the contracted host
@@ -4140,6 +4166,7 @@ _STALE_FIRST = [
     # round-4 session-10 additions — never driver-checked, sample first
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
+    "lsh_tuning", "robots_coverage",
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
@@ -4205,6 +4232,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_entropy": q_outlink_entropy,
         "circuit_breaker": q_circuit_breaker,
         "wat_export": q_wat_export,
+        "lsh_tuning": q_lsh_tuning,
+        "robots_coverage": q_robots_coverage,
         "lineitem_rollup": q_lineitem_rollup,
         "status_counts": q_status_counts,
         "hit_rate_stats": q_hit_rate_stats,
@@ -5791,7 +5820,7 @@ SELECT url FROM urls WHERE o_orderkey % 3 <> 0
     )
 
     bw_score = badwords_oracle_case("url")
-    return {
+    out = {
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
         # value stringifier renders them differently
@@ -9164,6 +9193,57 @@ FROM szk
             vnodes=16,
         ),
     }
+    cfg_selects = []
+    for bands, rows in ((2, 4), (4, 2), (8, 1)):
+        cfg_selects.append(f"""
+SELECT {bands} AS bands, {rows} AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_candidates
+FROM (
+  SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b
+  FROM (SELECT doc_id, bi, md5(array_to_string(sig[bi*{rows}+1:bi*{rows}+{rows}], ',')) AS bkey
+        FROM sigs, (SELECT unnest(range(0, {bands})) AS bi)) ca
+  JOIN (SELECT doc_id, bi, md5(array_to_string(sig[bi*{rows}+1:bi*{rows}+{rows}], ',')) AS bkey
+        FROM sigs, (SELECT unnest(range(0, {bands})) AS bi)) cb
+    ON ca.bi = cb.bi AND ca.bkey = cb.bkey
+  WHERE ca.doc_id < cb.doc_id
+) c JOIN lt_truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+""".strip())
+    cfg_union = "\nUNION ALL\n".join(cfg_selects)
+    out["lsh_tuning"] = f"""
+WITH {_LSH_CTES},
+lt_truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(list_concat(a.sh, b.sh))) AS is_true
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+),
+lt_tp AS (
+  SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs
+  FROM lt_truth
+),
+lt_cfg AS (
+{cfg_union}
+)
+SELECT c.bands, c.rows_per_band, c.n_candidates, c.n_true_candidates, p.n_true_pairs,
+       CAST((1000000 * c.n_true_candidates)
+            // greatest(CAST(1 AS BIGINT), p.n_true_pairs) AS BIGINT) AS recall_ppm,
+       CAST((1000000 * c.n_true_candidates)
+            // greatest(CAST(1 AS BIGINT), c.n_candidates) AS BIGINT) AS precision_ppm
+FROM lt_cfg c CROSS JOIN lt_tp p
+"""
+    # derived rollups: wrap an existing per-row oracle in an outer
+    # aggregate so the twin stays mechanically in sync with its base
+    out["robots_coverage"] = f"""
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN disallowed THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST((1000000 * CAST(SUM(CASE WHEN disallowed THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS blocked_ppm
+FROM ({out["robots_match"]}) rmbase
+GROUP BY host
+"""
+    return out
 
 
 if __name__ == "__main__":

@@ -680,3 +680,114 @@ def soft_dedupe_weights(
         "cluster_size",
         F.expr("CAST(1000000 div cluster_size AS BIGINT)").alias("weight_ppm"),
     )
+
+
+def lsh_tuning(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 5,
+    k: int = 8,
+    configs: tuple[tuple[int, int], ...] = ((2, 4), (4, 2), (8, 1)),
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
+    """Banded-LSH parameter sweep: empirical candidate volume, recall,
+    and precision for each (bands, rows_per_band) split of ONE k-hash
+    MinHash signature — the tuning table an engineer reads before
+    committing a (b, r) choice for a 100 TB dedupe run (the analytic
+    S-curve threshold is (1/b)^(1/r); this measures the real corpus).
+
+    Ground truth is the exact Jaccard>=tau pair set (tau = tau_num/
+    tau_den compared as an INTEGER cross-multiplication —
+    tau_den*|A∩B| >= tau_num*|A∪B| — so no float crosses the engine
+    boundary). Output per config: (bands, rows_per_band, n_candidates,
+    n_true_candidates, n_true_pairs, recall_ppm, precision_ppm).
+
+    EVAL-ONLY operator: the truth set is all-pairs over the small
+    labeled fixture (the dedupe_recall discipline — never run the
+    crossJoin on a production corpus; production uses lsh_candidates
+    with ONE tuned config). The signature is computed once and every
+    config re-slices it, so the sweep costs one signature pass plus
+    |configs| banded equi-joins on the fixture.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n_shingle).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sh = sh.localCheckpoint(eager=True)
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.lit(tau_den) * inter >= F.lit(tau_num) * union).alias("is_true"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_true_pairs = truth.agg(
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("long").alias("n_true_pairs")
+    )
+
+    sig = sh.select("id", minhash_signature(F.col("sh"), k).alias("sig"))
+    per_cfg = []
+    for bands, rows in configs:
+        assert bands * rows == k, (bands, rows, k)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("sig"), bi * rows + 1, rows), ",")
+                    ).alias("bkey"),
+                )
+                for bi in range(bands)
+            ]
+        )
+        banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+        ca, cb = banded.alias("ca"), banded.alias("cb")
+        cands = (
+            ca.join(cb, (F.col("ca.band") == F.col("cb.band")) & (F.col("ca.bkey") == F.col("cb.bkey")))
+            .filter(F.col("ca.id") < F.col("cb.id"))
+            .select(F.col("ca.id").alias("id_a"), F.col("cb.id").alias("id_b"))
+            .distinct()
+        )
+        agg = (
+            cands.join(truth, ["id_a", "id_b"])
+            .agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_true_candidates"),
+            )
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+                F.coalesce("n_true_candidates", F.lit(0)).cast("long").alias("n_true_candidates"),
+            )
+        )
+        per_cfg.append(agg)
+    u = per_cfg[0]
+    for c in per_cfg[1:]:
+        u = u.unionByName(c)
+    return u.crossJoin(n_true_pairs).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_candidates",
+        "n_true_pairs",
+        F.expr(
+            "CAST((1000000 * n_true_candidates) div greatest(CAST(1 AS BIGINT), n_true_pairs) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST((1000000 * n_true_candidates) div greatest(CAST(1 AS BIGINT), n_candidates) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )

@@ -189,3 +189,47 @@ def test_wat_metadata_record_roundtrip(spark):
         assert bytes(r["payload_bytes"]) == payload.encode()
         assert r["payload_md5"] == hashlib.md5(payload.encode()).hexdigest()
         assert json.loads(bytes(r["payload_bytes"]))["l"] == ["/x", "/y"]
+
+
+def test_lsh_tuning_monotone_and_exact(spark):
+    from sandcrawler_spark.operators.dedupe import lsh_tuning
+
+    # 3 planted near-dup pairs (one swapped word in a 12-word doc ->
+    # jaccard well above 1/2) + unrelated docs
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    rows = []
+    for i in range(3):
+        rows.append((i, base + f" tail{i}"))
+        rows.append((100 + i, base + f" tail{i} extra"))
+    for i in range(10, 20):
+        rows.append((i, " ".join(f"w{i}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.bands, r.rows_per_band): r for r in lsh_tuning(docs, n_shingle=3).collect()}
+    assert set(got) == {(2, 4), (4, 2), (8, 1)}
+
+    # python replay of the exact integer-jaccard truth
+    def sh3(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh3(t) for i, t in rows if len(t.split()) >= 3}
+    ids = sorted(sets)
+    n_truth = sum(
+        1
+        for x in range(len(ids))
+        for y in range(x + 1, len(ids))
+        if 2 * len(sets[ids[x]] & sets[ids[y]])
+        >= len(sets[ids[x]] | sets[ids[y]])
+    )
+    assert n_truth >= 3  # at least the planted pairs
+    assert all(r.n_true_pairs == n_truth for r in got.values())
+    # recall is monotone in bands (looser blocking finds at least as much)
+    r2, r4, r8 = got[(2, 4)], got[(4, 2)], got[(8, 1)]
+    assert r2.recall_ppm <= r4.recall_ppm <= r8.recall_ppm
+    assert r8.recall_ppm == 1_000_000  # 1-row bands: any shared minhash pairs
+    # candidate volume is monotone too
+    assert r2.n_candidates <= r4.n_candidates <= r8.n_candidates
+    # ppm arithmetic is the exact integer identity
+    for r in got.values():
+        assert r.recall_ppm == (1_000_000 * r.n_true_candidates) // max(1, r.n_true_pairs)
+        assert r.precision_ppm == (1_000_000 * r.n_true_candidates) // max(1, r.n_candidates)

@@ -29,7 +29,7 @@ ALLOW_BNLJ = {
     "dsir_weights", "nb_quality", "domain_budget_alloc", "ccnet_buckets",
     # eval queries: exact ground truth needs all-pairs on the tiny
     # fixture (150 docs) + 1-row count crossJoins
-    "dedupe_recall", "ann_recall",
+    "dedupe_recall", "ann_recall", "lsh_tuning",
     # ADC scan broadcasts the (tiny) LUT-decorated query side un-keyed
     # by design; pq_recall additionally runs the exact-truth scan;
     # ann_ivfpq's coarse assignment broadcasts the centroid table
@@ -110,6 +110,7 @@ AUDIT = [
     # r4 session-10
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
+    "lsh_tuning", "robots_coverage",
 ]
 
 
