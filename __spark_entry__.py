@@ -4127,6 +4127,61 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sqrt-temperature training-mixture plan: epochs-per-source a
+    # token budget implies; one source agg + 1-row total broadcast,
+    # all-integer (isqrt) arithmetic
+    from sandcrawler_spark.operators.sampling import mixture_epochs
+
+    return mixture_epochs(_t(spark, sf_dir, "documents"), group_col="source")
+
+
+def q_cdx_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDX-11 WRITE side: format the capture index as classic CDX lines
+    # (pure Catalyst string assembly), then re-parse through the S1
+    # line parser — the codec roundtrip the reference's pig-era CDX
+    # dumps depend on. The digest column carries a valid base32 token
+    # derived from the md5 (hex->A..P alphabet map) so the parser's
+    # alnum-32 gate and field slicing are exercised end-to-end.
+    from sandcrawler_spark.functions.cdxfmt import parse_cdx_lines
+
+    caps = _captures(spark, sf_dir)
+    surt = F.concat(
+        F.lit("org,example,stream)/u/"),
+        F.regexp_extract("url", r"/u/(\d+)$", 1),
+    )
+    b32 = F.translate(F.col("sha1hex"), "0123456789abcdef", "ABCDEFGHIJKLMNOP")
+    line = F.concat_ws(
+        " ",
+        surt,
+        F.col("datetime"),
+        F.col("url"),
+        F.col("mimetype"),
+        F.col("status_code").cast("string"),
+        b32,
+        F.lit("-"),
+        F.lit("-"),
+        F.col("warc_csize").cast("string"),
+        (F.col("event_id") % 100000).cast("string"),
+        F.col("warc_path"),
+    )
+    parsed = parse_cdx_lines(caps.select(line.alias("value")), value_col="value")
+    return parsed.drop("sha1hex")
+
+
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup cluster-size distribution (how much of the corpus is
+    # singleton vs small-cluster vs boilerplate-blob): one rollup on
+    # top of the LSH->verify->CC pipeline; its oracle mechanically
+    # wraps the neardup_dedupe twin
+    nd = q_neardup_dedupe(spark, sf_dir)
+    sizes = nd.groupBy("rep_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
 def q_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bands, rows) sweep over ONE k=8 MinHash signature: empirical
     # candidate volume / recall / precision vs the exact Jaccard>=1/2
@@ -4166,7 +4221,8 @@ _STALE_FIRST = [
     # round-4 session-10 additions — never driver-checked, sample first
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
-    "lsh_tuning", "robots_coverage",
+    "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
+    "dup_cluster_histogram",
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
@@ -4234,6 +4290,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "lsh_tuning": q_lsh_tuning,
         "robots_coverage": q_robots_coverage,
+        "mixture_epochs": q_mixture_epochs,
+        "cdx_export": q_cdx_export,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
         "lineitem_rollup": q_lineitem_rollup,
         "status_counts": q_status_counts,
         "hit_rate_stats": q_hit_rate_stats,
@@ -9193,6 +9252,59 @@ FROM szk
             vnodes=16,
         ),
     }
+    from sandcrawler_spark.functions.mime import normalize_mime_oracle_case as _nmoc
+
+    out["cdx_export"] = f"""
+WITH {_CAPTURES_CTE.strip()},
+cx AS (
+  SELECT 'org,example,stream)/u/' || regexp_extract(url, '/u/(\\d+)$', 1) AS surt,
+         datetime, url,
+         COALESCE({_nmoc("mimetype")}, 'application/octet-stream') AS mimetype,
+         CAST(status_code AS INT) AS http_status,
+         translate(sha1hex, '0123456789abcdef', 'ABCDEFGHIJKLMNOP') AS sha1b32,
+         CAST(warc_csize AS BIGINT) AS warc_csize,
+         CAST(event_id % 100000 AS BIGINT) AS warc_offset,
+         warc_path
+  FROM captures
+)
+SELECT surt, datetime, url, mimetype, http_status, sha1b32,
+       warc_csize, warc_offset, warc_path
+FROM cx
+"""
+    from sandcrawler_spark.operators.bandit import isqrt_oracle as _isq
+
+    out["mixture_epochs"] = f"""
+WITH mep AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+mew AS (SELECT *, CAST({_isq("n_tokens")} AS BIGINT) AS w FROM mep),
+met AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total, CAST(SUM(n_tokens) AS BIGINT) AS tok_total FROM mew),
+mex AS (
+  SELECT m.source, m.n_docs, m.n_tokens,
+         CAST((1000000 * m.w) // greatest(CAST(1 AS BIGINT), t.w_total) AS BIGINT) AS weight_ppm,
+         t.tok_total
+  FROM mew m CROSS JOIN met t
+)
+SELECT source, n_docs, n_tokens, weight_ppm,
+       CAST((tok_total * weight_ppm) // 1000000 AS BIGINT) AS alloc_tokens,
+       CAST((1000 * ((tok_total * weight_ppm) // 1000000))
+            // greatest(CAST(1 AS BIGINT), n_tokens) AS BIGINT) AS epochs_milli
+FROM mex
+"""
+    out["dup_cluster_histogram"] = f"""
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM (
+  SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM ({out["neardup_dedupe"]}) ndbase
+  GROUP BY rep_id
+) ndsz
+GROUP BY cluster_size
+"""
     cfg_selects = []
     for bands, rows in ((2, 4), (4, 2), (8, 1)):
         cfg_selects.append(f"""

@@ -219,3 +219,62 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split_u_ppm", u_ppm).withColumn("split", split)
+
+
+def mixture_epochs(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Training-mixture planning: how many PASSES (epochs) over each
+    source a token budget implies under sqrt-temperature reweighting —
+    the table a data engineer reads before launching a run (the
+    GPT-3/PaLM-style mixture: upweight small high-quality sources,
+    which means epochs > 1 for them; big sources train < 1 epoch).
+
+    weight_i ∝ isqrt(tokens_i) (alpha = 1/2 temperature, exact integer
+    sqrt — the bandit.py isqrt discipline), weight_ppm = 1e6·w_i / Σw
+    (floor), alloc_tokens_i = budget·weight_ppm / 1e6 (floor),
+    epochs_milli_i = 1000·alloc_i / tokens_i (floor). budget defaults
+    to Σ tokens (one budget-equivalent pass). All-integer arithmetic:
+    exact across engines and partitionings.
+
+    Scale shape: ONE groupBy(source) aggregate over the tokenize scan
+    (map-side partials), then a 1-row total crossJoin onto the
+    per-source table (sources are synopsis-sized). No window.
+    """
+    from sandcrawler_spark.functions.textstats import word_count_col
+    from sandcrawler_spark.operators.bandit import isqrt_col
+
+    per = (
+        docs.groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(word_count_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("w", isqrt_col(F.col("n_tokens")))
+    )
+    totals = per.agg(
+        F.sum("w").cast("long").alias("_w_total"),
+        F.sum("n_tokens").cast("long").alias("_tok_total"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    budget_sql = "_tok_total" if budget_tokens is None else str(int(budget_tokens))
+    return (
+        out.withColumn(
+            "weight_ppm",
+            F.expr("CAST((1000000 * w) div greatest(CAST(1 AS BIGINT), _w_total) AS BIGINT)"),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.expr(f"CAST(({budget_sql} * weight_ppm) div 1000000 AS BIGINT)"),
+        )
+        .withColumn(
+            "epochs_milli",
+            F.expr("CAST((1000 * alloc_tokens) div greatest(CAST(1 AS BIGINT), n_tokens) AS BIGINT)"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "weight_ppm", "alloc_tokens", "epochs_milli"
+        )
+    )

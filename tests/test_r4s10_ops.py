@@ -233,3 +233,41 @@ def test_lsh_tuning_monotone_and_exact(spark):
     for r in got.values():
         assert r.recall_ppm == (1_000_000 * r.n_true_candidates) // max(1, r.n_true_pairs)
         assert r.precision_ppm == (1_000_000 * r.n_true_candidates) // max(1, r.n_candidates)
+
+
+def test_mixture_epochs_integer_identities(spark):
+    from sandcrawler_spark.operators.sampling import mixture_epochs
+
+    rows = [(i, "w " * 100, "big") for i in range(20)]          # 2000 tokens
+    rows += [(100 + i, "w " * 10, "small") for i in range(2)]   # 20 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in mixture_epochs(docs, group_col="source").collect()}
+
+    import math
+    w_big, w_small = math.isqrt(2000), math.isqrt(20)
+    tot_w, tot_tok = w_big + w_small, 2020
+    for src, w, tok in (("big", w_big, 2000), ("small", w_small, 20)):
+        r = got[src]
+        assert r.n_tokens == tok
+        assert r.weight_ppm == (1_000_000 * w) // tot_w
+        assert r.alloc_tokens == (tot_tok * r.weight_ppm) // 1_000_000
+        assert r.epochs_milli == (1000 * r.alloc_tokens) // tok
+    # sqrt-temperature upweights the small source past 1 epoch and
+    # holds the big one under it
+    assert got["small"].epochs_milli > 1000 > got["big"].epochs_milli
+
+
+def test_cdx_export_roundtrip_parses_all(spark):
+    from sandcrawler_spark.functions.cdxfmt import parse_cdx_lines
+
+    lines = spark.createDataFrame(
+        [("org,ex)/a 20240101000000 https://ex.org/a text/html 200 "
+          "ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP - - 123 456 W/x.warc.gz",),
+         ("malformed line",)],
+        "value string",
+    )
+    got = parse_cdx_lines(lines).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.surt, r.http_status, r.warc_csize, r.warc_offset) == ("org,ex)/a", 200, 123, 456)
+    assert r.sha1b32 == "ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP"

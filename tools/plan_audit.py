@@ -47,6 +47,8 @@ ALLOW_BNLJ = {
     # 1-row stat broadcasts: UCB total-trials row + k-th-key row onto
     # the per-host table; gini runs two water-filling 1-row crossJoins
     "ucb_frontier", "alloc_fairness",
+    # 1-row totals crossJoin onto the synopsis-sized per-source table
+    "mixture_epochs",
 }
 
 AUDIT = [
@@ -110,7 +112,8 @@ AUDIT = [
     # r4 session-10
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
-    "lsh_tuning", "robots_coverage",
+    "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
+    "dup_cluster_histogram",
 ]
 
 
