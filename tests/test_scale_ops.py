@@ -438,3 +438,33 @@ def test_ktruss_hot_hub_star(spark):
     assert len(got) == 30 * 29 // 2
     assert all(r.support == 28 for r in got)
     assert wall < 120
+
+
+def test_postings_compression_hot_stopword_1e6(spark):
+    """Planted stopword in 90% of 10^6 docs: the varint-sizing rollup
+    must stay aggregate-only (min/max/count partials per partition),
+    no straggler task holding one term's full posting list. Also
+    asserts the exact closed-form output for the synthetic corpus."""
+    from sandcrawler_spark.operators.search import postings_compression
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # 90%: "the w<i>"; 10%: "w<i>" only -> 'the' has 900k postings,
+        # every w<i> is a singleton
+        F.when(F.col("id") % 10 < 9, F.concat(F.lit("the w"), F.col("id")))
+        .otherwise(F.concat(F.lit("w"), F.col("id")))
+        .alias("text"),
+    )
+    t0 = time.time()
+    got = {(r.df_class, r.varint_bytes): r for r in postings_compression(docs).collect()}
+    wall = time.time() - t0
+    print(f"postings_compression 1e6 docs, 90% hot term: {wall:.1f}s")
+
+    # 'the': 900k docs, ids 0..999998 -> mean gap (999998-0)/899999 = 1
+    hot = got[("1000+", 1)]
+    assert hot.n_terms == 1 and hot.n_postings == 900_000
+    # singletons: 10^6 'w<i>' terms, absolute-id classes by id magnitude
+    n_singleton = sum(r.n_postings for (dc, _), r in got.items() if dc == "1")
+    assert n_singleton == n
+    assert wall < 120
