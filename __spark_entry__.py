@@ -4127,6 +4127,48 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source-host anchor-text concentration (keyword-stuffing /
+    # template-spam signal): (host, text) count shuffle + host agg
+    # with min_by top text — no per-host window
+    from sandcrawler_spark.operators.linkgraph import (
+        anchor_stuffing,
+        extract_anchor_texts,
+    )
+
+    return anchor_stuffing(extract_anchor_texts(_link_pages(spark, sf_dir)))
+
+
+def q_capture_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-host capture completeness: how much of the requested seed
+    # list has at least one good (200, non-revisit) capture — the
+    # "how much of the site do we HAVE" table that drives re-seeding;
+    # distinct-project both sides, one left join, one host rollup
+    c = _corpus(spark)
+    req = c["ingest_request"].select(F.col("base_url").alias("url")).distinct()
+    caps = (
+        c["cdx"]
+        .where((F.col("status_code") == 200) & (F.col("mimetype") != "warc/revisit"))
+        .select("url")
+        .distinct()
+        .withColumn("_cap", F.lit(1))
+    )
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    return (
+        req.join(caps, "url", "left")
+        .select(host.alias("host"), F.coalesce("_cap", F.lit(0)).alias("_cap"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_requested"),
+            F.sum("_cap").cast("long").alias("n_captured"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("CAST((1000000 * n_captured) div n_requested AS BIGINT)"),
+        )
+    )
+
+
 def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt-temperature training-mixture plan: epochs-per-source a
     # token budget implies; one source agg + 1-row total broadcast,
@@ -4222,7 +4264,7 @@ _STALE_FIRST = [
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
     "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
-    "dup_cluster_histogram",
+    "dup_cluster_histogram", "anchor_stuffing", "capture_coverage",
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
@@ -4291,6 +4333,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": q_lsh_tuning,
         "robots_coverage": q_robots_coverage,
         "mixture_epochs": q_mixture_epochs,
+        "anchor_stuffing": q_anchor_stuffing,
+        "capture_coverage": q_capture_coverage,
         "cdx_export": q_cdx_export,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "lineitem_rollup": q_lineitem_rollup,
@@ -5131,6 +5175,36 @@ FROM resolved GROUP BY is_rv
 
 # --- link-graph oracle CTEs: the edge set recomputed RELATIONALLY
 # (independent of the Spark path's html -> regexp extraction) ---
+
+_ANCHOR_EDGES_CTE = """
+anchor_edges AS (
+  SELECT url AS src_url,
+         'https://site' || CAST(site_id AS VARCHAR) || '.example.com/about' AS dst_url,
+         'about' AS anchor_text
+  FROM urls
+  UNION ALL
+  SELECT u.url,
+         'https://site' || CAST(CAST(li.l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(li.l_partkey AS VARCHAR),
+         (CASE WHEN li.l_orderkey % 3 = 0 THEN 'item ' ELSE 'part ' END) || CAST(li.l_partkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
+  JOIN urls u ON u.o_orderkey = li.l_orderkey
+  UNION ALL
+  SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(l_partkey AS VARCHAR),
+         'https://site' || CAST(CAST(l_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(l_suppkey AS VARCHAR),
+         'supplier ' || CAST(l_suppkey AS VARCHAR)
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  UNION ALL
+  SELECT 'https://site' || CAST(CAST(s_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(s_suppkey AS VARCHAR),
+         'https://nation' || CAST(s_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(s_nationkey AS VARCHAR),
+         'nation ' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+  UNION ALL
+  SELECT 'https://nation' || CAST(n_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'https://region' || CAST(n_regionkey AS VARCHAR) || '.example.org/region/' || CAST(n_regionkey AS VARCHAR),
+         'region ' || CAST(n_regionkey AS VARCHAR)
+  FROM nation
+)
+"""
 
 _LINK_EDGES_CTE = """
 link_edges AS (
@@ -8014,33 +8088,7 @@ FROM lang_scored
         ),
         "anchor_texts": f"""
 WITH {_URLS_CTE.strip()},
-anchor_edges AS (
-  SELECT url AS src_url,
-         'https://site' || CAST(site_id AS VARCHAR) || '.example.com/about' AS dst_url,
-         'about' AS anchor_text
-  FROM urls
-  UNION ALL
-  SELECT u.url,
-         'https://site' || CAST(CAST(li.l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(li.l_partkey AS VARCHAR),
-         (CASE WHEN li.l_orderkey % 3 = 0 THEN 'item ' ELSE 'part ' END) || CAST(li.l_partkey AS VARCHAR)
-  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) li
-  JOIN urls u ON u.o_orderkey = li.l_orderkey
-  UNION ALL
-  SELECT 'https://site' || CAST(CAST(l_partkey % 50 AS INT) AS VARCHAR) || '.example.com/part/' || CAST(l_partkey AS VARCHAR),
-         'https://site' || CAST(CAST(l_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(l_suppkey AS VARCHAR),
-         'supplier ' || CAST(l_suppkey AS VARCHAR)
-  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-  UNION ALL
-  SELECT 'https://site' || CAST(CAST(s_suppkey % 50 AS INT) AS VARCHAR) || '.example.com/supplier/' || CAST(s_suppkey AS VARCHAR),
-         'https://nation' || CAST(s_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(s_nationkey AS VARCHAR),
-         'nation ' || CAST(s_nationkey AS VARCHAR)
-  FROM supplier
-  UNION ALL
-  SELECT 'https://nation' || CAST(n_nationkey AS VARCHAR) || '.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
-         'https://region' || CAST(n_regionkey AS VARCHAR) || '.example.org/region/' || CAST(n_regionkey AS VARCHAR),
-         'region ' || CAST(n_regionkey AS VARCHAR)
-  FROM nation
-),
+{_ANCHOR_EDGES_CTE.strip()},
 per_text AS (
   SELECT dst_url, anchor_text, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM anchor_edges GROUP BY dst_url, anchor_text
@@ -9252,6 +9300,50 @@ FROM szk
             vnodes=16,
         ),
     }
+    out["anchor_stuffing"] = f"""
+WITH {_URLS_CTE.strip()},
+{_ANCHOR_EDGES_CTE.strip()},
+ash AS (
+  SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host, anchor_text
+  FROM anchor_edges
+),
+aspt AS (
+  SELECT src_host, anchor_text, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ash GROUP BY src_host, anchor_text
+),
+astop AS (
+  SELECT src_host, anchor_text AS top_text, cnt AS top_n FROM aspt
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src_host ORDER BY cnt DESC, anchor_text) = 1
+),
+asagg AS (
+  SELECT src_host, CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+         CAST(COUNT(*) AS BIGINT) AS n_texts
+  FROM aspt GROUP BY src_host
+)
+SELECT a.src_host, a.n_anchors, a.n_texts, t.top_text,
+       CAST(t.top_n AS BIGINT) AS top_n,
+       CAST((1000000 * t.top_n) // greatest(CAST(1 AS BIGINT), a.n_anchors) AS BIGINT) AS top_share_ppm,
+       ((1000000 * t.top_n) // greatest(CAST(1 AS BIGINT), a.n_anchors) >= 800000
+        AND a.n_anchors >= 10) AS stuffed
+FROM asagg a JOIN astop t USING (src_host)
+"""
+    out["capture_coverage"] = f"""
+WITH {_corpus_oracle_tables()},
+ccreq AS (SELECT DISTINCT base_url AS url FROM c_req),
+cccap AS (
+  SELECT DISTINCT url FROM c_cdx
+  WHERE status_code = 200 AND mimetype <> 'warc/revisit'
+),
+ccj AS (
+  SELECT regexp_extract(r.url, '^https?://([^/]+)', 1) AS host,
+         CASE WHEN c.url IS NULL THEN 0 ELSE 1 END AS _cap
+  FROM ccreq r LEFT JOIN cccap c ON r.url = c.url
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_requested,
+       CAST(SUM(_cap) AS BIGINT) AS n_captured,
+       CAST((1000000 * CAST(SUM(_cap) AS BIGINT)) // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM ccj GROUP BY host
+"""
     from sandcrawler_spark.functions.mime import normalize_mime_oracle_case as _nmoc
 
     out["cdx_export"] = f"""

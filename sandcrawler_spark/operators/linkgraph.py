@@ -1993,3 +1993,55 @@ def host_outlink_entropy(
             & (F.col("n_targets") > F.lit(min_targets_for_flag)),
         )
     )
+
+
+def anchor_stuffing(
+    anchors: DataFrame,
+    min_anchors: int = 10,
+    share_ppm_threshold: int = 800_000,
+) -> DataFrame:
+    """Per-SOURCE-host anchor-text concentration — the keyword-stuffing
+    / template-spam signal complementary to host_outlink_entropy: a
+    host whose pages repeat one anchor string for most of their links
+    is SEO boilerplate, not editorial linking (the complement of the
+    Brin & Page relevance assumption anchor_summary exploits).
+
+    Returns (src_host, n_anchors, n_texts, top_text, top_n,
+    top_share_ppm, stuffed) where top_share_ppm = 1e6·top_n/n_anchors
+    (floor) and stuffed = share >= threshold AND n_anchors >=
+    min_anchors (volume present, diversity absent).
+
+    Scale shape: ONE (host, text) count shuffle with map-side partials
+    then ONE host-keyed aggregate — the top text comes from
+    min_by(text, (-cnt, text)) inside the aggregate, NOT a per-host
+    window (a template host's distinct-text set can be huge; the
+    aggregate ships one partial per partition).
+    """
+    host = F.regexp_extract("src_url", r"^https?://([^/]+)", 1)
+    per = (
+        anchors.select(host.alias("src_host"), "anchor_text")
+        .groupBy("src_host", "anchor_text")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        per.groupBy("src_host")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_anchors"),
+            F.count("*").cast("long").alias("n_texts"),
+            F.expr("min_by(anchor_text, struct(-cnt, anchor_text))").alias("top_text"),
+            F.max("cnt").cast("long").alias("top_n"),
+        )
+        .withColumn(
+            "top_share_ppm",
+            F.expr("CAST((1000000 * top_n) div greatest(CAST(1 AS BIGINT), n_anchors) AS BIGINT)"),
+        )
+        .withColumn(
+            "stuffed",
+            (F.col("top_share_ppm") >= F.lit(share_ppm_threshold))
+            & (F.col("n_anchors") >= F.lit(min_anchors)),
+        )
+        .select(
+            "src_host", "n_anchors", "n_texts", "top_text", "top_n",
+            "top_share_ppm", "stuffed",
+        )
+    )

@@ -271,3 +271,25 @@ def test_cdx_export_roundtrip_parses_all(spark):
     r = got[0]
     assert (r.surt, r.http_status, r.warc_csize, r.warc_offset) == ("org,ex)/a", 200, 123, 456)
     assert r.sha1b32 == "ABCDEFGHIJKLMNOPABCDEFGHIJKLMNOP"
+
+
+def test_anchor_stuffing_flags_template_host(spark):
+    from sandcrawler_spark.operators.linkgraph import anchor_stuffing
+
+    rows = [("https://spam.com/p%d" % i, "https://t.com/x", "click here") for i in range(12)]
+    rows += [("https://spam.com/p0", "https://t.com/y", "other")]
+    rows += [("https://ok.com/p%d" % i, "https://t.com/%d" % i, "text %d" % i) for i in range(12)]
+    anchors = spark.createDataFrame(rows, "src_url string, dst_url string, anchor_text string")
+    got = {r.src_host: r for r in anchor_stuffing(anchors).collect()}
+
+    spam = got["spam.com"]
+    assert (spam.n_anchors, spam.n_texts, spam.top_text, spam.top_n) == (13, 2, "click here", 12)
+    assert spam.top_share_ppm == (1_000_000 * 12) // 13 and spam.stuffed
+    ok = got["ok.com"]
+    assert ok.n_texts == 12 and ok.top_n == 1 and not ok.stuffed
+    # tie on counts -> lexicographically first text wins deterministically
+    tie = spark.createDataFrame(
+        [("https://h.com/1", "d", "beta"), ("https://h.com/2", "d", "alpha")],
+        "src_url string, dst_url string, anchor_text string",
+    )
+    assert anchor_stuffing(tie).collect()[0].top_text == "alpha"

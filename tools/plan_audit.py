@@ -113,7 +113,7 @@ AUDIT = [
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
     "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
-    "dup_cluster_histogram",
+    "dup_cluster_histogram", "anchor_stuffing", "capture_coverage",
 ]
 
 
