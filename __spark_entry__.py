@@ -4127,6 +4127,99 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keep_longest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content-aware representative selection: per near-dup cluster
+    # keep the LONGEST member (the standard "keep the most complete
+    # variant" policy — a truncated mirror loses to its full original,
+    # where min-doc-id rep selection would keep whichever came first).
+    # One join + one rep-keyed aggregate with min_by on (-len, id) —
+    # no per-cluster window.
+    nd = q_neardup_dedupe(spark, sf_dir)
+    lens = _aug_docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("len")
+    )
+    return (
+        nd.join(lens, "doc_id")
+        .groupBy("rep_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.expr("min_by(doc_id, struct(-len, doc_id))").cast("long").alias("kept_doc_id"),
+            F.max("len").cast("long").alias("kept_len"),
+        )
+    )
+
+
+def q_robots_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robots.txt change detection between two crawl snapshots: per
+    # host, rules added/removed by kind and the tightened / loosened /
+    # mixed / unchanged classification that decides whether the host's
+    # schedule needs rebuilding (a new Disallow invalidates queued
+    # frontier rows; a removed one unlocks crawl space). Explode both
+    # rule snapshots -> full outer join on (host, kind, rule) -> one
+    # host rollup.
+    u = _urls(spark, sf_dir).select("host", "site_id").distinct()
+    empty = F.array().cast("array<string>")
+
+    def rules(m):
+        dis = (
+            F.when(m == 0, F.array(F.lit("/admin"), F.lit("/*.php$")))
+            .when(m == 1, F.array(F.lit("/fish*"), F.lit("/*.htm")))
+            .when(m == 2, F.array(F.lit("/")))
+            .otherwise(empty)
+        )
+        alw = (
+            F.when(m == 0, F.array(F.lit("/admin/public")))
+            .when(m == 1, F.array(F.lit("/docs/")))
+            .when(m == 2, F.array(F.lit("/order")))
+            .otherwise(empty)
+        )
+        return dis, alw
+
+    def snapshot(m, tag):
+        dis, alw = rules(m)
+        d = u.select("host", F.explode(dis).alias("rule")).withColumn(
+            "kind", F.lit("disallow")
+        )
+        a = u.select("host", F.explode(alw).alias("rule")).withColumn(
+            "kind", F.lit("allow")
+        )
+        return d.unionByName(a).withColumn(tag, F.lit(1))
+
+    v1 = snapshot(F.col("site_id") % 4, "_v1")
+    # v2 = v1 plus targeted edits keyed by site_id % 5 (independent of
+    # the %4 rule-set key): +disallow (tightened), +allow (loosened),
+    # both (mixed), untouched (unchanged)
+    k = F.col("site_id") % 5
+    extra_dis = u.where((k == 0) | (k == 2)).select(
+        "host", F.lit("/tmp").alias("rule"), F.lit("disallow").alias("kind")
+    )
+    extra_alw = u.where((k == 1) | (k == 2)).select(
+        "host", F.lit("/new").alias("rule"), F.lit("allow").alias("kind")
+    )
+    v2 = (
+        v1.drop("_v1")
+        .unionByName(extra_dis)
+        .unionByName(extra_alw)
+        .withColumn("_v2", F.lit(1))
+    )
+    j = v1.join(v2, ["host", "kind", "rule"], "full_outer")
+    per = j.groupBy("host").agg(
+        F.sum(F.when(F.col("_v2").isNotNull() & F.col("_v1").isNull() & (F.col("kind") == "disallow"), 1).otherwise(0)).cast("long").alias("dis_added"),
+        F.sum(F.when(F.col("_v1").isNotNull() & F.col("_v2").isNull() & (F.col("kind") == "disallow"), 1).otherwise(0)).cast("long").alias("dis_removed"),
+        F.sum(F.when(F.col("_v2").isNotNull() & F.col("_v1").isNull() & (F.col("kind") == "allow"), 1).otherwise(0)).cast("long").alias("alw_added"),
+        F.sum(F.when(F.col("_v1").isNotNull() & F.col("_v2").isNull() & (F.col("kind") == "allow"), 1).otherwise(0)).cast("long").alias("alw_removed"),
+    )
+    tighter = (F.col("dis_added") > 0) | (F.col("alw_removed") > 0)
+    looser = (F.col("dis_removed") > 0) | (F.col("alw_added") > 0)
+    return per.withColumn(
+        "change",
+        F.when(tighter & looser, F.lit("mixed"))
+        .when(tighter, F.lit("tightened"))
+        .when(looser, F.lit("loosened"))
+        .otherwise(F.lit("unchanged")),
+    )
+
+
 def q_anchor_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source-host anchor-text concentration (keyword-stuffing /
     # template-spam signal): (host, text) count shuffle + host agg
@@ -4265,6 +4358,7 @@ _STALE_FIRST = [
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
     "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
     "dup_cluster_histogram", "anchor_stuffing", "capture_coverage",
+    "keep_longest_dedupe", "robots_delta",
     # round-4 session-9 additions — never driver-checked, sample first
     "ucb_frontier", "pagination_gaps", "alloc_fairness",
     "revalidation_savings", "host_ktruss", "wet_roundtrip",
@@ -4335,6 +4429,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs": q_mixture_epochs,
         "anchor_stuffing": q_anchor_stuffing,
         "capture_coverage": q_capture_coverage,
+        "keep_longest_dedupe": q_keep_longest_dedupe,
+        "robots_delta": q_robots_delta,
         "cdx_export": q_cdx_export,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "lineitem_rollup": q_lineitem_rollup,
@@ -9300,6 +9396,77 @@ FROM szk
             vnodes=16,
         ),
     }
+    out["keep_longest_dedupe"] = f"""
+WITH klaug AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' appended tail words' AS text
+    FROM documents WHERE doc_id < 50
+  )
+),
+klj AS (
+  SELECT b.rep_id, b.doc_id, a.len
+  FROM ({out["neardup_dedupe"]}) b JOIN klaug a USING (doc_id)
+),
+klk AS (
+  SELECT rep_id, doc_id AS kept_doc_id, len AS kept_len FROM klj
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY rep_id ORDER BY len DESC, doc_id ASC) = 1
+),
+klsz AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM klj GROUP BY rep_id)
+SELECT s.rep_id, s.cluster_size,
+       CAST(k.kept_doc_id AS BIGINT) AS kept_doc_id,
+       CAST(k.kept_len AS BIGINT) AS kept_len
+FROM klsz s JOIN klk k USING (rep_id)
+"""
+    out["robots_delta"] = f"""
+WITH {_URLS_CTE.strip()},
+rdh AS (SELECT DISTINCT host, site_id FROM urls),
+rdv1 AS (
+  SELECT host, 'disallow' AS kind,
+         UNNEST(CASE WHEN site_id % 4 = 0 THEN ['/admin', '/*.php$']
+                     WHEN site_id % 4 = 1 THEN ['/fish*', '/*.htm']
+                     WHEN site_id % 4 = 2 THEN ['/']
+                     ELSE CAST([] AS VARCHAR[]) END) AS rule
+  FROM rdh
+  UNION ALL
+  SELECT host, 'allow' AS kind,
+         UNNEST(CASE WHEN site_id % 4 = 0 THEN ['/admin/public']
+                     WHEN site_id % 4 = 1 THEN ['/docs/']
+                     WHEN site_id % 4 = 2 THEN ['/order']
+                     ELSE CAST([] AS VARCHAR[]) END) AS rule
+  FROM rdh
+),
+rdv2 AS (
+  SELECT host, kind, rule FROM rdv1
+  UNION ALL
+  SELECT host, 'disallow' AS kind, '/tmp' AS rule FROM rdh
+  WHERE site_id % 5 IN (0, 2)
+  UNION ALL
+  SELECT host, 'allow' AS kind, '/new' AS rule FROM rdh
+  WHERE site_id % 5 IN (1, 2)
+),
+rdj AS (
+  SELECT COALESCE(a.host, b.host) AS host, COALESCE(a.kind, b.kind) AS kind,
+         a.rule AS r1, b.rule AS r2
+  FROM rdv1 a FULL OUTER JOIN rdv2 b
+    ON a.host = b.host AND a.kind = b.kind AND a.rule = b.rule
+),
+rdp AS (
+  SELECT host,
+         CAST(SUM(CASE WHEN r2 IS NOT NULL AND r1 IS NULL AND kind = 'disallow' THEN 1 ELSE 0 END) AS BIGINT) AS dis_added,
+         CAST(SUM(CASE WHEN r1 IS NOT NULL AND r2 IS NULL AND kind = 'disallow' THEN 1 ELSE 0 END) AS BIGINT) AS dis_removed,
+         CAST(SUM(CASE WHEN r2 IS NOT NULL AND r1 IS NULL AND kind = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS alw_added,
+         CAST(SUM(CASE WHEN r1 IS NOT NULL AND r2 IS NULL AND kind = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS alw_removed
+  FROM rdj GROUP BY host
+)
+SELECT host, dis_added, dis_removed, alw_added, alw_removed,
+       CASE WHEN (dis_added > 0 OR alw_removed > 0) AND (dis_removed > 0 OR alw_added > 0) THEN 'mixed'
+            WHEN dis_added > 0 OR alw_removed > 0 THEN 'tightened'
+            WHEN dis_removed > 0 OR alw_added > 0 THEN 'loosened'
+            ELSE 'unchanged' END AS change
+FROM rdp
+"""
     out["anchor_stuffing"] = f"""
 WITH {_URLS_CTE.strip()},
 {_ANCHOR_EDGES_CTE.strip()},

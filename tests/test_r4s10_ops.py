@@ -293,3 +293,55 @@ def test_anchor_stuffing_flags_template_host(spark):
         "src_url string, dst_url string, anchor_text string",
     )
     assert anchor_stuffing(tie).collect()[0].top_text == "alpha"
+
+
+def test_keep_longest_rep_selection(spark):
+    # compose: CC labels via the production operator, then the
+    # keep-longest policy beats min-doc-id when the longer variant has
+    # the bigger id
+    from sandcrawler_spark.operators.dedupe import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    cc = connected_components(pairs)
+    lens = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id long, len long"
+    )
+    labeled = lens.join(cc, lens.doc_id == cc.id, "left").select(
+        "doc_id", "len", F.coalesce("label", "doc_id").alias("rep_id")
+    )
+    kept = {
+        r.rep_id: r
+        for r in labeled.groupBy("rep_id")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.expr("min_by(doc_id, struct(-len, doc_id))").alias("kept_doc_id"),
+            F.max("len").alias("kept_len"),
+        )
+        .collect()
+    }
+    cluster = kept[min(kept)]
+    assert cluster.cluster_size == 3
+    # ties on len=50 -> smaller doc_id (2) wins over 3; both beat 1
+    assert cluster.kept_doc_id == 2 and cluster.kept_len == 50
+    assert kept[9].cluster_size == 1 and kept[9].kept_doc_id == 9
+
+
+def test_robots_delta_classification(spark):
+    got = {
+        r.host: r
+        for r in __import__("__spark_entry__").queries()["robots_delta"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    # edits keyed by site_id % 5: 0 -> +disallow (tightened),
+    # 1 -> +allow (loosened), 2 -> both (mixed), else untouched
+    r0 = got["site0.example.com"]
+    assert r0.change == "tightened" and r0.dis_added == 1 and r0.alw_added == 0
+    r1 = got["site1.example.com"]
+    assert r1.change == "loosened" and r1.alw_added == 1
+    r2 = got["site2.example.com"]
+    assert r2.change == "mixed" and r2.dis_added == 1 and r2.alw_added == 1
+    r4 = got["site4.example.com"]
+    assert r4.change == "unchanged" and r4.dis_added == r4.dis_removed == 0
+    # empty-ruleset hosts (site_id%4==3) untouched by edits are absent
+    assert "site3.example.com" not in got

@@ -114,6 +114,7 @@ AUDIT = [
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
     "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
     "dup_cluster_histogram", "anchor_stuffing", "capture_coverage",
+    "keep_longest_dedupe", "robots_delta",
 ]
 
 
