@@ -195,3 +195,50 @@ def test_c4_differential_fuzz(spark):
     }
     for i, e in expected.items():
         assert got[i] == e, (i, repr(texts[i][:80]), got[i], e)
+
+
+def test_htmlstats_differential_fuzz(spark):
+    """tag_density / title_clusters vs a pure-Python twin over
+    randomized HTML-ish strings (nested/unclosed tags, stray '<',
+    unicode text, empty titles) — one batched Spark job."""
+    rng = random.Random(4210)
+    frags = ["<p>", "</p>", "<a ", "<meta ", "<title>", "</title>",
+             "text ", "wörds ", "<", ">", "x<y", "", "漢字"]
+    rows = []
+    for i in range(120):
+        body = "".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+        html = "<" + body  # ensure the markup magic byte
+        rows.append((f"https://h{i % 7}.ex.com/p{i}", bytearray(html.encode("utf-8")), ""))
+
+    from sandcrawler_spark.functions.htmlstats import tag_density, title_clusters
+
+    pages = spark.createDataFrame(rows, "url string, html binary, text string")
+
+    # python twin for the per-host tag counts
+    import collections
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # pages, chars, <, <p>, <a , <meta
+    for url, html, _ in rows:
+        h = url.split("//")[1].split("/")[0]
+        s = bytes(html).decode("utf-8")
+        e = exp[h]
+        e[0] += 1
+        e[1] += len(s)
+        e[2] += s.count("<")
+        e[3] += s.count("<p>")
+        e[4] += s.count("<a ")
+        e[5] += s.count("<meta ")
+    got = {r.host: r for r in tag_density(pages).collect()}
+    assert set(got) == set(exp)
+    for h, e in exp.items():
+        r = got[h]
+        assert (r.n_pages, r.html_chars, r.n_tags, r.n_para, r.n_anchor, r.n_meta) == tuple(e)
+
+    # python twin for title clusters (first <title>...</title>, no '<' inside)
+    tcounts = collections.Counter()
+    for url, html, _ in rows:
+        m = re.search(r"<title>([^<]*)</title>", bytes(html).decode("utf-8"))
+        if m and m.group(1):
+            tcounts[m.group(1)] += 1
+    expect_clusters = {t: n for t, n in tcounts.items() if n >= 2}
+    got_clusters = {r.title: r.n_pages for r in title_clusters(pages, min_pages=2).collect()}
+    assert got_clusters == expect_clusters
