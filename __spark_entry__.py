@@ -4352,7 +4352,101 @@ def q_outlink_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_outlink_entropy(host_graph(_outlink_edges(spark, sf_dir)))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal 1->k plumbing: stride-10 video frame sampling as a
+    # mapInPandas fan-out stage over binary content (reference analog:
+    # pdfextract.py:264-407 page-0 render generalized to frame grabs);
+    # the stub decode is md5-hexchar arithmetic so DuckDB recomputes
+    # every frame row exactly (multimodal.py sample_frames)
+    from sandcrawler_spark.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return sample_frames(d, "doc_id", "content", every_n=10).select(
+        "doc_id", "frame_idx", "frame_sig"
+    )
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal resize plumbing: fit stub-decoded dims into the
+    # reference's 180x300 thumbnail box with all-integer aspect-ratio
+    # math, 1:1 Arrow batch contract (multimodal.py resize_plan)
+    from sandcrawler_spark.multimodal import resize_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return resize_plan(d, "doc_id", "content", box_w=180, box_h=300).select(
+        "doc_id", "width", "height", "out_w", "out_h", "resized"
+    )
+
+
+def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # virtual-host collapse: politeness keyed by resolved server IP so
+    # co-hosted hostnames share one quota/round budget (shared hosting
+    # breaks per-host throttling; operators/ipschedule.py). Stub DNS is
+    # md5-hexchar arithmetic -> the full schedule has a SQL twin.
+    from sandcrawler_spark.operators.ipschedule import schedule_by_ip
+
+    urls = _urls(spark, sf_dir).select("url", "host", "priority")
+    s = schedule_by_ip(urls, n_ips=16)
+    return s.select(
+        "url",
+        "host",
+        "ip",
+        "priority",
+        F.col("quota").cast("int").alias("quota"),
+        F.col("crawl_round").cast("int").alias("crawl_round"),
+        F.col("seq_in_round").cast("int").alias("seq_in_round"),
+    )
+
+
+def q_crawl_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north-star lineage receipt as one query: seed -> frontier ->
+    # unseen (real left-anti) -> robots-allowed (real RFC 9309 gate
+    # inside schedule_politeness) -> scheduled first-10-rounds ->
+    # fetch-sim, each stage's row count in pipeline order, so a corpus
+    # build's funnel is a driver-checkable artifact
+    from sandcrawler_spark.operators.politeness import schedule_politeness
+
+    urls = _urls(spark, sf_dir)
+    frontier = urls.select("url", "host", "priority", "o_orderkey")
+    seeds = frontier.select("host").distinct()
+    seen = frontier.filter(F.col("o_orderkey") % 3 == 0).select("url")
+    unseen = frontier.join(seen, "url", "left_anti")
+    robots = seeds.select(
+        "host",
+        F.lit(4).cast("int").alias("max_parallel"),
+        F.lit(0.5).alias("crawl_delay_s"),
+        F.array(F.lit("/order/9")).alias("disallow_prefixes"),
+    )
+    sched = schedule_politeness(unseen.select("url", "host", "priority"), robots)
+    allowed = sched.filter(~F.col("robots_excluded"))
+    sched10 = allowed.filter(F.col("crawl_round") < 10)
+    fetched = sched10.filter(F.substring(F.md5("url"), 1, 1) <= "b")
+    stages = [
+        (1, "seed_hosts", seeds),
+        (2, "frontier", frontier),
+        (3, "unseen", unseen),
+        (4, "robots_allowed", allowed),
+        (5, "scheduled_r10", sched10),
+        (6, "fetched_sim", fetched),
+    ]
+    out = None
+    for i, name, d in stages:
+        c = d.agg(F.count("*").alias("n_rows")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_rows",
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 _STALE_FIRST = [
+    # round-4 session-11 additions — never driver-checked, sample first
+    "frame_sample", "media_resize", "ip_politeness", "crawl_lineage",
     # round-4 session-10 additions — never driver-checked, sample first
     "tag_density", "title_dupes", "meta_tags", "postings_compression",
     "frontier_merge", "outlink_entropy", "circuit_breaker", "wat_export",
@@ -4416,6 +4510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "frame_sample": q_frame_sample,
+        "media_resize": q_media_resize,
+        "ip_politeness": q_ip_politeness,
+        "crawl_lineage": q_crawl_lineage,
         "tag_density": q_tag_density,
         "title_dupes": q_title_dupes,
         "meta_tags": q_meta_tags,
@@ -6053,6 +6151,73 @@ SELECT url FROM urls WHERE o_orderkey % 3 <> 0
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
         # value stringifier renders them differently
+        # multimodal twins: the stub decode is md5-hexchar arithmetic,
+        # so DuckDB recomputes frame fan-out and resize dims exactly
+        "frame_sample": """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         8 + ((ascii(substr(md5(text), 5, 1)) * 7 + ascii(substr(md5(text), 6, 1))) % 120) AS n_frames
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+f AS (
+  SELECT doc_id, h, unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx FROM m
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(h || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+FROM f
+""",
+        "media_resize": """
+WITH m AS (
+  SELECT doc_id,
+         64 + ((ascii(substr(md5(text), 1, 1)) * 13 + ascii(substr(md5(text), 2, 1))) % 1024) AS w,
+         64 + ((ascii(substr(md5(text), 3, 1)) * 13 + ascii(substr(md5(text), 4, 1))) % 1024) AS h
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN w <= 180 AND h <= 300 THEN w
+                 WHEN w * 300 >= h * 180 THEN 180
+                 ELSE (w * 300) // h END AS INT) AS out_w,
+       CAST(CASE WHEN w <= 180 AND h <= 300 THEN h
+                 WHEN w * 300 >= h * 180 THEN (h * 180) // w
+                 ELSE 300 END AS INT) AS out_h,
+       (w > 180 OR h > 300) AS resized
+FROM m
+""",
+        "ip_politeness": f"""
+WITH {_URLS_CTE.strip()},
+dns AS (
+  SELECT host,
+         CAST((ascii(substr(md5(host), 1, 1)) * 16 + ascii(substr(md5(host), 2, 1))) % 16 AS INT) AS ip_id
+  FROM (SELECT DISTINCT host FROM urls)
+),
+ranked AS (
+  SELECT u.url, u.host, '10.0.0.' || CAST(d.ip_id AS VARCHAR) AS ip, u.priority,
+         CAST(2 + (d.ip_id % 3) AS INT) AS quota,
+         ROW_NUMBER() OVER (PARTITION BY d.ip_id ORDER BY u.priority DESC, u.url) - 1 AS rk
+  FROM urls u JOIN dns d ON u.host = d.host
+)
+SELECT url, host, ip, priority, quota,
+       CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round,
+       CAST(rk % quota AS INT) AS seq_in_round
+FROM ranked
+""",
+        "crawl_lineage": f"""
+WITH {_URLS_CTE.strip()},
+unseen AS (SELECT * FROM urls WHERE o_orderkey % 3 <> 0),
+allowed AS (SELECT * FROM unseen WHERE NOT starts_with(CAST(o_orderkey AS VARCHAR), '9')),
+ranked AS (
+  SELECT url, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1 AS rk
+  FROM allowed
+),
+sched AS (SELECT url FROM ranked WHERE rk < 40),
+fetched AS (SELECT url FROM sched WHERE substr(md5(url), 1, 1) <= 'b')
+SELECT CAST(1 AS INT) AS stage_idx, 'seed_hosts' AS stage, CAST((SELECT COUNT(DISTINCT host) FROM urls) AS BIGINT) AS n_rows
+UNION ALL SELECT 2, 'frontier', (SELECT COUNT(*) FROM urls)
+UNION ALL SELECT 3, 'unseen', (SELECT COUNT(*) FROM unseen)
+UNION ALL SELECT 4, 'robots_allowed', (SELECT COUNT(*) FROM allowed)
+UNION ALL SELECT 5, 'scheduled_r10', (SELECT COUNT(*) FROM sched)
+UNION ALL SELECT 6, 'fetched_sim', (SELECT COUNT(*) FROM fetched)
+""",
         "lineitem_rollup": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
