@@ -4444,7 +4444,125 @@ def q_crawl_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _dhash_images_oracle() -> str:
+    # the 60-term hash expression is generated from the SAME constant
+    # plan dhash_col uses — the two engines share one source of truth
+    from sandcrawler_spark.operators.dhash import BAND_BITS, BAND_MASK, N_BANDS, dhash_sql
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+d AS (SELECT doc_id, {dhash_sql('h')} AS dhash FROM m),
+b AS (
+  SELECT doc_id, dhash, band_no, (dhash >> (band_no * {BAND_BITS})) & {BAND_MASK} AS band_val
+  FROM d, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_no)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.dhash AS h_a, c.dhash AS h_b
+  FROM b a JOIN b c ON a.band_no = c.band_no AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+),
+ham AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming FROM pairs
+  WHERE bit_count(xor(h_a, h_b)) <= 10
+),
+sides AS (
+  SELECT id_a AS doc_id, hamming FROM ham
+  UNION ALL SELECT id_b, hamming FROM ham
+),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners, CAST(MIN(hamming) AS INT) AS min_hamming
+  FROM sides GROUP BY doc_id
+)
+SELECT d.doc_id, d.dhash,
+       CAST(COALESCE(s.n_partners, 0) AS BIGINT) AS n_partners,
+       s.min_hamming
+FROM d LEFT JOIN stats s ON d.doc_id = s.doc_id
+"""
+
+
+def q_dhash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # perceptual image near-dup: 60-bit dHash (whole-stage codegen, no
+    # Python) + banded Hamming candidates — the SimHash pigeonhole
+    # discipline applied to the image modality; decode stubbed
+    # (operators/dhash.py, md5-hexchar brightness grid so DuckDB
+    # recomputes every bit)
+    from sandcrawler_spark.operators.dhash import dhash_profile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return dhash_profile(d, "doc_id", "content", max_hamming=10).select(
+        "doc_id", "dhash", "n_partners", "min_hamming"
+    )
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audio silence-split chunking (VAD analog): stub per-window energy
+    # -> gaps-and-islands in pure Catalyst; integer-exact mean energy
+    # (permille) so no float rounding boundary exists between engines
+    from sandcrawler_spark.operators.audiochunks import silence_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    return silence_chunks(d, "doc_id", "content").select(
+        "doc_id", "chunk_idx", "start_w", "end_w", "n_win", "mean_energy_permille"
+    )
+
+
+def q_cdn_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDN-aware politeness key selection: CDN-served hosts keep
+    # per-HOST quotas (a CDN edge is engineered for fan-out), origin
+    # hosts collapse to per-IP quotas (operators/ipschedule.py)
+    from sandcrawler_spark.operators.ipschedule import schedule_cdn_aware
+
+    urls = _urls(spark, sf_dir).select("url", "host", "priority")
+    s = schedule_cdn_aware(urls, n_ips=16)
+    return s.select(
+        "url",
+        "host",
+        "ip",
+        "is_cdn",
+        "sched_key",
+        "priority",
+        F.col("quota").cast("int").alias("quota"),
+        F.col("crawl_round").cast("int").alias("crawl_round"),
+        F.col("seq_in_round").cast("int").alias("seq_in_round"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD type-2 interval build from an observation log: collapse
+    # consecutive duplicate states, [valid_from, valid_to) intervals,
+    # version + is_current — warehouse-grade history for recrawl state
+    # (operators/scd.py; one shuffle, two same-key windows)
+    from sandcrawler_spark.operators.scd import scd2_build
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"), "ts", F.col("event_type").alias("value"), "event_id"
+    )
+    return scd2_build(e, "entity", "ts", "value", tiebreak_col="event_id").select(
+        "entity", "value", "valid_from", "valid_to", "version", "is_current"
+    )
+
+
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DOM-skeleton template clustering over the raw page store: tag
+    # sequence md5 per page (codegen; html never shuffles), one
+    # (host, sig) groupBy whose key space is #templates not #pages
+    from sandcrawler_spark.functions.templates import template_clusters
+
+    return template_clusters(_corpus(spark)["pages"]).select(
+        "host", "skeleton_sig", "n_pages", "rep_url", "n_tags", "n_uniq_tags"
+    )
+
+
 _STALE_FIRST = [
+    # round-4 session-12 additions — never driver-checked, sample first
+    "dhash_images", "audio_chunks", "cdn_politeness", "scd2_history",
+    "template_clusters",
     # round-4 session-11 additions — never driver-checked, sample first
     "frame_sample", "media_resize", "ip_politeness", "crawl_lineage",
     # round-4 session-10 additions — never driver-checked, sample first
@@ -4510,6 +4628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dhash_images": q_dhash_images,
+        "audio_chunks": q_audio_chunks,
+        "cdn_politeness": q_cdn_politeness,
+        "scd2_history": q_scd2_history,
+        "template_clusters": q_template_clusters,
         "frame_sample": q_frame_sample,
         "media_resize": q_media_resize,
         "ip_politeness": q_ip_politeness,
@@ -6151,6 +6274,101 @@ SELECT url FROM urls WHERE o_orderkey % 3 <> 0
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
         # value stringifier renders them differently
+        # perceptual dHash twin: the 60-term bit expression is GENERATED
+        # from the same constant plan in both engines (dhash_sql), so
+        # they cannot drift
+        "dhash_images": _dhash_images_oracle(),
+        "audio_chunks": """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         10 + ((ascii(substr(md5(text), 8, 1)) * 5 + ascii(substr(md5(text), 9, 1))) % 50) AS n_windows
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+win AS (
+  SELECT doc_id, h, unnest(generate_series(0, n_windows - 1)) AS w FROM m
+),
+en AS (
+  SELECT doc_id, w,
+         (ascii(substr(h, CAST(1 + (w * 11) % 32 AS INT), 1)) * 7 + w * 13) % 100 AS energy
+  FROM win
+),
+voiced AS (SELECT * FROM en WHERE energy >= 30),
+isl AS (
+  SELECT doc_id, w, energy,
+         w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS island
+  FROM voiced
+),
+ch AS (
+  SELECT doc_id, island, MIN(w) AS start_w, MAX(w) AS end_w,
+         COUNT(*) AS n_win, (1000 * SUM(energy)) // COUNT(*) AS mep
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_w) - 1 AS INT) AS chunk_idx,
+       CAST(start_w AS INT) AS start_w, CAST(end_w AS INT) AS end_w,
+       CAST(n_win AS INT) AS n_win, CAST(mep AS BIGINT) AS mean_energy_permille
+FROM ch
+""",
+        "cdn_politeness": f"""
+WITH {_URLS_CTE.strip()},
+dns AS (
+  SELECT host,
+         CAST((ascii(substr(md5(host), 1, 1)) * 16 + ascii(substr(md5(host), 2, 1))) % 16 AS INT) AS ip_id
+  FROM (SELECT DISTINCT host FROM urls)
+),
+keyed AS (
+  SELECT u.url, u.host, '10.0.0.' || CAST(d.ip_id AS VARCHAR) AS ip,
+         (d.ip_id % 5 = 0) AS is_cdn,
+         CASE WHEN d.ip_id % 5 = 0 THEN 'h:' || u.host
+              ELSE 'ip:10.0.0.' || CAST(d.ip_id AS VARCHAR) END AS sched_key,
+         u.priority,
+         CAST(CASE WHEN d.ip_id % 5 = 0 THEN 4 ELSE 2 + (d.ip_id % 3) END AS INT) AS quota
+  FROM urls u JOIN dns d ON u.host = d.host
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sched_key ORDER BY priority DESC, url) - 1 AS rk
+  FROM keyed
+)
+SELECT url, host, ip, is_cdn, sched_key, priority, quota,
+       CAST(FLOOR(rk * 1.0 / quota) AS INT) AS crawl_round,
+       CAST(rk % quota AS INT) AS seq_in_round
+FROM ranked
+""",
+        "scd2_history": """
+WITH tick AS (
+  SELECT user_id AS entity, ts, event_type AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events
+),
+obs AS (SELECT entity, ts, value FROM tick WHERE rn = 1),
+changed AS (
+  SELECT entity, ts AS valid_from, value,
+         LAG(value) OVER (PARTITION BY entity ORDER BY ts) AS prev
+  FROM obs
+  QUALIFY prev IS NULL OR value <> prev
+)
+SELECT entity, value, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY entity ORDER BY valid_from) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY entity ORDER BY valid_from) AS INT) AS version,
+       LEAD(valid_from) OVER (PARTITION BY entity ORDER BY valid_from) IS NULL AS is_current
+FROM changed
+""",
+        "template_clusters": f"""
+WITH {_corpus_oracle_tables()},
+sk AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract_all(lower(CASE WHEN substring(upper(hex(html)), 1, 2) = '3C'
+                                       THEN decode(html) ELSE '' END),
+                            '<([a-z][a-z0-9]*)', 1) AS tags
+  FROM c_pages WHERE substring(upper(hex(html)), 1, 2) = '3C'
+)
+SELECT host, md5(array_to_string(tags, ',')) AS skeleton_sig,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(url) AS rep_url,
+       CAST(MIN(len(tags)) AS INT) AS n_tags,
+       CAST(MIN(len(list_distinct(tags))) AS INT) AS n_uniq_tags
+FROM sk GROUP BY host, md5(array_to_string(tags, ','))
+""",
         # multimodal twins: the stub decode is md5-hexchar arithmetic,
         # so DuckDB recomputes frame fan-out and resize dims exactly
         "frame_sample": """
