@@ -4559,7 +4559,91 @@ def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the shared skew diagnostician (operators/skew.py): measure the
+    # shuffle-key distribution, prescribe per-key salt counts. Input
+    # reproduces CDN/shared-hosting collapse: two virtual hubs absorb
+    # 8 hosts each -> ~8x the p95 key load
+    from sandcrawler_spark.operators.skew import skew_advisor
+
+    u = _urls(spark, sf_dir)
+    key = (
+        F.when(F.col("site_id") % 7 == 0, F.lit("hub.example.com"))
+        .when(F.col("site_id") % 7 == 1, F.lit("mirror.example.com"))
+        .otherwise(F.col("host"))
+    )
+    # q=900 not the 950 default: at sf-test scale there are only ~38
+    # distinct keys, so the p95 position lands ON the two hot keys and
+    # the advisor would (correctly, but uselessly) see no skew. p90
+    # still sits inside the cold mass at any corpus size.
+    return skew_advisor(
+        u.select(key.alias("skew_host")), "skew_host", q_permille=900, skew_factor=4
+    )
+
+
+def q_warc_cdx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # archive integrity audit: FULL-OUTER reconcile the CDX index
+    # against the parsed WARC store at (path, offset) — phantom index
+    # rows, unindexed records, and digest corruption are injected
+    # deterministically and must be counted exactly per file. The
+    # operational check behind the reference's petabox addressing
+    # (ia.py fetch_petabox asserts digest/offset agreement per lookup;
+    # this is the corpus-wide batch form)
+    from sandcrawler_spark.sources.warcfmt import scan_warc_blobs
+
+    blobs, cdx = _warc_build(spark, sf_dir)
+    # index drift, all md5-deterministic: drop ~1/16 of entries
+    # (unindexed records), corrupt ~1/16 digests, add 10 phantoms
+    idx = cdx.filter(F.substring("digest", 1, 1) != "a").withColumn(
+        "digest",
+        F.when(F.substring("digest", 2, 1) == "b", F.md5("digest")).otherwise(
+            F.col("digest")
+        ),
+    )
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 210)
+    )
+    phantom = d.select(
+        F.concat(
+            F.lit("warc/part-"), (F.col("doc_id") % 8).cast("string"), F.lit(".warc")
+        ).alias("path"),
+        (F.lit(10_000_000) + F.col("doc_id")).cast("long").alias("offset"),
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.com/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.md5("text").alias("digest"),
+    )
+    idx = idx.unionByName(phantom)
+    parsed = scan_warc_blobs(blobs).select(
+        F.col("path").alias("s_path"), "rec_offset", "payload_md5"
+    )
+    j = idx.join(
+        parsed,
+        (idx["path"] == parsed["s_path"]) & (idx["offset"] == parsed["rec_offset"]),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("url").isNull(), F.lit("unindexed_record"))
+        .when(F.col("s_path").isNull(), F.lit("phantom_index"))
+        .when(F.col("digest") == F.col("payload_md5"), F.lit("ok"))
+        .otherwise(F.lit("digest_mismatch"))
+    )
+    return (
+        j.select(F.coalesce("path", "s_path").alias("warc_file"), status.alias("st"))
+        .groupBy("warc_file")
+        .agg(
+            F.sum(F.when(F.col("st") == "ok", 1).otherwise(0)).cast("long").alias("n_ok"),
+            F.sum(F.when(F.col("st") == "digest_mismatch", 1).otherwise(0)).cast("long").alias("n_digest_mismatch"),
+            F.sum(F.when(F.col("st") == "phantom_index", 1).otherwise(0)).cast("long").alias("n_phantom_index"),
+            F.sum(F.when(F.col("st") == "unindexed_record", 1).otherwise(0)).cast("long").alias("n_unindexed_record"),
+        )
+    )
+
+
 _STALE_FIRST = [
+    # round-4 session-13 additions — never driver-checked, sample first
+    "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
     "dhash_images", "audio_chunks", "cdn_politeness", "scd2_history",
     "template_clusters",
@@ -4628,6 +4712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "skew_advisor": q_skew_advisor,
+        "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
         "audio_chunks": q_audio_chunks,
         "cdn_politeness": q_cdn_politeness,
@@ -6274,6 +6360,79 @@ SELECT url FROM urls WHERE o_orderkey % 3 <> 0
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
         # value stringifier renders them differently
+        "skew_advisor": f"""
+WITH {_URLS_CTE.strip()},
+keyed AS (
+  SELECT CASE WHEN site_id % 7 = 0 THEN 'hub.example.com'
+              WHEN site_id % 7 = 1 THEN 'mirror.example.com'
+              ELSE host END AS skew_host
+  FROM urls
+),
+counts AS (SELECT skew_host, CAST(COUNT(*) AS BIGINT) AS n_rows FROM keyed GROUP BY skew_host),
+p90t AS (
+  SELECT n_rows AS p90 FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n_rows, skew_host)
+          = (SELECT (900 * COUNT(*) + 999) // 1000 FROM counts)
+)
+SELECT skew_host, n_rows,
+       CAST(p90 AS BIGINT) AS ref_rows,
+       CAST((n_rows * 100) // p90 AS BIGINT) AS ratio_centi,
+       CAST(least((n_rows + p90 - 1) // p90, 64) AS INT) AS n_salts
+FROM counts, p90t WHERE n_rows > 4 * p90
+""",
+        "warc_cdx_audit": """
+WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+rec AS (
+  SELECT doc_id, doc_id % 8 AS file_id,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         'HTTP/1.1 200 OK' || c || 'Content-Type: text/html' || c
+           || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR) || c || c || text AS http,
+         md5(text) AS digest
+  FROM documents, crlf WHERE doc_id < 200
+),
+rec2 AS (
+  SELECT doc_id, file_id, url, digest, strlen(http) AS http_len,
+         strlen('WARC/1.0' || c || 'WARC-Type: response' || c
+           || 'WARC-Target-URI: ' || url || c
+           || 'WARC-Date: 2020-01-01T00:00:00Z' || c
+           || 'WARC-Record-ID: <urn:md5:' || md5(url || ' 2020-01-01T00:00:00Z') || '>' || c
+           || 'Content-Type: application/http; msgtype=response' || c
+           || 'Content-Length: ' || CAST(strlen(http) AS VARCHAR) || c || c) AS head_len
+  FROM rec, crlf
+),
+store AS (
+  SELECT 'warc/part-' || CAST(file_id AS VARCHAR) || '.warc' AS path,
+         CAST(coalesce(SUM(head_len + http_len + 4) OVER (PARTITION BY file_id
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+         url, digest
+  FROM rec2
+),
+idx AS (
+  SELECT path, offset, url,
+         CASE WHEN substr(digest, 2, 1) = 'b' THEN md5(digest) ELSE digest END AS digest
+  FROM store WHERE substr(digest, 1, 1) <> 'a'
+  UNION ALL
+  SELECT 'warc/part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc',
+         CAST(10000000 + doc_id AS BIGINT),
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR),
+         md5(text)
+  FROM documents WHERE doc_id >= 200 AND doc_id < 210
+),
+j AS (
+  SELECT coalesce(i.path, s.path) AS warc_file,
+         CASE WHEN i.url IS NULL THEN 'unindexed_record'
+              WHEN s.path IS NULL THEN 'phantom_index'
+              WHEN i.digest = s.digest THEN 'ok'
+              ELSE 'digest_mismatch' END AS st
+  FROM idx i FULL OUTER JOIN store s ON i.path = s.path AND i.offset = s.offset
+)
+SELECT warc_file,
+       CAST(SUM(CASE WHEN st = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN st = 'digest_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_digest_mismatch,
+       CAST(SUM(CASE WHEN st = 'phantom_index' THEN 1 ELSE 0 END) AS BIGINT) AS n_phantom_index,
+       CAST(SUM(CASE WHEN st = 'unindexed_record' THEN 1 ELSE 0 END) AS BIGINT) AS n_unindexed_record
+FROM j GROUP BY warc_file
+""",
         # perceptual dHash twin: the 60-term bit expression is GENERATED
         # from the same constant plan in both engines (dhash_sql), so
         # they cannot drift
