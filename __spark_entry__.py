@@ -4641,7 +4641,42 @@ def q_warc_cdx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic functional redirect graph over dense customer
+    keys: node(k) -> node(k-1) when k%10 != 0 (chains of 1..9 hops
+    terminating at decade nodes), and decade nodes at k%50 == 0
+    redirect to node(k+3), closing a 4-cycle k -> k+3 -> k+2 -> k+1
+    -> k (every chain feeding those decades becomes a redirect loop)."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def node(expr):
+        return F.concat(F.lit("https://r.example.org/u/"), expr.cast("string"))
+
+    chain = c.filter(k % 10 != 0).select(
+        node(k).alias("src"), node(k - 1).alias("dst")
+    )
+    cyc = c.filter(k % 50 == 0).select(
+        node(k).alias("src"), node(k + 3).alias("dst")
+    )
+    return chain.unionByName(cyc)
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch redirect-chain closure: every observed redirect src
+    # resolved to its terminal landing URL via pointer jumping
+    # (O(log H) shuffles, not H sequential joins); loops and over-cap
+    # chains surface as final_url NULL / n_hops -1 — the index-side
+    # form of the reference's per-fetch hop loop + 'redirect-loop'
+    # verdict (ia.py redirect following, ingest.py hop caps)
+    from sandcrawler_spark.operators.redirects import resolve_redirects
+
+    return resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=32)
+
+
 _STALE_FIRST = [
+    # round-4 session-14 additions — never driver-checked, sample first
+    "redirect_resolution",
     # round-4 session-13 additions — never driver-checked, sample first
     "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
@@ -4712,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "redirect_resolution": q_redirect_resolution,
         "skew_advisor": q_skew_advisor,
         "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
@@ -6360,6 +6396,37 @@ SELECT url FROM urls WHERE o_orderkey % 3 <> 0
         # every aggregate is CAST to a fixed width: DuckDB SUM returns
         # HUGEINT/DECIMAL where Spark returns BIGINT, and the driver's
         # value stringifier renders them differently
+        # redirect closure: recursive walk with hop cap 32; a src
+        # whose walk never reaches a terminal node (cycle or over-cap
+        # chain) resolves to NULL / -1 — must match the Spark
+        # pointer-jumping semantics exactly
+        "redirect_resolution": """
+WITH RECURSIVE nodes AS (SELECT c_custkey AS k FROM customer),
+redges AS (
+  SELECT 'https://r.example.org/u/' || CAST(k AS VARCHAR) AS src,
+         'https://r.example.org/u/' || CAST(k - 1 AS VARCHAR) AS dst
+  FROM nodes WHERE k % 10 <> 0
+  UNION ALL
+  SELECT 'https://r.example.org/u/' || CAST(k AS VARCHAR),
+         'https://r.example.org/u/' || CAST(k + 3 AS VARCHAR)
+  FROM nodes WHERE k % 50 = 0
+),
+walk(src_url, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM redges
+  UNION ALL
+  SELECT w.src_url, e.dst, w.hops + 1
+  FROM walk w JOIN redges e ON e.src = w.cur
+  WHERE w.hops < 32
+),
+term AS (
+  SELECT w.src_url, w.cur, w.hops FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM redges e WHERE e.src = w.cur)
+)
+SELECT s.src AS src_url, t.cur AS final_url,
+       CAST(COALESCE(t.hops, -1) AS BIGINT) AS n_hops
+FROM (SELECT DISTINCT src FROM redges) s
+LEFT JOIN term t ON t.src_url = s.src
+""",
         "skew_advisor": f"""
 WITH {_URLS_CTE.strip()},
 keyed AS (

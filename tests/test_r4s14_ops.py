@@ -1,0 +1,62 @@
+"""Round-4 session-14 operators: redirect closure, fuzzy URL join,
+PMI token pairs, k-center coreset selection.
+
+Reference parity anchors:
+- redirect closure: batch/index-side form of the reference's per-fetch
+  redirect following + hop caps (reference python/sandcrawler/ia.py
+  redirect handling, ingest.py hop-cap 'redirect-loop' verdict).
+- fuzzy URL join: scalable form of the reference's fuzzy URL matching
+  (url_fuzzy_equal in python/sandcrawler/misc.py) — q-gram blocking
+  instead of pairwise comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.operators.redirects import resolve_redirects
+
+
+def _resolve(spark, edges, max_hops=32):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = resolve_redirects(df, max_hops=max_hops)
+    return {r["src_url"]: (r["final_url"], r["n_hops"]) for r in out.collect()}
+
+
+def test_redirects_simple_chain(spark):
+    got = _resolve(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": ("d", 3), "b": ("d", 2), "c": ("d", 1)}
+
+
+def test_redirects_cycle_and_feeder(spark):
+    # x -> y -> z -> x is a 3-cycle; w feeds into it; t terminates
+    got = _resolve(spark, [("x", "y"), ("y", "z"), ("z", "x"), ("w", "x"), ("t", "end")])
+    assert got["t"] == ("end", 1)
+    for n in ("x", "y", "z", "w"):
+        assert got[n] == (None, -1)
+
+
+def test_redirects_self_loop(spark):
+    got = _resolve(spark, [("s", "s"), ("a", "s")])
+    assert got["s"] == (None, -1)
+    assert got["a"] == (None, -1)
+
+
+def test_redirects_hop_cap_boundary(spark):
+    # chain of exactly 8 hops resolves under cap 8; under cap 4 the
+    # deep srcs exceed 2^ceil(log2(4)) = 4 hops and report -1
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(8)]  # n0..n7 -> n8
+    got = _resolve(spark, chain, max_hops=8)
+    assert got["n0"] == ("n8", 8)
+    assert got["n7"] == ("n8", 1)
+    got4 = _resolve(spark, chain, max_hops=4)
+    assert got4["n4"] == ("n8", 4)
+    assert got4["n0"] == (None, -1)
+
+
+def test_redirects_hops_exact_mid_chain(spark):
+    # every src reports its exact distance to the shared terminal
+    chain = [(f"m{i}", f"m{i + 1}") for i in range(6)]
+    got = _resolve(spark, chain)
+    for i in range(6):
+        assert got[f"m{i}"] == ("m6", 6 - i)
