@@ -4674,9 +4674,26 @@ def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(_redirect_edges(spark, sf_dir), max_hops=32)
 
 
+def q_fuzzy_url_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edit-distance<=2 join between a deterministically-corrupted seed
+    # list (one char overwritten) and the full frontier — the batch
+    # form of the reference's pairwise url_fuzzy_equal (misc.py).
+    # Blocking (prefix-filtered q-grams) is provably exact, so the
+    # oracle is the brute cross join + levenshtein filter
+    from sandcrawler_spark.operators.fuzzyjoin import fuzzy_join
+
+    u = _urls(spark, sf_dir)
+    seeds = u.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.concat(
+            F.substring("url", 1, 14), F.lit("x"), F.expr("substring(url, 16)")
+        ).alias("seed_url")
+    )
+    return fuzzy_join(seeds, u.select("url"), "seed_url", "url", k=2, q=3)
+
+
 _STALE_FIRST = [
     # round-4 session-14 additions — never driver-checked, sample first
-    "redirect_resolution",
+    "redirect_resolution", "fuzzy_url_join",
     # round-4 session-13 additions — never driver-checked, sample first
     "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
@@ -4748,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "redirect_resolution": q_redirect_resolution,
+        "fuzzy_url_join": q_fuzzy_url_join,
         "skew_advisor": q_skew_advisor,
         "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
@@ -6426,6 +6444,19 @@ SELECT s.src AS src_url, t.cur AS final_url,
        CAST(COALESCE(t.hops, -1) AS BIGINT) AS n_hops
 FROM (SELECT DISTINCT src FROM redges) s
 LEFT JOIN term t ON t.src_url = s.src
+""",
+        # fuzzy join: the Spark path blocks with exact prefix-filtered
+        # q-grams; the oracle is the brute-force definition it must
+        # equal — cross join + levenshtein
+        "fuzzy_url_join": f"""
+WITH {_URLS_CTE.strip()},
+seeds AS (
+  SELECT substr(url, 1, 14) || 'x' || substr(url, 16) AS seed_url
+  FROM urls WHERE o_orderkey % 100 = 0
+)
+SELECT s.seed_url, u.url, CAST(levenshtein(s.seed_url, u.url) AS INT) AS dist
+FROM seeds s, urls u
+WHERE levenshtein(s.seed_url, u.url) <= 2
 """,
         "skew_advisor": f"""
 WITH {_URLS_CTE.strip()},

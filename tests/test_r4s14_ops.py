@@ -54,6 +54,52 @@ def test_redirects_hop_cap_boundary(spark):
     assert got4["n0"] == (None, -1)
 
 
+def _brute_pairs(ls, rs, k):
+    def lev(a, b):
+        # classic DP, small strings only (test oracle)
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    return {(a, b, lev(a, b)) for a in ls for b in rs if lev(a, b) <= k}
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    from sandcrawler_spark.operators.fuzzyjoin import fuzzy_join
+
+    # long-enough strings (precondition: > k*q distinct grams) with
+    # planted 1- and 2-edit variants plus unrelated strings
+    base = [f"https://host{i}.example.org/path/to/page/{i * 7}" for i in range(30)]
+    variants = [b[:20] + "Z" + b[21:] for b in base[:10]]  # 1 sub
+    variants += [b[:20] + "Z" + b[22:] for b in base[10:20]]  # sub+del = 2
+    ldf = spark.createDataFrame([(v,) for v in variants], ["a"])
+    rdf = spark.createDataFrame([(b,) for b in base], ["b"])
+    got = {
+        (r["a"], r["b"], r["dist"])
+        for r in fuzzy_join(ldf, rdf, "a", "b", k=2, q=3).collect()
+    }
+    assert got == _brute_pairs(variants, base, 2)
+    assert len(got) >= 20  # every variant found its original
+
+
+def test_fuzzy_join_k1_excludes_2edit(spark):
+    from sandcrawler_spark.operators.fuzzyjoin import fuzzy_join
+
+    base = ["abcdefghijklmnopqrstuvwxyz0123456789"]
+    one = ["abcdefghijklmnopqrstuvwxyz012345678X"]
+    two = ["abcdefghijklmnopqrstuvwxyz01234567XY"]
+    ldf = spark.createDataFrame([(s,) for s in one + two], ["a"])
+    rdf = spark.createDataFrame([(s,) for s in base], ["b"])
+    got = {(r["a"], r["dist"]) for r in fuzzy_join(ldf, rdf, "a", "b", k=1).collect()}
+    assert got == {(one[0], 1)}
+
+
 def test_redirects_hops_exact_mid_chain(spark):
     # every src reports its exact distance to the shared terminal
     chain = [(f"m{i}", f"m{i + 1}") for i in range(6)]

@@ -115,6 +115,15 @@ AUDIT = [
     "lsh_tuning", "robots_coverage", "mixture_epochs", "cdx_export",
     "dup_cluster_histogram", "anchor_stuffing", "capture_coverage",
     "keep_longest_dedupe", "robots_delta",
+    # r4 session-11
+    "frame_sample", "media_resize", "ip_politeness", "crawl_lineage",
+    # r4 session-12
+    "dhash_images", "audio_chunks", "cdn_politeness", "scd2_history",
+    "template_clusters",
+    # r4 session-13
+    "skew_advisor", "warc_cdx_audit",
+    # r4 session-14
+    "redirect_resolution", "fuzzy_url_join",
 ]
 
 
