@@ -4691,9 +4691,28 @@ def q_fuzzy_url_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(seeds, u.select("url"), "seed_url", "url", k=2, q=3)
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc-level PMI collocations over the top-V vocabulary — phrase
+    # mining / tokenizer-merge-candidate statistic; vocab-bounded pair
+    # expansion, integer micro-nat scores
+    from sandcrawler_spark.operators.collocations import pmi_pairs
+
+    return pmi_pairs(_t(spark, sf_dir, "documents"), top_v=1000, min_pair=5)
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy k-center (farthest-point traversal) diversity coreset
+    # over embeddings — k narrow passes + TakeOrdered argmin; the
+    # k-row result is driver-assembled (like seed_cover), so it is
+    # excluded from the plan audit
+    from sandcrawler_spark.operators.kcenter import kcenter_select
+
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 _STALE_FIRST = [
     # round-4 session-14 additions — never driver-checked, sample first
-    "redirect_resolution", "fuzzy_url_join",
+    "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     # round-4 session-13 additions — never driver-checked, sample first
     "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
@@ -4766,6 +4785,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
+        "pmi_pairs": q_pmi_pairs,
+        "kcenter_select": q_kcenter_select,
         "skew_advisor": q_skew_advisor,
         "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
@@ -4992,6 +5013,40 @@ def _sql_cos(a: str, b: str, digits: int = 6) -> str:
         f" / (sqrt(list_reduce(list_transform({a}, t -> t * t), (x, y) -> x + y))"
         f" * sqrt(list_reduce(list_transform({b}, t -> t * t), (x, y) -> x + y))), {digits})"
     )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Greedy k-center twin: k-1 unrolled select/update CTE rounds with
+    the engine's exact determinism contract — round(cos, 6) left-fold
+    (same FP op order via _sql_cos), argmin on (ms, vec_id), seed =
+    min vec_id, far_cos -2.0 sentinel for the seed."""
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prev_m = f"m{r - 1}"
+        prev_src = "e" if r == 2 else f"m{r - 2}"
+        prev_ms = "-2.0" if r == 2 else f"m.ms"
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        ctes.append(
+            f"{prev_m} AS (SELECT m.vec_id, m.v, "
+            f"GREATEST({prev_ms}, {_sql_cos('m.v', 'c.v')}) AS ms "
+            f"FROM {prev_src} m, s{r - 1} c)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT vec_id, v, ms FROM {prev_m} "
+            f"WHERE vec_id NOT IN ({sel_union}) "
+            f"ORDER BY ms ASC, vec_id ASC LIMIT 1)"
+        )
+    rows = ["SELECT CAST(1 AS INT) AS sel_rank, (SELECT vec_id FROM s1) AS vec_id, CAST(-2.0 AS DOUBLE) AS far_cos"]
+    rows += [
+        f"SELECT CAST({r} AS INT), (SELECT vec_id FROM s{r}), CAST((SELECT ms FROM s{r}) AS DOUBLE)"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(rows)
 
 
 def _ann_recall_oracle(n_q: int = 20, k: int = 5, n_planes: int = 4,
@@ -6444,6 +6499,35 @@ SELECT s.src AS src_url, t.cur AS final_url,
        CAST(COALESCE(t.hops, -1) AS BIGINT) AS n_hops
 FROM (SELECT DISTINCT src FROM redges) s
 LEFT JOIN term t ON t.src_url = s.src
+""",
+        "kcenter_select": _kcenter_oracle(8),
+        "pmi_pairs": """
+WITH t AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM documents)
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+v AS (
+  SELECT term, n_term FROM (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_term,
+           row_number() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rk
+    FROM t GROUP BY term) WHERE rk <= 1000
+),
+vt AS (SELECT t.doc_id, t.term, v.n_term FROM t JOIN v USING (term)),
+p AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.n_term AS n_a, b.n_term AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 5
+)
+SELECT term_a, term_b, n_ab, n_a, n_b,
+       CAST(round(1000000.0 * ln(
+           (CAST(n_ab AS DOUBLE) * (SELECT n FROM nd))
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))) AS BIGINT) AS pmi_micro
+FROM p
 """,
         # fuzzy join: the Spark path blocks with exact prefix-filtered
         # q-grams; the oracle is the brute-force definition it must

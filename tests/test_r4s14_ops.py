@@ -106,3 +106,95 @@ def test_redirects_hops_exact_mid_chain(spark):
     got = _resolve(spark, chain)
     for i in range(6):
         assert got[f"m{i}"] == ("m6", 6 - i)
+
+
+def test_pmi_pairs_hand_computed(spark):
+    import math
+
+    from sandcrawler_spark.operators.collocations import pmi_pairs
+
+    # a in 4 docs, b in 3, both in 2; c rides along everywhere
+    docs = [
+        (0, "a b c"), (1, "a b c"), (2, "a c"), (3, "a c"),
+        (4, "b c"), (5, "c"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["pmi_micro"])
+        for r in pmi_pairs(df, top_v=10, min_pair=2).collect()
+    }
+    assert got[("a", "b")] == (2, 4, 3, round(1e6 * math.log(2 * 6 / (4 * 3))))
+    assert got[("a", "c")] == (4, 4, 6, round(1e6 * math.log(4 * 6 / (4 * 6))))
+    assert got[("b", "c")] == (3, 3, 6, round(1e6 * math.log(3 * 6 / (3 * 6))))
+
+
+def test_pmi_top_v_restricts_vocab(spark):
+    from sandcrawler_spark.operators.collocations import pmi_pairs
+
+    # top-2 vocab by doc freq = c (4 docs) and a (3); b excluded
+    docs = [(0, "a b c"), (1, "a b c"), (2, "a c"), (3, "c")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {(r["term_a"], r["term_b"]) for r in pmi_pairs(df, top_v=2, min_pair=1).collect()}
+    assert pairs == {("a", "c")}
+
+
+def _brute_kcenter(vecs, k):
+    # numpy twin with the engine's contract: round(cos, 6), argmin
+    # (ms, id), seed = min id
+    import numpy as np
+
+    ids = sorted(vecs)
+    sel = [ids[0]]
+    out = [(1, ids[0], -2.0)]
+    ms = {i: -2.0 for i in ids}
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for rank in range(2, k + 1):
+        c = vecs[sel[-1]]
+        for i in ids:
+            ms[i] = max(ms[i], cos(vecs[i], c))
+        nxt = min((i for i in ids if i not in sel), key=lambda i: (ms[i], i))
+        out.append((rank, nxt, ms[nxt]))
+        sel.append(nxt)
+    return out
+
+
+def test_kcenter_matches_brute_force(spark):
+    from sandcrawler_spark.operators.kcenter import kcenter_select
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).tolist() for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["sel_rank"], r["vec_id"], r["far_cos"])
+        for r in kcenter_select(df, k=6).orderBy("sel_rank").collect()
+    ]
+    # float32 storage: brute twin must read back the same float32 values
+    f32 = {i: np.asarray(v, np.float32).tolist() for i, v in vecs.items()}
+    want = _brute_kcenter(f32, 6)
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+
+
+def test_kcenter_picks_spread_points(spark):
+    from sandcrawler_spark.operators.kcenter import kcenter_select
+
+    # three orthogonal directions + jitter copies: the first three
+    # selections must cover all three directions
+    base = {0: [1, 0, 0], 10: [0, 1, 0], 20: [0, 0, 1]}
+    rows = []
+    for bid, v in base.items():
+        for j in range(5):
+            rows.append((bid + j, [x + (0.01 * j if x else 0.0) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sel = [r["vec_id"] for r in kcenter_select(df, k=3).orderBy("sel_rank").collect()]
+    assert {i // 10 for i in sel} == {0, 1, 2}

@@ -122,8 +122,9 @@ AUDIT = [
     "template_clusters",
     # r4 session-13
     "skew_advisor", "warc_cdx_audit",
-    # r4 session-14
-    "redirect_resolution", "fuzzy_url_join",
+    # r4 session-14 (kcenter_select excluded: k-row driver-assembled
+    # relation like seed_cover)
+    "redirect_resolution", "fuzzy_url_join", "pmi_pairs",
 ]
 
 
