@@ -4710,9 +4710,37 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_cache_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9111 revalidation plan from synthesized caching headers: the
+    # Spark path PARSES real Cache-Control strings (delimiter-guarded
+    # directive regexps); the oracle derives the expected plan from
+    # the generator arms — parser parity, not parse-replay
+    from sandcrawler_spark.functions.cachectl import cache_plan_cols
+
+    u = _urls(spark, sf_dir)
+    k = F.col("o_orderkey")
+    fetched = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long") * 86400)
+    cc = (
+        F.when(k % 6 == 0, F.lit("public, max-age=3600"))
+        .when(k % 6 == 1, F.lit("no-store"))
+        .when(k % 6 == 2, F.lit("no-cache, private"))
+        .when(k % 6 == 3, F.lit(""))
+        .when(k % 6 == 4, F.lit("max-age=0, must-revalidate"))
+        .otherwise(F.lit("public"))
+    )
+    expires = F.when(k % 4 == 0, fetched + F.lit(172800).cast("long"))
+    etag = F.when(k % 3 == 0, F.md5("url"))
+    lm = F.when(k % 5 == 0, fetched - F.lit(2592000).cast("long"))
+    return u.select(
+        "url",
+        *cache_plan_cols(cc, fetched, expires, etag, lm),
+    )
+
+
 _STALE_FIRST = [
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
+    "cache_headers",
     # round-4 session-13 additions — never driver-checked, sample first
     "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
@@ -4787,6 +4815,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
         "kcenter_select": q_kcenter_select,
+        "cache_headers": q_cache_headers,
         "skew_advisor": q_skew_advisor,
         "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
@@ -6500,6 +6529,40 @@ SELECT s.src AS src_url, t.cur AS final_url,
 FROM (SELECT DISTINCT src FROM redges) s
 LEFT JOIN term t ON t.src_url = s.src
 """,
+        # cache plan twin derived from the generator ARMS (k mod
+        # classes), not by re-parsing the header strings — if the Spark
+        # parser misreads a directive, the hash diverges
+        "cache_headers": f"""
+WITH {_URLS_CTE.strip()},
+h AS (
+  SELECT url, o_orderkey AS k,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) * 86400 AS fetched
+  FROM urls
+),
+plan AS (
+  SELECT url, k, fetched,
+         CASE
+           WHEN k % 6 = 1 THEN 'no_store'
+           WHEN k % 6 = 2 THEN 'revalidate'
+           WHEN k % 6 = 4 THEN 'revalidate'
+           WHEN k % 6 = 0 THEN 'fresh'
+           WHEN k % 4 = 0 THEN 'fresh'
+           WHEN k % 5 = 0 THEN 'heuristic'
+           ELSE 'no_policy' END AS verdict,
+         CASE
+           WHEN k % 6 IN (1, 2, 4) THEN 0
+           WHEN k % 6 = 0 THEN 3600
+           WHEN k % 4 = 0 THEN 172800
+           WHEN k % 5 = 0 THEN 259200
+           ELSE 0 END AS ttl0
+  FROM h
+)
+SELECT url, CAST(ttl0 AS BIGINT) AS ttl_s,
+       CAST(fetched + ttl0 AS BIGINT) AS stale_epoch,
+       (k % 3 = 0 OR k % 5 = 0) AS cond_get,
+       verdict
+FROM plan
+""",
         "kcenter_select": _kcenter_oracle(8),
         "pmi_pairs": """
 WITH t AS (
@@ -6585,12 +6648,12 @@ rec2 AS (
 store AS (
   SELECT 'warc/part-' || CAST(file_id AS VARCHAR) || '.warc' AS path,
          CAST(coalesce(SUM(head_len + http_len + 4) OVER (PARTITION BY file_id
-                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
          url, digest
   FROM rec2
 ),
 idx AS (
-  SELECT path, offset, url,
+  SELECT path, "offset", url,
          CASE WHEN substr(digest, 2, 1) = 'b' THEN md5(digest) ELSE digest END AS digest
   FROM store WHERE substr(digest, 1, 1) <> 'a'
   UNION ALL
@@ -6606,7 +6669,7 @@ j AS (
               WHEN s.path IS NULL THEN 'phantom_index'
               WHEN i.digest = s.digest THEN 'ok'
               ELSE 'digest_mismatch' END AS st
-  FROM idx i FULL OUTER JOIN store s ON i.path = s.path AND i.offset = s.offset
+  FROM idx i FULL OUTER JOIN store s ON i.path = s.path AND i."offset" = s."offset"
 )
 SELECT warc_file,
        CAST(SUM(CASE WHEN st = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,

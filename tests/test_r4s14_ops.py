@@ -185,6 +185,44 @@ def test_kcenter_matches_brute_force(spark):
         assert abs(a - b) < 1e-9
 
 
+def test_cache_plan_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.cachectl import cache_plan_cols
+
+    rows = [
+        # (cc, fetched, expires, etag, lm) -> expected (ttl, verdict, cond)
+        ("public, max-age=3600", 1000, None, None, None, 3600, "fresh", False),
+        ("no-store", 1000, 5000, "e", None, 0, "no_store", True),
+        ("no-cache, private", 1000, 5000, None, None, 0, "revalidate", False),
+        ("max-age=0, must-revalidate", 1000, None, None, 500, 0, "revalidate", True),
+        ("public", 1000, 87400, None, None, 86400, "fresh", False),
+        ("", 1000, None, None, 0, 100, "heuristic", True),
+        ("", 1000, None, None, None, 0, "no_policy", False),
+        # stale Expires clamps to 0 but stays 'fresh' policy class
+        ("public", 1000, 500, None, None, 0, "fresh", False),
+        # max-age wins over Expires; must-revalidate with ttl>0 is fresh
+        ("max-age=10, must-revalidate", 1000, 99999, None, None, 10, "fresh", False),
+        # token guard: 'no-cachex' is NOT no-cache
+        ("no-cachex, max-age=7", 1000, None, None, None, 7, "fresh", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, cc, f, ex, et, lm) for i, (cc, f, ex, et, lm, *_ ) in enumerate(rows)],
+        "i int, cc string, fetched long, expires long, etag string, lm long",
+    )
+    got = {
+        r["i"]: (r["ttl_s"], r["verdict"], r["cond_get"], r["stale_epoch"])
+        for r in df.select(
+            "i",
+            *cache_plan_cols(
+                F.col("cc"), F.col("fetched"), F.col("expires"), F.col("etag"), F.col("lm")
+            ),
+        ).collect()
+    }
+    for i, (_, f, _, _, _, ttl, verdict, cond) in enumerate(rows):
+        assert got[i] == (ttl, verdict, cond, f + ttl), (i, got[i])
+
+
 def test_kcenter_picks_spread_points(spark):
     from sandcrawler_spark.operators.kcenter import kcenter_select
 

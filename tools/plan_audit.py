@@ -124,7 +124,7 @@ AUDIT = [
     "skew_advisor", "warc_cdx_audit",
     # r4 session-14 (kcenter_select excluded: k-row driver-assembled
     # relation like seed_cover)
-    "redirect_resolution", "fuzzy_url_join", "pmi_pairs",
+    "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "cache_headers",
 ]
 
 
