@@ -4737,10 +4737,81 @@ def q_cache_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subdomain_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wildcard-DNS trap detection: example.com carries 50 minted
+    # 'siteN' hostnames (one digit-template -> trap); example.org
+    # carries ~62 organic part-name hostnames (full template
+    # diversity -> clean). PSL domain lift is broadcast-only
+    from sandcrawler_spark.operators.traps import subdomain_traps
+
+    minted = _urls(spark, sf_dir).select("host")
+    organic = _t(spark, sf_dir, "part").select(
+        F.concat(
+            F.regexp_replace(F.lower(F.col("p_name")), r"\s+", "-"),
+            F.lit(".example.org"),
+        ).alias("host")
+    )
+    return subdomain_traps(minted.unionByName(organic), min_hosts=20)
+
+
+def q_nepotistic_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Davison-style same-IP link discounting over the host graph:
+    # ownership links (both endpoints on one stub-resolved address)
+    # split out of the endorsement out-weight per source host
+    from sandcrawler_spark.operators.linkgraph import host_graph, nepotistic_links
+
+    return nepotistic_links(host_graph(_outlink_edges(spark, sf_dir)), n_ips=16)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive-pair mining: per anchor the top-5 corpus rows inside
+    # the cosine band [0.30, 0.95) — hard-but-not-positive negatives
+    # for retrieval training; two-level exact top-k, band pre-filter
+    from sandcrawler_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return hard_negatives(anchors, e, k=5, lo=0.30, hi=0.95)
+
+
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding-declaration QA: the Spark path PARSES real bytes (BOM
+    # hex, meta regexp over a try_validate_utf8 head, Content-Type
+    # param) while the oracle derives the expectation from the
+    # generator arms — WHATWG precedence BOM > header > meta
+    from sandcrawler_spark.functions.charset import charset_cols
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    meta = (
+        F.when(k % 4 == 0, F.lit('<meta charset="utf-8">'))
+        .when(
+            k % 4 == 1,
+            F.lit('<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">'),
+        )
+        .when(k % 4 == 2, F.lit(""))
+        .otherwise(F.lit("<meta charset=cp1252>"))
+    )
+    ctype = (
+        F.when(k % 3 == 0, F.lit("text/html; charset=UTF-8"))
+        .when(k % 3 == 1, F.lit("text/html"))
+        .otherwise(F.lit("text/html; charset=latin1"))
+    )
+    bom = F.when(k % 5 == 0, F.lit("\ufeff")).otherwise(F.lit(""))
+    body = F.encode(
+        F.concat(bom, F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")),
+        "utf-8",
+    )
+    return d.select("doc_id", *charset_cols(body, ctype))
+
+
 _STALE_FIRST = [
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
-    "cache_headers",
+    "cache_headers", "subdomain_traps", "nepotistic_links",
+    "hard_negatives", "charset_sniff",
     # round-4 session-13 additions — never driver-checked, sample first
     "skew_advisor", "warc_cdx_audit",
     # round-4 session-12 additions — never driver-checked, sample first
@@ -4816,6 +4887,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "kcenter_select": q_kcenter_select,
         "cache_headers": q_cache_headers,
+        "subdomain_traps": q_subdomain_traps,
+        "nepotistic_links": q_nepotistic_links,
+        "hard_negatives": q_hard_negatives,
+        "charset_sniff": q_charset_sniff,
         "skew_advisor": q_skew_advisor,
         "warc_cdx_audit": q_warc_cdx_audit,
         "dhash_images": q_dhash_images,
@@ -6528,6 +6603,99 @@ SELECT s.src AS src_url, t.cur AS final_url,
        CAST(COALESCE(t.hops, -1) AS BIGINT) AS n_hops
 FROM (SELECT DISTINCT src FROM redges) s
 LEFT JOIN term t ON t.src_url = s.src
+""",
+        # charset QA twin derived from the generator ARMS with the
+        # same WHATWG precedence logic — never re-parses bytes
+        "charset_sniff": """
+WITH arms AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'utf-8' END AS bom_cs,
+         CASE WHEN doc_id % 4 = 0 THEN 'utf-8'
+              WHEN doc_id % 4 = 1 THEN 'iso-8859-1'
+              WHEN doc_id % 4 = 3 THEN 'windows-1252' END AS meta_cs,
+         CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+              WHEN doc_id % 3 = 2 THEN 'iso-8859-1' END AS header_cs
+  FROM documents
+)
+SELECT doc_id, bom_cs, meta_cs, header_cs,
+       COALESCE(bom_cs, header_cs, meta_cs, 'windows-1252') AS effective_cs,
+       CASE WHEN bom_cs IS NOT NULL AND header_cs IS NOT NULL AND bom_cs <> header_cs
+              THEN 'bom_header_conflict'
+            WHEN meta_cs IS NOT NULL AND header_cs IS NOT NULL AND meta_cs <> header_cs
+              THEN 'meta_header_conflict'
+            WHEN bom_cs IS NULL AND header_cs IS NULL AND meta_cs IS NULL
+              THEN 'undeclared'
+            ELSE 'consistent' END AS verdict
+FROM arms
+""",
+        "hard_negatives": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10
+), sims AS (
+  SELECT q.q_id, e.vec_id, {_sql_cos('e.v', 'q.qv')} AS cosine
+  FROM e, q
+), banded AS (
+  SELECT * FROM sims
+  WHERE cosine >= 0.30 AND cosine < 0.95 AND q_id <> vec_id
+)
+SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM banded
+) WHERE rank <= 5
+""",
+        "nepotistic_links": f"""
+{link_base},
+nhedges AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+    SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+    FROM link_edges)
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+),
+nep AS (
+  SELECT src_host, weight,
+         ((ascii(substr(md5(src_host), 1, 1)) * 16 + ascii(substr(md5(src_host), 2, 1))) % 16)
+         = ((ascii(substr(md5(dst_host), 1, 1)) * 16 + ascii(substr(md5(dst_host), 2, 1))) % 16) AS same
+  FROM nhedges
+)
+SELECT src_host,
+       CAST(SUM(weight) AS BIGINT) AS out_weight,
+       CAST(SUM(CASE WHEN same THEN weight ELSE 0 END) AS BIGINT) AS same_ip_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_out_hosts,
+       CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_same_ip_hosts,
+       CAST(CAST(1000000 AS BIGINT) * SUM(CASE WHEN same THEN weight ELSE 0 END)
+            // SUM(weight) AS BIGINT) AS nepotism_ppm,
+       CAST(SUM(weight) - SUM(CASE WHEN same THEN weight ELSE 0 END) AS BIGINT) AS clean_out_weight
+FROM nep GROUP BY src_host
+""",
+        "subdomain_traps": f"""
+WITH {_URLS_CTE.strip()},
+allh AS (
+  SELECT host FROM urls
+  UNION ALL
+  SELECT regexp_replace(lower(p_name), '\\s+', '-', 'g') || '.example.org' AS host FROM part
+),
+hh AS (
+  SELECT host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+         COUNT(*) AS n_urls
+  FROM allh GROUP BY 1, 2
+),
+tt AS (
+  SELECT domain, host, n_urls,
+         regexp_replace(
+           CASE WHEN host = domain THEN ''
+                ELSE substr(host, 1, strlen(host) - strlen(domain) - 1) END,
+           '[0-9]+', 'D', 'g') AS template
+  FROM hh
+)
+SELECT domain AS registered_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT template) AS BIGINT) AS n_templates,
+       (COUNT(*) >= 20 AND COUNT(DISTINCT template) * 1000000 <= COUNT(*) * 100000) AS is_trap
+FROM tt GROUP BY domain
 """,
         # cache plan twin derived from the generator ARMS (k mod
         # classes), not by re-parsing the header strings — if the Spark

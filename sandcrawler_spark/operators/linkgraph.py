@@ -2045,3 +2045,51 @@ def anchor_stuffing(
             "top_share_ppm", "stuffed",
         )
     )
+
+
+def nepotistic_links(host_edges: DataFrame, n_ips: int = 16) -> DataFrame:
+    """Davison'00 nepotistic-link detection at host granularity: an
+    outlink whose endpoints resolve to the same server address conveys
+    ownership, not endorsement — link farms hosted on one box fabricate
+    rank mass that PageRank/HITS would otherwise honor. Per source
+    host: weighted out-degree, the same-IP slice of it, nepotism share
+    in ppm, and the discounted (clean) out-weight the rank iterations
+    should use instead.
+
+    Resolution here is the deterministic stub resolver
+    (operators/ipschedule.py resolve_ip_col) applied per endpoint as a
+    pure codegen expression — with a real resolver this becomes two
+    broadcast joins against the host→ip dimension (hosts ~10^7: well
+    inside broadcast range). Either way the edge stream is touched
+    once, then ONE src_host-keyed aggregate on the already host-scale
+    graph. No windows, no Python.
+    """
+    from sandcrawler_spark.operators.ipschedule import resolve_ip_col
+
+    e = host_edges.select(
+        "src_host",
+        "weight",
+        (
+            resolve_ip_col(F.col("src_host"), n_ips)
+            == resolve_ip_col(F.col("dst_host"), n_ips)
+        ).alias("_same"),
+    )
+    w = F.col("weight").cast("long")
+    agg = e.groupBy("src_host").agg(
+        F.sum(w).cast("long").alias("out_weight"),
+        F.sum(F.when(F.col("_same"), w).otherwise(F.lit(0))).cast("long").alias("same_ip_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_out_hosts"),
+        F.sum(F.when(F.col("_same"), 1).otherwise(0)).cast("long").alias("n_same_ip_hosts"),
+    )
+    # integer div (not float-divide-then-cast): exact past 2^53
+    return agg.select(
+        "src_host",
+        "out_weight",
+        "same_ip_weight",
+        "n_out_hosts",
+        "n_same_ip_hosts",
+        F.expr(
+            "CAST(1000000 AS BIGINT) * same_ip_weight div out_weight"
+        ).alias("nepotism_ppm"),
+        (F.col("out_weight") - F.col("same_ip_weight")).alias("clean_out_weight"),
+    )

@@ -550,3 +550,59 @@ def host_topic_affinity(
         )
         .alias("affinity"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    lo: float = 0.30,
+    hi: float = 0.95,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-pair mining: per anchor the top-k most-similar
+    corpus rows INSIDE a cosine band [lo, hi) — similar enough to be
+    hard (above random-pair similarity), dissimilar enough not to be a
+    positive/near-duplicate (below the dedup threshold). The standard
+    negatives mined for training retrieval/embedding models (DPR/ANCE
+    practice) — the curation op that sits between ANN search (takes
+    the TOP, including positives) and semantic dedupe (REMOVES the
+    top).
+
+    Same scale shape as knn_join (broadcast anchors, two-level exact
+    top-k — no single-task-per-query window), with the band filter
+    applied BEFORE ranking so the level-1 state is only banded rows.
+    Self-pairs (anchor drawn from the corpus) are excluded by id.
+    Rounded-cosine compare + id tie-break keeps it layout-independent
+    and oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    j = embeddings.join(F.broadcast(queries))
+    sim = F.round(cosine_sim_col(F.col(vec_col), F.col(q_vec)), 6)
+    scored = (
+        j.select(
+            F.col(q_id),
+            F.col(id_col),
+            sim.alias("cosine"),
+            F.spark_partition_id().alias("_part"),
+        )
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+        .filter(F.col(q_id) != F.col(id_col))
+    )
+    order = (F.desc("cosine"), F.asc(id_col))
+    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
+    partial = (
+        scored.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_part")
+    )
+    w2 = Window.partitionBy(q_id).orderBy(*order)
+    return (
+        partial.drop("_rn")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -262,3 +262,65 @@ def host_branching(
             ).alias("branching_ppm"),
         )
     )
+
+
+def subdomain_traps(
+    df: DataFrame,
+    host_col: str = "host",
+    min_hosts: int = 20,
+    max_template_ratio_ppm: int = 100_000,
+) -> DataFrame:
+    """Wildcard-DNS / subdomain-explosion trap detection per registered
+    domain.
+
+    url_template_col / detect_traps bound the URL space WITHIN a host;
+    a wildcard-DNS spam farm instead mints unbounded HOSTNAMES
+    ({x}.farm.example serving one template each), so the per-host view
+    never sees the explosion. Signal: a registered domain with many
+    distinct hostnames whose subdomain labels collapse to few shape
+    templates (digit runs wildcarded, the detect_traps convention) —
+    organic subdomain sets (product names, country codes) keep
+    template diversity, minted ones don't.
+
+    Output per registered domain: (registered_domain, n_hosts, n_urls,
+    n_templates, is_trap) with is_trap = n_hosts >= min_hosts AND
+    templates/hosts <= max_template_ratio_ppm.
+
+    Scale shape at 10^10 URLs: first shuffle keys (domain, host) —
+    cardinality = #hostnames, with map-side partial counts absorbing
+    the per-host URL volume; the domain rollup then aggregates
+    host-table-sized input (a mega-domain's group is its hostname
+    count, not its URL count). Registered-domain extraction is the
+    broadcast-dimension PSL pass (functions/psl.py) — no shuffle on
+    the URL stream.
+    """
+    from sandcrawler_spark.functions.psl import with_registered_domain
+
+    d0 = with_registered_domain(df, host=host_col)
+    host = F.col(host_col)
+    dom = F.col("registered_domain")
+    label = F.when(host == dom, F.lit("")).otherwise(
+        F.substring(host, F.lit(1), F.length(host) - F.length(dom) - 1)
+    )
+    per_host = (
+        d0.filter(dom.isNotNull())
+        .select(
+            dom.alias("registered_domain"),
+            host.alias("_host"),
+            F.regexp_replace(label, r"[0-9]+", "D").alias("_template"),
+        )
+        .groupBy("registered_domain", "_host", "_template")
+        .agg(F.count(F.lit(1)).alias("_n_urls"))
+    )
+    return per_host.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("_n_urls").cast("long").alias("n_urls"),
+        F.countDistinct("_template").cast("long").alias("n_templates"),
+        (
+            (F.count(F.lit(1)) >= min_hosts)
+            & (
+                F.countDistinct("_template") * F.lit(1_000_000)
+                <= F.count(F.lit(1)) * F.lit(max_template_ratio_ppm)
+            )
+        ).alias("is_trap"),
+    )

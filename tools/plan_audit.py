@@ -49,6 +49,9 @@ ALLOW_BNLJ = {
     "ucb_frontier", "alloc_fairness",
     # 1-row totals crossJoin onto the synopsis-sized per-source table
     "mixture_epochs",
+    # anchor-set broadcast (the cosine_knn shape): ~10 query rows
+    # crossed un-keyed onto the corpus, banded + two-level top-k after
+    "hard_negatives",
 }
 
 AUDIT = [
@@ -125,6 +128,8 @@ AUDIT = [
     # r4 session-14 (kcenter_select excluded: k-row driver-assembled
     # relation like seed_cover)
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "cache_headers",
+    # r4 session-15
+    "subdomain_traps", "nepotistic_links", "hard_negatives", "charset_sniff",
 ]
 
 
