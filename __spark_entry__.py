@@ -4807,7 +4807,229 @@ def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *charset_cols(body, ctype))
 
 
+def _identifier_plant_col() -> F.Column:
+    """Deterministic scholarly-identifier planting: every doc gets a
+    DOI; subsets get valid AND checksum-broken arXiv/ISSN/ISBN-13/ORCID
+    ids, so the validation arithmetic is exercised both ways. The
+    check digits of the VALID plants are computed with the same
+    Catalyst arithmetic the extractor validates with — but the
+    extractor only ever sees the final string, so generation and
+    validation stay independent code paths over the same algorithm."""
+    from sandcrawler_spark.functions.identifiers import (
+        isbn13_check_col,
+        issn_check_col,
+        orcid_check_col,
+    )
+
+    did = F.col("doc_id")
+    s = did.cast("string")
+
+    def rot11(c):  # wrong-but-well-formed mod-11 check char
+        return (
+            F.when(c == "X", F.lit("0"))
+            .when(c == "9", F.lit("X"))
+            .otherwise((c.cast("int") + 1).cast("string"))
+        )
+
+    def rot10(c):
+        return F.when(c == "9", F.lit("0")).otherwise(
+            (c.cast("int") + 1).cast("string")
+        )
+
+    doi = F.concat(
+        F.lit(" doi:10."), (F.lit(1000) + did % 9000).cast("string"),
+        F.lit("/sc."), s,
+    )
+    arx_v = F.concat(
+        F.lit(" arXiv:24"), F.lpad((did % 12 + 1).cast("string"), 2, "0"),
+        F.lit("."), F.lpad((did % 100000).cast("string"), 5, "0"),
+    )
+    arx_bad = F.concat(F.lit(" arXiv:2413."), F.lpad((did % 100000).cast("string"), 5, "0"))
+    base7 = F.lpad((did % 10000000).cast("string"), 7, "0")
+    issn_body = F.concat(F.substring(base7, 1, 4), F.lit("-"), F.substring(base7, 5, 3))
+    issn_c = issn_check_col(issn_body)
+    isbn12 = F.concat(F.lit("978"), F.lpad((did % 1000000000).cast("string"), 9, "0"))
+    isbn_c = isbn13_check_col(isbn12)
+    orc15 = F.concat(F.lit("000"), F.lpad((did % 1000000000000).cast("string"), 12, "0"))
+    orc_body = F.concat(
+        F.substring(orc15, 1, 4), F.lit("-"), F.substring(orc15, 5, 4),
+        F.lit("-"), F.substring(orc15, 9, 4), F.lit("-"), F.substring(orc15, 13, 3),
+    )
+    orc_c = orcid_check_col(orc_body)
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    return F.concat(
+        F.col("text"),
+        doi,
+        opt(did % 2 == 0, arx_v),
+        opt(did % 13 == 0, arx_bad),
+        opt(did % 3 == 0, F.concat(F.lit(" ISSN "), issn_body, issn_c)),
+        opt(did % 5 == 0, F.concat(F.lit(" ISSN "), issn_body, rot11(issn_c))),
+        opt(did % 4 == 0, F.concat(F.lit(" ISBN "), isbn12, isbn_c)),
+        opt(did % 7 == 0, F.concat(F.lit(" ISBN "), isbn12, rot10(isbn_c))),
+        opt(did % 6 == 0, F.concat(F.lit(" https://orcid.org/"), orc_body, orc_c)),
+        opt(did % 11 == 0, F.concat(F.lit(" https://orcid.org/"), orc_body, rot11(orc_c))),
+    )
+
+
+def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MaxScore-pruned BM25 top-k over a common+rare term mix — the
+    # oracle is the EXACT BM25 twin (bm25_oracle_sql), so a green row
+    # is a machine-checked losslessness proof for the pruning
+    from sandcrawler_spark.functions.textstats import EN_STOPWORDS, tokens_col
+    from sandcrawler_spark.operators.search import maxscore_topk
+
+    d = _t(spark, sf_dir, "documents")
+    cnts = (
+        d.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("_cnt"))
+    )
+    common = (
+        cnts.filter(~F.col("term").isin(*EN_STOPWORDS))
+        .orderBy(F.col("_cnt").desc(), F.col("term").asc()).limit(2)
+    )
+    rare = (
+        cnts.filter(F.col("_cnt") >= 3)
+        .orderBy(F.col("_cnt").asc(), F.col("term").asc()).limit(2)
+    )
+    terms = common.select("term").union(rare.select("term"))
+    return maxscore_topk(d, terms, k=15)
+
+
+def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real byte-level image-header parsing (PNG IHDR / GIF screen
+    # descriptor / JPEG SOF0 scan) over synthesized binary blobs —
+    # encode and decode both run inside the engine, the oracle knows
+    # only the closed-form dims, so a decode-offset bug cannot pass.
+    # Header-only sniffing is the cheap pre-decode filter a 100 TB
+    # multimodal pass applies before ever paying a pixel codec.
+    from sandcrawler_spark.functions.imagebin import (
+        encode_image_header,
+        image_header_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fmt = (
+        F.when(did % 3 == 0, F.lit("png"))
+        .when(did % 3 == 1, F.lit("gif"))
+        .otherwise(F.lit("jpeg"))
+    )
+    width = (F.lit(1) + did % 512).cast("int")  # includes 1x1 tracking pixels
+    height = (F.lit(1) + did % 256).cast("int")
+    blobs = d.select(
+        "doc_id", encode_image_header(fmt, width, height).alias("content")
+    )
+    return image_header_stats(blobs)
+
+
+def q_identifier_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scholarly-identifier extraction with real check-digit validation
+    # (ISSN mod-11, ISBN-13 EAN mod-10, ORCID ISO 7064 11-2, arXiv
+    # month check) — the corpus-side linkage pass the reference routes
+    # its DOIs/ISSNs through grobid.py:71 / html_metadata.py meta tables
+    from sandcrawler_spark.functions.identifiers import (
+        extract_identifiers,
+        identifier_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _identifier_plant_col().alias("text")
+    )
+    return identifier_stats(extract_identifiers(d))
+
+
+def _identifier_extract_oracle() -> str:
+    from sandcrawler_spark.functions.identifiers import (
+        identifiers_oracle_sql,
+        isbn13_check_sql,
+        issn_check_sql,
+        orcid_check_sql,
+    )
+
+    def rot11(c):
+        return (
+            f"CASE WHEN {c} = 'X' THEN '0' WHEN {c} = '9' THEN 'X' "
+            f"ELSE CAST(CAST({c} AS INT) + 1 AS VARCHAR) END"
+        )
+
+    def rot10(c):
+        return (
+            f"CASE WHEN {c} = '9' THEN '0' "
+            f"ELSE CAST(CAST({c} AS INT) + 1 AS VARCHAR) END"
+        )
+
+    planted = f"""
+SELECT doc_id,
+  text
+  || ' doi:10.' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '/sc.' || CAST(doc_id AS VARCHAR)
+  || CASE WHEN doc_id % 2 = 0
+       THEN ' arXiv:24' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+            || '.' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+       ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+       THEN ' arXiv:2413.' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+       ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' ISSN ' || issn_body || {issn_check_sql("issn_body")}
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' ISSN ' || issn_body || {rot11(issn_check_sql("issn_body"))}
+       ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+       THEN ' ISBN ' || isbn12 || {isbn13_check_sql("isbn12")}
+       ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+       THEN ' ISBN ' || isbn12 || {rot10(isbn13_check_sql("isbn12"))}
+       ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+       THEN ' https://orcid.org/' || orc_body || {orcid_check_sql("orc_body")}
+       ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+       THEN ' https://orcid.org/' || orc_body || {rot11(orcid_check_sql("orc_body"))}
+       ELSE '' END
+  AS text
+FROM (
+  SELECT doc_id, text,
+         substring(base7, 1, 4) || '-' || substring(base7, 5, 3) AS issn_body,
+         '978' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0') AS isbn12,
+         substring(orc15, 1, 4) || '-' || substring(orc15, 5, 4) || '-'
+           || substring(orc15, 9, 4) || '-' || substring(orc15, 13, 3) AS orc_body
+  FROM (
+    SELECT doc_id, text,
+           lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') AS base7,
+           '000' || lpad(CAST(doc_id % 1000000000000 AS VARCHAR), 12, '0') AS orc15
+    FROM documents
+  )
+)
+""".strip()
+    return identifiers_oracle_sql(planted)
+
+
+_IMAGE_DIMS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'gif'
+              ELSE 'jpeg' END AS fmt,
+         CAST(1 + doc_id % 512 AS INT) AS width,
+         CAST(1 + doc_id % 256 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, fmt, width, height,
+       CAST(CASE fmt WHEN 'png' THEN 33 WHEN 'gif' THEN 13 ELSE 39 END AS INT)
+         AS n_bytes,
+       CAST(floor(width * 100.0 / height) AS INT) AS aspect_pct,
+       (width <= 2 AND height <= 2) AS is_pixel
+FROM dims
+""".strip()
+
+
 _STALE_FIRST = [
+    # round-4 session-16 additions — never driver-checked, sample first
+    "identifier_extract", "image_dims", "maxscore_topk",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -4882,6 +5104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "identifier_extract": q_identifier_extract,
+        "image_dims": q_image_dims,
+        "maxscore_topk": q_maxscore_topk,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -6850,6 +7075,32 @@ FROM j GROUP BY warc_file
         # from the same constant plan in both engines (dhash_sql), so
         # they cannot drift
         "dhash_images": _dhash_images_oracle(),
+        "identifier_extract": _identifier_extract_oracle(),
+        "image_dims": _IMAGE_DIMS_ORACLE,
+        # the exact-BM25 twin: equality == pruning-losslessness proof
+        "maxscore_topk": bm25_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            f"""
+SELECT term FROM (
+  WITH _ms_cnts AS (
+    SELECT term, COUNT(*) AS c FROM (
+      SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY term
+  )
+  SELECT term FROM (
+    SELECT term FROM _ms_cnts
+    WHERE term NOT IN ({", ".join("'" + s + "'" for s in EN_STOPWORDS)})
+    ORDER BY c DESC, term ASC LIMIT 2
+  )
+  UNION ALL
+  SELECT term FROM (
+    SELECT term FROM _ms_cnts WHERE c >= 3 ORDER BY c ASC, term ASC LIMIT 2
+  )
+)
+""",
+            k=15,
+        ),
         "audio_chunks": """
 WITH m AS (
   SELECT doc_id, md5(text) AS h,

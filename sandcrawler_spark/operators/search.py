@@ -433,3 +433,133 @@ def postings_compression(
             .alias("est_bytes"),
         )
     )
+
+
+def maxscore_topk(
+    df: DataFrame,
+    query_terms: DataFrame | list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    _counters: dict | None = None,
+) -> DataFrame:
+    """MaxScore-pruned BM25 top-k (Turtle & Flood 1995): provably the
+    SAME result as bm25_topk, reached without fully scoring every
+    matching document. The oracle for this operator IS the exact BM25
+    SQL twin — equality is the losslessness proof.
+
+    Batch re-expression of the classic posting-list algorithm:
+    1. per-term score ceiling UB_t = round(idf_t * (k1+1) * SCALE) + 1
+       — BM25's tf-saturation limit (contrib < idf*(k1+1) for any
+       tf/dl), computable from document frequency alone: no dl join,
+       no per-posting float math. +1 absorbs micro-rounding.
+    2. threshold theta = k-th best EXACT score among docs containing
+       the highest-ceiling term (a cheap, small candidate set —
+       distributed TakeOrdered, scalar via 1-row broadcast join).
+    3. prune: a doc whose integer sum(UB_t over matched terms) < theta
+       cannot enter the top-k (exact <= ceiling sum, theta <= true
+       k-th). Only survivors pay the dl join + idf/length float
+       scoring; at 100 TB with a common+rare term mix the pruned
+       fraction is the bulk of the postings.
+
+    The tf build scans everything regardless (that cost is shared
+    with bm25_topk); what pruning saves is the scoring join tree.
+    `_counters`, when provided, receives {'n_matching', 'n_scored'}
+    so tests can assert real pruning happened.
+    """
+    if isinstance(query_terms, (list, tuple)):
+        spark = df.sparkSession
+        qt = spark.createDataFrame([(t.lower(),) for t in query_terms], ["term"])
+    else:
+        qt = query_terms.select(F.lower(F.col("term")).alias("term"))
+    qt = qt.distinct()
+
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    ).join(F.broadcast(qt), on="term", how="inner")
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+    idf_expr = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # per-term ceiling from df alone (tiny relation: |query| rows)
+    ub = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            (F.round(idf_expr * F.lit(k1 + 1.0) * SCORE_SCALE).cast("long")
+             + F.lit(1)).alias("ub_micro"),
+        )
+    )
+
+    def _exact(tf_subset: DataFrame) -> DataFrame:
+        scored = (
+            tf_subset.join(F.broadcast(dfreq), on="term")
+            .join(docs, on="doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+        denom = F.col("tf") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+        )
+        contrib = idf_expr * (F.col("tf") * (F.lit(k1) + 1.0)) / denom
+        per_term = scored.select(
+            "doc_id", F.round(contrib * SCORE_SCALE).cast("long").alias("_micro")
+        )
+        return per_term.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("_micro").cast("long").alias("score_micro"),
+        )
+
+    # phase 1: exact scores for docs containing the highest-ceiling term
+    tstar = ub.orderBy(F.col("ub_micro").desc(), F.col("term").asc()).limit(1)
+    p1_ids = tf.join(F.broadcast(tstar.select("term")), on="term").select("doc_id")
+    p1 = _exact(tf.join(p1_ids, on="doc_id", how="leftsemi"))
+    theta = p1.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k).agg(
+        F.when(F.count("*") >= k, F.min("score_micro"))
+        .otherwise(F.lit(0)).cast("long").alias("theta")
+    )
+
+    # per-doc integer ceiling sum — no dl join, integer-only shuffle
+    doc_ub = (
+        tf.join(F.broadcast(ub), on="term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub_micro").cast("long").alias("ub_sum"))
+    )
+    survivors = (
+        doc_ub.crossJoin(F.broadcast(theta))
+        .filter(F.col("ub_sum") >= F.col("theta"))
+        .select("doc_id")
+        .union(p1_ids)
+        .distinct()
+    )
+    if _counters is not None:
+        _counters["n_matching"] = doc_ub.count()
+        _counters["n_scored"] = survivors.count()
+
+    agg = _exact(tf.join(survivors, on="doc_id", how="leftsemi"))
+    from pyspark.sql import Window
+
+    topk = agg.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "n_terms_hit",
+        "score_micro",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -1,0 +1,220 @@
+"""Round-4 session-16 operators: scholarly identifier extraction with
+real check-digit validation, binary image-header codec, lossless
+MaxScore-pruned top-k retrieval, HTML table/code-block extraction,
+TextRank keywords.
+
+Reference parity anchors:
+- identifiers: the DOIs/ISSNs/ISBNs the reference routes through
+  GROBID metadata (python/sandcrawler/grobid.py:71), PDF info dicts
+  (pdfextract.py:240), and the html_metadata.py citation_* meta-tag
+  tables — here validated with the published ISO check-digit
+  algorithms (ISSN mod-11, ISBN-13 EAN mod-10, ORCID ISO 7064 11-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.identifiers import (
+    extract_identifiers,
+    identifier_stats,
+)
+
+
+def _flags(spark, text: str) -> dict[tuple[str, str], bool]:
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = extract_identifiers(df).collect()
+    return {(r["kind"], r["candidate"]): r["is_valid"] for r in rows}
+
+
+def test_known_valid_identifiers(spark):
+    # all real published identifiers with correct check digits
+    text = (
+        "see doi:10.1371/journal.pmed.0020124 and arXiv:1706.03762 "
+        "ISSN 0317-8471 ISSN 2434-561X ISBN 9780306406157 "
+        "https://orcid.org/0000-0002-1825-0097"
+    )
+    flags = _flags(spark, text)
+    assert flags[("doi", "10.1371/journal.pmed.0020124")] is True
+    assert flags[("arxiv", "1706.03762")] is True
+    assert flags[("issn", "0317-8471")] is True
+    assert flags[("issn", "2434-561X")] is True  # X check digit path
+    assert flags[("isbn13", "9780306406157")] is True
+    assert flags[("orcid", "0000-0002-1825-0097")] is True
+    assert len(flags) == 6
+
+
+def test_checksum_rejects_corrupted(spark):
+    # same ids with one corrupted digit each — every checksum must fire
+    text = (
+        "arXiv:1713.03762 ISSN 0317-8472 ISSN 2434-5610 "
+        "ISBN 9780306406158 https://orcid.org/0000-0002-1825-0098"
+    )
+    flags = _flags(spark, text)
+    assert flags[("arxiv", "1713.03762")] is False  # month 13
+    assert flags[("issn", "0317-8472")] is False
+    assert flags[("issn", "2434-5610")] is False  # X expected, digit given
+    assert flags[("isbn13", "9780306406158")] is False
+    assert flags[("orcid", "0000-0002-1825-0098")] is False
+    assert all(not v for v in flags.values())
+
+
+def test_identifier_checksums_differential(spark):
+    # differential vs an independent pure-Python implementation of the
+    # three check-digit algorithms over a spread of generated ids
+    def issn_check(d7: str) -> str:
+        s = sum(int(d) * w for d, w in zip(d7, range(8, 1, -1)))
+        c = (11 - s % 11) % 11
+        return "X" if c == 10 else str(c)
+
+    def isbn13_check(d12: str) -> str:
+        s = sum(int(d) * (1 if i % 2 == 0 else 3) for i, d in enumerate(d12))
+        return str((10 - s % 10) % 10)
+
+    def orcid_check(d15: str) -> str:
+        total = 0
+        for ch in d15:
+            total = (total + int(ch)) * 2
+        r = (12 - total % 11) % 11
+        return "X" if r == 10 else str(r)
+
+    rows = []
+    expected = {}
+    for i in range(40):
+        n = i * 7919 + 13  # spread the digit space
+        d7 = str(n % 10**7).zfill(7)
+        d12 = "978" + str(n % 10**9).zfill(9)
+        d15 = "000" + str(n % 10**12).zfill(12)
+        issn = f"{d7[:4]}-{d7[4:]}{issn_check(d7)}"
+        isbn = d12 + isbn13_check(d12)
+        orcid = (
+            f"{d15[:4]}-{d15[4:8]}-{d15[8:12]}-{d15[12:]}{orcid_check(d15)}"
+        )
+        rows.append((i, f"ISSN {issn} ISBN {isbn} https://orcid.org/{orcid}"))
+        expected[("issn", issn)] = True
+        expected[("isbn13", isbn)] = True
+        expected[("orcid", orcid)] = True
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["kind"], r["candidate"]): r["is_valid"]
+        for r in extract_identifiers(df).collect()
+    }
+    assert got == expected
+
+
+def test_image_dims_golden_bytes(spark):
+    # decoder pinned against independently struct-packed bytes (NOT
+    # the module's own encoder), so a symmetric encode/decode offset
+    # bug cannot hide behind a clean roundtrip
+    import struct
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 800, 600)
+        + b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 50) + b"\xf7\x00\x00"
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 1080, 1920)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    not_image = b"plain text bytes"
+    truncated_jpeg = b"\xff\xd8\xff\xe0\x00\x04ab"  # SOI but no SOF0
+
+    from sandcrawler_spark.functions.imagebin import image_header_stats
+
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, jpeg), (4, not_image), (5, truncated_jpeg)],
+        ["doc_id", "content"],
+    )
+    rows = {r["doc_id"]: r for r in image_header_stats(df).collect()}
+    assert (rows[1]["fmt"], rows[1]["width"], rows[1]["height"]) == ("png", 800, 600)
+    assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 50)
+    assert (rows[3]["fmt"], rows[3]["width"], rows[3]["height"]) == ("jpeg", 1920, 1080)
+    assert rows[4]["fmt"] is None and rows[4]["width"] is None
+    assert rows[5]["fmt"] == "jpeg" and rows[5]["width"] is None
+    assert rows[2]["aspect_pct"] == 640  # 320*100/50
+
+
+def test_image_header_roundtrip(spark):
+    # encode -> decode identity across the dim space incl. edge widths
+    from sandcrawler_spark.functions.imagebin import (
+        encode_image_header,
+        sniff_image_dims,
+    )
+
+    rows = [
+        (i, fmt, w, h)
+        for i, (fmt, w, h) in enumerate(
+            (f, w, h)
+            for f in ("png", "gif", "jpeg")
+            for (w, h) in ((1, 1), (2, 2), (255, 256), (65535, 4096), (640, 480))
+        )
+    ]
+    df = spark.createDataFrame(rows, ["i", "fmt", "w", "h"])
+    enc = df.select(
+        "i", "fmt", "w", "h",
+        encode_image_header(F.col("fmt"), F.col("w"), F.col("h")).alias("content"),
+    )
+    dec = enc.select("i", "fmt", "w", "h", *sniff_image_dims(F.col("content")))
+    for r in dec.collect():
+        assert (r["fmt"], r["w"], r["h"]) == (r["fmt"], r["width"], r["height"]), r
+
+
+def test_maxscore_matches_exact_and_prunes(spark):
+    # corpus where most docs match ONLY the ubiquitous low-impact term:
+    # MaxScore must return exactly bm25_topk's rows while fully scoring
+    # only a fraction of the matching docs
+    from sandcrawler_spark.operators.search import bm25_topk, maxscore_topk
+
+    rows = []
+    for i in range(400):
+        if i % 40 == 0:
+            rows.append((i, "rareword common filler alpha beta gamma"))
+        else:
+            rows.append((i, "common filler " + f"pad{i % 7} " * (1 + i % 5)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["rareword", "common"]
+
+    exact = [tuple(r) for r in bm25_topk(df, terms, k=8).collect()]
+    counters: dict = {}
+    pruned = [
+        tuple(r) for r in maxscore_topk(df, terms, k=8, _counters=counters).collect()
+    ]
+    assert pruned == exact
+    assert counters["n_matching"] == 400  # every doc matches 'common'
+    # the 390 common-only docs are (mostly) pruned by the ceiling test
+    assert counters["n_scored"] < counters["n_matching"] / 4
+
+
+def test_maxscore_fewer_than_k_phase1(spark):
+    # when the top-ceiling term matches < k docs, theta degrades to 0
+    # (no pruning) and the result must still be exact
+    from sandcrawler_spark.operators.search import bm25_topk, maxscore_topk
+
+    rows = [(i, "only common words here " + f"x{i % 3}") for i in range(30)]
+    rows.append((99, "rareword alone"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["rareword", "common"]
+    exact = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
+    assert [tuple(r) for r in maxscore_topk(df, terms, k=10).collect()] == exact
+
+
+def test_identifier_stats_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ISSN 0317-8471 ISSN 0317-8471 ISSN 0317-8472"),
+            (2, "ISSN 2434-561X doi:10.1234/x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["kind"]: r for r in identifier_stats(extract_identifiers(df)).collect()
+    }
+    assert out["issn"]["n_candidates"] == 4
+    assert out["issn"]["n_valid"] == 3
+    assert out["issn"]["n_invalid"] == 1
+    assert out["issn"]["n_distinct_valid"] == 2
+    assert out["doi"]["n_valid"] == 1
