@@ -4874,6 +4874,97 @@ def _identifier_plant_col() -> F.Column:
     )
 
 
+def _html_blocks_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages with planted <table> and <pre> blocks —
+    data tables, a layout table, class-hinted and heuristic-hinted
+    code (incl. the unescaped `#include <stdio.h>` trap every regex
+    tag-stripper must handle identically in both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body><p>"), F.substring(F.col("text"), 1, 40), F.lit("</p>"),
+        opt(did % 2 == 0, F.concat(
+            F.lit("<table><tr><th>h1</th><th>h2</th></tr><tr><td>a"), s,
+            F.lit("</td><td>b</td></tr></table>"),
+        )),
+        opt(did % 6 == 0, F.lit("<table><tr><td>nav</td></tr></table>")),
+        opt(did % 3 == 0, F.concat(
+            F.lit('<pre><code class="language-python">def f():\n    return '),
+            s, F.lit("\n</code></pre>"),
+        )),
+        opt(did % 5 == 0,
+            F.lit("<pre>#include <stdio.h>\nint main() { return 0; }</pre>")),
+        F.lit("</body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+def q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # structured-block extraction for training data: <table> geometry
+    # (data-vs-layout heuristic) + <pre> code blocks (language hints)
+    # — the modalities generic prose extraction mangles
+    from sandcrawler_spark.functions.htmlblocks import code_blocks, html_tables
+
+    pages = _html_blocks_pages(spark, sf_dir)
+    t = html_tables(pages).select(
+        "doc_id", F.lit("table").alias("kind"), "idx", "n_rows", "n_cells",
+        "is_data_table",
+        F.lit(None).cast("int").alias("n_lines"),
+        F.lit(None).cast("int").alias("n_chars"),
+        F.lit(None).cast("string").alias("lang_hint"),
+        "content_md5",
+    )
+    c = code_blocks(pages).select(
+        "doc_id", F.lit("code").alias("kind"), "idx",
+        F.lit(None).cast("int").alias("n_rows"),
+        F.lit(None).cast("int").alias("n_cells"),
+        F.lit(None).cast("boolean").alias("is_data_table"),
+        "n_lines", "n_chars", "lang_hint", "content_md5",
+    )
+    return t.unionByName(c)
+
+
+def _html_blocks_oracle() -> str:
+    from sandcrawler_spark.functions.htmlblocks import blocks_oracle_sql
+
+    planted = """
+SELECT doc_id,
+  '<html><body><p>' || substring(text, 1, 40) || '</p>'
+  || CASE WHEN doc_id % 2 = 0
+       THEN '<table><tr><th>h1</th><th>h2</th></tr><tr><td>a'
+            || CAST(doc_id AS VARCHAR) || '</td><td>b</td></tr></table>'
+       ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+       THEN '<table><tr><td>nav</td></tr></table>' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<pre><code class="language-python">def f():' || chr(10)
+            || '    return ' || CAST(doc_id AS VARCHAR) || chr(10)
+            || '</code></pre>'
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN '<pre>#include <stdio.h>' || chr(10)
+            || 'int main() { return 0; }</pre>'
+       ELSE '' END
+  || '</body></html>' AS html
+FROM documents
+""".strip()
+    return blocks_oracle_sql(planted)
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc TextRank keywords: intra-document co-occurrence
+    # centrality (vs tfidf_keywords' corpus contrast) — integer
+    # fixed-point 2-iteration PageRank, bit-identical across engines
+    from sandcrawler_spark.operators.textrank import textrank_keywords
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"), top_k=3)
+
+
 def q_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MaxScore-pruned BM25 top-k over a common+rare term mix — the
     # oracle is the EXACT BM25 twin (bm25_oracle_sql), so a green row
@@ -5029,7 +5120,8 @@ FROM dims
 
 _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
-    "identifier_extract", "image_dims", "maxscore_topk",
+    "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
+    "textrank_keywords",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5107,6 +5199,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_extract": q_identifier_extract,
         "image_dims": q_image_dims,
         "maxscore_topk": q_maxscore_topk,
+        "html_blocks": q_html_blocks,
+        "textrank_keywords": q_textrank_keywords,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -6772,6 +6866,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
     from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
+    from sandcrawler_spark.operators.textrank import textrank_oracle_sql
     from sandcrawler_spark.operators.sketches import (
         cms_oracle_sql,
         hll_oracle_sql,
@@ -7077,6 +7172,10 @@ FROM j GROUP BY warc_file
         "dhash_images": _dhash_images_oracle(),
         "identifier_extract": _identifier_extract_oracle(),
         "image_dims": _IMAGE_DIMS_ORACLE,
+        "html_blocks": _html_blocks_oracle(),
+        "textrank_keywords": textrank_oracle_sql(
+            "SELECT doc_id, text FROM documents", top_k=3
+        ),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -202,6 +202,67 @@ def test_maxscore_fewer_than_k_phase1(spark):
     assert [tuple(r) for r in maxscore_topk(df, terms, k=10).collect()] == exact
 
 
+def test_html_tables_geometry(spark):
+    from sandcrawler_spark.functions.htmlblocks import html_tables
+
+    html = (
+        "<p>x</p>"
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        "<table class='layout'><tr><td>nav</td></tr></table>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    rows = sorted(html_tables(df).collect(), key=lambda r: r["idx"])
+    assert (rows[0]["n_rows"], rows[0]["n_cells"], rows[0]["is_data_table"]) == (2, 4, True)
+    assert (rows[1]["n_rows"], rows[1]["n_cells"], rows[1]["is_data_table"]) == (1, 1, False)
+
+
+def test_code_blocks_lang_hints(spark):
+    from sandcrawler_spark.functions.htmlblocks import code_blocks
+
+    df = spark.createDataFrame(
+        [
+            (1, '<pre><code class="language-rust">fn main() {}</code></pre>'),
+            (2, "<pre>#include <stdio.h>\nint main() {}</pre>"),
+            (3, "<pre>import os\nprint(os.name)</pre>"),
+            (4, "<pre>const f = (x) => x + 1;</pre>"),
+            (5, "<pre>just words</pre>"),
+        ],
+        ["doc_id", "html"],
+    )
+    langs = {r["doc_id"]: r["lang_hint"] for r in code_blocks(df).collect()}
+    assert langs == {1: "rust", 2: "c", 3: "python", 4: "javascript", 5: "unknown"}
+    lines = {r["doc_id"]: r["n_lines"] for r in code_blocks(df).collect()}
+    assert lines[2] == 2 and lines[5] == 1
+
+
+def test_textrank_hub_word_wins(spark):
+    # 'graph' neighbors every other content word — co-occurrence
+    # centrality must rank it first; stopwords/short words excluded
+    from sandcrawler_spark.operators.textrank import textrank_keywords
+
+    text = (
+        "graph theory and graph coloring and graph cuts and "
+        "graph flows in the graph model"
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(textrank_keywords(df, top_k=3).collect(), key=lambda r: r["rk"])
+    assert rows[0]["word"] == "graph"
+    assert all(len(r["word"]) >= 3 for r in rows)
+
+
+def test_textrank_partitioning_invariance(spark):
+    from sandcrawler_spark.operators.textrank import textrank_keywords
+
+    rows = [
+        (i, f"alpha beta gamma delta w{i % 5} epsilon alpha beta zeta")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, textrank_keywords(df.repartition(1)).collect()))
+    b = sorted(map(tuple, textrank_keywords(df.repartition(17)).collect()))
+    assert a == b and len(a) == 180
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
