@@ -4956,6 +4956,57 @@ FROM documents
     return blocks_oracle_sql(planted)
 
 
+_URL_RESOLVE_BATTERY = [
+    "g", "./g", "g/", "/g", "//cdn.example.net/lib.js", "?y=2", "g?y",
+    "#frag", ";x", "", ".", "..", "../g", "../../g", "../../../g",
+    "g/../h", "g/./h", "javascript:void(0)", "mailto:a@b.c",
+    "https://other.example.com/x/../y?z", "./../img/../css/site.css",
+    "sub/dir/",
+]
+
+
+def q_url_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full RFC 3986 §5.2 reference resolution (merge + the
+    # remove_dot_segments stack algorithm as a segment fold) — the
+    # dot-relative hrefs linkgraph._resolve_dst documents dropping;
+    # battery cycles the RFC's own §5.4 forms against per-doc bases
+    from sandcrawler_spark.functions.urlresolve import resolve_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".example.org/s"), (did % 4).cast("string"),
+        F.lit("/p/doc.html?ref="), did.cast("string"),
+    )
+    href = F.element_at(
+        F.array(*[F.lit(s) for s in _URL_RESOLVE_BATTERY]),
+        (did % len(_URL_RESOLVE_BATTERY) + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id", href.alias("href"),
+        resolve_url(base, href).alias("resolved"),
+    )
+
+
+def _url_resolve_oracle() -> str:
+    from sandcrawler_spark.functions.urlresolve import resolve_url_sql
+
+    battery = ", ".join("'" + s.replace("'", "''") + "'" for s in _URL_RESOLVE_BATTERY)
+    return f"""
+WITH _ur AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/s'
+           || CAST(doc_id % 4 AS VARCHAR) || '/p/doc.html?ref='
+           || CAST(doc_id AS VARCHAR) AS base,
+         ([{battery}])[CAST(doc_id % {len(_URL_RESOLVE_BATTERY)} + 1 AS INT)] AS href
+  FROM documents
+)
+SELECT doc_id, href, {resolve_url_sql("base", "href")} AS resolved
+FROM _ur
+""".strip()
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc TextRank keywords: intra-document co-occurrence
     # centrality (vs tfidf_keywords' corpus contrast) — integer
@@ -5121,7 +5172,7 @@ FROM dims
 _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
-    "textrank_keywords",
+    "textrank_keywords", "url_resolve",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5201,6 +5252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_topk": q_maxscore_topk,
         "html_blocks": q_html_blocks,
         "textrank_keywords": q_textrank_keywords,
+        "url_resolve": q_url_resolve,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7176,6 +7228,7 @@ FROM j GROUP BY warc_file
         "textrank_keywords": textrank_oracle_sql(
             "SELECT doc_id, text FROM documents", top_k=3
         ),
+        "url_resolve": _url_resolve_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

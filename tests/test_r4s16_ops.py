@@ -263,6 +263,98 @@ def test_textrank_partitioning_invariance(spark):
     assert a == b and len(a) == 180
 
 
+def test_rfc3986_resolution_battery(spark):
+    # the RFC's own §5.4.1 normal + §5.4.2 abnormal examples, base
+    # "http://a/b/c/d;p?q" — fragment cases adjusted for the
+    # documented fragments-always-dropped divergence
+    from sandcrawler_spark.functions.urlresolve import resolve_url
+
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g": "http://a/b/c/g",
+        "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/",
+        "/g": "http://a/g",
+        "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y",
+        "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q",  # fragment dropped
+        "g#s": "http://a/b/c/g",
+        ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x",
+        "": "http://a/b/c/d;p?q",
+        ".": "http://a/b/c/",
+        "./": "http://a/b/c/",
+        "..": "http://a/b/",
+        "../": "http://a/b/",
+        "../g": "http://a/b/g",
+        "../..": "http://a/",
+        "../../": "http://a/",
+        "../../g": "http://a/g",
+        # abnormal (§5.4.2)
+        "../../../g": "http://a/g",
+        "../../../../g": "http://a/g",
+        "/./g": "http://a/g",
+        "/../g": "http://a/g",
+        "g.": "http://a/b/c/g.",
+        ".g": "http://a/b/c/.g",
+        "g..": "http://a/b/c/g..",
+        "..g": "http://a/b/c/..g",
+        "./../g": "http://a/b/g",
+        "./g/.": "http://a/b/c/g/",
+        "g/./h": "http://a/b/c/g/h",
+        "g/../h": "http://a/b/c/h",
+        "g;x=1/./y": "http://a/b/c/g;x=1/y",
+        "g;x=1/../y": "http://a/b/c/y",
+        "g?y/./x": "http://a/b/c/g?y/./x",  # dots in query untouched
+        "g#s/./x": "http://a/b/c/g",
+        "http:g": "http:g",  # strict parser
+        "javascript:void(0)": None,
+        "mailto:a@b": None,
+    }
+    df = spark.createDataFrame(
+        [(h if h is not None else "", base) for h in cases], ["href", "base"]
+    )
+    got = {
+        r["href"]: r["resolved"]
+        for r in df.select(
+            "href", resolve_url(F.col("base"), F.col("href")).alias("resolved")
+        ).collect()
+    }
+    for href, want in cases.items():
+        assert got[href] == want, (href, got[href], want)
+
+
+def test_resolve_url_duckdb_twin(spark):
+    # the SQL expression must resolve the battery identically
+    import duckdb
+
+    from sandcrawler_spark.functions.urlresolve import resolve_url, resolve_url_sql
+
+    base = "https://w.example.org/a/b/index.html?s=1"
+    hrefs = [
+        "g", "./g", "g/", "/g", "//h.example.net/x", "?q", "g?q", "#f",
+        "", ".", "..", "../g", "../../../z", "g/../h", "sub/dir/",
+        "https://o.example.com/x/../y?z", "./../css/../js/app.js",
+    ]
+    df = spark.createDataFrame([(base, h) for h in hrefs], ["base", "href"])
+    spark_out = {
+        r["href"]: r["resolved"]
+        for r in df.select(
+            "href", resolve_url(F.col("base"), F.col("href")).alias("resolved")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (base VARCHAR, href VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(base, h) for h in hrefs])
+    sql_out = dict(
+        con.execute(
+            f"SELECT href, {resolve_url_sql('base', 'href')} FROM t"
+        ).fetchall()
+    )
+    assert spark_out == sql_out
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
