@@ -5007,6 +5007,21 @@ FROM _ur
 """.strip()
 
 
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SentencePiece-style unigram-LM segmentation: corpus-derived
+    # piece costs + per-word Viterbi (Arrow pandas UDF); the oracle
+    # replays the SAME DP as a recursive CTE — imperative loop proven
+    # equal to the declared recurrence
+    from sandcrawler_spark.operators.unigram import (
+        corpus_words,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    words = corpus_words(_t(spark, sf_dir, "documents"))
+    return viterbi_segment(words, unigram_vocab(words))
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc TextRank keywords: intra-document co-occurrence
     # centrality (vs tfidf_keywords' corpus contrast) — integer
@@ -5172,7 +5187,7 @@ FROM dims
 _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
-    "textrank_keywords", "url_resolve",
+    "textrank_keywords", "url_resolve", "unigram_segment",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5253,6 +5268,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_blocks": q_html_blocks,
         "textrank_keywords": q_textrank_keywords,
         "url_resolve": q_url_resolve,
+        "unigram_segment": q_unigram_segment,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -6919,6 +6935,7 @@ def oracle_sql() -> dict[str, str]:
     from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.textrank import textrank_oracle_sql
+    from sandcrawler_spark.operators.unigram import unigram_oracle_sql
     from sandcrawler_spark.operators.sketches import (
         cms_oracle_sql,
         hll_oracle_sql,
@@ -7229,6 +7246,7 @@ FROM j GROUP BY warc_file
             "SELECT doc_id, text FROM documents", top_k=3
         ),
         "url_resolve": _url_resolve_oracle(),
+        "unigram_segment": unigram_oracle_sql("SELECT text FROM documents"),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -355,6 +355,48 @@ def test_resolve_url_duckdb_twin(spark):
     assert spark_out == sql_out
 
 
+def test_unigram_viterbi_known_dp(spark):
+    # hand-checkable lattice: frequent bigrams must beat char-by-char
+    from sandcrawler_spark.operators.unigram import (
+        corpus_words,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    # 'abab' dominates the corpus -> 'ab' is a cheap piece
+    df = spark.createDataFrame(
+        [(1, "abab abab abab abab xy")], ["doc_id", "text"]
+    )
+    words = corpus_words(df)
+    vocab = unigram_vocab(words)
+    out = {r["word"]: r for r in viterbi_segment(words, vocab).collect()}
+    assert out["abab"]["seg"] in ("abab", "ab|ab")  # whole word or bigrams
+    assert out["abab"]["n_pieces"] <= 2
+    assert out["xy"]["n_pieces"] <= 2
+    # cost is the sum of piece costs — recompute from the vocab
+    vmap = {r["piece"]: r["cost_micro"] for r in vocab.collect()}
+    for w, r in out.items():
+        assert r["cost_micro"] == sum(vmap[p] for p in r["seg"].split("|"))
+
+
+def test_unigram_every_word_segmentable(spark):
+    from sandcrawler_spark.operators.unigram import (
+        corpus_words,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i % 13}token stream with odd z{i}q pieces") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    words = corpus_words(df)
+    rows = viterbi_segment(words, unigram_vocab(words)).collect()
+    assert len(rows) == words.count()
+    for r in rows:
+        assert r["seg"] is not None and r["seg"].replace("|", "") == r["word"]
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
