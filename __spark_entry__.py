@@ -5007,6 +5007,153 @@ FROM _ur
 """.strip()
 
 
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # code-switch detection: paragraph-level language ID + transition
+    # count — the signal that routes mixed-language pages to
+    # paragraph-level filtering instead of doc-level keep/drop
+    from sandcrawler_spark.functions.textstats import paragraph_langs
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    fr = F.lit("le la les de des et un une dans sur pour que qui ne pas")
+    en = F.substring(F.col("text"), 1, 120)
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    ptext = F.concat(
+        en,
+        opt(did % 2 == 0, F.concat(F.lit("\n\n"), fr)),
+        F.lit("\n\n"), F.substring(F.col("text"), 121, 120),
+        opt(did % 3 == 0, F.concat(F.lit("\n\n"), fr)),
+    )
+    return paragraph_langs(d.select("doc_id", ptext.alias("text")))
+
+
+_LANG_SEGMENTS_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         substring(text, 1, 120)
+         || CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || chr(10)
+                   || 'le la les de des et un une dans sur pour que qui ne pas'
+              ELSE '' END
+         || chr(10) || chr(10) || substring(text, 121, 120)
+         || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || chr(10)
+                   || 'le la les de des et un une dans sur pour que qui ne pas'
+              ELSE '' END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, UNNEST(list_zip(arr, range(1, len(arr) + 1))) AS z
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM planted)
+),
+scored AS (
+  SELECT doc_id, CAST(z[2] AS INT) AS pidx,
+         CASE WHEN len(toks) > 0
+                   AND 100 * len(list_filter(toks, x -> list_contains(
+                     ['the','of','and','a','to','in','is','it','that','for',
+                      'on','with','as','was','at','by','an','be','this','are'], x)))
+                       >= 8 * len(toks)
+              THEN 'en' ELSE 'other' END AS pred
+  FROM (
+    SELECT doc_id, z,
+           list_filter(string_split_regex(lower(z[1]), '\\s+'), x -> x <> '') AS toks
+    FROM paras
+  )
+),
+flagged AS (
+  SELECT doc_id, pred,
+         CASE WHEN lag(pred) OVER (PARTITION BY doc_id ORDER BY pidx) IS NOT NULL
+                   AND lag(pred) OVER (PARTITION BY doc_id ORDER BY pidx) <> pred
+              THEN 1 ELSE 0 END AS switch
+  FROM scored
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_paras,
+       CAST(SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS INT) AS n_en,
+       CAST(SUM(CASE WHEN pred = 'other' THEN 1 ELSE 0 END) AS INT) AS n_other,
+       CAST(SUM(switch) AS INT) AS n_switches,
+       CASE WHEN SUM(CASE WHEN pred = 'en' THEN 1 ELSE 0 END)
+                 >= SUM(CASE WHEN pred = 'other' THEN 1 ELSE 0 END)
+            THEN 'en' ELSE 'other' END AS dominant_lang
+FROM flagged
+GROUP BY doc_id
+""".strip()
+
+
+def q_jsonld_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema.org JSON-LD bibliographic extraction — the metadata
+    # channel meta-tag mining (html_biblio/meta_tags) misses; engine-
+    # native JSON paths both sides, malformed blocks -> NULL fields
+    from sandcrawler_spark.functions.jsonld import extract_jsonld
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    scholarly = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"ScholarlyArticle","headline":"Study '),
+        s,
+        F.lit('","author":[{"name":"Author A"},{"name":"Author B"}],'
+              '"isPartOf":{"issn":"1234-5678"},"datePublished":"2020-0'),
+        (did % 9 + 1).cast("string"),
+        F.lit('-01"}</script>'),
+    )
+    news = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"NewsArticle","headline":"News '),
+        s,
+        F.lit('","author":{"name":"Desk"}}</script>'),
+    )
+    broken = F.lit(
+        '<script type="application/ld+json">{"@type":"Scholarly'
+        "</script>"
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        opt(did % 2 == 0, scholarly),
+        opt(did % 3 == 0, news),
+        opt(did % 5 == 0, broken),
+        F.lit("</head><body>x</body></html>"),
+    )
+    return extract_jsonld(d.select("doc_id", html.alias("html")))
+
+
+def _jsonld_meta_oracle() -> str:
+    from sandcrawler_spark.functions.jsonld import jsonld_oracle_sql
+
+    planted = """
+SELECT doc_id,
+  '<html><head>'
+  || CASE WHEN doc_id % 2 = 0
+       THEN '<script type="application/ld+json">'
+            || '{"@type":"ScholarlyArticle","headline":"Study '
+            || CAST(doc_id AS VARCHAR)
+            || '","author":[{"name":"Author A"},{"name":"Author B"}],'
+            || '"isPartOf":{"issn":"1234-5678"},"datePublished":"2020-0'
+            || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01"}</script>'
+       ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN '<script type="application/ld+json">'
+            || '{"@type":"NewsArticle","headline":"News '
+            || CAST(doc_id AS VARCHAR)
+            || '","author":{"name":"Desk"}}</script>'
+       ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN '<script type="application/ld+json">{"@type":"Scholarly</script>'
+       ELSE '' END
+  || '</head><body>x</body></html>' AS html
+FROM documents
+""".strip()
+    return jsonld_oracle_sql(planted)
+
+
 def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SentencePiece-style unigram-LM segmentation: corpus-derived
     # piece costs + per-word Viterbi (Arrow pandas UDF); the oracle
@@ -5187,7 +5334,8 @@ FROM dims
 _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
-    "textrank_keywords", "url_resolve", "unigram_segment",
+    "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
+    "lang_segments",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5269,6 +5417,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "url_resolve": q_url_resolve,
         "unigram_segment": q_unigram_segment,
+        "jsonld_meta": q_jsonld_meta,
+        "lang_segments": q_lang_segments,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7247,6 +7397,8 @@ FROM j GROUP BY warc_file
         ),
         "url_resolve": _url_resolve_oracle(),
         "unigram_segment": unigram_oracle_sql("SELECT text FROM documents"),
+        "jsonld_meta": _jsonld_meta_oracle(),
+        "lang_segments": _LANG_SEGMENTS_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -203,3 +203,56 @@ def readability(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("fkgl_micro"),
         )
     )
+
+
+def paragraph_langs(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Paragraph-level language segmentation + code-switch profile:
+    (doc_id, n_paras, n_en, n_other, n_switches, dominant_lang).
+
+    Document-level language ID (lang_id_en_score_col) mislabels
+    code-switched pages — a mostly-English page with German comment
+    paragraphs, or boilerplate in the site's language around quoted
+    English — and those pages are exactly what a monolingual corpus
+    filter should SPLIT rather than keep/drop whole. Per-paragraph
+    classification over split('\\n\\n') + a lag() transition count
+    gives the curation signal (n_switches > 0 => route to
+    paragraph-level filtering instead of doc-level keep/drop).
+
+    The en test is the integer-exact form of the >= 0.08 stopword
+    ratio: 100*n_stop >= 8*n_toks — no float division, so the DuckDB
+    twin replays it bit-for-bit. One explode + one per-doc window
+    (bounded by paragraphs-per-doc), no corpus-wide shuffle.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n\n")).alias("pidx", "para"),
+    )
+    toks = tokens_col(F.lower(F.col("para")))
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    scored = paras.select(
+        "doc_id", "pidx",
+        F.when((n_toks > 0) & (n_stop * 100 >= n_toks * 8), F.lit("en"))
+        .otherwise(F.lit("other")).alias("pred"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pidx")
+    flagged = scored.select(
+        "doc_id", "pred",
+        (F.lag("pred").over(w).isNotNull()
+         & (F.lag("pred").over(w) != F.col("pred"))).cast("int").alias("switch"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_paras"),
+        F.sum((F.col("pred") == "en").cast("int")).cast("int").alias("n_en"),
+        F.sum((F.col("pred") == "other").cast("int")).cast("int").alias("n_other"),
+        F.sum("switch").cast("int").alias("n_switches"),
+        F.when(
+            F.sum((F.col("pred") == "en").cast("int"))
+            >= F.sum((F.col("pred") == "other").cast("int")),
+            F.lit("en"),
+        ).otherwise(F.lit("other")).alias("dominant_lang"),
+    )

@@ -397,6 +397,48 @@ def test_unigram_every_word_segmentable(spark):
         assert r["seg"] is not None and r["seg"].replace("|", "") == r["word"]
 
 
+def test_jsonld_shapes_and_malformed(spark):
+    from sandcrawler_spark.functions.jsonld import extract_jsonld
+
+    html = (
+        '<script type="application/ld+json">'
+        '{"@type":"ScholarlyArticle","headline":"H","author":'
+        '[{"name":"A"}],"isPartOf":{"issn":"2434-561X"}}</script>'
+        '<script type="application/ld+json">'
+        '{"@type":"NewsArticle","author":{"name":"Desk"},"issn":"0317-8471"}'
+        "</script>"
+        '<script type="application/ld+json">{"broken</script>'
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    rows = {r["idx"]: r for r in extract_jsonld(df).collect()}
+    assert len(rows) == 3
+    assert rows[1]["jtype"] == "ScholarlyArticle"
+    assert rows[1]["author_name"] == "A"  # array form via [0]
+    assert rows[1]["issn"] == "2434-561X"  # isPartOf form
+    assert rows[2]["author_name"] == "Desk"  # object form
+    assert rows[2]["issn"] == "0317-8471"  # top-level fallback
+    assert rows[3]["jtype"] is None  # malformed -> NULLs, no error
+
+
+def test_lang_segments_code_switching(spark):
+    from sandcrawler_spark.functions.textstats import paragraph_langs
+
+    en = "the cat sat on the mat and it was a good day for this"
+    fr = "le chat dans la maison et les oiseaux sur une branche"
+    df = spark.createDataFrame(
+        [
+            (1, f"{en}\n\n{fr}\n\n{en}"),  # en->fr->en: 2 switches
+            (2, f"{en}\n\n{en}"),  # monolingual
+            (3, fr),  # single other paragraph
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in paragraph_langs(df).collect()}
+    assert (out[1]["n_paras"], out[1]["n_switches"], out[1]["dominant_lang"]) == (3, 2, "en")
+    assert (out[2]["n_switches"], out[2]["dominant_lang"]) == (0, "en")
+    assert (out[3]["n_en"], out[3]["dominant_lang"]) == (0, "other")
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
