@@ -5007,6 +5007,37 @@ FROM _ur
 """.strip()
 
 
+_FRESHNESS_BUDGET = 150_000  # fetches per 210-day period
+
+
+def q_recrawl_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # freshness-optimal revisit allocation (Cho & Garcia-Molina,
+    # discretized): concave F = f/(f+lambda) makes global
+    # gain-per-fetch greedy exactly optimal — one range-shuffle cumsum,
+    # no loop; per-URL change rates seeded from md5(url)
+    from sandcrawler_spark.operators.recrawl import freshness_allocation
+
+    rates = _urls(spark, sf_dir).select(
+        "url",
+        (F.conv(F.substring(F.md5("url"), 1, 6), 16, 10).cast("long")
+         % 900000 + 1000).alias("lam_micro"),
+    )
+    return freshness_allocation(rates, _FRESHNESS_BUDGET)
+
+
+def _recrawl_allocation_oracle() -> str:
+    from sandcrawler_spark.operators.recrawl import freshness_oracle_sql
+
+    rates = f"""
+WITH {_URLS_CTE.strip()}
+SELECT url,
+       CAST(CAST('0x' || substr(md5(url), 1, 6) AS UBIGINT) % 900000 + 1000
+            AS BIGINT) AS lam_micro
+FROM urls
+""".strip()
+    return freshness_oracle_sql(rates, _FRESHNESS_BUDGET)
+
+
 def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code-switch detection: paragraph-level language ID + transition
     # count — the signal that routes mixed-language pages to
@@ -5335,7 +5366,7 @@ _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
-    "lang_segments",
+    "lang_segments", "recrawl_allocation",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5419,6 +5450,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": q_unigram_segment,
         "jsonld_meta": q_jsonld_meta,
         "lang_segments": q_lang_segments,
+        "recrawl_allocation": q_recrawl_allocation,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7399,6 +7431,7 @@ FROM j GROUP BY warc_file
         "unigram_segment": unigram_oracle_sql("SELECT text FROM documents"),
         "jsonld_meta": _jsonld_meta_oracle(),
         "lang_segments": _LANG_SEGMENTS_ORACLE,
+        "recrawl_allocation": _recrawl_allocation_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -193,3 +193,150 @@ def revalidation_savings(
             " ELSE CAST(1000000 AS BIGINT) * n_unchanged div n_recaps END"
         ).alias("unchanged_ppm"),
     )
+
+
+# --- freshness-optimal revisit allocation (r4 session 16) -----------------
+
+# revisit-frequency ladder in fetches per 210-day period (lcm of the
+# monthly/weekly/daily human schedule): none -> 1/30d -> 1/7d -> 1/d
+FRESH_LADDER = [7, 30, 210]
+FRESH_SCALE = 1_000_000
+
+
+def freshness_allocation(
+    rates: DataFrame,
+    budget_per_210d: int,
+    url_col: str = "url",
+    lam_col: str = "lam_micro",
+) -> DataFrame:
+    """Freshness-maximizing revisit allocation under a global fetch
+    budget (Cho & Garcia-Molina 2003's uniform-vs-proportional result,
+    discretized): each URL independently offers the ladder steps
+    none->monthly->weekly->daily; expected steady-state freshness under
+    Poisson changes at rate lambda and revisit rate f is F = f/(f+lambda),
+    which is CONCAVE in f — so per-URL step ratios are non-increasing
+    and taking steps globally in decreasing gain-per-fetch order is
+    the FRACTIONAL-relaxation optimum as a sort + running sum, not a
+    loop. For the integral problem this is a knapsack: the greedy is
+    within one ladder step's gain of OPT (the classic density-greedy
+    bound, realized only when a 180-cost daily step straddles the
+    budget edge — tests/test_r4s16_ops.py exhibits it), which at web
+    scale (budget >> 210) is noise.
+
+    All arithmetic is integer: lambda arrives in micro-changes/day,
+    freshness is floor(1e6 * f / (f + lam*210/1e6)) computed as a
+    ratio of exact per-210-day micro units; gain-per-fetch is
+    floor(1e6 * gain / step_cost). The global order is (ratio desc,
+    url asc, step asc); concavity makes each URL's own steps
+    non-increasing in ratio, and the step-asc tiebreak keeps
+    prerequisites ahead of their successors on exact ties.
+
+    Scale shape: 3 rows per URL, ONE range-shuffle cumsum
+    (global_cumsum — no single-task window), budget gate as a per-row
+    predicate. Returns (url, lam_micro, n_steps, f_per_210d,
+    freshness_micro) for every URL, n_steps = 0 rows included.
+    """
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.operators.cumsum import global_cumsum
+
+    lam = F.col(lam_col)
+
+    def fresh(f_210: int):
+        # floor(1e6 * (1e6*f) / (1e6*f + 210*lam)) — exact integers
+        return F.expr(
+            f"(CAST(1000000 AS BIGINT) * (1000000 * CAST({f_210} AS BIGINT))) div "
+            f"(1000000 * CAST({f_210} AS BIGINT) + 210 * {lam_col})"
+        )
+
+    steps = None
+    prev = F.lit(0).cast("long")
+    prev_cost = 0
+    for i, f_210 in enumerate(FRESH_LADDER, start=1):
+        gain = (fresh(f_210) - prev).alias("gain")
+        cost = f_210 - prev_cost
+        row = rates.select(
+            F.col(url_col).alias("url"),
+            lam.alias("lam_micro"),
+            F.lit(i).alias("step"),
+            F.lit(cost).cast("long").alias("cost"),
+            gain,
+        )
+        steps = row if steps is None else steps.unionByName(row)
+        prev = fresh(f_210)
+        prev_cost = f_210
+
+    steps = steps.withColumn(
+        "ratio", F.expr("(CAST(1000000 AS BIGINT) * gain) div cost")
+    )
+    ordered = global_cumsum(
+        steps,
+        [F.col("ratio").desc(), F.col("url").asc(), F.col("step").asc()],
+        "cost",
+        out_col="cum_cost",
+    )
+    taken = ordered.withColumn(
+        "take", (F.col("cum_cost") <= F.lit(budget_per_210d)).cast("int")
+    )
+    per_url = taken.groupBy("url", "lam_micro").agg(
+        F.sum("take").cast("int").alias("n_steps"),
+        F.sum(F.when(F.col("take") == 1, F.col("cost")).otherwise(0))
+        .cast("long").alias("f_per_210d"),
+    )
+    # freshness at the chosen frequency (0 steps -> freshness 0)
+    return per_url.select(
+        "url", "lam_micro", "n_steps", "f_per_210d",
+        F.expr(
+            "CASE WHEN f_per_210d = 0 THEN CAST(0 AS BIGINT) ELSE "
+            "(CAST(1000000 AS BIGINT) * (1000000 * f_per_210d)) div "
+            "(1000000 * f_per_210d + 210 * lam_micro) END"
+        ).alias("freshness_micro"),
+    )
+
+
+def freshness_oracle_sql(rates_sql: str, budget_per_210d: int) -> str:
+    """DuckDB twin of freshness_allocation over (url, lam_micro)."""
+    fresh = (
+        "(CAST(1000000 AS BIGINT) * (1000000 * CAST({f} AS BIGINT))) // "
+        "(1000000 * CAST({f} AS BIGINT) + 210 * lam_micro)"
+    )
+    step_rows = []
+    prev_expr = "CAST(0 AS BIGINT)"
+    prev_cost = 0
+    for i, f_210 in enumerate(FRESH_LADDER, start=1):
+        cur = fresh.format(f=f_210)
+        step_rows.append(
+            f"SELECT url, lam_micro, {i} AS step, "
+            f"CAST({f_210 - prev_cost} AS BIGINT) AS cost, "
+            f"({cur}) - ({prev_expr}) AS gain FROM _fa_rates"
+        )
+        prev_expr = cur
+        prev_cost = f_210
+    union = " UNION ALL ".join(step_rows)
+    return f"""
+WITH _fa_rates AS (SELECT url, lam_micro FROM ({rates_sql})),
+_fa_steps AS ({union}),
+_fa_ranked AS (
+  SELECT *, (CAST(1000000 AS BIGINT) * gain) // cost AS ratio FROM _fa_steps
+),
+_fa_cum AS (
+  SELECT *, SUM(cost) OVER (
+    ORDER BY ratio DESC, url ASC, step ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum_cost
+  FROM _fa_ranked
+),
+_fa_per_url AS (
+  SELECT url, lam_micro,
+         CAST(SUM(CASE WHEN cum_cost <= {budget_per_210d} THEN 1 ELSE 0 END) AS INT)
+           AS n_steps,
+         CAST(SUM(CASE WHEN cum_cost <= {budget_per_210d} THEN cost ELSE 0 END) AS BIGINT)
+           AS f_per_210d
+  FROM _fa_cum GROUP BY url, lam_micro
+)
+SELECT url, lam_micro, n_steps, f_per_210d,
+       CASE WHEN f_per_210d = 0 THEN CAST(0 AS BIGINT) ELSE
+         (CAST(1000000 AS BIGINT) * (1000000 * f_per_210d)) //
+         (1000000 * f_per_210d + 210 * lam_micro) END AS freshness_micro
+FROM _fa_per_url
+""".strip()

@@ -439,6 +439,57 @@ def test_lang_segments_code_switching(spark):
     assert (out[3]["n_en"], out[3]["dominant_lang"]) == (0, "other")
 
 
+def test_freshness_allocation_greedy_bound(spark):
+    # greedy vs exhaustive enumeration on small instances: within the
+    # density-greedy knapsack bound (one step's gain) of OPT on the
+    # adversarial budget, and EQUAL to OPT when granularity doesn't
+    # bite; prerequisites never violated
+    from itertools import product
+
+    from sandcrawler_spark.operators.recrawl import (
+        FRESH_LADDER,
+        freshness_allocation,
+    )
+
+    lams = [2_000, 50_000, 400_000, 900_000]  # micro-changes/day
+
+    def fresh(f210, lam):
+        if f210 == 0:
+            return 0
+        return (1_000_000 * (1_000_000 * f210)) // (1_000_000 * f210 + 210 * lam)
+
+    def brute(budget):
+        best = None
+        for choice in product([0] + FRESH_LADDER, repeat=len(lams)):
+            if sum(choice) > budget:
+                continue
+            total = sum(fresh(f, lam) for f, lam in zip(choice, lams))
+            if best is None or total > best:
+                best = total
+        return best
+
+    df = spark.createDataFrame(
+        [(f"u{i}", lam) for i, lam in enumerate(lams)], ["url", "lam_micro"]
+    )
+    max_step_gain = max(
+        fresh(b, lam) - fresh(a, lam)
+        for lam in lams
+        for a, b in zip([0] + FRESH_LADDER, FRESH_LADDER)
+    )
+    for budget in (260, 37, 457, 4 * 210):
+        rows = {r["url"]: r for r in freshness_allocation(df, budget).collect()}
+        got_total = sum(r["freshness_micro"] for r in rows.values())
+        got_cost = sum(r["f_per_210d"] for r in rows.values())
+        assert got_cost <= budget
+        # chosen f must be a valid ladder prefix (prerequisites held)
+        for r in rows.values():
+            assert r["f_per_210d"] in (0, 7, 30, 210)
+        opt = brute(budget)
+        assert opt - got_total <= max_step_gain, (budget, got_total, opt)
+        if budget == 4 * 210:  # everything affordable -> exact
+            assert got_total == opt
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [

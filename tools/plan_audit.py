@@ -52,6 +52,9 @@ ALLOW_BNLJ = {
     # anchor-set broadcast (the cosine_knn shape): ~10 query rows
     # crossed un-keyed onto the corpus, banded + two-level top-k after
     "hard_negatives",
+    # 1-row stat broadcasts (corpus stats + the k-th-score theta row)
+    # onto the query-term-filtered tf relation — the bm25_search shape
+    "maxscore_topk",
 }
 
 AUDIT = [
@@ -130,6 +133,10 @@ AUDIT = [
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "cache_headers",
     # r4 session-15
     "subdomain_traps", "nepotistic_links", "hard_negatives", "charset_sniff",
+    # r4 session-16
+    "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
+    "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
+    "lang_segments", "recrawl_allocation",
 ]
 
 
