@@ -5007,6 +5007,121 @@ FROM _ur
 """.strip()
 
 
+def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc longest repeated substring (suffix-sort + adjacent-LCP,
+    # capped): the within-document memorization audit — templated spam
+    # and generator loops surface as long internal repeats
+    from sandcrawler_spark.functions.textstats import longest_repeat
+
+    return longest_repeat(_t(spark, sf_dir, "documents"))
+
+
+_LONGEST_REPEAT_ORACLE = """
+WITH pre AS (
+  SELECT doc_id, substring(text, 1, 200) AS pre FROM documents
+),
+sfx AS (
+  SELECT doc_id, substring(pre, CAST(pos AS INT), 24) AS suffix
+  FROM (SELECT doc_id, pre, UNNEST(range(1, strlen(pre) + 1)) AS pos FROM pre)
+),
+paired AS (
+  SELECT doc_id, suffix,
+         lag(suffix) OVER (PARTITION BY doc_id ORDER BY suffix) AS prev
+  FROM sfx
+),
+scored AS (
+  SELECT doc_id, suffix,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT), range(1, 25)),
+           (acc, k) -> CASE WHEN acc = k - 1
+                             AND k <= strlen(suffix) AND k <= strlen(prev)
+                             AND substring(suffix, CAST(k AS INT), 1)
+                                 = substring(prev, CAST(k AS INT), 1)
+                        THEN k ELSE acc END
+         ) AS INT) AS lcp
+  FROM paired WHERE prev IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, suffix, lcp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lcp DESC, suffix ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, lcp AS repeat_len, substring(suffix, 1, lcp) AS repeat_sub
+FROM ranked WHERE rk = 1
+""".strip()
+
+
+def q_parked_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parked/for-sale lander detection at host granularity — the
+    # soft-404 problem for whole domains (expired sites re-registered
+    # as ad landers keep inbound links + 200s); phrase AND link-count
+    # conjunction so stories ABOUT parking don't condemn their host
+    from sandcrawler_spark.functions.soft404 import parked_hosts, parked_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host_id = did % 20
+    host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.org"))
+    parked_body = F.lit(
+        '<html><body><h1>This domain is for sale</h1>'
+        '<a href="https://registrar.example.net/buy">buy</a>'
+        " related searches</body></html>"
+    )
+    normal_body = F.concat(
+        F.lit("<html><body><p>"), F.substring(F.col("text"), 1, 80),
+        F.lit('</p><a href="/a">1</a><a href="/b">2</a><a href="/c">3</a>'
+              "</body></html>"),
+    )
+    news_body = F.concat(
+        F.lit("<html><body><p>coverage: this domain is for sale says "
+              "registrar</p>"),
+        F.lit('<a href="/a">1</a><a href="/b">2</a><a href="/c">3</a>'
+              "</body></html>"),
+    )
+    body = (
+        F.when(host_id.isin(0, 9) & (did % 4 != 0), parked_body)
+        .when((host_id == 5) & (did % 3 == 0), news_body)
+        .otherwise(normal_body)
+    )
+    pages = d.select(host.alias("host"), *parked_score_cols(body))
+    return parked_hosts(pages)
+
+
+def _parked_domains_oracle() -> str:
+    from sandcrawler_spark.functions.soft404 import PARKED_RX
+
+    return f"""
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN doc_id % 20 IN (0, 9) AND doc_id % 4 <> 0
+              THEN '<html><body><h1>This domain is for sale</h1>'
+                   || '<a href="https://registrar.example.net/buy">buy</a>'
+                   || ' related searches</body></html>'
+              WHEN doc_id % 20 = 5 AND doc_id % 3 = 0
+              THEN '<html><body><p>coverage: this domain is for sale says registrar</p>'
+                   || '<a href="/a">1</a><a href="/b">2</a><a href="/c">3</a></body></html>'
+              ELSE '<html><body><p>' || substring(text, 1, 80)
+                   || '</p><a href="/a">1</a><a href="/b">2</a><a href="/c">3</a></body></html>'
+         END AS body
+  FROM documents
+),
+flags AS (
+  SELECT host,
+         CASE WHEN regexp_matches(lower(body), '{PARKED_RX}')
+                   AND len(regexp_extract_all(lower(body), '<a href')) <= 2
+              THEN 1 ELSE 0 END AS is_parked
+  FROM pages
+),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS INT) AS n_pages,
+         CAST(SUM(is_parked) AS INT) AS n_parked
+  FROM flags GROUP BY host
+)
+SELECT host, n_pages, n_parked, (n_parked * 2 >= n_pages) AS host_parked
+FROM agg
+""".strip()
+
+
 _FRESHNESS_BUDGET = 150_000  # fetches per 210-day period
 
 
@@ -5366,7 +5481,7 @@ _STALE_FIRST = [
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
-    "lang_segments", "recrawl_allocation",
+    "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5451,6 +5566,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_meta": q_jsonld_meta,
         "lang_segments": q_lang_segments,
         "recrawl_allocation": q_recrawl_allocation,
+        "parked_domains": q_parked_domains,
+        "longest_repeat": q_longest_repeat,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7432,6 +7549,8 @@ FROM j GROUP BY warc_file
         "jsonld_meta": _jsonld_meta_oracle(),
         "lang_segments": _LANG_SEGMENTS_ORACLE,
         "recrawl_allocation": _recrawl_allocation_oracle(),
+        "parked_domains": _parked_domains_oracle(),
+        "longest_repeat": _LONGEST_REPEAT_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

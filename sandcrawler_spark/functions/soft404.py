@@ -24,7 +24,7 @@ alternation, optional groups, \\s, anchors).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TITLE_RX = r"^\s*(404|page not found|not found|error 404|oops)"
@@ -49,4 +49,58 @@ def soft404_reason_col(status: Column, title: Column, body: Column) -> Column:
             F.lit("soft404:tiny-error-body"),
         )
         .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# --- parked / for-sale domain detection (r4 session 16) --------------------
+
+# registrar-lander phrase list — module constant so the DuckDB oracle
+# interpolates the identical pattern (Java regex / RE2 shared subset)
+PARKED_RX = (
+    r"(this domain (is|may be) for sale|buy this domain"
+    r"|domain (has|was) (recently )?(been )?registered"
+    r"|parked (free )?(courtesy|by)|related searches)"
+)
+PARKED_MAX_OUTLINKS = 2
+
+
+def parked_score_cols(body: Column) -> list[Column]:
+    """Per-page parked-lander signals: registrar phrase hit, outlink
+    count, visible-text length. A page is 'parked' when it carries a
+    registrar phrase AND has almost no outbound links — the phrase
+    alone would flag news stories ABOUT domain parking, the link
+    count alone flags minimal landing pages generally.
+
+    Parked domains are the soft-404 problem at host granularity:
+    expired sites re-registered as ad landers keep their inbound
+    links and their 200 status, so a crawler keeps revisiting and a
+    corpus keeps ingesting registrar boilerplate. The reference
+    handles specific cases via its domain blocklist
+    (python/sandcrawler/ingest.py); a content detector generalizes.
+    """
+    lower = F.lower(body)
+    n_out = F.regexp_count(lower, F.lit(r"<a href"))
+    text = F.trim(F.regexp_replace(F.regexp_replace(lower, r"<[^>]+>", " "), r"\s+", " "))
+    has_phrase = lower.rlike(PARKED_RX)
+    return [
+        has_phrase.alias("has_parked_phrase"),
+        n_out.cast("int").alias("n_outlinks"),
+        F.length(text).cast("int").alias("text_chars"),
+        (has_phrase & (n_out <= PARKED_MAX_OUTLINKS)).alias("is_parked"),
+    ]
+
+
+def parked_hosts(pages: DataFrame, host_col: str = "host") -> DataFrame:
+    """Host rollup of per-page parked flags: a host is condemned when
+    >= 50% of its sampled pages are parked landers (integer-exact
+    2*n_parked >= n_pages form)."""
+    agg = pages.groupBy(host_col).agg(
+        F.count("*").cast("int").alias("n_pages"),
+        F.sum(F.col("is_parked").cast("int")).cast("int").alias("n_parked"),
+    )
+    return agg.select(
+        F.col(host_col),
+        "n_pages",
+        "n_parked",
+        (F.col("n_parked") * 2 >= F.col("n_pages")).alias("host_parked"),
     )

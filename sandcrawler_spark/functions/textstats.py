@@ -256,3 +256,73 @@ def paragraph_langs(
             F.lit("en"),
         ).otherwise(F.lit("other")).alias("dominant_lang"),
     )
+
+
+def longest_repeat(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 200,
+    cap: int = 24,
+):
+    """Longest repeated substring per document (suffix-sort + adjacent
+    LCP), capped: (doc_id, repeat_len, repeat_sub).
+
+    The memorization-audit primitive: a long internal repeat is the
+    within-document form of what span_dedupe catches across documents
+    — templated spam, copy-pasted boilerplate, generator loops. The
+    classic O(n) answer is a suffix array; the exact same semantics
+    fall out of a relational phrasing: explode all suffixes, sort
+    them, and the longest repeat is the maximum longest-common-prefix
+    between ADJACENT sorted suffixes (any repeated substring is a
+    prefix of two suffixes, and two suffixes sharing a prefix sort
+    adjacent to other sharers).
+
+    Bounded honestly for scale: suffixes are clipped to `cap` chars
+    (repeats longer than cap report cap) and the scan covers the
+    first `prefix_chars` of each doc — so the exploded relation is
+    O(prefix_chars) rows x cap bytes per doc, the per-doc sort window
+    is bounded, and nothing is corpus-global. The LCP itself is the
+    same bounded fold remove_dot_segments uses (F.aggregate /
+    list_reduce with the engines' shared lambda semantics), with
+    length guards so '' == '' beyond a short suffix's end cannot
+    inflate the prefix.
+    """
+    from pyspark.sql import Window
+
+    pre = F.substring(F.col(text_col), 1, prefix_chars)
+    sfx = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.sequence(F.lit(1), F.length(pre))).alias("pos"),
+        pre.alias("_pre"),
+    ).select(
+        "doc_id", F.expr(f"substring(_pre, pos, {cap})").alias("suffix")
+    )
+    w = Window.partitionBy("doc_id").orderBy("suffix")
+    paired = sfx.select(
+        "doc_id", "suffix", F.lag("suffix").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), F.lit(cap)),
+        F.lit(0),
+        lambda acc, k: F.when(
+            (acc == k - 1)
+            & (k <= F.length("suffix")) & (k <= F.length("prev"))
+            & (F.substr(F.col("suffix"), k, F.lit(1))
+               == F.substr(F.col("prev"), k, F.lit(1))),
+            k,
+        ).otherwise(acc),
+    )
+    scored = paired.select("doc_id", "suffix", lcp.cast("int").alias("lcp"))
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("lcp").desc(), F.col("suffix").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lcp").alias("repeat_len"),
+            F.expr("substring(suffix, 1, lcp)").alias("repeat_sub"),
+        )
+    )

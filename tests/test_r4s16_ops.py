@@ -490,6 +490,44 @@ def test_freshness_allocation_greedy_bound(spark):
             assert got_total == opt
 
 
+def test_parked_conjunction(spark):
+    # phrase alone (news story with links) must NOT condemn the host
+    from sandcrawler_spark.functions.soft404 import parked_hosts, parked_score_cols
+
+    rows = [
+        ("sale.com", '<h1>this domain is for sale</h1><a href="/x">r</a>'),
+        ("sale.com", "<h1>buy this domain</h1> related searches"),
+        ("news.com",
+         'story: this domain is for sale <a href="/a">1</a>'
+         '<a href="/b">2</a><a href="/c">3</a>'),
+        ("news.com", "<p>regular article</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["host", "body"])
+    pages = df.select("host", *parked_score_cols(F.col("body")))
+    out = {r["host"]: r for r in parked_hosts(pages).collect()}
+    assert out["sale.com"]["host_parked"] is True
+    assert out["news.com"]["host_parked"] is False
+    assert out["news.com"]["n_parked"] == 0
+
+
+def test_longest_repeat_semantics(spark):
+    from sandcrawler_spark.functions.textstats import longest_repeat
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam block spam block spam block end"),
+            (2, "all words here are distinct tokens"),
+            (3, "x" * 100),  # repeat saturates at the cap
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in longest_repeat(df, cap=24).collect()}
+    assert out[1]["repeat_sub"].startswith("spam block ")
+    assert out[1]["repeat_len"] >= 22
+    assert out[2]["repeat_len"] <= 4  # only short incidental repeats
+    assert out[3]["repeat_len"] == 24  # identical clipped suffixes saturate at cap
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [

@@ -136,7 +136,7 @@ AUDIT = [
     # r4 session-16
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
-    "lang_segments", "recrawl_allocation",
+    "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
 ]
 
 
