@@ -5007,6 +5007,82 @@ FROM _ur
 """.strip()
 
 
+def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # third-party prevalence over the bipartite (first-party host x
+    # sub-resource host) graph: a resource host embedded by many
+    # DISTINCT first parties is a tracker/CDN — the corpus-wide
+    # generalization of per-page adblock filtering (sub_resources /
+    # functions/biblio.py), and the signal the static rule list in
+    # adblock_data.py is bootstrapped from
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page_host = F.concat(F.lit("h"), (did % 20).cast("string"), F.lit(".example.org"))
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit('<img src="https://'), page_host, F.lit('/self.png">'),
+        F.lit('<script src="https://cdn.assets.example.net/lib.js"></script>'),
+        opt(did % 2 == 0,
+            F.lit('<img src="https://tracker.ads.example.net/px.gif">')),
+        opt(did % 3 == 0,
+            F.lit('<script src="https://pixel.spy.example.net/t.js"></script>')),
+        opt(did % 20 == 7,
+            F.lit('<img src="https://widget.niche.example.net/w.png">')),
+    )
+    res = d.select(
+        page_host.alias("page_host"),
+        F.explode(
+            F.regexp_extract_all(
+                html, F.lit(r'src="https://([^/"]+)/'), F.lit(1)
+            )
+        ).alias("res_host"),
+    ).filter(F.col("res_host") != F.col("page_host"))
+    agg = res.groupBy("res_host").agg(
+        F.count_distinct("page_host").cast("int").alias("n_first_parties"),
+        F.count("*").cast("long").alias("n_embeds"),
+    )
+    return agg.select(
+        "res_host", "n_first_parties", "n_embeds",
+        (F.col("n_first_parties") >= 5).alias("is_tracker"),
+    )
+
+
+_TRACKER_HOSTS_ORACLE = """
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS page_host,
+         '<img src="https://h' || CAST(doc_id % 20 AS VARCHAR)
+         || '.example.org/self.png">'
+         || '<script src="https://cdn.assets.example.net/lib.js"></script>'
+         || CASE WHEN doc_id % 2 = 0
+              THEN '<img src="https://tracker.ads.example.net/px.gif">'
+              ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<script src="https://pixel.spy.example.net/t.js"></script>'
+              ELSE '' END
+         || CASE WHEN doc_id % 20 = 7
+              THEN '<img src="https://widget.niche.example.net/w.png">'
+              ELSE '' END AS html
+  FROM documents
+),
+res AS (
+  SELECT page_host,
+         UNNEST(regexp_extract_all(html, 'src="https://([^/"]+)/', 1)) AS res_host
+  FROM pages
+),
+third AS (SELECT * FROM res WHERE res_host <> page_host),
+agg AS (
+  SELECT res_host,
+         CAST(COUNT(DISTINCT page_host) AS INT) AS n_first_parties,
+         CAST(COUNT(*) AS BIGINT) AS n_embeds
+  FROM third GROUP BY res_host
+)
+SELECT res_host, n_first_parties, n_embeds, (n_first_parties >= 5) AS is_tracker
+FROM agg
+""".strip()
+
+
 def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc longest repeated substring (suffix-sort + adjacent-LCP,
     # capped): the within-document memorization audit — templated spam
@@ -5482,6 +5558,7 @@ _STALE_FIRST = [
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
+    "tracker_hosts",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5568,6 +5645,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_allocation": q_recrawl_allocation,
         "parked_domains": q_parked_domains,
         "longest_repeat": q_longest_repeat,
+        "tracker_hosts": q_tracker_hosts,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7551,6 +7629,7 @@ FROM j GROUP BY warc_file
         "recrawl_allocation": _recrawl_allocation_oracle(),
         "parked_domains": _parked_domains_oracle(),
         "longest_repeat": _LONGEST_REPEAT_ORACLE,
+        "tracker_hosts": _TRACKER_HOSTS_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",
