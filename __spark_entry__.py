@@ -5007,6 +5007,61 @@ FROM _ur
 """.strip()
 
 
+def q_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-bit minhash calibration: the 32x-smaller sketch's estimate
+    # next to exact shingle Jaccard on true near-dup pairs AND
+    # unrelated pairs — the accuracy relation that decides whether
+    # b-bit sketches can replace full signatures at a given threshold
+    from sandcrawler_spark.operators.dedupe import bbit_jaccard_pairs
+
+    docs = _aug_docs(spark, sf_dir)
+    near = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b")
+    )
+    far = docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 99)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return bbit_jaccard_pairs(docs, near.unionByName(far), n_shingle=3, k=64)
+
+
+_BBIT_MINHASH_ORACLE = f"""
+WITH {_AUG_DOCS_CTE.strip()},
+{_SHINGLES_CTE.strip()},
+sigb AS (
+  SELECT doc_id, sh,
+         [CAST(CAST('0x' || substr(
+            list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ':' || s))),
+            32, 1) AS UBIGINT) % 2 AS INT) FOR i IN range(0, 64)] AS bits
+  FROM shingled WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM aug_docs WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM aug_docs
+  WHERE doc_id % 2 = 0 AND doc_id < 99
+),
+joined AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(range(1, 65), j -> a.bits[j] = b.bits[j])) AS BIGINT)
+           AS n_match,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM pairs p
+  JOIN sigb a ON a.doc_id = p.id_a
+  JOIN sigb b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, CAST(n_match AS INT) AS n_match,
+       greatest(CAST(0 AS BIGINT),
+                ((2 * n_match - 64) * CAST(1000000 AS BIGINT)) // 64) AS jhat_micro,
+       (CAST(1000000 AS BIGINT) * len(list_intersect(sh_a, sh_b)))
+         // len(list_distinct(list_concat(sh_a, sh_b))) AS jexact_micro,
+       abs(greatest(CAST(0 AS BIGINT),
+                    ((2 * n_match - 64) * CAST(1000000 AS BIGINT)) // 64)
+           - (CAST(1000000 AS BIGINT) * len(list_intersect(sh_a, sh_b)))
+             // len(list_distinct(list_concat(sh_a, sh_b)))) AS abs_err_micro
+FROM joined
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -5558,7 +5613,7 @@ _STALE_FIRST = [
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
-    "tracker_hosts",
+    "tracker_hosts", "bbit_minhash",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5646,6 +5701,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parked_domains": q_parked_domains,
         "longest_repeat": q_longest_repeat,
         "tracker_hosts": q_tracker_hosts,
+        "bbit_minhash": q_bbit_minhash,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7630,6 +7686,7 @@ FROM j GROUP BY warc_file
         "parked_domains": _parked_domains_oracle(),
         "longest_repeat": _LONGEST_REPEAT_ORACLE,
         "tracker_hosts": _TRACKER_HOSTS_ORACLE,
+        "bbit_minhash": _BBIT_MINHASH_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

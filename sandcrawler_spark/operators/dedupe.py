@@ -791,3 +791,70 @@ def lsh_tuning(
             "CAST((1000000 * n_true_candidates) div greatest(CAST(1 AS BIGINT), n_candidates) AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+# --- b-bit minhash (r4 session 16) -----------------------------------------
+
+def bbit_signature_bits(shingles, k: int = 64):
+    """1-bit minhash signature (Li & Koenig 2010): the parity of each
+    of the k MinHash values (last hex nibble of the same md5 minima
+    minhash_signature takes). 64 bits store in 8 bytes vs 64 x 16-byte
+    md5 strings — the 32x storage cut is the whole point at 10^10-doc
+    sketch-table scale."""
+    return F.transform(
+        minhash_signature(shingles, k),
+        lambda v: (F.conv(F.substring(v, 32, 1), 16, 10).cast("int") % 2),
+    )
+
+
+def bbit_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n_shingle: int = 3,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per pair: the b=1 estimator J^ = max(0, 2*P_match - 1) in
+    integer micro, next to the exact shingle Jaccard and the absolute
+    error — the calibration relation for deciding whether the 32x
+    smaller sketch is accurate enough for a given dedupe threshold.
+    The r->0 estimator form is the standard web-dedupe regime (shingle
+    space >> document size); the clamp handles the sub-half-match
+    noise floor. pairs: (id_a, id_b)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n_shingle).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sh = sh.select(
+        "id", "sh", bbit_signature_bits(F.col("sh"), k).alias("bits")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                  F.col("bits").alias("bits_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                  F.col("bits").alias("bits_b"))
+    j = pairs.join(a, on="id_a").join(b, on="id_b")
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("long")
+    jhat = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"((2 * n_match - {k}) * CAST(1000000 AS BIGINT)) div {k}"),
+    )
+    jexact = F.expr(
+        "(CAST(1000000 AS BIGINT) * size(array_intersect(sh_a, sh_b))) div "
+        "size(array_union(sh_a, sh_b))"
+    )
+    return (
+        j.withColumn("n_match", n_match)
+        .select(
+            "id_a", "id_b",
+            F.col("n_match").cast("int").alias("n_match"),
+            jhat.alias("jhat_micro"),
+            jexact.alias("jexact_micro"),
+        )
+        .withColumn("abs_err_micro", F.abs(F.col("jhat_micro") - F.col("jexact_micro")))
+    )

@@ -528,6 +528,76 @@ def test_longest_repeat_semantics(spark):
     assert out[3]["repeat_len"] == 24  # identical clipped suffixes saturate at cap
 
 
+def test_resolve_url_fuzz_vs_stdlib_urljoin(spark):
+    # differential vs the stdlib's RFC 3986 implementation over a
+    # seeded random battery of dot-segment-heavy references; fragments
+    # are stripped from urljoin's output (our documented divergence),
+    # and no scheme-carrying or //-containing refs are generated (the
+    # other documented divergences)
+    import random
+
+    from urllib.parse import urljoin
+
+    from sandcrawler_spark.functions.urlresolve import resolve_url
+
+    rng = random.Random(42)
+    segs = ["a", "bb", "c3", ".", "..", "d-e"]
+    cases = []
+    for _ in range(300):
+        base_path = "/" + "/".join(
+            rng.choice(["a", "bb", "c3", "d-e"]) for _ in range(rng.randint(1, 4))
+        )
+        base = "http://h.example" + base_path
+        if rng.random() < 0.5:
+            base += "?q=" + str(rng.randint(0, 9))
+        n = rng.randint(1, 5)
+        href = "/".join(rng.choice(segs) for _ in range(n))
+        if rng.random() < 0.3:
+            href = "/" + href
+        if rng.random() < 0.3:
+            href += "/"
+        if rng.random() < 0.3:
+            href += "?x=" + str(rng.randint(0, 9))
+        cases.append((base, href))
+    df = spark.createDataFrame(cases, ["base", "href"])
+    got = {
+        (r["base"], r["href"]): r["resolved"]
+        for r in df.select(
+            "base", "href",
+            resolve_url(F.col("base"), F.col("href")).alias("resolved"),
+        ).collect()
+    }
+    n_checked = 0
+    for base, href in cases:
+        want = urljoin(base, href).split("#", 1)[0]
+        assert got[(base, href)] == want, (base, href, got[(base, href)], want)
+        n_checked += 1
+    assert n_checked == 300
+
+
+def test_bbit_minhash_calibration(spark):
+    # identical docs -> estimate 1.0 exactly; near-dups estimate high;
+    # disjoint docs clamp to the noise floor near 0
+    from sandcrawler_spark.operators.dedupe import bbit_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(55)) + " x1 x2 x3 x4 x5"
+    disj = " ".join(f"z{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, disj)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], ["id_a", "id_b"]
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in bbit_jaccard_pairs(docs, pairs, k=64).collect()}
+    assert out[(1, 2)]["n_match"] == 64
+    assert out[(1, 2)]["jhat_micro"] == 1_000_000
+    assert out[(1, 2)]["jexact_micro"] == 1_000_000
+    assert out[(1, 3)]["jhat_micro"] > 500_000  # high-overlap pair
+    assert out[(1, 4)]["jexact_micro"] == 0
+    assert out[(1, 4)]["jhat_micro"] < 400_000  # noise floor, clamped
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
