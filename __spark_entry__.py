@@ -5062,6 +5062,118 @@ FROM joined
 """.strip()
 
 
+def q_table_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # markdown pipe-row linearization of extracted tables — the
+    # training-format rendering (pipe-escape inside cells, two explode
+    # levels, order-preserving row indices)
+    from sandcrawler_spark.functions.htmlblocks import table_markdown_rows
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def opt(cond, seg):
+        return F.when(cond, seg).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        opt(did % 2 == 0, F.concat(
+            F.lit("<table><tr><th>h1</th><th>h2</th></tr><tr><td>a"),
+            did.cast("string"),
+            F.lit("</td><td>b</td></tr></table>"),
+        )),
+        opt(did % 6 == 0, F.lit("<table><tr><td>nav</td></tr></table>")),
+        F.lit("</body></html>"),
+    )
+    return table_markdown_rows(d.select("doc_id", html.alias("html")))
+
+
+def _table_markdown_oracle() -> str:
+    from sandcrawler_spark.functions.htmlblocks import table_markdown_oracle_sql
+
+    planted = """
+SELECT doc_id,
+  '<html><body>'
+  || CASE WHEN doc_id % 2 = 0
+       THEN '<table><tr><th>h1</th><th>h2</th></tr><tr><td>a'
+            || CAST(doc_id AS VARCHAR) || '</td><td>b</td></tr></table>'
+       ELSE '' END
+  || CASE WHEN doc_id % 6 = 0
+       THEN '<table><tr><td>nav</td></tr></table>' ELSE '' END
+  || '</body></html>' AS html
+FROM documents
+""".strip()
+    return table_markdown_oracle_sql(planted)
+
+
+_URL_TAXO_PATHS = [
+    "/blog/my-post-title", "/2021/07/headline-story", "/forum/thread/",
+    "/docs/api/reference", "/product/widget-", "/tag/history/page/",
+    "/about", "/news/2019/11/item", "/category/tools", "/item/sku-",
+]
+
+_URL_TAXO_RULES = [
+    ("dated-article", r"/20[0-9]{2}/[01][0-9]/"),
+    ("blog", r"/blog/"),
+    ("forum", r"/(forum|thread)/"),
+    ("docs", r"/(docs|documentation)/"),
+    ("commerce", r"/(product|item)/"),
+    ("listing", r"/(tag|category)/|/page/[0-9]+$"),
+]
+
+
+def q_url_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dolma/C4-style URL-shape taxonomy for mixture planning: path
+    # patterns classify pages into content categories BEFORE any
+    # fetch — the zero-cost prior that decides crawl priority and
+    # corpus mixture shares; first-match-wins ordered rules
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    path = F.concat(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _URL_TAXO_PATHS]),
+            (did % len(_URL_TAXO_PATHS) + 1).cast("int"),
+        ),
+        did.cast("string"),
+    )
+    url = F.concat(
+        F.lit("https://h"), (did % 9).cast("string"), F.lit(".example.org"), path
+    )
+    cat = F.lit("other")
+    for name, pat in reversed(_URL_TAXO_RULES):
+        cat = F.when(path.rlike(pat), F.lit(name)).otherwise(cat)
+    depth = (F.size(F.split(path, "/")) - 1).cast("int")
+    rows = d.select(url.alias("url"), cat.alias("category"), depth.alias("depth"))
+    return rows.groupBy("category").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("depth").cast("int").alias("min_depth"),
+        F.max("depth").cast("int").alias("max_depth"),
+    )
+
+
+def _url_taxonomy_oracle() -> str:
+    paths = ", ".join("'" + p + "'" for p in _URL_TAXO_PATHS)
+    case = "CASE\n"
+    for name, pat in _URL_TAXO_RULES:
+        case += f"    WHEN regexp_matches(path, '{pat}') THEN '{name}'\n"
+    case += "    ELSE 'other' END"
+    return f"""
+WITH u AS (
+  SELECT ([{paths}])[CAST(doc_id % {len(_URL_TAXO_PATHS)} + 1 AS INT)]
+           || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+c AS (
+  SELECT path, {case} AS category,
+         CAST(len(string_split(path, '/')) - 1 AS INT) AS depth
+  FROM u
+)
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MIN(depth) AS INT) AS min_depth,
+       CAST(MAX(depth) AS INT) AS max_depth
+FROM c GROUP BY category
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -5613,7 +5725,7 @@ _STALE_FIRST = [
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
-    "tracker_hosts", "bbit_minhash",
+    "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5702,6 +5814,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_repeat": q_longest_repeat,
         "tracker_hosts": q_tracker_hosts,
         "bbit_minhash": q_bbit_minhash,
+        "table_markdown": q_table_markdown,
+        "url_taxonomy": q_url_taxonomy,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7687,6 +7801,8 @@ FROM j GROUP BY warc_file
         "longest_repeat": _LONGEST_REPEAT_ORACLE,
         "tracker_hosts": _TRACKER_HOSTS_ORACLE,
         "bbit_minhash": _BBIT_MINHASH_ORACLE,
+        "table_markdown": _table_markdown_oracle(),
+        "url_taxonomy": _url_taxonomy_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -168,3 +168,85 @@ SELECT doc_id, 'code' AS kind, idx, CAST(NULL AS INT) AS n_rows,
        n_lines, n_chars, lang_hint, content_md5
 FROM _hb_pre_stats
 """.strip()
+
+
+TR_PAT = r"(?s)<tr[^>]*>(.*?)</tr>"
+CELL_PAT = r"(?s)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def table_markdown_rows(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Markdown-linearized table content, one output row per <tr>:
+    (doc_id, idx, row_idx, n_cells, md_row) where md_row is the
+    '| a | b |' pipe form — the canonical training-data rendering of
+    HTML tables (what markdown-converting curation pipelines emit).
+    Cell text is tag-stripped and whitespace-normalized; pipes inside
+    cells are escaped so the row stays parseable. Two explode levels
+    (tables, then rows), all codegen."""
+    tables = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(TABLE_PAT), F.lit(0))
+        ).alias("tidx0", "tbl"),
+    )
+    rows = tables.select(
+        "doc_id",
+        (F.col("tidx0") + 1).cast("int").alias("idx"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbl"), F.lit(TR_PAT), F.lit(1))
+        ).alias("ridx0", "tr"),
+    )
+    cells = F.regexp_extract_all(F.col("tr"), F.lit(CELL_PAT), F.lit(1))
+    clean = F.transform(
+        cells,
+        lambda c: F.regexp_replace(
+            F.trim(F.regexp_replace(F.regexp_replace(c, _TAG_PAT, " "), _WS_PAT, " ")),
+            r"\|", "\\\\|",
+        ),
+    )
+    return rows.select(
+        "doc_id", "idx",
+        (F.col("ridx0") + 1).cast("int").alias("row_idx"),
+        F.size(clean).cast("int").alias("n_cells"),
+        F.concat(F.lit("| "), F.array_join(clean, " | "), F.lit(" |")).alias("md_row"),
+    )
+
+
+def table_markdown_oracle_sql(pages_sql: str) -> str:
+    """DuckDB twin of table_markdown_rows (nested list_zip ordinality
+    for the two posexplode levels)."""
+    return f"""
+WITH _tm_pages AS (SELECT doc_id, html FROM ({pages_sql})),
+_tm_tblz AS (
+  SELECT doc_id, UNNEST(list_zip(arr, range(1, len(arr) + 1))) AS z
+  FROM (SELECT doc_id,
+               regexp_extract_all(html, '(?s)<table[^>]*>.*?</table>') AS arr
+        FROM _tm_pages)
+),
+_tm_tbl AS (SELECT doc_id, CAST(z[2] AS INT) AS idx, z[1] AS tbl FROM _tm_tblz),
+_tm_rowz AS (
+  SELECT doc_id, idx, UNNEST(list_zip(arr, range(1, len(arr) + 1))) AS z
+  FROM (SELECT doc_id, idx,
+               regexp_extract_all(tbl, '(?s)<tr[^>]*>(.*?)</tr>', 1) AS arr
+        FROM _tm_tbl)
+),
+_tm_rows AS (
+  SELECT doc_id, idx, CAST(z[2] AS INT) AS row_idx, z[1] AS tr FROM _tm_rowz
+),
+_tm_cells AS (
+  SELECT doc_id, idx, row_idx,
+         list_transform(
+           regexp_extract_all(tr, '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+           c -> regexp_replace(
+                  trim(regexp_replace(regexp_replace(c, '<[^>]+>', ' ', 'g'),
+                                      '\\s+', ' ', 'g')),
+                  '\\|', '\\\\|', 'g')
+         ) AS cells
+  FROM _tm_rows
+)
+SELECT doc_id, idx, row_idx,
+       CAST(len(cells) AS INT) AS n_cells,
+       '| ' || array_to_string(cells, ' | ') || ' |' AS md_row
+FROM _tm_cells
+""".strip()

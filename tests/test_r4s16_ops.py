@@ -598,6 +598,38 @@ def test_bbit_minhash_calibration(spark):
     assert out[(1, 4)]["jhat_micro"] < 400_000  # noise floor, clamped
 
 
+def test_table_markdown_rendering(spark):
+    from sandcrawler_spark.functions.htmlblocks import table_markdown_rows
+
+    html = (
+        "<table><tr><th>name</th><th>a|b</th></tr>"
+        "<tr><td> x </td><td><b>bold</b> y</td></tr></table>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    rows = sorted(table_markdown_rows(df).collect(), key=lambda r: r["row_idx"])
+    assert rows[0]["md_row"] == "| name | a\\|b |"  # pipe escaped
+    assert rows[1]["md_row"] == "| x | bold y |"  # tags stripped, ws normalized
+    assert rows[1]["n_cells"] == 2
+
+
+def test_url_taxonomy_rules_ordered(spark):
+    # first-match-wins: a dated blog path classifies as dated-article
+    import re
+
+    from __spark_entry__ import _URL_TAXO_RULES
+
+    def classify(path):
+        for name, pat in _URL_TAXO_RULES:
+            if re.search(pat, path):
+                return name
+        return "other"
+
+    assert classify("/blog/2020/05/post") == "dated-article"
+    assert classify("/blog/post") == "blog"
+    assert classify("/tag/x/page/77") == "listing"
+    assert classify("/about") == "other"
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [

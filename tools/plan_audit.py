@@ -137,7 +137,7 @@ AUDIT = [
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
-    "tracker_hosts", "bbit_minhash",
+    "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
 ]
 
 
