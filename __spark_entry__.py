@@ -5174,6 +5174,81 @@ FROM c GROUP BY category
 """.strip()
 
 
+def q_capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-URL content drift between consecutive captures: token-set
+    # Jaccard vs the previous capture (lag over the capture stream) —
+    # the text-level complement of recrawl_rates' digest-flip counter,
+    # feeding change-rate estimation with HOW MUCH changed, not just
+    # whether; capture content synthesized deterministically with a
+    # rotating token window so drift is exact in both engines
+    caps = _captures(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("datetime")
+    idx = F.row_number().over(w)
+    c = caps.select("url", "datetime").withColumn("cap_idx", idx)
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.concat(F.lit("w"), ((F.col("cap_idx") + j) % 37).cast("string")),
+    )
+    c = c.withColumn("toks", toks)
+    prev = F.lag("toks").over(Window.partitionBy("url").orderBy("cap_idx"))
+    c = c.withColumn("prev", prev).filter(F.col("prev").isNotNull())
+    jac = F.expr(
+        "(CAST(1000000 AS BIGINT) * size(array_intersect(toks, prev))) div "
+        "size(array_union(toks, prev))"
+    )
+    per_cap = c.select("url", "cap_idx", jac.alias("jaccard_micro"))
+    return per_cap.groupBy("url").agg(
+        F.count("*").cast("int").alias("n_transitions"),
+        F.min("jaccard_micro").cast("long").alias("min_jac_micro"),
+        F.max("jaccard_micro").cast("long").alias("max_jac_micro"),
+        F.sum("jaccard_micro").cast("long").alias("sum_jac_micro"),
+    )
+
+
+_CAPTURE_DRIFT_ORACLE = """
+WITH cap AS (
+  SELECT url, datetime FROM (
+    SELECT 'https://stream.example.org/u/' || CAST(user_id AS VARCHAR) AS url,
+           strftime(ts, '%Y%m%d%H%M%S') AS datetime,
+           event_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY 'https://stream.example.org/u/' || CAST(user_id AS VARCHAR),
+                          strftime(ts, '%Y%m%d%H%M%S')
+             ORDER BY event_id
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+idxd AS (
+  SELECT url, datetime,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY datetime) AS cap_idx
+  FROM cap
+),
+tokd AS (
+  SELECT url, cap_idx,
+         list_transform(range(0, 8),
+                        j -> 'w' || CAST((cap_idx + j) % 37 AS VARCHAR)) AS toks
+  FROM idxd
+),
+lagd AS (
+  SELECT url, cap_idx, toks,
+         lag(toks) OVER (PARTITION BY url ORDER BY cap_idx) AS prev
+  FROM tokd
+),
+jacd AS (
+  SELECT url, CAST(cap_idx AS INT) AS cap_idx,
+         (CAST(1000000 AS BIGINT) * len(list_intersect(toks, prev)))
+           // len(list_distinct(list_concat(toks, prev))) AS jaccard_micro
+  FROM lagd WHERE prev IS NOT NULL
+)
+SELECT url, CAST(COUNT(*) AS INT) AS n_transitions,
+       CAST(MIN(jaccard_micro) AS BIGINT) AS min_jac_micro,
+       CAST(MAX(jaccard_micro) AS BIGINT) AS max_jac_micro,
+       CAST(SUM(jaccard_micro) AS BIGINT) AS sum_jac_micro
+FROM jacd GROUP BY url
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -5726,6 +5801,7 @@ _STALE_FIRST = [
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
+    "capture_drift",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5816,6 +5892,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_minhash": q_bbit_minhash,
         "table_markdown": q_table_markdown,
         "url_taxonomy": q_url_taxonomy,
+        "capture_drift": q_capture_drift,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7803,6 +7880,7 @@ FROM j GROUP BY warc_file
         "bbit_minhash": _BBIT_MINHASH_ORACLE,
         "table_markdown": _table_markdown_oracle(),
         "url_taxonomy": _url_taxonomy_oracle(),
+        "capture_drift": _CAPTURE_DRIFT_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",
