@@ -5249,6 +5249,158 @@ FROM jacd GROUP BY url
 """.strip()
 
 
+def q_outlink_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the payoff of the full RFC 3986 resolver on the link graph:
+    # pages planted with absolute / protocol-relative / root-relative
+    # AND dot-relative hrefs; counts what the deterministic subset
+    # (linkgraph._resolve_dst's documented drop of dot-relative forms)
+    # recovers vs full resolution — the recovered edges are whole site
+    # sections relative-path templates would otherwise hide
+    from sandcrawler_spark.functions.urlresolve import resolve_url
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 10).cast("string"), F.lit(".example.org"))
+    base = F.concat(F.lit("https://"), host, F.lit("/a/b/page"), did.cast("string"), F.lit(".html"))
+    hrefs = F.array(
+        F.concat(F.lit("https://ext.example.net/x"), did.cast("string")),
+        F.lit("//cdn.example.net/lib.js"),
+        F.lit("/rooted/path"),
+        F.lit("../up/one"),
+        F.lit("./same/dir"),
+        F.lit("plain/rel"),
+        F.lit("#frag-only"),
+    )
+    rows = d.select(host.alias("host"), base.alias("base"), F.explode(hrefs).alias("href"))
+    subset_ok = (
+        F.col("href").rlike("^https?://")
+        | F.col("href").rlike("^//")
+        | (F.col("href").startswith("/") & ~F.col("href").startswith("//"))
+    )
+    full = resolve_url(F.col("base"), F.col("href"))
+    # fragment-only refs resolve to the base itself — not a NEW edge;
+    # exclude them from the full count so 'recovered' means real links
+    full_ok = full.isNotNull() & (full != F.col("base"))
+    agg = rows.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_hrefs"),
+        F.sum(subset_ok.cast("long")).cast("long").alias("n_subset"),
+        F.sum(full_ok.cast("long")).cast("long").alias("n_full"),
+    )
+    return agg.select(
+        "host", "n_hrefs", "n_subset", "n_full",
+        (F.col("n_full") - F.col("n_subset")).cast("long").alias("n_recovered"),
+    )
+
+
+def _outlink_resolved_oracle() -> str:
+    from sandcrawler_spark.functions.urlresolve import resolve_url_sql
+
+    return f"""
+WITH rows AS (
+  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org' AS host,
+         'https://h' || CAST(doc_id % 10 AS VARCHAR)
+           || '.example.org/a/b/page' || CAST(doc_id AS VARCHAR) || '.html' AS base,
+         UNNEST(['https://ext.example.net/x' || CAST(doc_id AS VARCHAR),
+                 '//cdn.example.net/lib.js', '/rooted/path', '../up/one',
+                 './same/dir', 'plain/rel', '#frag-only']) AS href
+  FROM documents
+),
+flags AS (
+  SELECT host,
+         CASE WHEN regexp_matches(href, '^https?://') OR regexp_matches(href, '^//')
+                   OR (href LIKE '/%' AND href NOT LIKE '//%')
+              THEN 1 ELSE 0 END AS subset_ok,
+         CASE WHEN ({resolve_url_sql("base", "href")}) IS NOT NULL
+                   AND ({resolve_url_sql("base", "href")}) <> base
+              THEN 1 ELSE 0 END AS full_ok
+  FROM rows
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_hrefs,
+       CAST(SUM(subset_ok) AS BIGINT) AS n_subset,
+       CAST(SUM(full_ok) AS BIGINT) AS n_full,
+       CAST(SUM(full_ok) - SUM(subset_ok) AS BIGINT) AS n_recovered
+FROM flags GROUP BY host
+""".strip()
+
+
+_HTTP_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def q_http_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 7231 HTTP-date triple-format parsing to epoch seconds —
+    # pure integer days-from-civil (no engine date functions: pattern
+    # dialects and session timezones differ across engines, integer
+    # civil-date arithmetic doesn't); malformed every 11th doc -> NULL
+    from sandcrawler_spark.functions.httpdate import http_date_cols
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    y = (F.lit(1995) + did % 30).cast("int")
+    m = (did % 12 + 1).cast("int")
+    dd = (did % 28 + 1).cast("int")
+    hh = F.lpad((did % 24).cast("string"), 2, "0")
+    mi = F.lpad((did % 60).cast("string"), 2, "0")
+    ss = F.lpad((did % 59).cast("string"), 2, "0")
+    mon = F.element_at(F.array(*[F.lit(x) for x in _HTTP_MONTHS]), m)
+    tpart = F.concat(hh, F.lit(":"), mi, F.lit(":"), ss)
+    imf = F.concat(F.lit("Mon, "), F.lpad(dd.cast("string"), 2, "0"), F.lit(" "),
+                   mon, F.lit(" "), y.cast("string"), F.lit(" "), tpart, F.lit(" GMT"))
+    r850 = F.concat(F.lit("Monday, "), F.lpad(dd.cast("string"), 2, "0"), F.lit("-"),
+                    mon, F.lit("-"), F.lpad((y % 100).cast("string"), 2, "0"),
+                    F.lit(" "), tpart, F.lit(" GMT"))
+    asc_day = F.when(dd < 10, F.concat(F.lit(" "), dd.cast("string"))).otherwise(dd.cast("string"))
+    asc = F.concat(F.lit("Mon "), mon, F.lit(" "), asc_day, F.lit(" "), tpart,
+                   F.lit(" "), y.cast("string"))
+    raw = (
+        F.when(did % 11 == 0, F.lit("yesterday"))
+        .when(did % 3 == 0, imf)
+        .when(did % 3 == 1, r850)
+        .otherwise(asc)
+    )
+    return d.select("doc_id", raw.alias("raw"), *http_date_cols(raw))
+
+
+def _http_dates_oracle() -> str:
+    from sandcrawler_spark.functions.httpdate import http_date_oracle_exprs
+
+    months = ", ".join("'" + x + "'" for x in _HTTP_MONTHS)
+    fmt_expr, epoch_expr = http_date_oracle_exprs("raw")
+    return f"""
+WITH parts AS (
+  SELECT doc_id,
+         CAST(1995 + doc_id % 30 AS INT) AS y,
+         CAST(doc_id % 12 + 1 AS INT) AS m,
+         CAST(doc_id % 28 + 1 AS INT) AS dd,
+         lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+           || lpad(CAST(doc_id % 59 AS VARCHAR), 2, '0') AS tpart,
+         ([{months}])[CAST(doc_id % 12 + 1 AS INT)] AS mon
+  FROM documents
+),
+rawd AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN 'yesterday'
+           WHEN doc_id % 3 = 0 THEN
+             'Mon, ' || lpad(CAST(dd AS VARCHAR), 2, '0') || ' ' || mon || ' '
+             || CAST(y AS VARCHAR) || ' ' || tpart || ' GMT'
+           WHEN doc_id % 3 = 1 THEN
+             'Monday, ' || lpad(CAST(dd AS VARCHAR), 2, '0') || '-' || mon || '-'
+             || lpad(CAST(y % 100 AS VARCHAR), 2, '0') || ' ' || tpart || ' GMT'
+           ELSE
+             'Mon ' || mon || ' '
+             || CASE WHEN dd < 10 THEN ' ' || CAST(dd AS VARCHAR)
+                     ELSE CAST(dd AS VARCHAR) END
+             || ' ' || tpart || ' ' || CAST(y AS VARCHAR)
+         END AS raw
+  FROM parts
+)
+SELECT doc_id, raw, {fmt_expr} AS fmt, {epoch_expr} AS epoch_s
+FROM rawd
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -5801,7 +5953,7 @@ _STALE_FIRST = [
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
-    "capture_drift",
+    "capture_drift", "outlink_resolved", "http_dates",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -5893,6 +6045,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_markdown": q_table_markdown,
         "url_taxonomy": q_url_taxonomy,
         "capture_drift": q_capture_drift,
+        "outlink_resolved": q_outlink_resolved,
+        "http_dates": q_http_dates,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -7881,6 +8035,8 @@ FROM j GROUP BY warc_file
         "table_markdown": _table_markdown_oracle(),
         "url_taxonomy": _url_taxonomy_oracle(),
         "capture_drift": _CAPTURE_DRIFT_ORACLE,
+        "outlink_resolved": _outlink_resolved_oracle(),
+        "http_dates": _http_dates_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -630,6 +630,40 @@ def test_url_taxonomy_rules_ordered(spark):
     assert classify("/about") == "other"
 
 
+def test_http_dates_vs_stdlib(spark):
+    # parser pinned against email.utils.parsedate_to_datetime across
+    # formats, leap days, and boundaries
+    from email.utils import parsedate_to_datetime
+
+    from sandcrawler_spark.functions.httpdate import http_date_cols
+
+    cases = [
+        "Sun, 06 Nov 1994 08:49:37 GMT",     # the RFC's own example
+        "Sunday, 06-Nov-94 08:49:37 GMT",
+        "Sun Nov  6 08:49:37 1994",
+        "Tue, 29 Feb 2000 23:59:59 GMT",     # leap century year
+        "Mon, 29 Feb 2016 00:00:00 GMT",
+        "Thu, 01 Jan 1970 00:00:00 GMT",     # epoch
+        "Fri, 31 Dec 1999 23:59:59 GMT",
+        "Wed, 01 Mar 2023 12:00:00 GMT",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["raw"])
+    got = {
+        r["raw"]: (r["fmt"], r["epoch_s"])
+        for r in df.select("raw", *http_date_cols(F.col("raw"))).collect()
+    }
+    for c in cases:
+        want = int(parsedate_to_datetime(c).timestamp())
+        assert got[c][1] == want, (c, got[c], want)
+    assert got["Sun, 06 Nov 1994 08:49:37 GMT"][0] == "imf"
+    assert got["Sunday, 06-Nov-94 08:49:37 GMT"][0] == "rfc850"
+    assert got["Sun Nov  6 08:49:37 1994"][0] == "asctime"
+    # malformed -> NULL, not garbage
+    bad = spark.createDataFrame([("yesterday",), ("Sun, 99 Nov 1994",)], ["raw"])
+    for r in bad.select(*http_date_cols(F.col("raw"))).collect():
+        assert r["fmt"] is None and r["epoch_s"] is None
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
