@@ -73,6 +73,13 @@ def extract_outlinks(
         scheme://host;
       - anything else (fragments, javascript:, mailto:, dot-relative)
         dropped.
+
+    Full RFC 3986 §5.2 resolution (merge + remove_dot_segments) lives
+    in functions/urlresolve.py `resolve_url`; the `outlink_resolved`
+    driver query measures what it recovers beyond this subset (r4
+    session 16). This extractor keeps the subset deliberately: its
+    oracle twin and every downstream graph query are specified
+    against these exact rules.
     """
     doc = F.decode(F.col(html_col), "UTF-8")
     scheme = F.regexp_extract(F.col(url_col), r"^(https?):", 1)

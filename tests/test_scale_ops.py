@@ -468,3 +468,39 @@ def test_postings_compression_hot_stopword_1e6(spark):
     n_singleton = sum(r.n_postings for (dc, _), r in got.items() if dc == "1")
     assert n_singleton == n
     assert wall < 120
+
+
+def test_maxscore_prune_1e6_docs(spark):
+    # design-scale MaxScore receipt: 10^6 docs all matching a
+    # stopword-grade term, a few thousand matching the rare term —
+    # the ceiling prune must keep the fully-scored set within ~the
+    # rare posting list, and the result must equal exact BM25
+    import time
+
+    from sandcrawler_spark.operators.search import bm25_topk, maxscore_topk
+
+    n = int(os.environ.get("SPARK_GRAFT_MAXSCORE_DOCS", 1_000_000))
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common filler pad"), (F.col("id") % 17).cast("string"),
+            F.when(F.col("id") % 500 == 0, F.lit(" rareterm")).otherwise(F.lit("")),
+            F.lit(" tail words here"),
+        ).alias("text"),
+    )
+    df = df.localCheckpoint(eager=True)
+    terms = ["rareterm", "common"]
+    t0 = time.time()
+    counters: dict = {}
+    pruned = [tuple(r) for r in maxscore_topk(df, terms, k=10, _counters=counters).collect()]
+    t_pruned = time.time() - t0
+    t0 = time.time()
+    exact = [tuple(r) for r in bm25_topk(df, terms, k=10).collect()]
+    t_exact = time.time() - t0
+    assert pruned == exact
+    assert counters["n_matching"] == n
+    assert counters["n_scored"] <= n // 100  # ~rare posting list only
+    print(
+        f"maxscore 1e6: scored {counters['n_scored']}/{counters['n_matching']} "
+        f"({t_pruned:.1f}s) vs exact ({t_exact:.1f}s)"
+    )
