@@ -468,6 +468,16 @@ def maxscore_topk(
     with bm25_topk); what pruning saves is the scoring join tree.
     `_counters`, when provided, receives {'n_matching', 'n_scored'}
     so tests can assert real pruning happened.
+
+    Measured boundary (tests/test_scale_ops.py, 1e6 docs local[32]):
+    the prune reliably cuts the fully-scored set to ~the rare posting
+    list (2000/1e6), but the extra fixed-cost jobs (ceilings, theta,
+    ub-sum) cost more LOCAL wall than the avoided scoring — single-box
+    BM25 scoring of 1e6 rows is seconds. The shape pays off where the
+    scoring join tree is the dominant term: 10^9+ matching rows, dl
+    join + float math per row, multi-executor scoring stages. Use
+    bm25_topk below that regime; the operators return identical rows
+    either way (that equality IS this operator's oracle).
     """
     if isinstance(query_terms, (list, tuple)):
         spark = df.sparkSession
@@ -489,6 +499,11 @@ def maxscore_topk(
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
     ).join(F.broadcast(qt), on="term", how="inner")
     tf = toks.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    # the tf relation (query-term-filtered: tiny) feeds FOUR separate
+    # jobs (ceilings, theta, the ub-sum prune, final scoring) — without
+    # this checkpoint every job re-tokenizes the whole corpus and the
+    # prune costs more than it saves (measured at 1e6 docs)
+    tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
     idf_expr = F.log(
