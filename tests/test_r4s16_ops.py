@@ -664,6 +664,43 @@ def test_http_dates_vs_stdlib(spark):
         assert r["fmt"] is None and r["epoch_s"] is None
 
 
+def test_http_dates_fuzz_vs_stdlib(spark):
+    # seeded random sweep across the calendar (1970-2037) in all three
+    # formats vs email.utils.parsedate_to_datetime
+    import calendar
+    import random
+    from email.utils import parsedate_to_datetime
+
+    from sandcrawler_spark.functions.httpdate import http_date_cols
+
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    rng = random.Random(7)
+    cases = []
+    for _ in range(200):
+        y = rng.randint(1970, 2037)
+        m = rng.randint(1, 12)
+        d = rng.randint(1, calendar.monthrange(y, m)[1])
+        h, mi, s = rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59)
+        t = f"{h:02d}:{mi:02d}:{s:02d}"
+        kind = rng.randint(0, 2)
+        if kind == 0:
+            raw = f"Mon, {d:02d} {months[m-1]} {y} {t} GMT"
+        elif kind == 1:
+            raw = f"Monday, {d:02d}-{months[m-1]}-{y % 100:02d} {t} GMT"
+        else:
+            raw = f"Mon {months[m-1]} {d:2d} {t} {y}"
+        cases.append(raw)
+    df = spark.createDataFrame([(c,) for c in cases], ["raw"])
+    got = {
+        r["raw"]: r["epoch_s"]
+        for r in df.select("raw", *http_date_cols(F.col("raw"))).collect()
+    }
+    for c in cases:
+        want = int(parsedate_to_datetime(c).timestamp())
+        assert got[c] == want, (c, got[c], want)
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
