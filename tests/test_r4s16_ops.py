@@ -701,6 +701,44 @@ def test_http_dates_fuzz_vs_stdlib(spark):
         assert got[c] == want, (c, got[c], want)
 
 
+def test_checksum_catches_every_single_digit_error(spark):
+    # the mathematical guarantee these codes were designed for:
+    # ISSN mod-11 / ISBN-13 EAN / ORCID ISO 7064 11-2 each detect ALL
+    # single-digit substitutions — exhaustive over positions, seeded
+    # over bases
+    import random
+
+    from sandcrawler_spark.functions.identifiers import extract_identifiers
+
+    def issn_check(d7):
+        s = sum(int(d) * w for d, w in zip(d7, range(8, 1, -1)))
+        c = (11 - s % 11) % 11
+        return "X" if c == 10 else str(c)
+
+    rng = random.Random(3)
+    rows, expect_invalid = [], 0
+    rid = 0
+    for _ in range(25):
+        d7 = "".join(rng.choice("0123456789") for _ in range(7))
+        issn = f"{d7[:4]}-{d7[4:]}{issn_check(d7)}"
+        # corrupt each data position in turn (check-digit corruption
+        # is covered by test_checksum_rejects_corrupted)
+        for pos in range(7):
+            old = d7[pos]
+            new = rng.choice([c for c in "0123456789" if c != old])
+            bad = d7[:pos] + new + d7[pos + 1:]
+            bad_issn = f"{bad[:4]}-{bad[4:]}{issn[-1]}"
+            rows.append((rid, f"ISSN {bad_issn}"))
+            rid += 1
+            expect_invalid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = extract_identifiers(df).collect()
+    assert len(out) == expect_invalid
+    assert all(not r["is_valid"] for r in out), [
+        r for r in out if r["is_valid"]
+    ][:3]
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
