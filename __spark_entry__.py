@@ -5401,6 +5401,88 @@ FROM rawd
 """.strip()
 
 
+def q_arc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # legacy ARC container roundtrip (the pre-WARC petabox format the
+    # reference's wayback path must read — ia.py:392,446 "(W)ARC"):
+    # files BUILT pure-Catalyst (filedesc + length-counted records),
+    # re-parsed by the sequential mapInPandas scanner; the oracle
+    # rebuilds every header/offset relationally and never runs the
+    # scanner — offsets prove the length-walk is byte-exact
+    from sandcrawler_spark.sources.arcfmt import (
+        arc_filedesc_col,
+        arc_record_col,
+        scan_arc_blobs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (did % 10).cast("string"),
+                   F.lit(".example.com/doc/"), did.cast("string"))
+    ip = F.concat(F.lit("10.0."), (did % 256).cast("string"), F.lit("."),
+                  (did % 100).cast("string"))
+    date14 = F.concat(F.lit("20200101"), F.lpad((did % 240000).cast("string"), 6, "0"))
+    payload = F.concat(F.lit("HTTP/1.1 200 OK\n\n"), F.col("text"))
+    recs = d.select(
+        did.alias("doc_id"), (did % 8).alias("file_id"),
+        arc_record_col(url, ip, date14, F.lit("text/html"), payload).alias("rec"),
+    )
+    path = F.concat(F.lit("arc/part-"), F.col("file_id").cast("string"), F.lit(".arc"))
+    blobs = (
+        recs.groupBy("file_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ), "",
+            ).alias("body")
+        )
+        .select(
+            path.alias("path"),
+            F.encode(F.concat(arc_filedesc_col(path), F.col("body")), "utf-8")
+            .alias("content"),
+        )
+    )
+    return scan_arc_blobs(blobs)
+
+
+_ARC_ROUNDTRIP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS file_id,
+         'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+           || CAST(doc_id % 100 AS VARCHAR) AS ip,
+         '20200101' || lpad(CAST(doc_id % 240000 AS VARCHAR), 6, '0') AS arc_date,
+         'HTTP/1.1 200 OK' || chr(10) || chr(10) || text AS payload
+  FROM documents WHERE doc_id < 200
+),
+recs AS (
+  SELECT doc_id, file_id, url, ip, arc_date,
+         CAST(strlen(payload) AS BIGINT) AS length,
+         md5(payload) AS payload_md5,
+         url || ' ' || ip || ' ' || arc_date || ' text/html '
+           || CAST(strlen(payload) AS VARCHAR) || chr(10) || payload || chr(10)
+           AS rec
+  FROM base
+),
+fd AS (
+  SELECT file_id,
+         strlen('filedesc://arc/part-' || CAST(file_id AS VARCHAR)
+                || '.arc 0.0.0.0 20000101000000 text/plain 20' || chr(10)
+                || '1 1 InternetArchive' || chr(10) || chr(10)) AS fd_len
+  FROM (SELECT DISTINCT file_id FROM recs)
+)
+SELECT 'arc/part-' || CAST(r.file_id AS VARCHAR) || '.arc' AS path,
+       CAST(f.fd_len + COALESCE(SUM(strlen(rec)) OVER (
+         PARTITION BY r.file_id ORDER BY r.doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS offset,
+       r.url, r.ip, r.arc_date, 'text/html' AS mimetype, r.length, r.payload_md5
+FROM recs r JOIN fd f ON f.file_id = r.file_id
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -5953,7 +6035,7 @@ _STALE_FIRST = [
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
-    "capture_drift", "outlink_resolved", "http_dates",
+    "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6047,6 +6129,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_drift": q_capture_drift,
         "outlink_resolved": q_outlink_resolved,
         "http_dates": q_http_dates,
+        "arc_roundtrip": q_arc_roundtrip,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8037,6 +8120,7 @@ FROM j GROUP BY warc_file
         "capture_drift": _CAPTURE_DRIFT_ORACLE,
         "outlink_resolved": _outlink_resolved_oracle(),
         "http_dates": _http_dates_oracle(),
+        "arc_roundtrip": _ARC_ROUNDTRIP_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

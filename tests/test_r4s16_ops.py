@@ -739,6 +739,31 @@ def test_checksum_catches_every_single_digit_error(spark):
     ][:3]
 
 
+def test_arc_scanner_truncation_and_filedesc(spark):
+    import hashlib
+
+    from sandcrawler_spark.sources.arcfmt import parse_arc_blob_rows
+
+    def rec(url, payload: bytes) -> bytes:
+        head = f"{url} 1.2.3.4 20200101000000 text/html {len(payload)}\n"
+        return head.encode() + payload + b"\n"
+
+    fd = rec("filedesc://f.arc", b"1 1 InternetArchive\n")
+    r1 = rec("http://a.example/x", b"HTTP/1.1 200 OK\n\nbody-one")
+    r2 = rec("http://b.example/y", b"HTTP/1.1 404 NF\n\nmissing")
+    blob = fd + r1 + r2
+    rows = parse_arc_blob_rows(blob, path="f.arc")
+    assert [r["url"] for r in rows] == ["http://a.example/x", "http://b.example/y"]
+    assert rows[0]["offset"] == len(fd)
+    assert rows[1]["offset"] == len(fd) + len(r1)
+    assert rows[0]["payload_md5"] == hashlib.md5(b"HTTP/1.1 200 OK\n\nbody-one").hexdigest()
+    # truncated tail: the partial record is dropped, prior ones survive
+    rows_t = parse_arc_blob_rows(blob[:-10], path="f.arc")
+    assert [r["url"] for r in rows_t] == ["http://a.example/x"]
+    # garbage header terminates cleanly
+    assert parse_arc_blob_rows(b"not an arc header\nxx") == []
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [

@@ -138,7 +138,7 @@ AUDIT = [
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
-    "capture_drift", "outlink_resolved", "http_dates",
+    "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
 ]
 
 
