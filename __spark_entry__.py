@@ -5483,6 +5483,96 @@ FROM recs r JOIN fd f ON f.file_id = r.file_id
 """.strip()
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Gopher QUALITY rule set (Rae et al. 2021 App. A) completing
+    # gopher_repetition: all thresholds integer cross-multiplied;
+    # violations planted per rule so every flag fires both ways
+    from sandcrawler_spark.functions.repetition import gopher_quality_cols
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.col("text")
+    text = (
+        F.when(did % 11 == 0, F.substring(base, 1, 40))  # too few words
+        .when(did % 7 == 0, F.concat(
+            base, F.lit("\n"),
+            F.lit("- one\n- two\n- three\n- four\n- five\n- six\n"
+                  "- seven\n- eight\n- nine\n- ten"),
+        ))
+        .when(did % 5 == 0, F.concat(
+            base, F.lit(" ### ## #tag1 #tag2 #tag3 #tag4 #tag5 #tag6 "
+                        "more... and... dots... again... trailing...")))
+        .when(did % 13 == 0, F.concat(
+            base, F.lit(" 111 222 333 444 555 666 777 888 999 000 "
+                        "111 222 333 444 555 666 777 888 999 000 "
+                        "111 222 333 444 555 666 777 888 999 000")))
+        .otherwise(base)
+    )
+    return d.select("doc_id", *gopher_quality_cols(text))
+
+
+def _gopher_quality_oracle() -> str:
+    from sandcrawler_spark.functions.repetition import GOPHER_STOPWORDS
+
+    stops = ", ".join("'" + s + "'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 11 = 0 THEN substring(text, 1, 40)
+           WHEN doc_id % 7 = 0 THEN text || chr(10)
+             || '- one' || chr(10) || '- two' || chr(10) || '- three' || chr(10)
+             || '- four' || chr(10) || '- five' || chr(10) || '- six' || chr(10)
+             || '- seven' || chr(10) || '- eight' || chr(10) || '- nine'
+             || chr(10) || '- ten'
+           WHEN doc_id % 5 = 0 THEN text
+             || ' ### ## #tag1 #tag2 #tag3 #tag4 #tag5 #tag6 more... and... dots... again... trailing...'
+           WHEN doc_id % 13 = 0 THEN text
+             || ' 111 222 333 444 555 666 777 888 999 000'
+             || ' 111 222 333 444 555 666 777 888 999 000'
+             || ' 111 222 333 444 555 666 777 888 999 000'
+           ELSE text
+         END AS text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM planted
+),
+agg AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         COALESCE(list_sum(list_transform(toks, w -> strlen(w))), 0) AS total_chars,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(toks), [{stops}])) AS n_stop_kinds,
+         strlen(text) - strlen(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*\u2022])'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS n_ell_lines
+  FROM feat
+)
+SELECT doc_id,
+       (n_words BETWEEN 50 AND 100000) AS wc_ok,
+       (total_chars >= n_words * 3 AND total_chars <= n_words * 10) AS mwl_ok,
+       ((n_hash + n_ellipsis) * 10 <= n_words) AS sym_ok,
+       (n_bullet * 10 <= n_lines * 9) AS bullet_ok,
+       (n_ell_lines * 10 <= n_lines * 3) AS ellipsis_ok,
+       (n_alpha * 5 >= n_words * 4) AS alpha_ok,
+       (n_stop_kinds >= 2) AS stop_ok,
+       ((n_words BETWEEN 50 AND 100000)
+        AND (total_chars >= n_words * 3 AND total_chars <= n_words * 10)
+        AND ((n_hash + n_ellipsis) * 10 <= n_words)
+        AND (n_bullet * 10 <= n_lines * 9)
+        AND (n_ell_lines * 10 <= n_lines * 3)
+        AND (n_alpha * 5 >= n_words * 4)
+        AND (n_stop_kinds >= 2)) AS gopher_pass
+FROM agg
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6036,6 +6126,7 @@ _STALE_FIRST = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
+    "gopher_quality",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6130,6 +6221,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_resolved": q_outlink_resolved,
         "http_dates": q_http_dates,
         "arc_roundtrip": q_arc_roundtrip,
+        "gopher_quality": q_gopher_quality,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8121,6 +8213,7 @@ FROM j GROUP BY warc_file
         "outlink_resolved": _outlink_resolved_oracle(),
         "http_dates": _http_dates_oracle(),
         "arc_roundtrip": _ARC_ROUNDTRIP_ORACLE,
+        "gopher_quality": _gopher_quality_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

@@ -154,3 +154,65 @@ def gopher_repetition(
     b = top_ngram_char_frac(df, id_col, text_col, n=top_n)
     c = dup_ngram_word_frac(df, id_col, text_col, n=dup_n)
     return a.join(b, on=id_col).join(c, on=id_col)
+
+
+# --- Gopher quality rules (r4 session 16) ----------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_cols(text):
+    """The Gopher QUALITY rule set (Rae et al. 2021, Appendix A) —
+    the companion to gopher_repetition's repetition rules, completing
+    the published filter. Every threshold is evaluated in integer
+    cross-multiplied form (no float ratios), so the DuckDB twin
+    replays it bit-for-bit:
+
+      wc_ok        50 <= word count <= 100,000
+      mwl_ok       3 <= mean word length <= 10  (3n <= chars <= 10n)
+      sym_ok       (hashtags + '...' occurrences) * 10 <= words
+      bullet_ok    bullet-start lines * 10 <= 9 * lines
+      ellipsis_ok  '...'-ending lines * 10 <= 3 * lines
+      alpha_ok     words containing a letter * 5 >= 4 * words
+      stop_ok      >= 2 distinct members of the 8-stopword probe set
+
+    Returns the 7 flags + gopher_pass (AND of all)."""
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_stop_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\."))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+
+    wc_ok = n_words.between(50, 100_000)
+    mwl_ok = (total_chars >= n_words * 3) & (total_chars <= n_words * 10)
+    sym_ok = (n_hash + n_ellipsis) * 10 <= n_words
+    bullet_ok = n_bullet * 10 <= n_lines * 9
+    ellipsis_ok = n_ell_lines * 10 <= n_lines * 3
+    alpha_ok = n_alpha * 5 >= n_words * 4
+    stop_ok = n_stop_kinds >= 2
+    gopher_pass = (
+        wc_ok & mwl_ok & sym_ok & bullet_ok & ellipsis_ok & alpha_ok & stop_ok
+    )
+    return [
+        wc_ok.alias("wc_ok"), mwl_ok.alias("mwl_ok"), sym_ok.alias("sym_ok"),
+        bullet_ok.alias("bullet_ok"), ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"), stop_ok.alias("stop_ok"),
+        gopher_pass.alias("gopher_pass"),
+    ]
