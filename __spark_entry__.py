@@ -5573,6 +5573,63 @@ FROM agg
 """.strip()
 
 
+def q_seen_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north star's "bloom/cuckoo" pair as a sizing decision table:
+    # for each cuckoo fingerprint width f, the (2,4)-cuckoo FPR bound
+    # 8/2^f and bits/key f/0.955, vs the bloom bits/key that buys the
+    # SAME fpr (1.442695*(f-3), since log2(8/2^f) = 3-f) — all exact
+    # integer arithmetic (rational rounding, no libm), one measured
+    # distinct-count + memory at the 10^10-key design point
+    urls = _urls(spark, sf_dir)
+    n = urls.agg(F.count_distinct("url").cast("long").alias("n_urls"))
+    f = F.explode(F.array(*[F.lit(x) for x in (8, 10, 12, 16, 20, 24)])).alias("f_bits")
+    t = n.select("n_urls", f)
+    fb = F.col("f_bits")
+    fpr_ppm = F.expr(
+        "CAST((8000000 + CAST(pow(2, f_bits - 1) AS BIGINT)) div "
+        "CAST(pow(2, f_bits) AS BIGINT) AS BIGINT)"
+    )
+    cuckoo_bpk_milli = F.expr("(f_bits * 1000000 + 477) div 955")
+    bloom_bpk_milli = F.expr("((f_bits - 3) * 1442695 + 500) div 1000")
+    t = t.select(
+        "n_urls", "f_bits",
+        fpr_ppm.alias("fpr_ppm"),
+        cuckoo_bpk_milli.alias("cuckoo_bpk_milli"),
+        bloom_bpk_milli.alias("bloom_bpk_milli"),
+    )
+    mb = lambda c: F.expr(f"({c} * 10000000000) div 8388608000")
+    return t.select(
+        "n_urls", "f_bits", "fpr_ppm", "cuckoo_bpk_milli", "bloom_bpk_milli",
+        mb("cuckoo_bpk_milli").alias("cuckoo_mb_at_1e10"),
+        mb("bloom_bpk_milli").alias("bloom_mb_at_1e10"),
+        (F.col("cuckoo_bpk_milli") < F.col("bloom_bpk_milli")).alias("cuckoo_smaller"),
+    )
+
+
+_SEEN_COMPARE_ORACLE = f"""
+WITH {_URLS_CTE.strip()},
+n AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls FROM urls),
+t AS (
+  SELECT n_urls, UNNEST([8, 10, 12, 16, 20, 24]) AS f_bits FROM n
+),
+calc AS (
+  SELECT n_urls, f_bits,
+         CAST((8000000 + CAST(pow(2, f_bits - 1) AS BIGINT))
+              // CAST(pow(2, f_bits) AS BIGINT) AS BIGINT) AS fpr_ppm,
+         (f_bits * 1000000 + 477) // 955 AS cuckoo_bpk_milli,
+         ((f_bits - 3) * 1442695 + 500) // 1000 AS bloom_bpk_milli
+  FROM t
+)
+SELECT n_urls, CAST(f_bits AS INT) AS f_bits, fpr_ppm,
+       CAST(cuckoo_bpk_milli AS BIGINT) AS cuckoo_bpk_milli,
+       CAST(bloom_bpk_milli AS BIGINT) AS bloom_bpk_milli,
+       CAST((cuckoo_bpk_milli * 10000000000) // 8388608000 AS BIGINT) AS cuckoo_mb_at_1e10,
+       CAST((bloom_bpk_milli * 10000000000) // 8388608000 AS BIGINT) AS bloom_mb_at_1e10,
+       (cuckoo_bpk_milli < bloom_bpk_milli) AS cuckoo_smaller
+FROM calc
+"""
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6126,7 +6183,7 @@ _STALE_FIRST = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality",
+    "gopher_quality", "seen_compare",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6222,6 +6279,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_dates": q_http_dates,
         "arc_roundtrip": q_arc_roundtrip,
         "gopher_quality": q_gopher_quality,
+        "seen_compare": q_seen_compare,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8214,6 +8272,7 @@ FROM j GROUP BY warc_file
         "http_dates": _http_dates_oracle(),
         "arc_roundtrip": _ARC_ROUNDTRIP_ORACLE,
         "gopher_quality": _gopher_quality_oracle(),
+        "seen_compare": _SEEN_COMPARE_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

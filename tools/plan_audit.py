@@ -139,7 +139,7 @@ AUDIT = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality",
+    "gopher_quality", "seen_compare",
 ]
 
 
