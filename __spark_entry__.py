@@ -5630,6 +5630,66 @@ FROM calc
 """
 
 
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability table for the NB quality classifier: fixed-width
+    # log-odds bins (0.5 nats, clamped [-5,5]) x observed
+    # positive rate in integer ppm — the calibration receipt that
+    # decides whether raw log-odds can gate the corpus or need
+    # recalibration first
+    from sandcrawler_spark.operators.quality_clf import (
+        nb_score_docs,
+        train_nb_classifier,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = train_nb_classifier(
+        d.withColumn("_label", (F.col("lang") == "en").cast("int")), "_label"
+    )
+    scored = nb_score_docs(d, w).join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        on="doc_id",
+    )
+    bin_id = F.greatest(
+        F.lit(-5).cast("long"),
+        F.least(F.lit(5).cast("long"),
+                F.expr("logodds_micronat div 500000")),
+    )
+    agg = scored.groupBy(bin_id.alias("bin_id")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return agg.select(
+        "bin_id", "n_docs", "n_pos",
+        F.expr("(1000000 * n_pos) div n_docs").alias("pos_ppm"),
+    )
+
+
+def _nb_calibration_oracle() -> str:
+    from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
+
+    inner = nb_oracle_sql(
+        "SELECT doc_id, text, lang FROM documents", "lang = 'en'"
+    )
+    return f"""
+WITH _cal_scores AS ({inner}),
+_cal_joined AS (
+  SELECT s.doc_id, s.logodds_micronat,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM _cal_scores s JOIN documents d ON d.doc_id = s.doc_id
+),
+_cal_binned AS (
+  SELECT greatest(CAST(-5 AS BIGINT),
+                  least(CAST(5 AS BIGINT), logodds_micronat // 500000)) AS bin_id,
+         y
+  FROM _cal_joined
+)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       (1000000 * CAST(SUM(y) AS BIGINT)) // COUNT(*) AS pos_ppm
+FROM _cal_binned GROUP BY bin_id
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6183,7 +6243,7 @@ _STALE_FIRST = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality", "seen_compare",
+    "gopher_quality", "seen_compare", "nb_calibration",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6280,6 +6340,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arc_roundtrip": q_arc_roundtrip,
         "gopher_quality": q_gopher_quality,
         "seen_compare": q_seen_compare,
+        "nb_calibration": q_nb_calibration,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8273,6 +8334,7 @@ FROM j GROUP BY warc_file
         "arc_roundtrip": _ARC_ROUNDTRIP_ORACLE,
         "gopher_quality": _gopher_quality_oracle(),
         "seen_compare": _SEEN_COMPARE_ORACLE,
+        "nb_calibration": _nb_calibration_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

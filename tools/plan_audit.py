@@ -55,6 +55,8 @@ ALLOW_BNLJ = {
     # 1-row stat broadcasts (corpus stats + the k-th-score theta row)
     # onto the query-term-filtered tf relation — the bm25_search shape
     "maxscore_topk",
+    # wraps nb_quality (its 1-row prior crossJoins) with a bin rollup
+    "nb_calibration",
 }
 
 AUDIT = [
@@ -139,7 +141,7 @@ AUDIT = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality", "seen_compare",
+    "gopher_quality", "seen_compare", "nb_calibration",
 ]
 
 
