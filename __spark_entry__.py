@@ -5690,6 +5690,43 @@ FROM _cal_binned GROUP BY bin_id
 """.strip()
 
 
+def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retrieval over the ANCHOR index: each target URL described by
+    # the sorted bag of its inbound anchor texts, ranked by BM25 —
+    # anchor text beats body text for navigational queries (the
+    # classic web-IR result), and this composes the anchor-text
+    # aggregation with the ranked-retrieval stack end-to-end
+    from sandcrawler_spark.operators.linkgraph import extract_anchor_texts
+    from sandcrawler_spark.operators.search import bm25_topk, top_terms
+
+    edges = extract_anchor_texts(_link_pages(spark, sf_dir))
+    docs = edges.groupBy(F.col("dst_url").alias("doc_id")).agg(
+        F.concat_ws(" ", F.array_sort(F.collect_list("anchor_text"))).alias("text")
+    )
+    return bm25_topk(docs, top_terms(docs, n=2), k=10)
+
+
+def _anchor_search_oracle() -> str:
+    from sandcrawler_spark.operators.search import bm25_oracle_sql
+
+    docs_sql = f"""
+WITH {_URLS_CTE.strip()},
+{_ANCHOR_EDGES_CTE.strip()}
+SELECT dst_url AS doc_id,
+       array_to_string(list_sort(list(anchor_text)), ' ') AS text
+FROM anchor_edges GROUP BY dst_url
+""".strip()
+    terms_sql = f"""
+SELECT term FROM (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+    FROM ({docs_sql})
+  ) GROUP BY term ORDER BY c DESC, term ASC LIMIT 2
+)
+""".strip()
+    return bm25_oracle_sql(docs_sql, terms_sql, k=10)
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6243,7 +6280,7 @@ _STALE_FIRST = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality", "seen_compare", "nb_calibration",
+    "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6341,6 +6378,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "seen_compare": q_seen_compare,
         "nb_calibration": q_nb_calibration,
+        "anchor_search": q_anchor_search,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8335,6 +8373,7 @@ FROM j GROUP BY warc_file
         "gopher_quality": _gopher_quality_oracle(),
         "seen_compare": _SEEN_COMPARE_ORACLE,
         "nb_calibration": _nb_calibration_oracle(),
+        "anchor_search": _anchor_search_oracle(),
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

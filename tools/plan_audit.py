@@ -57,6 +57,8 @@ ALLOW_BNLJ = {
     "maxscore_topk",
     # wraps nb_quality (its 1-row prior crossJoins) with a bin rollup
     "nb_calibration",
+    # bm25 over the anchor index: the bm25_search 1-row stat shape
+    "anchor_search",
 }
 
 AUDIT = [
@@ -141,7 +143,7 @@ AUDIT = [
     "lang_segments", "recrawl_allocation", "parked_domains", "longest_repeat",
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
-    "gopher_quality", "seen_compare", "nb_calibration",
+    "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
 ]
 
 
