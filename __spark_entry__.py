@@ -5727,6 +5727,78 @@ SELECT term FROM (
     return bm25_oracle_sql(docs_sql, terms_sql, k=10)
 
 
+def q_warc_revisit_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WRITE-side revisit dedup — the reason wayback has revisit records
+    # at all: at archive time, captures whose payload digest was
+    # already stored become `revisit` records pointing at the original
+    # (response bytes written once per digest). min(struct) firsts per
+    # digest + join-back (no per-digest window), integer byte ledger;
+    # the read-side resolver (revisit_resolution) undoes exactly this
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+    did = F.col("doc_id")
+    # ~3 captures share each payload: digest collides on doc_id % 150
+    payload = F.concat(F.lit("HTTP/1.1 200 OK\n\n"), F.substring(F.col("text"), 1, 100))
+    caps = d.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("https://site"), (did % 9).cast("string"),
+                 F.lit(".example.com/p/"), (did % 150).cast("string")).alias("url"),
+        F.concat(F.lit("2020010100"), F.lpad((did % 10000).cast("string"), 4, "0")).alias("ts"),
+        F.md5(F.concat(F.lit("p:"), (did % 150).cast("string"))).alias("digest"),
+        F.octet_length(payload).cast("long").alias("payload_bytes"),
+    )
+    firsts = caps.groupBy("digest").agg(
+        F.min(F.struct("doc_id", "url", "ts")).alias("_f")
+    ).select(
+        "digest", F.col("_f.doc_id").alias("first_doc"),
+        F.col("_f.url").alias("ref_url"), F.col("_f.ts").alias("ref_ts"),
+    )
+    out = caps.join(firsts, on="digest")
+    is_first = F.col("doc_id") == F.col("first_doc")
+    header_bytes = F.lit(120).cast("long")  # fixed synthetic header cost
+    return out.select(
+        "doc_id", "url", "digest",
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit")).alias("kind"),
+        F.when(is_first, F.lit(None).cast("string")).otherwise(F.col("ref_url")).alias("ref_url"),
+        F.when(is_first, F.lit(None).cast("string")).otherwise(F.col("ref_ts")).alias("ref_ts"),
+        F.when(is_first, F.col("payload_bytes") + header_bytes)
+        .otherwise(header_bytes).alias("bytes_written"),
+        F.when(is_first, F.lit(0).cast("long"))
+        .otherwise(F.col("payload_bytes")).alias("bytes_saved"),
+    )
+
+
+_WARC_REVISIT_WRITE_ORACLE = """
+WITH caps AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id % 150 AS VARCHAR) AS url,
+         '2020010100' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ts,
+         md5('p:' || CAST(doc_id % 150 AS VARCHAR)) AS digest,
+         CAST(strlen('HTTP/1.1 200 OK' || chr(10) || chr(10)
+                     || substring(text, 1, 100)) AS BIGINT) AS payload_bytes
+  FROM documents WHERE doc_id < 450
+),
+firsts AS (
+  SELECT digest,
+         MIN(ROW(doc_id, url, ts)) AS f
+  FROM caps GROUP BY digest
+),
+fx AS (
+  SELECT digest, f[1] AS first_doc, f[2] AS ref_url, f[3] AS ref_ts
+  FROM firsts
+)
+SELECT c.doc_id, c.url, c.digest,
+       CASE WHEN c.doc_id = x.first_doc THEN 'response' ELSE 'revisit' END AS kind,
+       CASE WHEN c.doc_id = x.first_doc THEN NULL ELSE x.ref_url END AS ref_url,
+       CASE WHEN c.doc_id = x.first_doc THEN NULL ELSE x.ref_ts END AS ref_ts,
+       CASE WHEN c.doc_id = x.first_doc THEN c.payload_bytes + 120
+            ELSE CAST(120 AS BIGINT) END AS bytes_written,
+       CASE WHEN c.doc_id = x.first_doc THEN CAST(0 AS BIGINT)
+            ELSE c.payload_bytes END AS bytes_saved
+FROM caps c JOIN fx x ON c.digest = x.digest
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6281,6 +6353,7 @@ _STALE_FIRST = [
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
     "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
+    "warc_revisit_write",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6379,6 +6452,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_compare": q_seen_compare,
         "nb_calibration": q_nb_calibration,
         "anchor_search": q_anchor_search,
+        "warc_revisit_write": q_warc_revisit_write,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8374,6 +8448,7 @@ FROM j GROUP BY warc_file
         "seen_compare": _SEEN_COMPARE_ORACLE,
         "nb_calibration": _nb_calibration_oracle(),
         "anchor_search": _anchor_search_oracle(),
+        "warc_revisit_write": _WARC_REVISIT_WRITE_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",
