@@ -5799,6 +5799,66 @@ FROM caps c JOIN fx x ON c.digest = x.digest
 """.strip()
 
 
+def q_https_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HTTPS-upgrade audit: which http:// frontier URLs have a live
+    # https:// twin (same host+path captured OK) and can be upgraded
+    # in place — crawl hygiene that collapses scheme-duplicate
+    # frontier entries and stops mixed-scheme dedupe misses; one
+    # (host, path) equi-join, integer ppm rollup per host
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 12).cast("string"), F.lit(".example.org"))
+    path = F.concat(F.lit("/p/"), (did % 200).cast("string"))
+    # http capture for every doc; https twin exists unless host % 4 == 0
+    # (TLS-less host) or path % 7 == 0 (page missing on https)
+    http_side = d.select(host.alias("host"), path.alias("path"))
+    https_side = d.filter((did % 12 % 4 != 0) & (did % 200 % 7 != 0)).select(
+        host.alias("host"), path.alias("path")
+    ).distinct()
+    joined = http_side.join(
+        https_side.withColumn("_has_https", F.lit(1)), on=["host", "path"], how="left"
+    )
+    agg = joined.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_http"),
+        F.sum(F.coalesce(F.col("_has_https"), F.lit(0))).cast("long").alias("n_upgradable"),
+    )
+    return agg.select(
+        "host", "n_http", "n_upgradable",
+        F.expr("(1000000 * n_upgradable) div n_http").alias("upgrade_ppm"),
+        (F.col("n_upgradable") == F.col("n_http")).alias("fully_upgradable"),
+    )
+
+
+_HTTPS_UPGRADE_ORACLE = """
+WITH http_side AS (
+  SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example.org' AS host,
+         '/p/' || CAST(doc_id % 200 AS VARCHAR) AS path
+  FROM documents
+),
+https_side AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example.org' AS host,
+         '/p/' || CAST(doc_id % 200 AS VARCHAR) AS path
+  FROM documents
+  WHERE doc_id % 12 % 4 <> 0 AND doc_id % 200 % 7 <> 0
+),
+joined AS (
+  SELECT h.host, h.path,
+         CASE WHEN s.host IS NOT NULL THEN 1 ELSE 0 END AS has_https
+  FROM http_side h
+  LEFT JOIN https_side s ON s.host = h.host AND s.path = h.path
+),
+agg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_http,
+         CAST(SUM(has_https) AS BIGINT) AS n_upgradable
+  FROM joined GROUP BY host
+)
+SELECT host, n_http, n_upgradable,
+       (1000000 * n_upgradable) // n_http AS upgrade_ppm,
+       (n_upgradable = n_http) AS fully_upgradable
+FROM agg
+""".strip()
+
+
 def q_tracker_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # third-party prevalence over the bipartite (first-party host x
     # sub-resource host) graph: a resource host embedded by many
@@ -6353,7 +6413,7 @@ _STALE_FIRST = [
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
     "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
-    "warc_revisit_write",
+    "warc_revisit_write", "https_upgrade",
     # round-4 session-14 additions — never driver-checked, sample first
     "redirect_resolution", "fuzzy_url_join", "pmi_pairs", "kcenter_select",
     "cache_headers", "subdomain_traps", "nepotistic_links",
@@ -6453,6 +6513,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration": q_nb_calibration,
         "anchor_search": q_anchor_search,
         "warc_revisit_write": q_warc_revisit_write,
+        "https_upgrade": q_https_upgrade,
         "redirect_resolution": q_redirect_resolution,
         "fuzzy_url_join": q_fuzzy_url_join,
         "pmi_pairs": q_pmi_pairs,
@@ -8449,6 +8510,7 @@ FROM j GROUP BY warc_file
         "nb_calibration": _nb_calibration_oracle(),
         "anchor_search": _anchor_search_oracle(),
         "warc_revisit_write": _WARC_REVISIT_WRITE_ORACLE,
+        "https_upgrade": _HTTPS_UPGRADE_ORACLE,
         # the exact-BM25 twin: equality == pruning-losslessness proof
         "maxscore_topk": bm25_oracle_sql(
             "SELECT doc_id, text FROM documents",

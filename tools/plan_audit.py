@@ -144,7 +144,7 @@ AUDIT = [
     "tracker_hosts", "bbit_minhash", "table_markdown", "url_taxonomy",
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
     "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
-    "warc_revisit_write",
+    "warc_revisit_write", "https_upgrade",
 ]
 
 
