@@ -764,6 +764,63 @@ def test_arc_scanner_truncation_and_filedesc(spark):
     assert parse_arc_blob_rows(b"not an arc header\nxx") == []
 
 
+def test_gopher_quality_rule_semantics(spark):
+    from sandcrawler_spark.functions.repetition import gopher_quality_cols
+
+    good = " ".join(
+        ["the", "quick", "brown", "words", "flow", "here", "and", "that",
+         "with", "have"] * 6
+    )
+    rows = [
+        (1, good),
+        (2, "too short"),  # wc_ok fails
+        (3, good + " " + "#tag " * 20),  # sym_ok fails
+        (4, good + "\n" + "\n".join("- b" for _ in range(40))),  # bullets
+        (5, " ".join(["1234"] * 60)),  # alpha_ok + stop_ok fail
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select("doc_id", *gopher_quality_cols(F.col("text"))).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["wc_ok"] is False
+    assert out[3]["sym_ok"] is False
+    assert out[4]["bullet_ok"] is False
+    assert out[5]["alpha_ok"] is False and out[5]["stop_ok"] is False
+    assert all(not out[i]["gopher_pass"] for i in (2, 3, 4, 5))
+
+
+def test_seen_compare_crossover(spark):
+    # cuckoo wins above the ~2.7%-FPR crossover (f >= ~7), matching
+    # Fan et al.'s headline claim — check the table's verdict column
+    from __spark_entry__ import q_seen_compare
+
+    rows = {r["f_bits"]: r for r in q_seen_compare(spark, "/root/testdata/sf0.001").collect()}
+    for f, r in rows.items():
+        # bloom bpk = 1.4427*(f-3); cuckoo = f/0.955 — cuckoo smaller iff f > ~9.4
+        expect = (f * 1000 / 0.955) < ((f - 3) * 1442.695)
+        assert r["cuckoo_smaller"] == (r["cuckoo_bpk_milli"] < r["bloom_bpk_milli"])
+        assert r["cuckoo_smaller"] == expect, (f, r)
+
+
+def test_warc_revisit_write_ledger(spark):
+    # every digest writes exactly one response; bytes_saved equals the
+    # payload bytes of every suppressed duplicate
+    from __spark_entry__ import q_warc_revisit_write
+
+    rows = q_warc_revisit_write(spark, "/root/testdata/sf0.001").collect()
+    by_digest: dict = {}
+    for r in rows:
+        by_digest.setdefault(r["digest"], []).append(r)
+    for recs in by_digest.values():
+        kinds = sorted(r["kind"] for r in recs)
+        assert kinds.count("response") == 1
+        first = [r for r in recs if r["kind"] == "response"][0]
+        for r in recs:
+            if r["kind"] == "revisit":
+                assert r["ref_url"] is not None and r["bytes_saved"] > 0
+                assert r["bytes_written"] == 120
+        assert first["bytes_saved"] == 0
+
+
 def test_identifier_stats_rollup(spark):
     df = spark.createDataFrame(
         [
