@@ -1871,10 +1871,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M = 8          # subspaces (64-dim corpus -> 8-dim subvectors)
 _PQ_ITERS = 2      # Lloyd iterations per subspace
-_PQ_MOD = 10       # id-mod init sample (ksub ~= n_vectors / 10)
-# knob sweep at sf0.01 (20 queries, recall@5 vs exact L2): m=4/mod=25
-# 0.31, m=4/mod=10 0.39, m=8/mod=10 0.52, m=2/mod=10 0.32 — finer
-# subspaces beat more centroids per subspace on this corpus
+_PQ_KSUB = 16      # FIXED codewords per subspace (corpus-size-independent)
+_PQ_CAP = 1024     # bounded training sample (stride = max(1, n // cap))
+# r4 knob sweep used ksub ~= n/10 (unbounded — the r4 scale-killer);
+# the fixed-ksub discipline here keeps codebook = m * ksub rows and
+# training <= ~2*cap rows at ANY corpus size. At sf0.01 (n=500,
+# stride=1) recall@5 with m=8/ksub=16 measures ~0.45 vs exact L2.
 
 
 def _pq_book(spark: SparkSession, sf_dir: str):
@@ -1882,7 +1884,8 @@ def _pq_book(spark: SparkSession, sf_dir: str):
 
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
-    cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS, centroid_mod=_PQ_MOD)
+    cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS,
+                     ksub=_PQ_KSUB, sample_cap=_PQ_CAP)
     return e, dim, collect_codebook(cents, _PQ_M)
 
 
@@ -5447,6 +5450,9 @@ def q_arc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ARC_ROUNDTRIP_ORACLE = """
+-- strlen() in DuckDB counts UTF-8 BYTES (length() counts chars), so
+-- every length/offset below is byte-based like the engine's
+-- octet_length — pinned by test_arc_lengths_are_bytes_on_non_ascii
 WITH base AS (
   SELECT doc_id, doc_id % 8 AS file_id,
          'https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/doc/'
@@ -5768,6 +5774,7 @@ def q_warc_revisit_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WARC_REVISIT_WRITE_ORACLE = """
+-- strlen() = UTF-8 bytes in DuckDB (see _ARC_ROUNDTRIP_ORACLE note)
 WITH caps AS (
   SELECT doc_id,
          'https://site' || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/'
@@ -6036,7 +6043,7 @@ WITH pages AS (
 flags AS (
   SELECT host,
          CASE WHEN regexp_matches(lower(body), '{PARKED_RX}')
-                   AND len(regexp_extract_all(lower(body), '<a href')) <= 2
+                   AND len(regexp_extract_all(lower(body), '<a\\s[^>]*href')) <= 2
               THEN 1 ELSE 0 END AS is_parked
   FROM pages
 ),
@@ -6841,7 +6848,8 @@ m_mp AS (
     FROM (SELECT DISTINCT p.q_id, x.vec_id, {_sql_cos('x.v', 'p.qv')} AS cosine
           FROM qprobe p JOIN ev x ON x.sig = p.sig) c) WHERE rn <= {k}
 ),
-kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0)"""
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id % (SELECT GREATEST({mod}, CAST(ceil(COUNT(*) / 4096.0) AS BIGINT)) FROM e) = 0)"""
     # k-means chain + the two IVF variants (id-mod probes kc_0, trained
     # probes the last iteration's centroids)
     km = ""
@@ -6946,7 +6954,8 @@ e AS (
 ),
 dims AS (SELECT max(len(v)) AS dim FROM e),
 idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS pos),
-kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0){km},
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id % (SELECT GREATEST({mod}, CAST(ceil(COUNT(*) / 4096.0) AS BIGINT)) FROM e) = 0){km},
 sasg AS (
   SELECT vec_id, v, cent_id FROM (
     SELECT e.vec_id, e.v, c.cent_id,
@@ -7007,7 +7016,8 @@ kc_{it} AS (
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 dims AS (SELECT max(len(v)) AS dim FROM e),
 idx AS (SELECT unnest(range(0, (SELECT dim FROM dims))) AS pos),
-kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {mod} = 0){km},
+kc_0 AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         WHERE vec_id % (SELECT GREATEST({mod}, CAST(ceil(COUNT(*) / 4096.0) AS BIGINT)) FROM e) = 0){km},
 sasg AS (
   SELECT vec_id, cent_id FROM (
     SELECT e.vec_id, c.cent_id,
@@ -7040,15 +7050,19 @@ def _sql_l2m(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle(query: str, m: int = 4, n_iters: int = 2, mod: int = 25,
-               n_q: int = 5, k: int = 5, coarse_mod: int = 25,
+def _pq_oracle(query: str, m: int = 4, n_iters: int = 2, ksub: int = 16,
+               sample_cap: int = 1024, n_q: int = 5, k: int = 5,
+               coarse_mod: int = 25, max_cells: int = 4096,
                nprobe: int = 2) -> str:
     """End-to-end DuckDB twin of the PQ family (operators/pq.py):
     per-subspace k-means (same sorted-fold/round-6 Lloyd updates as the
-    IVF oracle), dense-code assignment, and — for `ann_pq`/`pq_recall`
-    — the ADC LUT scan. query in {'codes', 'ann', 'recall', 'ivfpq'};
-    'ivfpq' additionally replays the id-mod coarse quantizer
-    (rounded-cosine assignment + nprobe probe, the ann_ivf CTEs) and
+    IVF oracle) over the BOUNDED deterministic training sample (stride
+    = max(1, n // sample_cap), seeds = ksub smallest sampled ids),
+    dense-code assignment of the FULL corpus, and — for
+    `ann_pq`/`pq_recall` — the ADC LUT scan. query in {'codes', 'ann',
+    'recall', 'ivfpq'}; 'ivfpq' additionally replays the CAPPED-cell
+    coarse quantizer (stride = max(coarse_mod, ceil(n / max_cells)),
+    rounded-cosine assignment + nprobe probe, the ann_ivf CTEs) and
     restricts the ADC scan to probed cells."""
     base = f"""
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -7061,7 +7075,12 @@ esub AS (
   FROM e, subs s, sd
 ),
 sidx AS (SELECT unnest(range(0, (SELECT subdim FROM sd))) AS pos),
-pc_0 AS (SELECT sub, vec_id AS cent_id, sv AS cv FROM esub WHERE vec_id % {mod} = 0)"""
+strd AS (SELECT GREATEST(1, COUNT(*) // {sample_cap}) AS stride FROM e),
+seeds AS (SELECT vec_id FROM e, strd WHERE vec_id % strd.stride = 0
+          ORDER BY vec_id LIMIT {ksub}),
+tsub AS (SELECT es.* FROM esub es, strd WHERE es.vec_id % strd.stride = 0),
+pc_0 AS (SELECT es.sub, es.vec_id AS cent_id, es.sv AS cv
+         FROM esub es JOIN seeds s USING (vec_id))"""
     for it in range(1, n_iters + 1):
         base += f""",
 pasg_{it} AS (
@@ -7069,7 +7088,7 @@ pasg_{it} AS (
     SELECT x.vec_id, x.sub, x.sv, c.cent_id,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub
                               ORDER BY {_sql_l2m('x.sv', 'c.cv')} ASC, c.cent_id ASC) AS rn
-    FROM esub x JOIN pc_{it - 1} c ON x.sub = c.sub) WHERE rn = 1
+    FROM tsub x JOIN pc_{it - 1} c ON x.sub = c.sub) WHERE rn = 1
 ),
 pdim_{it} AS (
   SELECT sub, cent_id, pos, list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b) AS s2, COUNT(*) AS n
@@ -7132,7 +7151,8 @@ lut AS (
   SELECT qs.q_id, b.sub, b.code, {_sql_l2m('qs.qsv', 'b.cv')} AS d
   FROM qsub qs JOIN book b ON qs.sub = b.sub
 ),
-ccents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % {coarse_mod} = 0),
+ccents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+           WHERE vec_id % (SELECT GREATEST({coarse_mod}, CAST(ceil(COUNT(*) / {max_cells}.0) AS BIGINT)) FROM e) = 0),
 cassigned AS (
   SELECT vec_id, cent_id FROM (
     SELECT e.vec_id, c.cent_id,
@@ -11529,7 +11549,10 @@ SELECT q_id, vec_id, cosine FROM (
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 25 = 0
+  -- capped cell stride: max(centroid_mod, ceil(n / max_cells)) — the
+  -- ivf_topk bounded-broadcast contract (pq.py coarse_stride)
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id % (SELECT GREATEST(25, CAST(ceil(COUNT(*) / 4096.0) AS BIGINT)) FROM e) = 0
 ), assigned AS (
   SELECT vec_id, v, cent_id FROM (
     SELECT e.vec_id, e.v, c.cent_id,
@@ -11743,11 +11766,15 @@ FROM documents
 GROUP BY 1, 2
 """,
         "ann_recall": _ann_recall_oracle(),
-        "pq_codes": _pq_oracle("codes", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD),
-        "ann_pq": _pq_oracle("ann", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=5, k=5),
-        "ann_ivfpq": _pq_oracle("ivfpq", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD,
-                                n_q=5, k=5, coarse_mod=25, nprobe=2),
-        "pq_recall": _pq_oracle("recall", m=_PQ_M, n_iters=_PQ_ITERS, mod=_PQ_MOD, n_q=20, k=5),
+        "pq_codes": _pq_oracle("codes", m=_PQ_M, n_iters=_PQ_ITERS,
+                               ksub=_PQ_KSUB, sample_cap=_PQ_CAP),
+        "ann_pq": _pq_oracle("ann", m=_PQ_M, n_iters=_PQ_ITERS,
+                             ksub=_PQ_KSUB, sample_cap=_PQ_CAP, n_q=5, k=5),
+        "ann_ivfpq": _pq_oracle("ivfpq", m=_PQ_M, n_iters=_PQ_ITERS,
+                                ksub=_PQ_KSUB, sample_cap=_PQ_CAP,
+                                n_q=5, k=5, coarse_mod=25, max_cells=4096, nprobe=2),
+        "pq_recall": _pq_oracle("recall", m=_PQ_M, n_iters=_PQ_ITERS,
+                                ksub=_PQ_KSUB, sample_cap=_PQ_CAP, n_q=20, k=5),
         # corpus twins: independent DuckDB recomputation over the same
         # persisted seed=42 parquet fixture both engines read
         "fetch_statuses": _fetch_statuses_oracle(max_hops=4),

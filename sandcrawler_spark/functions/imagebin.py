@@ -17,14 +17,17 @@ Implementation notes (all whole-stage codegen, no Python crossing):
 - bytes are read with substring() on the binary column (1-based,
   byte-wise on BinaryType), widened via hex() + conv(hex, 16, 10);
 - GIF's little-endian u16 is read by swapping the two hex bytes;
-- JPEG has no fixed offset: the SOF0 marker (FFC0) is located by
-  scanning the hex transcript with instr() and checking ODD
-  alignment (an even instr position would mean the pattern spans two
-  bytes). This covers baseline JFIF (the synthetic corpus and the
-  overwhelming majority of web JPEGs); progressive (FFC2) and
-  multi-APPn exotica would extend the same scan — a production
-  fallback routes unmatched blobs through the mapInPandas byte-walk
-  used by sample_frames (multimodal.py).
+- JPEG has no fixed offset: markers are WALKED by declared segment
+  length (a bounded F.aggregate fold over _JPEG_MAX_SEGMENTS steps),
+  never pattern-matched in the byte stream — an 'FFC0' byte pair
+  inside an APP/EXIF/ICC payload can therefore not be mistaken for
+  the frame header. SOF0/SOF1/SOF2 (baseline, extended-sequential,
+  progressive) all share the (len, precision, height, width) layout
+  and are accepted; the located frame header is sanity-checked
+  (precision 8 or 12) before its dims are trusted, NULL otherwise.
+  Truly exotic blobs (fill-byte padding, >16 header segments) fall
+  to NULL — a production fallback routes those through the
+  mapInPandas byte-walk used by sample_frames (multimodal.py).
 
 The encoder exists so the codec is testable end-to-end inside the
 engine: encode_image_header() builds byte-exact headers (PNG IHDR,
@@ -108,6 +111,48 @@ def _u16le_at(blob: Column, pos: int) -> Column:
     ).cast("int")
 
 
+def _u8_at(blob: Column, pos: int | Column) -> Column:
+    return F.conv(F.hex(F.substring(blob, pos, 1)), 16, 10).cast("int")
+
+
+_JPEG_MAX_SEGMENTS = 16  # header segments walked before giving up
+
+
+def _jpeg_sof_pos(blob: Column) -> Column:
+    """1-based byte position of the SOF0/SOF1/SOF2 marker, or NULL.
+
+    Walks markers by their DECLARED segment length (marker2 + len2 +
+    payload), so an 'FFC0' byte pair inside an APP/EXIF/ICC payload is
+    skipped over, never misread as the frame header. The walk is a
+    bounded F.aggregate fold (state = struct(pos, sof): sof 0 while
+    scanning, >0 = found at that byte, -1 = aborted on a malformed
+    marker / SOS / EOI / truncation) — pure codegen, no Python."""
+
+    def _step(st, _i):
+        pos, sof = st["pos"], st["sof"]
+        b1 = F.hex(F.substring(blob, pos, 1))
+        m2 = F.hex(F.substring(blob, pos + 1, 1))
+        seglen = _u16be_at(blob, pos + 2)
+        nxt = (pos + 2 + seglen).cast("int")
+        abort = F.struct(pos.alias("pos"), F.lit(-1).cast("int").alias("sof"))
+        return (
+            F.when(sof != 0, st)
+            .when(pos.isNull() | (b1 != "FF") | seglen.isNull(), abort)
+            .when(m2.isin("C0", "C1", "C2"),
+                  F.struct(pos.alias("pos"), pos.cast("int").alias("sof")))
+            .when(m2.isin("D9", "DA"), abort)  # EOI / SOS: no frame header
+            .otherwise(F.struct(nxt.alias("pos"), F.lit(0).cast("int").alias("sof")))
+        )
+
+    init = F.struct(
+        F.lit(3).cast("int").alias("pos"), F.lit(0).cast("int").alias("sof")
+    )
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)), init, _step
+    )
+    return F.when(final["sof"] > 0, final["sof"])
+
+
 def sniff_image_dims(blob: Column) -> list[Column]:
     """(fmt, width, height) read from the raw bytes. fmt is NULL for
     unrecognized blobs, dims are NULL when the format is recognized
@@ -118,13 +163,12 @@ def sniff_image_dims(blob: Column) -> list[Column]:
     is_gif = head6.isin(GIF89_HEX, GIF87_HEX)
     is_jpeg = F.hex(F.substring(blob, 1, 2)) == JPEG_SOI_HEX
 
-    # JPEG: scan the hex transcript for an odd-aligned FFC0 (SOF0).
-    # instr is 1-based; hex position p -> byte offset (p+1)/2.
-    hexed = F.hex(blob)
-    sof_hexpos = F.instr(hexed, F.lit("FFC0"))
-    sof_ok = (sof_hexpos > 0) & (sof_hexpos % 2 == 1)
-    sof_byte = ((sof_hexpos - 1) / 2).cast("int") + 1
-    # SOF0 layout: marker2 len2 precision1 height2 width2
+    # JPEG: length-walk the header markers to SOF0/1/2 (decoys inside
+    # APP payloads are skipped), then sanity-check the frame header's
+    # precision byte before trusting its dims.
+    sof_byte = _jpeg_sof_pos(blob)
+    # SOFn layout: marker2 len2 precision1 height2 width2
+    sof_ok = sof_byte.isNotNull() & _u8_at(blob, sof_byte + 4).isin(8, 12)
     jpeg_h = F.when(sof_ok, _u16be_at(blob, sof_byte + 5))
     jpeg_w = F.when(sof_ok, _u16be_at(blob, sof_byte + 7))
 

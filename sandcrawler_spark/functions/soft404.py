@@ -79,7 +79,9 @@ def parked_score_cols(body: Column) -> list[Column]:
     (python/sandcrawler/ingest.py); a content detector generalizes.
     """
     lower = F.lower(body)
-    n_out = F.regexp_count(lower, F.lit(r"<a href"))
+    # tag-level anchor count: '<a class="x" href=...' must count too,
+    # not just the literal '<a href' form (Java/RE2-shared subset)
+    n_out = F.regexp_count(lower, F.lit(r"<a\s[^>]*href"))
     text = F.trim(F.regexp_replace(F.regexp_replace(lower, r"<[^>]+>", " "), r"\s+", " "))
     has_phrase = lower.rlike(PARKED_RX)
     return [

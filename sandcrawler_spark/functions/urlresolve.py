@@ -104,11 +104,14 @@ def resolve_url(base: Column, href: Column) -> Column:
     return (
         F.when(h == "", F.concat(origin, b_path, b_query))
         .when(h.rlike("^//"), proto_rel)
-        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), absolute)
+        # dropped schemes BEFORE the generic '://' branch: an
+        # authority-form 'javascript://...' must return NULL, not
+        # resolve as a hierarchical URL
         .when(
             h.rlike("^(javascript|mailto|data|tel):"),
             F.lit(None).cast("string"),
         )
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), absolute)
         .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)  # http:g strict
         .when(h.startswith("/"), F.concat(origin, remove_dot_segments_col(h_path), h_query))
         .when(h.startswith("?"), F.concat(origin, b_path, h_query))
@@ -165,9 +168,9 @@ CASE
   WHEN {h} = '' THEN {origin} || {b_path} || {b_query}
   WHEN regexp_matches({h}, '^//')
     THEN {pr_scheme} || '://' || {pr_auth} || {_rds_sql(pr_path)} || {h_query}
+  WHEN regexp_matches({h}, '^(javascript|mailto|data|tel):') THEN NULL
   WHEN regexp_matches({h}, '^[A-Za-z][A-Za-z0-9+.-]*://')
     THEN {a_scheme} || '://' || {a_auth} || {_rds_sql(a_path)} || {h_query}
-  WHEN regexp_matches({h}, '^(javascript|mailto|data|tel):') THEN NULL
   WHEN regexp_matches({h}, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN {h}
   WHEN {h} LIKE '/%' THEN {origin} || {_rds_sql(h_path)} || {h_query}
   WHEN {h} LIKE '?%' THEN {origin} || {b_path} || {h_query}

@@ -9,23 +9,38 @@ computation (ADC): per query, a tiny (m x ksub) lookup table of
 query-subvector -> centroid distances is precomputed, and the
 approximate distance of any stored vector is m table lookups summed.
 
-Scale shape (the reason PQ exists at 10^9+ vectors):
-  * training touches the corpus `n_iters` times but exchanges only
-    centroid-sized state (subspace cells are corpus/centroid_mod rows);
-  * the trained codebook is tiny (m * ksub * D/m doubles) -> collected
-    once and folded into the ENCODE expression as literals, so
-    encoding is a single narrow pass — zero shuffle, full codegen;
-  * the ADC scan streams the code table once per query batch with the
-    per-query LUT as a broadcast-joined literal array; top-k is the
-    same two-level (partition-partial then k*P final) reduction as
-    knn_join — no single-task window at any corpus size.
+Scale shape (the reason PQ exists at 10^9+ vectors) — every piece of
+trained state is CORPUS-SIZE-INDEPENDENT by construction:
+  * ksub is FIXED (default 16 here, 256 in production FAISS-style
+    setups) and training runs over a bounded deterministic sample
+    (`vec_id % stride == 0` with stride = max(1, n // sample_cap)),
+    so each Lloyd iteration exchanges <= sample_cap * m rows and the
+    codebook is exactly m * ksub rows no matter how big the corpus is;
+  * the codebook is carried as a BROADCAST RELATION joined on
+    (sub, code) — never inlined as literal expressions — so the
+    physical plan's size is constant in n (a literal codebook would
+    also blow the JVM codegen method limit at ksub=256);
+  * encoding = one explode + broadcast join + per-(id,sub) min
+    aggregate (map-side combine keeps the shuffle at n*m tiny rows);
+  * the ADC scan precomputes per-query LUT ARRAYS (m x ksub bigints,
+    built by the same broadcast join), broadcasts the query side, and
+    scores each stored vector with m `element_at` lookups via one
+    zip_with/aggregate expression — narrow, constant plan size;
+    top-k is the same two-level (partition-partial then k*P final)
+    reduction as knn_join — no single-task window at any corpus size;
+  * IVF-PQ coarse cells are CAPPED at `max_cells` (stride =
+    max(centroid_mod, ceil(n / max_cells))), so the centroid broadcast
+    stops growing once the corpus passes centroid_mod * max_cells.
 
 Determinism contract (what the DuckDB twin replays byte-for-byte):
 distances are squared L2 in INTEGER MICRO-UNITS (round(1e6 * d2) as
-bigint) with cent_id tie-breaks, and the Lloyd centroid update folds
-each cell in sorted-vec_id order (float addition is not associative)
-and rounds means to 6 — the kmeans_centroids discipline
-(similarity.py) applied per subspace.
+bigint) with dense-code (== cent_id order) tie-breaks, and the Lloyd
+centroid update folds each cell in sorted-vec_id order (float addition
+is not associative) and rounds means to 6 — the kmeans_centroids
+discipline (similarity.py) applied per subspace. The training sample,
+seeds (the ksub smallest sampled ids), and coarse stride are all pure
+functions of (n, sample_cap, ksub), so the twin recomputes them from
+COUNT(*) alone.
 
 Reference anchor: the reference has no ANN/PQ (sandcrawler's joins are
 exact key joins, e.g. scalding/.../ScoreJob.scala); this extends the
@@ -34,6 +49,8 @@ requires.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,37 +74,68 @@ def _subvec(vec_col, sub: int, subdim: int):
     return F.slice(vec_col, sub * subdim + 1, subdim)
 
 
-def pq_train(
-    embeddings: DataFrame,
-    dim: int,
-    m: int = 4,
-    n_iters: int = 2,
-    centroid_mod: int = 25,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Per-subspace deterministic k-means. Returns the codebook
-    (sub, cent_id, cent_vec) with cent_vec of length dim/m.
-
-    Init = the id-mod sample's subvectors (same seedless-reproducible
-    init as ivf_topk). All m subspaces train in ONE distributed pass
-    per iteration: rows are exploded to (id, sub, subvec) and the
-    assignment join carries `sub` in the key, so no per-subspace job
-    submission — m is a column, not a loop.
-    """
-    from pyspark.sql import Window
-
-    assert dim % m == 0, "dim must divide into m subspaces"
+def _explode_subvectors(df: DataFrame, dim: int, m: int, id_col: str, vec_col: str):
+    """(id, sub, sv) — one row per subspace per vector. Narrow."""
     subdim = dim // m
     sub_structs = F.array(*[
         F.struct(F.lit(s).alias("sub"),
                  _subvec(F.col(vec_col).cast("array<double>"), s, subdim).alias("sv"))
         for s in range(m)
     ])
-    esub = embeddings.select(
-        F.col(id_col), F.inline(sub_structs)
-    ).select(F.col(id_col), "sub", "sv")
-    cents = esub.filter(F.col(id_col) % centroid_mod == 0).select(
+    return df.select(F.col(id_col), F.inline(sub_structs)).select(
+        F.col(id_col), "sub", "sv"
+    )
+
+
+def train_stride(n: int, sample_cap: int) -> int:
+    """The deterministic sample stride: every vec_id % stride == 0 row
+    trains. Pure function of (n, sample_cap) so the DuckDB twin
+    recomputes it from COUNT(*)."""
+    return max(1, n // sample_cap)
+
+
+def coarse_stride(n: int, centroid_mod: int, max_cells: int) -> int:
+    """IVF cell stride with the cell-count cap: id-mod seeding keeps
+    the classic centroid_mod behavior on small corpora, but once
+    n / centroid_mod would exceed max_cells the stride grows so the
+    centroid relation (and its broadcast) stays <= max_cells rows."""
+    return max(centroid_mod, math.ceil(n / max_cells))
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_iters: int = 2,
+    ksub: int = 16,
+    sample_cap: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace deterministic k-means over a BOUNDED sample.
+    Returns the codebook (sub, cent_id, code, cv) with cv of length
+    dim/m and code = dense 0..ksub-1 index (cent_id-sorted per sub).
+
+    Bounded discipline: the training set is the id-mod sample
+    (stride = max(1, n // sample_cap), so <= ~2*sample_cap rows at any
+    corpus size) and the seeds are the ksub smallest sampled ids
+    (TakeOrdered over the sample — distributed partial top-k, never a
+    full sort). All m subspaces train in ONE distributed pass per
+    iteration: sample rows are exploded to (id, sub, subvec) and the
+    assignment join carries `sub` in the key, so no per-subspace job
+    submission — m is a column, not a loop. Per-iteration exchanged
+    state is <= sample_cap * m rows; the codebook is exactly
+    <= m * ksub rows independent of n.
+    """
+    from pyspark.sql import Window
+
+    assert dim % m == 0, "dim must divide into m subspaces"
+    n = embeddings.count()
+    stride = train_stride(n, sample_cap)
+    samp = embeddings.filter(F.col(id_col) % stride == 0)
+    esub = _explode_subvectors(samp, dim, m, id_col, vec_col)
+    seed_ids = samp.select(F.col(id_col)).orderBy(F.asc(id_col)).limit(ksub)
+    cents = esub.join(F.broadcast(seed_ids), on=id_col).select(
         "sub", F.col(id_col).alias("cent_id"), F.col("sv").alias("cv")
     )
     asg_w = Window.partitionBy(id_col, "sub").orderBy(F.asc("_d"), F.asc("cent_id"))
@@ -123,14 +171,21 @@ def pq_train(
             )
             .localCheckpoint(eager=True)
         )
-    return cents.select("sub", "cent_id", "cv")
+    # dense code = position in cent_id order per subspace (window over
+    # <= ksub rows per sub — bounded)
+    code_w = Window.partitionBy("sub").orderBy(F.asc("cent_id"))
+    return cents.withColumn(
+        "code", (F.row_number().over(code_w) - 1).cast("int")
+    ).select("sub", "cent_id", "code", "cv")
 
 
 def collect_codebook(cents: DataFrame, m: int) -> list[list[tuple[int, list[float]]]]:
     """Driver-side codebook: per sub, [(cent_id, cv), ...] sorted by
     cent_id — the dense code of a centroid is its index in this list.
-    Tiny by construction (m * ksub rows), so collecting is the point:
-    the encoder folds it into literal expressions."""
+    Bounded by construction now (<= m * ksub rows, corpus-size
+    independent), so collecting is legitimate driver-sized state; the
+    encoder re-materializes it as a broadcast RELATION, never as
+    literal expressions."""
     rows = cents.collect()
     book: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
     for r in rows:
@@ -140,8 +195,15 @@ def collect_codebook(cents: DataFrame, m: int) -> list[list[tuple[int, list[floa
     return book
 
 
-def _lit_vec(vals: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vals])
+def book_df(spark, book: list[list[tuple[int, list[float]]]]) -> DataFrame:
+    """The codebook as a relation (sub, code, cv) — the broadcast-join
+    side for encode/LUT. <= m * ksub rows."""
+    rows = [
+        (s, code, [float(x) for x in cv])
+        for s, subl in enumerate(book)
+        for code, (_cid, cv) in enumerate(subl)
+    ]
+    return spark.createDataFrame(rows, "sub int, code int, cv array<double>")
 
 
 def pq_encode(
@@ -152,69 +214,85 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes: array<int>) — codes[s] = dense index of the nearest
-    sub-centroid in subspace s. Pure narrow expression (the codebook is
-    literals): zero shuffle, whole-stage codegen, one corpus scan.
-    Argmin = array_min over (dist_micro, dense_code) structs — struct
-    ordering gives the cent_id tie-break because the book is
-    cent_id-sorted."""
+    sub-centroid in subspace s. The codebook rides a BROADCAST join on
+    `sub` (plan size constant in both n and ksub); argmin per (id, sub)
+    is min(struct(dist_micro, code)) — a hash aggregate with map-side
+    combine, so the shuffle carries only n*m tiny (id, sub, code)
+    rows; the final per-id pivot to the m-length code array is a
+    second keyed aggregate over m-row groups. Struct-min ordering gives
+    the cent_id tie-break because codes are cent_id-sorted."""
     m = len(book)
-    subdim = dim // m
-    v = F.col(vec_col).cast("array<double>")
-    code_cols = []
-    for s in range(m):
-        sv = _subvec(v, s, subdim)
-        cands = F.array(*[
+    bdf = book_df(embeddings.sparkSession, book)
+    esub = _explode_subvectors(embeddings, dim, m, id_col, vec_col)
+    best = (
+        esub.join(F.broadcast(bdf), on="sub")
+        .select(
+            F.col(id_col), F.col("sub"),
             F.struct(
-                _sq_l2_micro(sv, _lit_vec(cv)).alias("d"),
-                F.lit(code).alias("c"),
-            )
-            for code, (_cid, cv) in enumerate(book[s])
-        ])
-        code_cols.append(F.array_min(cands)["c"])
-    return embeddings.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+                _sq_l2_micro(F.col("sv"), F.col("cv")).alias("d"),
+                F.col("code").alias("c"),
+            ).alias("_cand"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("_cand")["c"].alias("c"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "c"))), lambda s: s["c"]
+        ).alias("codes")
+    )
 
 
-def pq_adc_topk(
+def query_luts(
     queries: DataFrame,
-    codes: DataFrame,
     book: list[list[tuple[int, list[float]]]],
     dim: int,
-    k: int = 5,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
-    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Asymmetric-distance top-k: per query, LUT[s][c] = micro-dist of
-    the query's subvector s to centroid c (computed once per query row
-    as a literal-codebook expression), then every stored vector costs
-    m lookups: adist = sum_s LUT[s][codes[s]].
+    """(q_id, _lut: array<array<bigint>>) — _lut[s][c] = micro-dist of
+    the query's subvector s to codeword c. Built with the same
+    broadcast codebook join (n_q * m * ksub rows total — query-sized),
+    then pivoted to per-query LUT arrays so the ADC scan is m
+    element_at lookups per stored vector."""
+    m = len(book)
+    bdf = book_df(queries.sparkSession, book)
+    qsub = _explode_subvectors(queries, dim, m, q_id, q_vec)
+    per_sub = (
+        qsub.join(F.broadcast(bdf), on="sub")
+        .select(
+            F.col(q_id), F.col("sub"), F.col("code"),
+            _sq_l2_micro(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy(q_id, "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d"))), lambda s: s["d"]
+            ).alias("lrow")
+        )
+    )
+    return per_sub.groupBy(q_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "lrow"))), lambda s: s["lrow"]
+        ).alias("_lut")
+    )
 
-    The LUT columns ride the (small) query side of a broadcast join;
-    the code table streams through in one stage. Two-level top-k keeps
-    per-query work spread across scan partitions (knn_join shape)."""
+
+def _adc_dist(codes_col, lut_col):
+    """sum_s lut[s][codes[s]] — the m-lookup ADC distance as one
+    zip_with/aggregate expression (constant plan size in m and ksub)."""
+    return F.aggregate(
+        F.zip_with(codes_col, lut_col, lambda c, lrow: F.element_at(lrow, c + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _two_level_topk(scored: DataFrame, k: int, q_id: str, id_col: str,
+                    dist_col: str) -> DataFrame:
     from pyspark.sql import Window
 
-    m = len(book)
-    subdim = dim // m
-    qv = F.col(q_vec).cast("array<double>")
-    lut_cols = [
-        F.array(*[
-            _sq_l2_micro(_subvec(qv, s, subdim), _lit_vec(cv))
-            for (_cid, cv) in book[s]
-        ]).alias(f"_lut{s}")
-        for s in range(m)
-    ]
-    qd = queries.select(F.col(q_id), *lut_cols)
-    j = codes.join(F.broadcast(qd))
-    adist = None
-    for s in range(m):
-        term = F.element_at(F.col(f"_lut{s}"), F.element_at(F.col("codes"), s + 1) + 1)
-        adist = term if adist is None else adist + term
-    scored = j.select(
-        F.col(q_id), F.col(id_col), adist.cast("long").alias("adist_micro"),
-        F.spark_partition_id().alias("_part"),
-    )
-    order = (F.asc("adist_micro"), F.asc(id_col))
+    order = (F.asc(dist_col), F.asc(id_col))
     w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
     partial = (
         scored.withColumn("_rn", F.row_number().over(w1))
@@ -227,6 +305,30 @@ def pq_adc_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    book: list[list[tuple[int, list[float]]]],
+    dim: int,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per-query LUT arrays (query_luts)
+    ride the broadcast side; every stored vector costs m lookups
+    summed by one zip_with/aggregate. Two-level top-k keeps per-query
+    work spread across scan partitions (knn_join shape)."""
+    qd = query_luts(queries, book, dim, q_id=q_id, q_vec=q_vec)
+    j = codes.join(F.broadcast(qd))
+    scored = j.select(
+        F.col(q_id), F.col(id_col),
+        _adc_dist(F.col("codes"), F.col("_lut")).alias("adist_micro"),
+        F.spark_partition_id().alias("_part"),
+    )
+    return _two_level_topk(scored, k, q_id, id_col, "adist_micro")
 
 
 def exact_l2_topk(
@@ -240,27 +342,13 @@ def exact_l2_topk(
 ) -> DataFrame:
     """Exact squared-L2 top-k (micro-units) — the truth side for PQ
     recall. Same two-level reduction."""
-    from pyspark.sql import Window
-
     j = embeddings.join(F.broadcast(queries))
     scored = j.select(
         F.col(q_id), F.col(id_col),
         _sq_l2_micro(F.col(vec_col), F.col(q_vec)).alias("adist_micro"),
         F.spark_partition_id().alias("_part"),
     )
-    order = (F.asc("adist_micro"), F.asc(id_col))
-    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
-    partial = (
-        scored.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn", "_part")
-    )
-    w2 = Window.partitionBy(q_id).orderBy(*order)
-    return (
-        partial.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _two_level_topk(scored, k, q_id, id_col, "adist_micro")
 
 
 def ivfpq_topk(
@@ -270,6 +358,7 @@ def ivfpq_topk(
     dim: int,
     k: int = 5,
     centroid_mod: int = 25,
+    max_cells: int = 4096,
     nprobe: int = 2,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
@@ -286,10 +375,12 @@ def ivfpq_topk(
     code table reusable by the flat ADC scan and the oracle replay
     exact.
 
-    Coarse routing uses the same deterministic id-mod centroids and
-    rounded-cosine assignment as ivf_topk (similarity.py), so the cell
-    layout is engine-reproducible; ADC distances are integer
-    micro-units with (adist, id) ordering. Two-level top-k per query.
+    Coarse routing uses deterministic id-mod centroids with the cell
+    CAP (stride = max(centroid_mod, ceil(n / max_cells)), so the
+    centroid broadcast never exceeds max_cells rows) and the same
+    rounded-cosine assignment as ivf_topk (similarity.py); ADC
+    distances are integer micro-units with (adist, id) ordering.
+    Two-level top-k per query.
 
     Scale shape: centroids broadcast twice (assignment + probe), ONE
     equi-join on cent_id between the probe set and the code table,
@@ -301,9 +392,9 @@ def ivfpq_topk(
 
     from sandcrawler_spark.operators.similarity import cosine_sim_col
 
-    m = len(book)
-    subdim = dim // m
-    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+    n = embeddings.count()
+    stride = coarse_stride(n, centroid_mod, max_cells)
+    cents = embeddings.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
     )
     asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
@@ -318,43 +409,22 @@ def ivfpq_topk(
         cells, id_col
     )
     probe_w = Window.partitionBy(q_id).orderBy(F.desc("_csim"), F.asc("cent_id"))
-    qv = F.col(q_vec).cast("array<double>")
-    lut_cols = [
-        F.array(*[
-            _sq_l2_micro(_subvec(qv, s, subdim), _lit_vec(cv))
-            for (_cid, cv) in book[s]
-        ]).alias(f"_lut{s}")
-        for s in range(m)
-    ]
     probes = (
         queries.join(F.broadcast(cents))
         .withColumn("_csim", F.round(cosine_sim_col(F.col(q_vec), F.col("cent_vec")), 6))
         .withColumn("_rn", F.row_number().over(probe_w))
         .filter(F.col("_rn") <= nprobe)
-        .select(q_id, *lut_cols, "cent_id")
+        .select(q_id, "cent_id")
     )
-    j = codes.join(F.broadcast(probes), on="cent_id")
-    adist = None
-    for s in range(m):
-        term = F.element_at(F.col(f"_lut{s}"), F.element_at(F.col("codes"), s + 1) + 1)
-        adist = term if adist is None else adist + term
+    qd = query_luts(queries, book, dim, q_id=q_id, q_vec=q_vec)
+    probe_lut = probes.join(qd, on=q_id)  # nprobe rows per query
+    j = codes.join(F.broadcast(probe_lut), on="cent_id")
     scored = j.select(
-        F.col(q_id), F.col(id_col), adist.cast("long").alias("adist_micro"),
+        F.col(q_id), F.col(id_col),
+        _adc_dist(F.col("codes"), F.col("_lut")).alias("adist_micro"),
         F.spark_partition_id().alias("_part"),
     )
-    order = (F.asc("adist_micro"), F.asc(id_col))
-    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
-    partial = (
-        scored.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn", "_part")
-    )
-    w2 = Window.partitionBy(q_id).orderBy(*order)
-    return (
-        partial.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _two_level_topk(scored, k, q_id, id_col, "adist_micro")
 
 
 # ---------------------------------------------------------------------------
@@ -415,8 +485,6 @@ def sq_topk(
     same bounds, then dist = sum_d (qcode_d - code_d)^2 — all-integer.
     Two-level top-k (per scan partition, then k*P reduction) keeps
     per-query work spread across partitions (the knn_join fix shape)."""
-    from pyspark.sql import Window
-
     qd = queries.select(
         F.col(q_id), sq_encode_col(q_vec, bounds).alias("_qc")
     )
@@ -432,19 +500,7 @@ def sq_topk(
         dist.cast("long").alias("sqdist_code"),
         F.spark_partition_id().alias("_part"),
     )
-    order = (F.asc("sqdist_code"), F.asc(id_col))
-    w1 = Window.partitionBy(q_id, "_part").orderBy(*order)
-    partial = (
-        scored.withColumn("_rn", F.row_number().over(w1))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn", "_part")
-    )
-    w2 = Window.partitionBy(q_id).orderBy(*order)
-    return (
-        partial.withColumn("_rn", F.row_number().over(w2))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _two_level_topk(scored, k, q_id, id_col, "sqdist_code")
 
 
 def sq_oracle_sql(n_q: int = 5, k: int = 5) -> str:

@@ -134,6 +134,7 @@ def kmeans_centroids(
     embeddings: DataFrame,
     n_iters: int = 2,
     centroid_mod: int = 50,
+    max_cells: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -151,10 +152,19 @@ def kmeans_centroids(
     production cluster that does not need bit-reproducible centroids
     swaps the fold for avg() with no plan change. Cells that lose all
     members simply drop out (standard Lloyd degeneracy; fine for a
-    coarse quantizer)."""
+    coarse quantizer).
+
+    Scale cap: the seed stride is max(centroid_mod, ceil(n/max_cells))
+    (operators/pq.py coarse_stride), so the centroid relation — which
+    is BROADCAST on every assignment pass — never exceeds max_cells
+    rows no matter how big the corpus is; centroid_mod alone would
+    grow it linearly with n."""
     from pyspark.sql import Window
 
-    cents = embeddings.filter(F.col(id_col) % centroid_mod == 0).select(
+    from sandcrawler_spark.operators.pq import coarse_stride
+
+    stride = coarse_stride(embeddings.count(), centroid_mod, max_cells)
+    cents = embeddings.filter(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cent_vec")
     )
     asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))
@@ -198,6 +208,7 @@ def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     centroid_mod: int = 50,
+    max_cells: int = 4096,
     nprobe: int = 2,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
@@ -211,17 +222,25 @@ def ivf_topk(
     nearest-centroid; each query probes its `nprobe` nearest cells and
     ranks exact cosine only inside them.
 
-    Scale shape: centroids are tiny -> broadcast for both the
-    assignment pass and the query probe; the only shuffle is the
-    candidates equi-join on cent_id (cells ≈ corpus/centroid_mod rows
-    each; raise centroid_mod to shrink cells, raise nprobe to recover
-    recall). Pass centroids=kmeans_centroids(...) for trained cells —
-    the plan is unchanged."""
+    Scale shape: the centroid relation is CAPPED at max_cells rows
+    (seed stride = max(centroid_mod, ceil(n/max_cells)) — pq.py
+    coarse_stride), so the broadcast for both the assignment pass and
+    the query probe is bounded at any corpus size; the only shuffle is
+    the candidates equi-join on cent_id (raise centroid_mod to shrink
+    cells below the cap, raise nprobe to recover recall). Pass
+    centroids=kmeans_centroids(...) for trained cells — the plan is
+    unchanged."""
     from pyspark.sql import Window
 
-    cents = centroids if centroids is not None else embeddings.filter(
-        F.col(id_col) % centroid_mod == 0
-    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    from sandcrawler_spark.operators.pq import coarse_stride
+
+    if centroids is not None:
+        cents = centroids
+    else:
+        stride = coarse_stride(embeddings.count(), centroid_mod, max_cells)
+        cents = embeddings.filter(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
     # assignment: nearest centroid per vector (rounded cosine + id
     # tiebreak so the cell layout is engine-reproducible)
     asg_w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cent_id"))

@@ -58,13 +58,7 @@ def _hh_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "hh")
 
 
-def read_hh_store(
-    spark: SparkSession, state_dir: str, before_batch: int | None = None
-) -> tuple[pd.DataFrame, int]:
-    """Latest shard tables (optionally strictly older than
-    before_batch, for replay) as a pandas frame + their batch id.
-    The store is n_shards*m rows — driver-sized by construction."""
-    base = _hh_dir(state_dir)
+def _batch_ids(base: str, before_batch: int | None = None) -> list[int]:
     ids = []
     if os.path.isdir(base):
         for d in os.listdir(base):
@@ -72,6 +66,17 @@ def read_hh_store(
                 b = int(d.split("=", 1)[1])
                 if before_batch is None or b < before_batch:
                     ids.append(b)
+    return ids
+
+
+def read_hh_store(
+    spark: SparkSession, state_dir: str, before_batch: int | None = None
+) -> tuple[pd.DataFrame, int]:
+    """Latest shard tables (optionally strictly older than
+    before_batch, for replay) as a pandas frame + their batch id.
+    The store is n_shards*m rows — driver-sized by construction."""
+    base = _hh_dir(state_dir)
+    ids = _batch_ids(base, before_batch)
     if not ids:
         return pd.DataFrame(
             columns=["shard", "item", "cnt", "err", "last_batch"]
@@ -115,38 +120,67 @@ def process_batch(
     """foreachBatch body: decay the stored tables to batch_id, fold in
     this batch's per-item counts, write the new store under
     batch=<id>. Deterministic end to end, so a replayed batch id
+    rewrites identical bytes.
+
+    Scale shape: the SS merge runs ON EXECUTORS — stored shard tables
+    (last_batch >= 0) and this batch's per-item arrival counts
+    (last_batch = -1 sentinel) union into one relation grouped by
+    shard, and applyInPandas folds each shard independently. The
+    driver never materializes the batch item histogram (unbounded
+    distinct hosts per micro-batch in a real fetch stream); only the
+    n_shards * m result rows are written. Per-shard arrival volume is
+    what bounds executor memory — that is exactly what n_shards scales
+    out. Determinism is preserved: arrivals are applied in
+    (cnt desc, item asc) order inside the merge, decay is per-row, and
+    each shard's output is item-sorted, so a replayed batch id still
     rewrites identical bytes."""
     arrivals = (
         batch_df.groupBy(F.col(item_col).alias("item"))
-        .agg((F.count("*") * HH_SCALE).cast("long").alias("c"))
-        .withColumn(
-            "shard",
+        .agg((F.count("*") * HH_SCALE).cast("long").alias("cnt"))
+        .select(
             (F.conv(F.substring(F.md5("item"), 1, 6), 16, 10).cast("long")
-             % n_shards).cast("int"),
+             % n_shards).cast("int").alias("shard"),
+            "item",
+            "cnt",
+            F.lit(0).cast("long").alias("err"),
+            F.lit(-1).cast("long").alias("last_batch"),  # arrival sentinel
         )
-        .toPandas()
     )
-    stored, prev_batch = read_hh_store(spark, state_dir, before_batch=batch_id)
+    base = _hh_dir(state_dir)
+    prev_ids = _batch_ids(base, before_batch=batch_id)
+    if prev_ids:
+        stored = spark.read.schema(HH_SCHEMA).parquet(
+            os.path.join(base, f"batch={max(prev_ids)}")
+        )
+    else:
+        stored = spark.createDataFrame([], HH_SCHEMA)
 
-    out_rows = []
-    for shard in range(n_shards):
+    def _merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
         table: dict = {}
-        part = stored[stored["shard"] == shard]
-        for _, r in part.iterrows():
+        for _, r in pdf[pdf["last_batch"] >= 0].iterrows():
             age = batch_id - int(r["last_batch"])
             c = _decay(int(r["cnt"]), age)
             e = _decay(int(r["err"]), age)
             if c > 0:
-                table[r["item"]] = [c, e]
-        batch_part = arrivals[arrivals["shard"] == shard]
-        pairs = [(r["item"], int(r["c"])) for _, r in batch_part.iterrows()]
+                table[str(r["item"])] = [c, e]
+        pairs = [
+            (str(r["item"]), int(r["cnt"]))
+            for _, r in pdf[pdf["last_batch"] < 0].iterrows()
+        ]
         table = _space_saving_merge(table, pairs, m)
-        for item, (c, e) in table.items():
-            out_rows.append((shard, item, c, e, batch_id))
+        rows = sorted(
+            (shard, item, c, e, batch_id) for item, (c, e) in table.items()
+        )
+        return pd.DataFrame(
+            rows, columns=["shard", "item", "cnt", "err", "last_batch"]
+        )
 
-    out = spark.createDataFrame(out_rows, HH_SCHEMA)
+    out = stored.unionByName(arrivals).groupBy("shard").applyInPandas(
+        _merge_shard, HH_SCHEMA
+    )
     out.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(_hh_dir(state_dir), f"batch={batch_id}")
+        os.path.join(base, f"batch={batch_id}")
     )
 
 

@@ -1,6 +1,6 @@
-"""Product-quantization (operators/pq.py): codebook determinism under
-re-partitioning, zero-shuffle encode plan, and ADC recall vs the exact
-L2 truth."""
+"""Product-quantization (operators/pq.py): bounded codebook determinism
+under re-partitioning, broadcast-relation encode plan, corpus-size
+independence of trained state, and ADC recall vs the exact L2 truth."""
 
 from __future__ import annotations
 
@@ -42,7 +42,9 @@ def test_pq_train_partitioning_invariant(spark, emb):
 
 
 def test_pq_encode_codes_shape_and_plan(spark, emb):
-    # encode is a single narrow pass: no shuffle in the executed plan
+    # encode: broadcast codebook join + keyed aggregates — the plan
+    # must carry the codebook as a BROADCAST relation (never literal
+    # arrays) and contain no sort-merge join / cartesian product
     from sandcrawler_spark.operators.pq import (
         collect_codebook,
         pq_encode,
@@ -60,7 +62,58 @@ def test_pq_encode_codes_shape_and_plan(spark, emb):
         for s, c in enumerate(r["codes"]):
             assert 0 <= c < ksub[s]
     plan = codes._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codebook_corpus_size_independent(spark):
+    # the r4->r5 scale fix: codebook rows == m * ksub and the encode
+    # PLAN SIZE stay constant when the corpus grows 10x (bounded
+    # training sample + broadcast-relation codebook, never literals)
+    import math
+
+    from sandcrawler_spark.operators.pq import (
+        collect_codebook,
+        pq_encode,
+        pq_train,
+        train_stride,
+    )
+
+    dim, m, ksub, cap = 8, 4, 8, 32
+
+    def corpus(n):
+        rows = [(i, [math.sin(i * j + 1) for j in range(dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    small, big = corpus(60), corpus(600)
+    cb_small = pq_train(small, dim=dim, m=m, ksub=ksub, sample_cap=cap)
+    cb_big = pq_train(big, dim=dim, m=m, ksub=ksub, sample_cap=cap)
+    assert cb_small.count() == m * ksub
+    assert cb_big.count() == m * ksub  # 10x corpus, same codebook rows
+    # training touched a bounded sample on the big corpus
+    assert train_stride(600, cap) == 18  # 600 // 32 -> ~34 sampled rows
+    assert train_stride(60, cap) == 1
+    # plan size is corpus-size-independent (no literal codebook growth)
+    p_small = pq_encode(
+        small, collect_codebook(cb_small, m), dim
+    )._jdf.queryExecution().executedPlan().toString()
+    p_big = pq_encode(
+        big, collect_codebook(cb_big, m), dim
+    )._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p_big) - len(p_small)) < 0.1 * len(p_small)
+
+
+def test_ivf_cell_cap_bounds_centroids(spark):
+    # coarse_stride caps the IVF centroid relation at max_cells rows
+    import math
+
+    from sandcrawler_spark.operators.pq import coarse_stride
+
+    assert coarse_stride(500, 25, 4096) == 25          # small corpus: classic mod
+    assert coarse_stride(10**10, 25, 4096) == math.ceil(10**10 / 4096)
+    for n in (10**6, 10**8, 10**10):
+        assert math.ceil(n / coarse_stride(n, 25, 4096)) <= 4096
 
 
 def test_pq_adc_recall_vs_exact(spark, emb):
@@ -112,7 +165,7 @@ def test_ivfpq_full_probe_equals_flat_adc(spark):
     rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 + (1.0 if j == i % dim else 0.0)
                  for j in range(dim)]) for i in range(60)]
     e = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    book = collect_codebook(pq_train(e, dim=dim, m=m, centroid_mod=10), m)
+    book = collect_codebook(pq_train(e, dim=dim, m=m), m)
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     codes = pq_encode(e, book, dim)
@@ -138,7 +191,7 @@ def test_ivfpq_narrow_probe_subsets_flat_distances(spark):
     dim, m = 8, 2
     rows = [(i, [float((i * 5 + j) % 9) for j in range(dim)]) for i in range(50)]
     e = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    book = collect_codebook(pq_train(e, dim=dim, m=m, centroid_mod=10), m)
+    book = collect_codebook(pq_train(e, dim=dim, m=m), m)
     qs = e.filter(F.col("vec_id") < 2).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     codes = pq_encode(e, book, dim)

@@ -138,6 +138,55 @@ def test_image_dims_golden_bytes(spark):
     assert rows[2]["aspect_pct"] == 640  # 320*100/50
 
 
+def test_jpeg_marker_walk_skips_decoy_sof_in_exif(spark):
+    # the decoder walks markers by declared segment length, so an
+    # 'FFC0' byte pair INSIDE an APP1/EXIF payload must be skipped,
+    # never misread as the frame header (the r4 instr()-scan would
+    # have returned the decoy's fake dims here)
+    import struct
+
+    from sandcrawler_spark.functions.imagebin import image_header_stats
+
+    decoy_payload = (
+        b"Exif\x00\x00" + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 9999, 8888) + b"padding"
+    )
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(decoy_payload)) + decoy_payload
+    real_sof0 = (
+        b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpeg_decoy = b"\xff\xd8" + app1 + real_sof0
+    # progressive SOF2 now decodes via the same walk
+    jpeg_prog = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+        + b"\xff\xc2\x00\x11\x08" + struct.pack(">HH", 100, 200)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    # SOS before any SOF -> no dims (walk aborts instead of scanning
+    # compressed data for marker-lookalike bytes)
+    jpeg_sos_first = (
+        b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 7, 7) + b"\x03" * 10
+    )
+    # implausible precision byte at the walked SOF -> sanity check
+    # rejects the dims
+    jpeg_bad_precision = (
+        b"\xff\xd8"
+        + b"\xff\xc0\x00\x11\x07" + struct.pack(">HH", 10, 20) + b"\x03" * 10
+    )
+    df = spark.createDataFrame(
+        [(1, jpeg_decoy), (2, jpeg_prog), (3, jpeg_sos_first),
+         (4, jpeg_bad_precision)],
+        ["doc_id", "content"],
+    )
+    rows = {r["doc_id"]: r for r in image_header_stats(df).collect()}
+    assert (rows[1]["fmt"], rows[1]["width"], rows[1]["height"]) == ("jpeg", 640, 480)
+    assert (rows[2]["fmt"], rows[2]["width"], rows[2]["height"]) == ("jpeg", 200, 100)
+    assert rows[3]["fmt"] == "jpeg" and rows[3]["width"] is None
+    assert rows[4]["fmt"] == "jpeg" and rows[4]["width"] is None
+
+
 def test_image_header_roundtrip(spark):
     # encode -> decode identity across the dim space incl. edge widths
     from sandcrawler_spark.functions.imagebin import (
@@ -762,6 +811,46 @@ def test_arc_scanner_truncation_and_filedesc(spark):
     assert [r["url"] for r in rows_t] == ["http://a.example/x"]
     # garbage header terminates cleanly
     assert parse_arc_blob_rows(b"not an arc header\nxx") == []
+
+
+def test_arc_lengths_are_bytes_on_non_ascii(spark):
+    # the engine counts payload lengths in UTF-8 BYTES (octet_length /
+    # byte-walking scanner); the DuckDB oracles use strlen(), which in
+    # DuckDB is ALSO byte-based (unlike length(), which is chars) — so
+    # the byte-exact offset proof holds beyond ASCII. This pins both
+    # halves on a payload where chars != bytes.
+    import duckdb
+
+    from sandcrawler_spark.sources.arcfmt import (
+        arc_filedesc_col,
+        arc_record_col,
+        scan_arc_blobs,
+    )
+
+    payload = "HTTP/1.1 200 OK\n\nnaïve café — ünïcødé body"
+    n_bytes = len(payload.encode("utf-8"))
+    assert n_bytes != len(payload)  # the case that would expose a char-count
+    # DuckDB strlen == UTF-8 bytes (the oracle idiom is byte-based)
+    (dck,) = duckdb.sql("SELECT strlen(?)", params=[payload]).fetchone()
+    assert dck == n_bytes
+    df = spark.createDataFrame([(1, payload)], ["doc_id", "payload"])
+    recs = df.select(
+        F.lit(0).alias("file_id"),
+        arc_record_col(
+            F.lit("https://u.example/é"), F.lit("1.2.3.4"),
+            F.lit("20200101000000"), F.lit("text/html"), F.col("payload"),
+        ).alias("rec"),
+    )
+    blobs = recs.groupBy("file_id").agg(
+        F.first("rec").alias("body")
+    ).select(
+        F.lit("f.arc").alias("path"),
+        F.encode(F.concat(arc_filedesc_col(F.lit("f.arc")), F.col("body")), "utf-8")
+        .alias("content"),
+    )
+    out = scan_arc_blobs(blobs).collect()
+    assert len(out) == 1
+    assert out[0]["length"] == n_bytes
 
 
 def test_gopher_quality_rule_semantics(spark):
