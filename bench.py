@@ -43,6 +43,12 @@ HEADLINE = [
     "recrawl_frontier",
     "fetch_statuses",
     "extraction_roundtrip",
+    # r5: the two most expensive operator families join the headline
+    # set so regressions land where the cost actually is (VERDICT r4
+    # item 4): the bounded-codebook IVF-PQ ANN tier and the
+    # integer-fixed-point link-graph iteration
+    "ann_ivfpq",
+    "host_pagerank",
 ]
 
 
