@@ -35,8 +35,34 @@ from pyspark.sql import functions as F
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Memoized table reader: spark.read.parquet does schema/footer
+    discovery eagerly (a driver job per call), which at ~2 tables per
+    query dominated the 250-query sweep's fixed cost. The DataFrame is
+    lazy and immutable, so handing the same plan object to every query
+    changes nothing downstream (NOT .cache() — that would swap scans
+    to InMemoryTableScan and break the pushdown plan audits). Keyed by
+    applicationId so a new session never receives plans bound to a
+    dead JVM (same discipline as _CORPUS_CACHE)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    if key not in _T_CACHE:
+        if _T_CACHE and next(iter(_T_CACHE))[0] != key[0]:
+            _T_CACHE.clear()
+        _T_CACHE[key] = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _T_CACHE[key]
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized embedding dimensionality (a first() job per probe
+    otherwise — several ANN queries ask)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "__dim__")
+    if key not in _T_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        _T_CACHE[key] = len(e.select("embedding").first()[0])
+    return _T_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1147,7 +1173,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     aug = e.unionByName(dups)
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     return embedding_neardup_pairs(aug, dim=dim, threshold=0.95, n_planes=8, seed=42)
 
 
@@ -1833,7 +1859,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     return ann_lsh(sample, e, dim=dim, k=3, n_planes=4, seed=42)
 
 
@@ -1845,7 +1871,7 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     return ann_lsh(sample, e, dim=dim, k=3, n_planes=4, seed=42, multiprobe=True)
 
 
@@ -1875,7 +1901,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     truth = knn_join(sample, e, k=5).select("q_id", "vec_id")
     km = kmeans_centroids(e, n_iters=2, centroid_mod=25)
     methods = [
@@ -1924,7 +1950,7 @@ def _pq_book(spark: SparkSession, sf_dir: str):
     from sandcrawler_spark.operators.pq import collect_codebook, pq_train
 
     e = _t(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
+    dim = _emb_dim(spark, sf_dir)
     cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS,
                      ksub=_PQ_KSUB, sample_cap=_PQ_CAP)
     return e, dim, collect_codebook(cents, _PQ_M)
@@ -2007,6 +2033,78 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hit"),
         F.round(F.coalesce("_nh", F.lit(0)) / F.col("_nt"), 4).alias("recall"),
     )
+
+
+def q_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the r5 bounded-training receipt AS DATA: the trained codebook is
+    # exactly m*ksub rows whatever the corpus size (fixed ksub, id-mod
+    # sample, seeds = ksub smallest sampled ids); the oracle replays
+    # training end-to-end, so a drifting seed/stride/fold would
+    # hash-mismatch here directly, not just through the code table
+    from sandcrawler_spark.operators.pq import pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = _emb_dim(spark, sf_dir)
+    cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS,
+                     ksub=_PQ_KSUB, sample_cap=_PQ_CAP)
+    norm = F.round(
+        F.aggregate(F.col("cv"), F.lit(0.0), lambda a, x: a + x * x) * 1_000_000
+    ).cast("long")
+    return cents.select(
+        F.col("sub").cast("bigint").alias("sub"),
+        F.col("code").cast("bigint").alias("code"),
+        F.col("cent_id").cast("bigint").alias("cent_id"),
+        norm.alias("cv_norm_micro"),
+    )
+
+
+def q_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the capped coarse quantizer AS DATA: per-cell member counts plus
+    # the stride actually in effect (max(centroid_mod, ceil(n/max_cells))
+    # — pq.py coarse_stride), so the cell-count cap that bounds the
+    # centroid broadcast is oracle-checked, not just unit-tested
+    from pyspark.sql import Window
+
+    from sandcrawler_spark.operators.pq import coarse_stride
+    from sandcrawler_spark.operators.similarity import cosine_sim_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    stride = coarse_stride(e.count(), 25, 4096)
+    cents = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    asg_w = Window.partitionBy("vec_id").orderBy(F.desc("_csim"), F.asc("cent_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("_csim", F.round(cosine_sim_col(F.col("embedding"), F.col("cent_vec")), 6))
+        .withColumn("_rn", F.row_number().over(asg_w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    return assigned.groupBy(F.col("cent_id").cast("bigint").alias("cent_id")).agg(
+        F.count("*").cast("long").alias("n_members")
+    ).select("cent_id", "n_members", F.lit(stride).cast("long").alias("stride"))
+
+
+_IVF_CELL_PROFILE_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+strd AS (SELECT GREATEST(25, CAST(ceil(COUNT(*) / 4096.0) AS BIGINT)) AS s FROM e),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e, strd WHERE vec_id % strd.s = 0),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_reduce(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(e.v, t2 -> t2 * t2), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(c.cv, t2 -> t2 * t2), (x, y) -> x + y))), 6) DESC,
+             c.cent_id ASC) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+)
+SELECT CAST(cent_id AS BIGINT) AS cent_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST((SELECT s FROM strd) AS BIGINT) AS stride
+FROM assigned GROUP BY cent_id
+""".strip()
 
 
 def q_slug_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6468,6 +6566,8 @@ FROM dims
 
 
 _STALE_FIRST = [
+    # round-5 additions — never driver-checked, sample first
+    "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
     "identifier_extract", "image_dims", "maxscore_topk", "html_blocks",
     "textrank_keywords", "url_resolve", "unigram_segment", "jsonld_meta",
@@ -6779,6 +6879,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
         "pq_recall": q_pq_recall,
+        "pq_codebook": q_pq_codebook,
+        "ivf_cell_profile": q_ivf_cell_profile,
         "slug_self_join": q_slug_self_join,
         "score_insertable": q_score_insertable,
         "batch_dedupe_latest": q_batch_dedupe_latest,
@@ -7165,6 +7267,14 @@ codes AS (
                               ORDER BY {_sql_l2m('x.sv', 'b.cv')} ASC, b.cent_id ASC) AS rn
     FROM esub x JOIN book b ON x.sub = b.sub) WHERE rn = 1
 )"""
+    if query == "book":
+        return f"""
+WITH {base}
+SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+       CAST(cent_id AS BIGINT) AS cent_id,
+       CAST(round(1000000 * list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b)) AS BIGINT) AS cv_norm_micro
+FROM book
+"""
     if query == "codes":
         return f"""
 WITH {base}
@@ -11832,6 +11942,9 @@ GROUP BY 1, 2
                                 n_q=5, k=5, coarse_mod=25, max_cells=4096, nprobe=2),
         "pq_recall": _pq_oracle("recall", m=_PQ_M, n_iters=_PQ_ITERS,
                                 ksub=_PQ_KSUB, sample_cap=_PQ_CAP, n_q=20, k=5),
+        "pq_codebook": _pq_oracle("book", m=_PQ_M, n_iters=_PQ_ITERS,
+                                  ksub=_PQ_KSUB, sample_cap=_PQ_CAP),
+        "ivf_cell_profile": _IVF_CELL_PROFILE_ORACLE,
         # corpus twins: independent DuckDB recomputation over the same
         # persisted seed=42 parquet fixture both engines read
         "fetch_statuses": _fetch_statuses_oracle(max_hops=4),

@@ -272,3 +272,38 @@ def test_teixml_body_word_count_parity():
     ).read()
     info = teixml2json_py(raw)
     assert len(info["body"].split()) == 10945
+
+
+def test_teixml_body_full_text_parity():
+    """FULL-body parity with the reference algorithm, not just the
+    count (VERDICT r4 item 6): recompute the reference's
+    html_ingest.py:42-49 body text here with stdlib ElementTree
+    exactly as the reference does (' '.join(body.itertext())) and
+    compare whole strings.
+
+    Documented divergence — whitespace only: itertext() preserves the
+    XML's pretty-printing (newlines + indent runs between elements)
+    while our distill joins text nodes with single spaces, so the raw
+    strings differ ONLY in whitespace runs. Every reference consumer
+    of this text goes through .split() (word_count, tokenization), so
+    the divergence is invisible to them; we assert that precisely:
+    the whitespace-collapsed strings are byte-identical AND the token
+    sequences are element-for-element identical."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    from sandcrawler_spark.functions.hooks import teixml2json_py
+
+    raw = open(
+        os.path.join(FILES, "23b29ea36382680716be08fc71aa81bd226e8a85.xml"), "rb"
+    ).read()
+    ns = "{http://www.tei-c.org/ns/1.0}"
+    body = ET.fromstring(raw).find(f".//{ns}body")
+    ref_text = " ".join(body.itertext())
+    ours = teixml2json_py(raw)["body"]
+    # token-sequence identity (order and content of every word)
+    assert ours.split() == ref_text.split()
+    # whitespace-collapsed byte identity (the documented divergence is
+    # ONLY in whitespace runs; anything else fails here)
+    collapse = lambda s: re.sub(r"\s+", " ", s).strip()  # noqa: E731
+    assert collapse(ours) == collapse(ref_text)
