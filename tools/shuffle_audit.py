@@ -8,7 +8,7 @@ write is a fixed small multiple of its aggregate output — instead of
 its input — stays that way at 1000x the data.
 
 Usage: python tools/shuffle_audit.py [sf_dir] [query ...]
-Writes SHUFFLE_AUDIT_r4.json (per-query bytes) and prints a table.
+Writes SHUFFLE_AUDIT_r5.json (per-query bytes) and prints a table.
 
 Thresholds: spill (memory or disk) must be ZERO for every audited
 query at the bench SF — any spill at sf0.1 on a 128 GiB heap means a
@@ -31,6 +31,8 @@ DEFAULT_QUERIES = [
     "politeness_schedule", "seen_bloom", "best_capture", "lineitem_rollup",
     "fingerprint_dedupe", "minhash_lsh", "cosine_knn", "recrawl_frontier",
     "fetch_statuses", "extraction_roundtrip",
+    # r5 headline additions (bench.py HEADLINE)
+    "ann_ivfpq", "host_pagerank",
 ]
 
 UI = "http://localhost:4040/api/v1"  # rebound to sc.uiWebUrl at start
@@ -117,7 +119,7 @@ def main() -> int:
         "spill_failures": failures,
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SHUFFLE_AUDIT_r4.json"), "w") as f:
+            os.path.abspath(__file__))), "SHUFFLE_AUDIT_r5.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"spill failures: {failures}")
     return 1 if failures else 0
