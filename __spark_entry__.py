@@ -1947,13 +1947,19 @@ _PQ_CAP = 1024     # bounded training sample (stride = max(1, n // cap))
 
 
 def _pq_book(spark: SparkSession, sf_dir: str):
+    # memoized like _t: five PQ queries share one training run per
+    # (session, sf) — the codebook is a pure function of the corpus,
+    # so re-training per query was pure sweep fixed cost
     from sandcrawler_spark.operators.pq import collect_codebook, pq_train
 
     e = _t(spark, sf_dir, "embeddings")
     dim = _emb_dim(spark, sf_dir)
-    cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS,
-                     ksub=_PQ_KSUB, sample_cap=_PQ_CAP)
-    return e, dim, collect_codebook(cents, _PQ_M)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "__pq_book__")
+    if key not in _T_CACHE:
+        cents = pq_train(e, dim=dim, m=_PQ_M, n_iters=_PQ_ITERS,
+                         ksub=_PQ_KSUB, sample_cap=_PQ_CAP)
+        _T_CACHE[key] = collect_codebook(cents, _PQ_M)
+    return e, dim, _T_CACHE[key]
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:

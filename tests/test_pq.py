@@ -116,6 +116,45 @@ def test_ivf_cell_cap_bounds_centroids(spark):
         assert math.ceil(n / coarse_stride(n, 25, 4096)) <= 4096
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_BIG_TESTS") != "1",
+    reason="design-scale test: set SPARK_GRAFT_BIG_TESTS=1",
+)
+def test_pq_design_scale_bounded_state(spark):
+    # 10^6 x 64 synthetic vectors through the bounded discipline:
+    # training touches <= ~2*sample_cap rows, the codebook is exactly
+    # m*ksub rows, and encode streams the corpus once through the
+    # broadcast codebook join — timed and printed for BENCH.md
+    import time
+
+    from sandcrawler_spark.operators.pq import (
+        collect_codebook,
+        pq_encode,
+        pq_train,
+        train_stride,
+    )
+
+    n, dim, m, ksub, cap = 1_000_000, 64, 8, 16, 1024
+    v = F.array(*[
+        F.round(F.sin(F.col("id") * (j + 1) + 1), 6) for j in range(dim)
+    ])
+    e = spark.range(n).select(F.col("id").alias("vec_id"), v.alias("embedding"))
+    e = e.repartition(64).localCheckpoint(eager=True)
+    t0 = time.time()
+    cents = pq_train(e, dim=dim, m=m, ksub=ksub, sample_cap=cap)
+    book = collect_codebook(cents, m)
+    t_train = time.time() - t0
+    assert sum(len(s) for s in book) == m * ksub  # bounded codebook
+    assert train_stride(n, cap) == n // cap       # bounded sample
+    t0 = time.time()
+    n_codes = pq_encode(e, book, dim).count()
+    t_enc = time.time() - t0
+    assert n_codes == n
+    print(f"\npq design scale: train {t_train:.1f}s on {2 * cap}-row sample, "
+          f"encode {n} vectors in {t_enc:.1f}s "
+          f"({n / t_enc / 1e3:.0f}k vec/s), codebook {m * ksub} rows")
+
+
 def test_pq_adc_recall_vs_exact(spark, emb):
     # ADC over 4x16-dim codes must keep most of the exact L2 top-5
     from sandcrawler_spark.operators.pq import (
