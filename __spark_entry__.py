@@ -8319,8 +8319,12 @@ resolved AS (
   FROM parts p LEFT JOIN matched m ON p.o_orderkey = m.o_orderkey
 )
 SELECT o_orderkey, host,
-  array_to_string(list_slice(labels, n - ps + 1, n), '.') AS public_suffix,
-  CASE WHEN n > ps THEN array_to_string(list_slice(labels, n - ps, n), '.') END AS registered_domain
+  -- empty label = invalid host -> NULLs (official checkPublicSuffix
+  -- semantics; same guard as the Spark/py tiers)
+  CASE WHEN NOT list_contains(labels, '')
+       THEN array_to_string(list_slice(labels, n - ps + 1, n), '.') END AS public_suffix,
+  CASE WHEN NOT list_contains(labels, '') AND n > ps
+       THEN array_to_string(list_slice(labels, n - ps, n), '.') END AS registered_domain
 FROM resolved
 """
 

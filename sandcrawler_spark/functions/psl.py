@@ -101,8 +101,10 @@ def _parse_rules(rules):
 # Python reference tier (fixtures + property-test oracle)
 # ---------------------------------------------------------------------------
 
-def public_suffix_py(host: str, rules=DEFAULT_RULES) -> str:
+def public_suffix_py(host: str, rules=DEFAULT_RULES) -> str | None:
     labels = host.lower().rstrip(".").split(".")
+    if "" in labels:  # leading dot / empty label: invalid host
+        return None
     n = len(labels)
     exact, wild = _parse_rules(rules)
     exc_ps = None
@@ -123,6 +125,8 @@ def public_suffix_py(host: str, rules=DEFAULT_RULES) -> str:
 def registered_domain_py(host: str, rules=DEFAULT_RULES) -> str | None:
     labels = host.lower().rstrip(".").split(".")
     ps = public_suffix_py(host, rules)
+    if ps is None:  # invalid host (empty label) — official tests: null
+        return None
     k = ps.count(".") + 1
     if len(labels) <= k:
         return None
@@ -203,12 +207,17 @@ def with_registered_domain(
     ps_labels = F.coalesce(greatest(exc_cands), greatest(plain_cands), F.lit(1))
     out = out.withColumn("_psl_len", ps_labels)
     k = F.col("_psl_len")
+    # empty label (leading dot etc.) = invalid host -> both NULL, the
+    # official checkPublicSuffix semantics (same guard in the py tier)
+    valid = ~F.array_contains(F.col("_psl_parts"), "")
     out = out.withColumn(
-        suffix_out, F.array_join(F.slice("_psl_parts", -k, k), ".")
+        suffix_out,
+        F.when(valid, F.array_join(F.slice("_psl_parts", -k, k), ".")),
     ).withColumn(
         domain_out,
         F.when(
-            n > k, F.array_join(F.slice("_psl_parts", -(k + 1), k + 1), ".")
+            valid & (n > k),
+            F.array_join(F.slice("_psl_parts", -(k + 1), k + 1), "."),
         ),
     )
     return out.drop("_psl_len", *drop_cols)

@@ -223,6 +223,81 @@ def test_c4_page_rules_lorem_brace_sentences(spark):
 
 
 # ---------------------------------------------------------------------------
+# publicsuffix.org — the official checkPublicSuffix test battery
+# (the list project's published test data), restricted to the cases
+# resolvable with functions/psl.py's curated DEFAULT_RULES subset
+# ---------------------------------------------------------------------------
+# Omitted official cases, documented: private-section suffixes not in
+# the subset (uk.com, ...), single-rule TLDs outside it (ao, mm),
+# jp geographic rules, US K12 second levels, and the IDN/punycode
+# block — all data breadth (swap in the full PSL snapshot), not
+# algorithm gaps.
+
+PSL_OFFICIAL_CASES = [
+    # Mixed case
+    ("COM", None),
+    ("example.COM", "example.com"),
+    ("WwW.example.COM", "example.com"),
+    # Leading dot -> invalid input
+    (".com", None),
+    (".example", None),
+    # Unlisted TLD (implicit '*' rule)
+    ("example", None),
+    ("example.example", "example.example"),
+    ("b.example.example", "example.example"),
+    ("a.b.example.example", "example.example"),
+    # Listed TLD
+    ("biz", None),
+    ("domain.biz", "domain.biz"),
+    ("b.domain.biz", "domain.biz"),
+    ("a.b.domain.biz", "domain.biz"),
+    # TLD with some 2-level rules (com)
+    ("com", None),
+    ("example.com", "example.com"),
+    ("b.example.com", "example.com"),
+    ("a.b.example.com", "example.com"),
+    # More complex TLD (jp)
+    ("jp", None),
+    ("test.jp", "test.jp"),
+    ("www.test.jp", "test.jp"),
+    ("ac.jp", None),
+    ("test.ac.jp", "test.ac.jp"),
+    ("www.test.ac.jp", "test.ac.jp"),
+    # TLD with a wildcard rule and exceptions (ck)
+    ("test.ck", None),
+    ("b.test.ck", "b.test.ck"),
+    ("a.b.test.ck", "b.test.ck"),
+    ("www.ck", "www.ck"),
+    ("www.www.ck", "www.ck"),
+    # US TLD (flat tier of the subset)
+    ("us", None),
+    ("test.us", "test.us"),
+    ("www.test.us", "test.us"),
+]
+
+
+def test_psl_official_battery_python_tier():
+    from sandcrawler_spark.functions.psl import registered_domain_py
+
+    for host, want in PSL_OFFICIAL_CASES:
+        assert registered_domain_py(host) == want, (host, want)
+
+
+def test_psl_official_battery_spark_tier(spark):
+    from sandcrawler_spark.functions.psl import with_registered_domain
+
+    df = spark.createDataFrame(
+        [(h,) for h, _ in PSL_OFFICIAL_CASES], ["host"]
+    )
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(df, "host").collect()
+    }
+    for host, want in PSL_OFFICIAL_CASES:
+        assert got[host] == want, (host, got[host], want)
+
+
+# ---------------------------------------------------------------------------
 # Gopher quality thresholds (Rae et al. 2021, Appendix A) at their
 # exact published boundaries
 # ---------------------------------------------------------------------------
