@@ -159,6 +159,36 @@ def test_cdx_datetime_roundtrip():
     assert parse_cdx_datetime_py("") is None
 
 
+def test_cdx_line_pusher_counter_parity(spark):
+    """CdxLinePusher counter parity on the reference's own checked-in
+    example.cdx (public test fixture, copied like the HTML goldens):
+    the reference asserts total=20, skip-parse=1, pushed=19, and with
+    filter_http_statuses=[200,226] + filter_mimetypes=['application/
+    pdf']: skip-http_status=10, skip-mimetype=2, pushed=7
+    (/root/reference/python/tests/test_pushers.py:6-27). The Spark
+    scan + Catalyst validity filters + status/mimetype predicates must
+    reproduce every counter by subtraction (workers.py:388-432
+    counter semantics)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sandcrawler_spark.functions.cdxfmt import parse_cdx_lines
+
+    path = os.path.join(os.path.dirname(__file__), "files", "example.cdx")
+    lines = spark.read.text(path)
+    total = lines.count()
+    parsed = parse_cdx_lines(lines).localCheckpoint()
+    pushed = parsed.count()
+    assert (total, pushed, total - pushed) == (20, 19, 1)
+    st = parsed.filter(F.col("http_status").isin(200, 226)).localCheckpoint()
+    n_status = st.count()
+    n_final = st.filter(F.col("mimetype") == "application/pdf").count()
+    assert pushed - n_status == 10   # skip-http_status
+    assert n_status - n_final == 2   # skip-mimetype
+    assert n_final == 7              # pushed under both filters
+
+
 def test_parse_cdx_line_golden():
     # shaped like the reference's golden row (tests/test_misc.py:40-60)
     raw = (
