@@ -13,6 +13,25 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def test_xml_reserialize_scielo_fixture_parity():
+    """The reference's own C9 test on its checked-in fixture
+    (/root/reference/python/tests/test_xml.py:6-17): the scielo JATS
+    article is declared+encoded ISO-8859-1 (not valid UTF-8), and
+    re-serialization must yield a UTF-8 document."""
+    from sandcrawler_spark.functions.xmlfmt import xml_reserialize_py
+
+    path = os.path.join(os.path.dirname(__file__), "files", "scielo_article.jats.xml")
+    raw = open(path, "rb").read()
+    assert b'encoding="ISO-8859-1"' in raw
+    raw.decode("ISO-8859-1")
+    with pytest.raises(UnicodeDecodeError):
+        raw.decode("utf-8")
+    out = xml_reserialize_py(raw)
+    assert out is not None and out.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    # the re-serialized form IS utf-8 and survives a second pass
+    assert xml_reserialize_py(out.encode("utf-8")) is not None
+
+
 def test_xml_reserialize_roundtrip():
     from sandcrawler_spark.functions.xmlfmt import xml_reserialize_py
 
