@@ -6571,7 +6571,134 @@ FROM dims
 """.strip()
 
 
+def q_oai_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OAI-PMH selective harvest (v2.0 §3.3.1 inclusive from/until
+    # window + §2.5.1 deleted tombstones): per-repository ListRecords
+    # XML built from the frontier, parsed back through the codegen'd
+    # record parser, then windowed to [1994-01-01, 1995-12-31] and
+    # set 'set1'. Oracle derives the survivors relationally from
+    # orders (independent path — it never touches XML).
+    from sandcrawler_spark.functions.oaipmh import (
+        build_oai_record_xml,
+        harvest_window,
+        parse_oai_records,
+    )
+
+    u = _urls(spark, sf_dir).filter(F.col("site_id") < 5)
+    okey = F.col("o_orderkey").cast("string")
+    block = build_oai_record_xml(
+        identifier=F.concat(F.lit("oai:"), F.col("host"), F.lit(":"), okey),
+        datestamp=F.col("o_orderdate").cast("string"),
+        setspec=F.concat(F.lit("set"), (F.col("o_orderkey") % 3).cast("string")),
+        deleted=F.col("o_orderkey") % 11 == 0,
+        title=F.concat(F.lit("Order "), okey),
+    )
+    xml = (
+        u.select("host", "o_orderkey", block.alias("_b"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<ListRecords>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("o_orderkey", "_b"))),
+                        lambda s: s["_b"],
+                    ),
+                    "",
+                ),
+                F.lit("</ListRecords>"),
+            ).alias("xml")
+        )
+    )
+    recs = parse_oai_records(xml, "xml", keep_cols=["host"])
+    return harvest_window(
+        recs, from_date="1994-01-01", until_date="1995-12-31", set_spec="set1"
+    )
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rule-based sentence segmentation stats (the stage between
+    # extraction and packing): the fixture prefixes every doc with a
+    # battery that exercises all five protection passes (decimals,
+    # e.g./i.e., et al., title abbreviations, initials) and injects
+    # per-doc-variable boundaries by promoting 'window' occurrences
+    # to sentence starts — both twins share the construction.
+    from sandcrawler_spark.functions.sentences import with_sentence_stats
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Dr. J. Smith et al. found e.g. values near 3.14 and 2.71! "),
+        F.regexp_replace(F.col("text"), "window", "end. Window"),
+    )
+    docs = d.select(F.col("doc_id").cast("bigint").alias("doc_id"), raw.alias("text"))
+    return with_sentence_stats(docs).select(
+        "doc_id", "n_words", "n_sentences", "mean_words_x100"
+    )
+
+
+def q_robots_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 9309 §2.4 robots-cache freshness audit: every page fetch
+    # classified fresh / expired(>24h) / miss against the per-host
+    # robots-refetch log (events stream; 1-in-97 events are robots
+    # fetches). Broadcast host-level refetch arrays, zero shuffle on
+    # the fetch log; the oracle replays it as a DuckDB ASOF join.
+    from sandcrawler_spark.operators.politeness import robots_cache_audit
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".example.net"))
+    fetches = e.select(
+        host.alias("host"),
+        F.unix_timestamp("ts").cast("long").alias("epoch_s"),
+    )
+    robots = e.filter(F.col("event_id") % 97 == 0).select(
+        host.alias("host"),
+        F.unix_timestamp("ts").cast("long").alias("robots_epoch_s"),
+    )
+    return robots_cache_audit(fetches, robots, ttl_s=86400).orderBy("host")
+
+
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # domain-level curation triage: per-doc quality gate (>= 50 words)
+    # rolled up to the PSL registered domain and scored with the
+    # Wilson lower bound (Wilson 1927) so thin-evidence domains rank
+    # below well-attested ones — the RefinedWeb-style domain
+    # allow/deny sort key. Hosts mix www/apex forms so the PSL fold
+    # is exercised; the oracle derives the domain arithmetically.
+    from sandcrawler_spark.functions.psl import with_registered_domain
+    from sandcrawler_spark.operators.diagnostics import wilson_domain_rollup
+    from sandcrawler_spark.functions.sentences import _WORD_PAT
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("b"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit("site.com"),
+    )
+    docs = d.select(
+        host.alias("host"),
+        (F.regexp_count(F.col("text"), F.lit(_WORD_PAT)) >= 50).alias("passed"),
+    )
+    docs = with_registered_domain(docs, "host")
+    return wilson_domain_rollup(docs, "registered_domain", "passed", min_docs=3)
+
+
+def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
+    # the classical-smoothing counterpart to sb_lm_scores, scored in
+    # integer micro-nats over the same corpus
+    from sandcrawler_spark.operators.lm import kn_score_docs, train_kneser_ney
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bi, ctx, cont, glob = train_kneser_ney(docs)
+    return kn_score_docs(docs, bi, ctx, cont, glob)
+
+
 _STALE_FIRST = [
+    # round-5 session-B additions — never driver-checked, sample first
+    "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
+    "domain_quality",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -6799,6 +6926,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "canonical_aliases": q_canonical_aliases,
         "sb_lm_scores": q_sb_lm_scores,
+        "kn_lm_scores": q_kn_lm_scores,
+        "domain_quality": q_domain_quality,
+        "oai_harvest": q_oai_harvest,
+        "sentence_stats": q_sentence_stats,
+        "robots_cache": q_robots_cache,
         "weighted_sample_stratified": q_weighted_sample_stratified,
         "cms_part_counts": q_cms_part_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -6926,9 +7058,13 @@ def _kcenter_oracle(k: int = 8) -> str:
     the engine's exact determinism contract — round(cos, 6) left-fold
     (same FP op order via _sql_cos), argmin on (ms, vec_id), seed =
     min vec_id, far_cos -2.0 sentinel for the seed."""
+    # MATERIALIZED: DuckDB inlines single-reference CTEs, and inlining
+    # this chained fold re-evaluates every earlier round inside each
+    # later one — exponential work (minutes at sf0.01; 0.1 s
+    # materialized). A pure planner hint: results are identical.
     ctes = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        "s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
     ]
     for r in range(2, k + 1):
         prev_m = f"m{r - 1}"
@@ -6938,12 +7074,12 @@ def _kcenter_oracle(k: int = 8) -> str:
             f"SELECT vec_id FROM s{i}" for i in range(1, r)
         )
         ctes.append(
-            f"{prev_m} AS (SELECT m.vec_id, m.v, "
+            f"{prev_m} AS MATERIALIZED (SELECT m.vec_id, m.v, "
             f"GREATEST({prev_ms}, {_sql_cos('m.v', 'c.v')}) AS ms "
             f"FROM {prev_src} m, s{r - 1} c)"
         )
         ctes.append(
-            f"s{r} AS (SELECT vec_id, v, ms FROM {prev_m} "
+            f"s{r} AS MATERIALIZED (SELECT vec_id, v, ms FROM {prev_m} "
             f"WHERE vec_id NOT IN ({sel_union}) "
             f"ORDER BY ms ASC, vec_id ASC LIMIT 1)"
         )
@@ -8371,7 +8507,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
-    from sandcrawler_spark.operators.lm import lm_oracle_sql, sb_oracle_sql
+    from sandcrawler_spark.functions.sentences import sentence_stats_oracle_sql
+    from sandcrawler_spark.operators.diagnostics import wilson_rollup_oracle_sql
+    from sandcrawler_spark.operators.lm import kn_oracle_sql, lm_oracle_sql, sb_oracle_sql
     from sandcrawler_spark.operators.quality_clf import nb_oracle_sql
     from sandcrawler_spark.operators.search import bm25_oracle_sql
     from sandcrawler_spark.operators.textrank import textrank_oracle_sql
@@ -10342,6 +10480,55 @@ LEFT JOIN pctl p ON u.host = p.host
             k=64,
         ),
         "sb_lm_scores": sb_oracle_sql("SELECT doc_id, text FROM documents"),
+        "kn_lm_scores": kn_oracle_sql("SELECT doc_id, text FROM documents"),
+        "domain_quality": wilson_rollup_oracle_sql(
+            "SELECT 'b' || CAST(CAST(doc_id % 23 AS INT) AS VARCHAR) || 'site.com' AS domain, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50 AS passed "
+            "FROM documents",
+            min_docs=3,
+        ),
+        "sentence_stats": sentence_stats_oracle_sql(
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "'Dr. J. Smith et al. found e.g. values near 3.14 and 2.71! ' || "
+            "regexp_replace(text, 'window', 'end. Window', 'g') AS text "
+            "FROM documents"
+        ),
+        "oai_harvest": f"""
+WITH {_URLS_CTE.strip()},
+recs AS (
+  SELECT host,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY o_orderkey) - 1 AS INT) AS seq,
+         'oai:' || host || ':' || CAST(o_orderkey AS VARCHAR) AS identifier,
+         CAST(o_orderdate AS VARCHAR) AS datestamp,
+         'set' || CAST(CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS setspecs,
+         (o_orderkey % 11 = 0) AS deleted,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE 'Order ' || CAST(o_orderkey AS VARCHAR) END AS title
+  FROM urls WHERE site_id < 5
+)
+SELECT * FROM recs
+WHERE datestamp >= '1994-01-01' AND datestamp <= '1995-12-31'
+  AND setspecs = 'set1'
+""",
+        "robots_cache": """
+WITH ev AS (
+  SELECT 'h' || CAST(CAST(user_id % 20 AS INT) AS VARCHAR) || '.example.net' AS host,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         event_id
+  FROM events
+),
+robots AS (SELECT host, epoch_s AS rts FROM ev WHERE event_id % 97 = 0),
+cls AS (
+  SELECT f.host, f.epoch_s, r.rts
+  FROM ev f ASOF LEFT JOIN robots r ON f.host = r.host AND r.rts <= f.epoch_s
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(CASE WHEN rts IS NOT NULL AND epoch_s - rts <= 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+       CAST(SUM(CASE WHEN rts IS NOT NULL AND epoch_s - rts > 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+       CAST(SUM(CASE WHEN rts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
+FROM cls GROUP BY host ORDER BY host
+""",
         # relational twin: derives each page's declared canonical from
         # the same construction arithmetic (never re-runs the regex)
         "canonical_aliases": f"""

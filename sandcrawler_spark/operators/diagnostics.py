@@ -490,3 +490,84 @@ def zipf_fit(
             f" * ({d('n')} * {d('syy')} - {d('sy')} * {d('sy')})) AS BIGINT)"
         ).alias("r2_ppm"),
     )
+
+
+WILSON_Z = 1.96  # 95% two-sided normal quantile, the published default
+
+
+def wilson_domain_rollup(
+    df: DataFrame,
+    domain_col: str = "registered_domain",
+    pass_col: str = "passed",
+    z: float = WILSON_Z,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Domain-level quality triage: roll a per-document pass/fail gate
+    up to registered-domain granularity and score each domain with the
+    WILSON LOWER BOUND (Wilson 1927) of its pass rate — the standard
+    fix for the small-sample trap where a domain with 1/1 passing
+    docs outranks one with 180/200: the lower confidence bound
+    penalizes thin evidence, so curation lists (RefinedWeb-style
+    domain allow/deny decisions) sort by it rather than the raw rate.
+
+      lb = (p + z^2/2n - z*sqrt((p(1-p) + z^2/4n)/n)) / (1 + z^2/n)
+
+    Determinism: counts are exact longs; the bound is the identical
+    left-to-right IEEE expression in both engines (sqrt and each
+    +-*/ are correctly rounded on identical inputs), then fixed to
+    integer ppm. Returns (domain, n_docs, n_pass, pass_ppm,
+    wilson_lb_ppm), domains with >= min_docs docs.
+
+    Scale shape: one domain-keyed count aggregate with map-side
+    partials — domain cardinality output, no windows, no doc payload
+    past the first projection."""
+    agg = (
+        df.select(F.col(domain_col).alias("domain"), F.col(pass_col).cast("long").alias("_p"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_p").cast("long").alias("n_pass"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    n = F.col("n_docs")
+    phat = F.col("n_pass") / n
+    z2 = z * z
+    num = (
+        phat
+        + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt((phat * (1 - phat) + F.lit(z2) / (4 * n)) / n)
+    )
+    den = F.lit(1) + F.lit(z2) / n
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_pass",
+        F.round(F.col("n_pass") * 1000000 / n).cast("long").alias("pass_ppm"),
+        F.round(num / den * 1000000).cast("long").alias("wilson_lb_ppm"),
+    )
+
+
+def wilson_rollup_oracle_sql(docs_sql: str, z: float = WILSON_Z, min_docs: int = 1) -> str:
+    """DuckDB twin over a (domain, passed) relation: identical
+    aggregation and the identical left-to-right Wilson expression."""
+    z2 = z * z
+    return f"""
+WITH _w_docs AS ({docs_sql}),
+_w_agg AS (
+  SELECT domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM _w_docs GROUP BY domain
+  HAVING COUNT(*) >= {int(min_docs)}
+)
+SELECT domain, n_docs, n_pass,
+       CAST(round(n_pass * 1000000 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS pass_ppm,
+       CAST(round(
+         ((CAST(n_pass AS DOUBLE) / n_docs) + {z2!r} / (2 * n_docs)
+          - {z!r} * sqrt((((CAST(n_pass AS DOUBLE) / n_docs) * (1 - (CAST(n_pass AS DOUBLE) / n_docs))
+                           + {z2!r} / (4 * n_docs)) / n_docs))
+         ) / (1 + {z2!r} / n_docs) * 1000000
+       ) AS BIGINT) AS wilson_lb_ppm
+FROM _w_agg
+""".strip()

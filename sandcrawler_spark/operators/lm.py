@@ -374,3 +374,193 @@ SELECT d.doc_id,
        COALESCE(a.sb_micronat, 0) AS sb_micronat
 FROM _sb_docs d LEFT JOIN _sb_agg a ON d.doc_id = a.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999 section 4's interpolated form with the count-estimated discount
+# D = N1 / (N1 + 2*N2)): the strongest classical smoother, and the one
+# Stupid Backoff was benchmarked AGAINST — having both lets a corpus
+# pipeline A/B the perplexity filter the way the literature does. The
+# distinguishing idea is the CONTINUATION count: the lower-order
+# distribution scores a word by how many distinct contexts it follows
+# (N1+(.w)), not how often it occurs — "Francisco" is frequent but only
+# ever follows "San", so KN correctly scores it poorly in fresh
+# contexts.
+#
+# P_KN(w2|w1) = ( max(c12 - D, 0) * T  +  D * N1+(w1.) * N1+(.w2) )
+#               / ( c_ctx(w1) * T )
+# with c_ctx(w1) = total bigrams from w1, T = distinct bigram types —
+# the standard interpolated formula with P_cont(w2) = N1+(.w2)/T folded
+# into a single ratio so both engines evaluate the same two exactly-
+# rounded IEEE products, one addition, one division, one ln().
+# ---------------------------------------------------------------------------
+
+
+def train_kneser_ney(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(bigram_counts, ctx_stats, cont_stats, global_stats) — the KN
+    sufficient statistics as relations. bigram_counts: (w1, w2, c12);
+    ctx_stats: (w1, c_ctx, n1p_fwd) — outgoing total + distinct
+    continuation types per context; cont_stats: (w2, n1p_rev) —
+    distinct left-contexts per word; global_stats: one row
+    (t_types, n1, n2, discount). All mergeable counts except the
+    derived discount (recompute after a merge).
+
+    Scale shape: one bigram-keyed shuffle with map-side combine, then
+    two vocabulary-bounded aggregations of the count table itself —
+    training cost is O(distinct bigrams), never O(corpus) past the
+    first pass."""
+    bi = (
+        df.select(F.explode(_bigrams_col(F.col(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c12",
+        )
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c_ctx"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_rev"))
+    glob = bi.agg(
+        F.count("*").cast("long").alias("t_types"),
+        F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c12") == 2).cast("long")).alias("n2"),
+    ).select(
+        "t_types",
+        "n1",
+        "n2",
+        F.when(
+            (F.col("n1") + 2 * F.col("n2")) > 0,
+            F.col("n1") / (F.col("n1") + 2 * F.col("n2")),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("discount"),
+    )
+    return bi, ctx, cont, glob
+
+
+def kn_score_docs(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    ctx_stats: DataFrame,
+    cont_stats: DataFrame,
+    global_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document interpolated-KN bigram log-probability in integer
+    micro-nats: (id_col, n_bigrams, kn_micronat). Self-scoring (train
+    corpus == score corpus, the perplexity-filter setting) guarantees
+    every scored bigram hits all three count tables, so the single
+    folded formula is total; held-out scoring would need a back-off
+    branch (coalesce defaults below keep it merely finite, not KN).
+
+    Scale shape: three natural-key equi-joins (AQE broadcasts the
+    vocabulary-sized sides) + one groupBy(doc) — lm_score_docs'
+    shape with one more count relation."""
+    stream = df.select(
+        F.col(id_col).alias("_id"), F.explode(_bigrams_col(F.col(text_col))).alias("bg")
+    ).select(
+        "_id",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    joined = (
+        stream.join(bigram_counts, on=["w1", "w2"], how="left")
+        .join(ctx_stats, on="w1", how="left")
+        .join(cont_stats, on="w2", how="left")
+        .crossJoin(F.broadcast(global_stats))
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    num = (
+        F.greatest(c12 - F.col("discount"), F.lit(0.0)) * F.col("t_types")
+        + F.col("discount") * F.coalesce(F.col("n1p_fwd"), F.lit(1)) * F.coalesce(F.col("n1p_rev"), F.lit(1))
+    )
+    den = F.coalesce(F.col("c_ctx"), F.lit(1)).cast("double") * F.col("t_types")
+    per_bg = joined.select(
+        "_id", F.round(F.log(num / den) * NAT_SCALE).cast("long").alias("_micro")
+    )
+    agg = per_bg.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("_micro").cast("long").alias("kn_micronat"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(agg, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("kn_micronat", F.lit(0)).alias("kn_micronat"),
+        )
+    )
+
+
+def kn_oracle_sql(docs_sql: str) -> str:
+    """DuckDB twin of train_kneser_ney + kn_score_docs on the same
+    (doc_id, text) relation: identical tokenization, the same folded
+    single-ratio formula (two IEEE products, one addition, one
+    division, one ln), micro-nat rounding, integer SUM."""
+    return f"""
+WITH _kn_docs AS (SELECT doc_id, text FROM ({docs_sql})),
+_kn_tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM _kn_docs
+),
+_kn_pos AS (
+  SELECT doc_id, UNNEST(range(1, len(toks))) AS i, toks
+  FROM _kn_tok WHERE len(toks) >= 2
+),
+_kn_stream AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM _kn_pos),
+_kn_bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM _kn_stream GROUP BY w1, w2
+),
+_kn_ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c_ctx, CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+  FROM _kn_bi GROUP BY w1
+),
+_kn_cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_rev FROM _kn_bi GROUP BY w2
+),
+_kn_glob AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t_types,
+         CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM _kn_bi
+),
+_kn_disc AS (
+  SELECT t_types,
+         CASE WHEN n1 + 2 * n2 > 0
+              THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE)
+              ELSE 0.5 END AS discount
+  FROM _kn_glob
+),
+_kn_scored AS (
+  SELECT s.doc_id,
+         CAST(round(ln(
+           (GREATEST(CAST(b.c12 AS DOUBLE) - g.discount, 0.0) * g.t_types
+            + g.discount * x.n1p_fwd * r.n1p_rev)
+           / (CAST(x.c_ctx AS DOUBLE) * g.t_types)
+         ) * {NAT_SCALE}) AS BIGINT) AS micro
+  FROM _kn_stream s
+  JOIN _kn_bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+  JOIN _kn_ctx x ON x.w1 = s.w1
+  JOIN _kn_cont r ON r.w2 = s.w2
+  CROSS JOIN _kn_disc g
+),
+_kn_agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(micro) AS BIGINT) AS kn_micronat
+  FROM _kn_scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.kn_micronat, 0) AS kn_micronat
+FROM _kn_docs d LEFT JOIN _kn_agg a ON d.doc_id = a.doc_id
+""".strip()

@@ -357,3 +357,59 @@ def parse_retry_after_col(value, now_epoch):
         )
         .otherwise(F.lit(None).cast("long"))
     )
+
+
+def robots_cache_audit(
+    fetches: DataFrame,
+    robots_fetches: DataFrame,
+    ttl_s: int = 86400,
+) -> DataFrame:
+    """RFC 9309 §2.4 robots-cache freshness audit: crawlers MAY cache
+    robots.txt, but SHOULD NOT use a cached copy for longer than 24
+    hours (the ttl_s default). Given the page-fetch log
+    (host, epoch_s, fetch_id) and the observed robots-refetch log
+    (host, robots_epoch_s), classify every page fetch:
+
+      fresh   — the latest robots fetch at or before it is <= ttl old
+      expired — a cached copy existed but was older than ttl (the
+                crawler used stale rules; §2.4 says refetch)
+      miss    — no robots fetch preceded the page fetch at all (the
+                crawler never had rules for the host: a §2.3.1
+                must-fetch-first violation)
+
+    This is an AUDIT of a refetch log, not a cache simulator: the
+    robots log is taken as what the crawler actually did, so each
+    page fetch classifies independently (relational, replayable) —
+    the sequential would-have-refetched simulation lives in the
+    streaming crawl loop where state belongs.
+
+    Scale shape: the robots log is host-cardinality × refetch-count
+    (tiny vs the fetch log), so it is collapsed to one sorted array
+    per host and BROADCAST; the classification is then a narrow
+    array_max(filter(...)) scan over the fetch log — zero shuffle on
+    the big side, one host-keyed aggregate for the output counts.
+
+    Returns (host, n_fetches, n_fresh, n_expired, n_miss)."""
+    rlog = robots_fetches.groupBy("host").agg(
+        F.array_sort(F.collect_list(F.col("robots_epoch_s").cast("long"))).alias("_rts")
+    )
+    t = F.col("epoch_s").cast("long")
+    last_robots = F.array_max(F.filter(F.col("_rts"), lambda x: x <= t))
+    age = t - last_robots
+    cls = (
+        F.when(last_robots.isNull(), F.lit("miss"))
+        .when(age <= F.lit(int(ttl_s)), F.lit("fresh"))
+        .otherwise(F.lit("expired"))
+    )
+    audited = fetches.join(F.broadcast(rlog), on="host", how="left").select(
+        "host", cls.alias("_cls")
+    )
+    return (
+        audited.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum((F.col("_cls") == "fresh").cast("long")).alias("n_fresh"),
+            F.sum((F.col("_cls") == "expired").cast("long")).alias("n_expired"),
+            F.sum((F.col("_cls") == "miss").cast("long")).alias("n_miss"),
+        )
+    )

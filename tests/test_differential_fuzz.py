@@ -242,3 +242,55 @@ def test_htmlstats_differential_fuzz(spark):
     expect_clusters = {t: n for t, n in tcounts.items() if n >= 2}
     got_clusters = {r.title: r.n_pages for r in title_clusters(pages, min_pages=2).collect()}
     assert got_clusters == expect_clusters
+
+
+# ---------------------------------------------------------------------------
+# sentence splitter: Spark (Java regex) vs pure-Python re twin over a
+# seeded fuzz corpus built from boundary-adversarial fragments. The
+# DuckDB oracle (RE2) covers the third engine in the sweep — this leg
+# pins the Java<->Python agreement on the shared regex subset.
+# ---------------------------------------------------------------------------
+
+def _sentence_stats_py(text: str) -> tuple[int, int, int]:
+    from sandcrawler_spark.functions import sentences as S
+
+    s = re.sub(S._DEC_PAT, "\\1\x11\\2", text)
+    s = re.sub(S._EG_PAT, "\\1\x11\\2\x11", s)
+    s = re.sub(S._IE_PAT, "\\1\x11\\2\x11", s)
+    s = re.sub(S._ETAL_PAT, "\\1\x11", s)
+    s = re.sub(S._ABBR_PAT, "\\1\x11", s)
+    s = re.sub(S._INIT_PAT, "\\1\x11", s)
+    s = re.sub(S._BOUND_PAT, "\\1\x1e\\2", s)
+    n_words = len(re.findall(S._WORD_PAT, text))
+    n_bounds = s.count("\x1e")
+    n_sent = n_bounds + 1 if n_words > 0 else 0
+    mean = (100 * n_words) // n_sent if n_sent > 0 else 0
+    return n_words, n_sent, mean
+
+
+def test_sentence_stats_spark_vs_python_re(spark):
+    from sandcrawler_spark.functions.sentences import with_sentence_stats
+
+    rng = random.Random(4242)
+    frags = [
+        "the cat sat", "Dr.", "Mr.", "et al.", "e.g.", "i.e.", "vs.",
+        "3.14", "2.71", "A.", "J. K.", "No. 5", "pp. 10-12", "So",
+        "Hello.", "World!", "what?", "End. Start", "x.y", "...", "!?",
+        "U.S.", "lower. upper", "Cap Next", '"Quoted', "(paren",
+        "12. Items", "a.b.c.", "St. Mary", "OK.   Then",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 25)))
+        for _ in range(300)
+    ]
+    texts += ["", " ", ".", "Dr. Dr. Dr.", "A. B. C. D.", "Hi. Ok. Go."]
+    expected = [_sentence_stats_py(t) for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["mean_words_x100"])
+        for r in with_sentence_stats(df).collect()
+    }
+    for i, e in enumerate(expected):
+        assert got[i] == e, (i, texts[i][:60], got[i], e)

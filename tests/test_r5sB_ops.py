@@ -1,0 +1,321 @@
+"""Round-5 session-B operators: OAI-PMH harvest parsing (the
+scholarly-metadata discovery channel behind the reference's ingest
+requests — `proposals/2019_ingest.md:81-113` link_source values are
+OAI-PMH-harvested corpora), rule-based sentence segmentation, the
+RFC 9309 §2.4 robots-cache freshness audit, and the interpolated
+Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1999 §4).
+
+The OAI-PMH goldens are spec-shaped: record layout, the
+status="deleted" tombstone on the header opening tag, multi-setSpec
+headers, and the §3.3.1 INCLUSIVE from/until window semantics all
+follow the published OAI-PMH v2.0 protocol document.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sandcrawler_spark.functions.oaipmh import (
+    build_oai_record_xml,
+    harvest_window,
+    parse_oai_records,
+)
+from sandcrawler_spark.functions.sentences import with_sentence_stats
+from sandcrawler_spark.operators.lm import kn_score_docs, train_kneser_ney
+from sandcrawler_spark.operators.politeness import robots_cache_audit
+
+# A ListRecords response shaped like the OAI-PMH v2.0 spec's worked
+# examples (section 4.5): namespaced envelope, oai_dc payload, one
+# deleted record carrying only a header, one record in two sets.
+_SPEC_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<OAI-PMH xmlns="http://www.openarchives.org/OAI/2.0/">
+  <responseDate>2002-06-01T19:20:30Z</responseDate>
+  <request verb="ListRecords" metadataPrefix="oai_dc">http://an.oa.org/OAI-script</request>
+  <ListRecords>
+    <record>
+      <header>
+        <identifier>oai:arXiv.org:cs/0112017</identifier>
+        <datestamp>2001-12-14</datestamp>
+        <setSpec>cs</setSpec>
+        <setSpec>math</setSpec>
+      </header>
+      <metadata>
+        <oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+          <dc:title>Using Structural Metadata to Localize Experience of Digital Content</dc:title>
+        </oai_dc:dc>
+      </metadata>
+    </record>
+    <record>
+      <header status="deleted">
+        <identifier>oai:arXiv.org:quant-ph/9901001</identifier>
+        <datestamp>1999-03-20</datestamp>
+      </header>
+    </record>
+    <record>
+      <header>
+        <identifier>oai:perseus.tufts.edu:Perseus:text:1999.02.0084</identifier>
+        <datestamp>2002-05-01</datestamp>
+        <setSpec>latin</setSpec>
+      </header>
+      <metadata>
+        <oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+          <dc:title>Opera Minora</dc:title>
+        </oai_dc:dc>
+      </metadata>
+    </record>
+  </ListRecords>
+</OAI-PMH>
+"""
+
+
+def _parse_spec(spark):
+    df = spark.createDataFrame([("r1", _SPEC_XML)], ["repo", "xml"])
+    rows = parse_oai_records(df, "xml", keep_cols=["repo"]).orderBy("seq").collect()
+    return rows
+
+
+def test_oai_spec_shaped_response_parses(spark):
+    rows = _parse_spec(spark)
+    assert [r["identifier"] for r in rows] == [
+        "oai:arXiv.org:cs/0112017",
+        "oai:arXiv.org:quant-ph/9901001",
+        "oai:perseus.tufts.edu:Perseus:text:1999.02.0084",
+    ]
+    assert [r["datestamp"] for r in rows] == ["2001-12-14", "1999-03-20", "2002-05-01"]
+    # multi-setSpec headers keep every set (record 1 is in cs AND math)
+    assert rows[0]["setspecs"] == "cs,math"
+    assert rows[2]["setspecs"] == "latin"
+
+
+def test_oai_deleted_tombstone_kept_not_skipped(spark):
+    # §2.5.1: deleted records MUST be propagated as tombstones
+    rows = _parse_spec(spark)
+    assert [r["deleted"] for r in rows] == [False, True, False]
+    assert rows[1]["title"] is None and rows[1]["setspecs"] == ""
+    assert rows[0]["title"].startswith("Using Structural Metadata")
+
+
+def test_oai_deleted_flag_is_per_record_not_per_blob(spark):
+    # a deleted record earlier in the blob must not flip its healthy
+    # neighbors (the per-block discipline sitemaps.py established)
+    rows = _parse_spec(spark)
+    assert rows[2]["deleted"] is False
+
+
+def test_oai_harvest_window_bounds_inclusive(spark):
+    # §3.3.1: from/until are INCLUSIVE — a record dated exactly at
+    # either bound is harvested
+    df = spark.createDataFrame([("r1", _SPEC_XML)], ["repo", "xml"])
+    recs = parse_oai_records(df, "xml")
+    got = {
+        r["identifier"]
+        for r in harvest_window(recs, "1999-03-20", "2001-12-14").collect()
+    }
+    assert got == {"oai:arXiv.org:quant-ph/9901001", "oai:arXiv.org:cs/0112017"}
+    # set-selective harvest matches ANY of a record's sets
+    got_math = {
+        r["identifier"] for r in harvest_window(recs, set_spec="math").collect()
+    }
+    assert got_math == {"oai:arXiv.org:cs/0112017"}
+
+
+def test_oai_builder_roundtrips_through_parser(spark):
+    df = spark.createDataFrame(
+        [(1, "oai:x:1", "2020-01-02", "s1", False, "T one"),
+         (2, "oai:x:2", "2020-01-03", "", True, "ignored")],
+        ["k", "ident", "ds", "st", "dele", "ti"],
+    )
+    xml = df.select(
+        F.concat_ws(
+            "",
+            F.collect_list(
+                build_oai_record_xml(
+                    F.col("ident"), F.col("ds"), F.col("st"), F.col("dele"), F.col("ti")
+                )
+            ),
+        ).alias("xml")
+    )
+    rows = parse_oai_records(xml, "xml").orderBy("identifier").collect()
+    assert len(rows) == 2
+    assert rows[0]["identifier"] == "oai:x:1" and rows[0]["title"] == "T one"
+    assert rows[1]["deleted"] is True and rows[1]["title"] is None
+
+
+def _stats(spark, text: str):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    return with_sentence_stats(df).collect()[0]
+
+
+def test_sentence_basic_split(spark):
+    r = _stats(spark, "The cat sat. The dog ran! Did it rain? Yes.")
+    assert r["n_sentences"] == 4
+
+
+def test_sentence_abbreviations_do_not_split(spark):
+    # every protection pass: decimal, e.g., et al., title abbrev,
+    # single-capital initial — one sentence despite six dots
+    r = _stats(spark, "Dr. J. Smith et al. found e.g. values near 3.14 here.")
+    assert r["n_sentences"] == 1
+
+
+def test_sentence_boundary_requires_following_capital(spark):
+    # "vs. the" and a lowercase continuation must not split
+    r = _stats(spark, "We compared A vs. the baseline. and then stopped")
+    assert r["n_sentences"] == 1
+    r2 = _stats(spark, "We compared A vs. the baseline. Then we stopped")
+    assert r2["n_sentences"] == 2
+
+
+def test_sentence_empty_and_single(spark):
+    assert _stats(spark, "")["n_sentences"] == 0
+    assert _stats(spark, "   ")["n_sentences"] == 0
+    one = _stats(spark, "no terminator at all")
+    assert one["n_sentences"] == 1 and one["n_words"] == 4
+    assert one["mean_words_x100"] == 400
+
+
+def test_sentence_mean_integer_fixed_point(spark):
+    r = _stats(spark, "One two three. Four five! Six seven eight nine?  Ten more")
+    # 11 words, 4 sentences -> floor(1100/4) = 275
+    assert r["n_words"] == 11 and r["n_sentences"] == 4
+    assert r["mean_words_x100"] == 275
+
+
+def test_robots_cache_audit_classes(spark):
+    day = 86400
+    fetches = spark.createDataFrame(
+        [
+            ("a.com", 100),        # fresh (robots at 50)
+            ("a.com", 50 + day),   # fresh boundary: age exactly ttl
+            ("a.com", 51 + day),   # expired: age ttl+1
+            ("a.com", 10),         # miss: before first robots fetch
+            ("b.com", 500),        # miss: host never fetched robots
+        ],
+        ["host", "epoch_s"],
+    )
+    robots = spark.createDataFrame([("a.com", 50)], ["host", "robots_epoch_s"])
+    rows = {
+        r["host"]: r
+        for r in robots_cache_audit(fetches, robots, ttl_s=day).collect()
+    }
+    a = rows["a.com"]
+    assert (a["n_fetches"], a["n_fresh"], a["n_expired"], a["n_miss"]) == (4, 2, 1, 1)
+    b = rows["b.com"]
+    assert (b["n_fetches"], b["n_miss"]) == (1, 1)
+
+
+def test_robots_cache_uses_latest_prior_fetch(spark):
+    # two robots fetches: the audit must age against the LATER one
+    day = 86400
+    fetches = spark.createDataFrame([("a.com", 3 * day)], ["host", "epoch_s"])
+    robots = spark.createDataFrame(
+        [("a.com", 0), ("a.com", 3 * day - 10)], ["host", "robots_epoch_s"]
+    )
+    r = robots_cache_audit(fetches, robots, ttl_s=day).collect()[0]
+    assert r["n_fresh"] == 1 and r["n_expired"] == 0
+
+
+def test_kneser_ney_hand_computed_tiny_corpus(spark):
+    # corpus: doc1 "a b a b", doc2 "a c" ->
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # types T=3, n1=2 (b-a, a-c), n2=1 (a-b) -> D = 2/(2+2) = 0.5
+    # ctx: a: c_ctx=3, n1p_fwd=2 ; b: c_ctx=1, n1p_fwd=1
+    # cont: b: n1p_rev=1 ; a: n1p_rev=1 ; c: n1p_rev=1
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "a c")], ["doc_id", "text"])
+    bi, ctx, cont, glob = train_kneser_ney(docs)
+    g = glob.collect()[0]
+    assert (g["t_types"], g["n1"], g["n2"]) == (3, 2, 1)
+    assert g["discount"] == 0.5
+
+    def p(c12, c_ctx, n1p_fwd, n1p_rev, t=3, d=0.5):
+        return (max(c12 - d, 0.0) * t + d * n1p_fwd * n1p_rev) / (c_ctx * t)
+
+    expected = {
+        1: (
+            3,
+            round(math.log(p(2, 3, 2, 1)) * 1e6) * 2     # a->b twice
+            + round(math.log(p(1, 1, 1, 1)) * 1e6),      # b->a
+        ),
+        2: (1, round(math.log(p(1, 3, 2, 1)) * 1e6)),    # a->c
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_micronat"])
+        for r in kn_score_docs(docs, bi, ctx, cont, glob).collect()
+    }
+    assert got == expected
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    # the KN signature: "francisco" occurs 3 times but ONLY after
+    # "san"; "tuesday" occurs 3 times after 3 distinct contexts. In a
+    # fresh context ("on X"), unseen for both, the continuation term
+    # must score tuesday above francisco. We verify via cont_stats.
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco san francisco san francisco"),
+            (2, "on tuesday by tuesday until tuesday"),
+        ],
+        ["doc_id", "text"],
+    )
+    _, _, cont, _ = train_kneser_ney(docs)
+    rev = {r["w2"]: r["n1p_rev"] for r in cont.collect()}
+    assert rev["francisco"] == 1
+    assert rev["tuesday"] == 3
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark):
+    # interpolated KN is a proper distribution: for a fixed context
+    # w1, summing P(w2|w1) over the OBSERVED vocabulary of
+    # continuations-with-mass must not exceed 1, and equals 1 when
+    # every vocab word is reachable via the continuation term.
+    docs = spark.createDataFrame(
+        [(1, "a b a c a b b a"), (2, "c a b c")], ["doc_id", "text"]
+    )
+    bi, ctx, cont, glob = train_kneser_ney(docs)
+    g = glob.collect()[0]
+    d, t = g["discount"], g["t_types"]
+    c12 = {(r["w1"], r["w2"]): r["c12"] for r in bi.collect()}
+    cx = {r["w1"]: (r["c_ctx"], r["n1p_fwd"]) for r in ctx.collect()}
+    rev = {r["w2"]: r["n1p_rev"] for r in cont.collect()}
+    t_total = sum(rev.values())
+    assert t_total == t
+    for w1 in cx:
+        c_ctx, n1p_fwd = cx[w1]
+        s = 0.0
+        for w2 in rev:
+            c = c12.get((w1, w2), 0)
+            s += (max(c - d, 0.0) * t + d * n1p_fwd * rev[w2]) / (c_ctx * t)
+        assert abs(s - 1.0) < 1e-9, (w1, s)
+
+
+def test_wilson_rollup_penalizes_thin_evidence(spark):
+    from sandcrawler_spark.operators.diagnostics import wilson_domain_rollup
+
+    rows = [("thin.com", True)]
+    rows += [("solid.com", i < 180) for i in range(200)]
+    df = spark.createDataFrame(rows, ["registered_domain", "passed"])
+    out = {r["domain"]: r for r in wilson_domain_rollup(df).collect()}
+    # raw rate: thin 100% > solid 90%; Wilson lower bound must invert
+    assert out["thin.com"]["pass_ppm"] == 1000000
+    assert out["solid.com"]["pass_ppm"] == 900000
+    assert out["thin.com"]["wilson_lb_ppm"] < out["solid.com"]["wilson_lb_ppm"]
+    # hand value: n=1, p=1, z=1.96 -> lb = (1 + z^2/2 - z*sqrt(z^2/4))/(1+z^2)
+    # = (1 + 1.9208 - 1.9208) / 4.8416 = 0.2065...
+    import math
+    z = 1.96
+    lb = (1 + z * z / 2 - z * math.sqrt((0.0 + z * z / 4) / 1)) / (1 + z * z)
+    assert abs(out["thin.com"]["wilson_lb_ppm"] - round(lb * 1e6)) <= 1
+
+
+def test_wilson_rollup_min_docs_filter(spark):
+    from sandcrawler_spark.operators.diagnostics import wilson_domain_rollup
+
+    df = spark.createDataFrame(
+        [("a.com", True), ("a.com", False), ("b.com", True)],
+        ["registered_domain", "passed"],
+    )
+    out = wilson_domain_rollup(df, min_docs=2).collect()
+    assert [r["domain"] for r in out] == ["a.com"]
+    assert out[0]["n_docs"] == 2 and out[0]["n_pass"] == 1
