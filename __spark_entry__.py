@@ -6683,6 +6683,48 @@ def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_domain_rollup(docs, "registered_domain", "passed", min_docs=3)
 
 
+def q_cdx_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDX-server collapse=timestamp:8 (one row per URL-day, first
+    # capture kept, collapsed count carried): the dedup view replay
+    # UIs page through — one min(struct) aggregate, no per-URL window
+    from sandcrawler_spark.operators.cdxslice import collapse_captures
+
+    return collapse_captures(_captures(spark, sf_dir), digits=8)
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RSS/Atom autodiscovery (<link rel="alternate" type="application/
+    # rss+xml|atom+xml">): attribute order varies per page build and
+    # relative hrefs resolve against the page URL — the discovery half
+    # of feed_roundtrip. Oracle derives feed URLs relationally.
+    from sandcrawler_spark.functions.feeds import discover_feeds
+
+    u = _urls(spark, sf_dir).filter(F.col("site_id") < 8)
+    m = F.col("o_orderkey") % 4
+    head = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<head><link rel="alternate" type="application/rss+xml" href="https://'),
+                F.col("host"),
+                F.lit('/feed.xml"><title>t</title></head>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit("<head><link type='application/atom+xml' rel='alternate' href='/atom.xml'></head>"),
+        )
+        .when(
+            m == 2,
+            F.lit('<head><link rel="stylesheet" href="/style.css">'
+                  '<link rel="alternate" type="application/rss+xml" href="rss"></head>'),
+        )
+        .otherwise(F.lit("<head><title>no feed</title></head>"))
+    )
+    pages = u.select("url", head.alias("html"), F.col("o_orderkey"))
+    return discover_feeds(pages, "html", "url", keep_cols=["o_orderkey"])
+
+
 def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
     # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
@@ -6698,7 +6740,7 @@ def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STALE_FIRST = [
     # round-5 session-B additions — never driver-checked, sample first
     "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
-    "domain_quality",
+    "domain_quality", "cdx_collapse", "feed_discovery",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -6928,6 +6970,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sb_lm_scores": q_sb_lm_scores,
         "kn_lm_scores": q_kn_lm_scores,
         "domain_quality": q_domain_quality,
+        "cdx_collapse": q_cdx_collapse,
+        "feed_discovery": q_feed_discovery,
         "oai_harvest": q_oai_harvest,
         "sentence_stats": q_sentence_stats,
         "robots_cache": q_robots_cache,
@@ -10481,6 +10525,31 @@ LEFT JOIN pctl p ON u.host = p.host
         ),
         "sb_lm_scores": sb_oracle_sql("SELECT doc_id, text FROM documents"),
         "kn_lm_scores": kn_oracle_sql("SELECT doc_id, text FROM documents"),
+        "cdx_collapse": f"""
+WITH {_CAPTURES_CTE.strip()},
+b AS (SELECT url, datetime, status_code, mimetype,
+             substr(datetime, 1, 8) AS bucket
+      FROM captures),
+f AS (SELECT url, bucket, min(datetime) AS datetime,
+             CAST(COUNT(*) AS BIGINT) AS n_collapsed
+      FROM b GROUP BY url, bucket)
+SELECT f.url, f.bucket, f.datetime, b.status_code, b.mimetype, f.n_collapsed
+FROM f JOIN b ON b.url = f.url AND b.datetime = f.datetime
+""",
+        "feed_discovery": f"""
+WITH {_URLS_CTE.strip()},
+f AS (
+  SELECT o_orderkey, url, host, CAST(o_orderkey % 4 AS INT) AS m
+  FROM urls WHERE site_id < 8
+)
+SELECT o_orderkey, url,
+       CASE m WHEN 0 THEN 'https://' || host || '/feed.xml'
+              WHEN 1 THEN 'https://' || host || '/atom.xml'
+              WHEN 2 THEN 'https://' || host || '/order/rss'
+       END AS feed_url,
+       CASE m WHEN 0 THEN 'rss' WHEN 1 THEN 'atom' WHEN 2 THEN 'rss' END AS kind
+FROM f WHERE m < 3
+""",
         "domain_quality": wilson_rollup_oracle_sql(
             "SELECT 'b' || CAST(CAST(doc_id % 23 AS INT) AS VARCHAR) || 'site.com' AS domain, "
             "len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 50 AS passed "

@@ -109,3 +109,57 @@ def build_atom_entry_xml(
         parts += [F.lit("<id>"), entry_id, F.lit("</id>")]
     parts.append(F.lit("</entry>"))
     return F.concat(*parts)
+
+
+# ---------------------------------------------------------------------------
+# Feed AUTODISCOVERY (the RSS-autodiscovery convention every browser/
+# reader implements): a page advertises its feed with
+#   <link rel="alternate" type="application/rss+xml|atom+xml" href=...>
+# in the <head>. This is how a crawler finds the feed to poll without
+# guessing paths — the discovery half of parse_feed above. Attribute
+# ORDER is free in HTML, so matching is per-attribute rlike over the
+# extracted <link> tag, not one positional regex.
+# ---------------------------------------------------------------------------
+
+_LINK_TAG_PAT = r"(?i)<link\b[^>]*>"
+_REL_ALT_PAT = r"""(?i)rel\s*=\s*["']?alternate"""
+_TYPE_FEED_PAT = r"""(?i)type\s*=\s*["']?application/(rss|atom)\+xml"""
+_HREF_PAT = r"""(?i)href\s*=\s*["']([^"']*)["']"""
+
+
+def discover_feeds(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per advertised feed: keep_cols + (url, feed_url, kind).
+    kind = 'rss' | 'atom' from the type attribute; href is resolved
+    against the page URL (functions/urlresolve — relative hrefs are
+    the common case), and tags without a usable href are dropped.
+
+    Scale shape: narrow codegen regexp scan + posexplode of the
+    per-page <link> tags (bounded by head size), no shuffle."""
+    from sandcrawler_spark.functions.urlresolve import resolve_url
+
+    keep_cols = keep_cols or []
+    tags = df.select(
+        *keep_cols,
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_LINK_TAG_PAT), F.lit(0))
+        ).alias("_tag"),
+    )
+    is_alt = F.col("_tag").rlike(_REL_ALT_PAT)
+    kind = F.lower(F.regexp_extract(F.col("_tag"), _TYPE_FEED_PAT, 1))
+    href = F.regexp_extract(F.col("_tag"), _HREF_PAT, 1)
+    return (
+        tags.filter(is_alt & (kind != "") & (href != ""))
+        .select(
+            *keep_cols,
+            "url",
+            resolve_url(F.col("url"), href).alias("feed_url"),
+            kind.alias("kind"),
+        )
+        .filter(F.col("feed_url").isNotNull())
+    )

@@ -84,3 +84,40 @@ def cdx_variant_slice(
         out = out.filter(F.col(surt_col).rlike(url_re))
     out = distinct_by_hash(out, hash_col, [surt_col, dt_col])
     return crawl_order_dump(out, [surt_col, dt_col], n_partitions)
+
+
+def collapse_captures(
+    df: DataFrame,
+    digits: int = 8,
+    url_col: str = "url",
+    dt_col: str = "datetime",
+    payload_cols: tuple[str, ...] = ("status_code", "mimetype"),
+) -> DataFrame:
+    """CDX-server 'collapse=timestamp:N' semantics (the pywb/Wayback
+    query feature the reference's CDX API reads through,
+    `python/sandcrawler/ia.py` CdxApiClient): bucket a URL's capture
+    history by the first N digits of the 14-digit CDX datetime
+    (N=8 -> one row per URL-day) and keep the FIRST capture of each
+    bucket, with the collapsed-away count carried as n_collapsed —
+    the dedup view replay UIs and recrawl-rate estimators page
+    through.
+
+    Scale shape: ONE groupBy((url, bucket)) with min(struct) + count —
+    a plain aggregate with map-side partials; no window over per-URL
+    history, so a hot URL with millions of captures costs its bucket
+    count, not a single-task sort. (url, datetime) must be unique
+    (CDX invariant) — min(struct(datetime, payload...)) is then the
+    deterministic first row of the bucket."""
+    bucket = F.substring(F.col(dt_col), 1, int(digits))
+    first = F.min(F.struct(F.col(dt_col), *[F.col(c) for c in payload_cols]))
+    agg = (
+        df.groupBy(F.col(url_col).alias("url"), bucket.alias("bucket"))
+        .agg(first.alias("_f"), F.count("*").cast("long").alias("n_collapsed"))
+    )
+    return agg.select(
+        "url",
+        "bucket",
+        F.col(f"_f.{dt_col}").alias(dt_col),
+        *[F.col(f"_f.{c}").alias(c) for c in payload_cols],
+        "n_collapsed",
+    )

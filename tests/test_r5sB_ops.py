@@ -319,3 +319,66 @@ def test_wilson_rollup_min_docs_filter(spark):
     out = wilson_domain_rollup(df, min_docs=2).collect()
     assert [r["domain"] for r in out] == ["a.com"]
     assert out[0]["n_docs"] == 2 and out[0]["n_pass"] == 1
+
+
+def test_cdx_collapse_day_buckets(spark):
+    from sandcrawler_spark.operators.cdxslice import collapse_captures
+
+    rows = [
+        ("u1", "20200101080000", 200, "text/html"),
+        ("u1", "20200101120000", 404, "text/html"),   # same day -> collapsed
+        ("u1", "20200102090000", 200, "text/html"),   # next day survives
+        ("u2", "20200101080000", 200, "application/pdf"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "datetime", "status_code", "mimetype"])
+    out = {
+        (r["url"], r["bucket"]): r
+        for r in collapse_captures(df, digits=8).collect()
+    }
+    assert len(out) == 3
+    first = out[("u1", "20200101")]
+    # first capture of the bucket kept, collapsed count carried
+    assert first["datetime"] == "20200101080000"
+    assert first["status_code"] == 200 and first["n_collapsed"] == 2
+    assert out[("u1", "20200102")]["n_collapsed"] == 1
+    assert out[("u2", "20200101")]["mimetype"] == "application/pdf"
+
+
+def test_cdx_collapse_granularity(spark):
+    from sandcrawler_spark.operators.cdxslice import collapse_captures
+
+    rows = [
+        ("u", "20200101080000", 200, "a"),
+        ("u", "20200101081500", 200, "b"),   # same hour
+        ("u", "20200101090000", 200, "c"),   # next hour
+    ]
+    df = spark.createDataFrame(rows, ["url", "datetime", "status_code", "mimetype"])
+    assert collapse_captures(df, digits=10).count() == 2   # hour buckets
+    assert collapse_captures(df, digits=8).count() == 1    # day bucket
+    assert collapse_captures(df, digits=14).count() == 3   # no collapse
+
+
+def test_feed_discovery_attribute_order_and_resolution(spark):
+    from sandcrawler_spark.functions.feeds import discover_feeds
+
+    pages = spark.createDataFrame(
+        [
+            # rel before type, absolute href
+            ("https://a.com/p/x", '<link rel="alternate" type="application/rss+xml" href="https://a.com/f.xml">'),
+            # type before rel, single quotes, relative root href
+            ("https://b.com/p/x", "<link type='application/atom+xml' rel='alternate' href='/feed'>"),
+            # relative (no slash) href resolves against the page dir
+            ("https://c.com/dir/page", '<link rel="alternate" type="application/rss+xml" href="r.xml">'),
+            # stylesheet link and type-less alternate are NOT feeds
+            ("https://d.com/", '<link rel="stylesheet" href="/s.css"><link rel="alternate" href="/other">'),
+            # alternate without href dropped
+            ("https://e.com/", '<link rel="alternate" type="application/rss+xml">'),
+        ],
+        ["url", "html"],
+    )
+    out = {r["url"]: (r["feed_url"], r["kind"]) for r in discover_feeds(pages).collect()}
+    assert out == {
+        "https://a.com/p/x": ("https://a.com/f.xml", "rss"),
+        "https://b.com/p/x": ("https://b.com/feed", "atom"),
+        "https://c.com/dir/page": ("https://c.com/dir/r.xml", "rss"),
+    }
