@@ -48,6 +48,9 @@ def build_corpus(
     fix_encoding: bool = True,
     dedupe_lines: bool = False,
     strip_host_col: str | None = None,
+    domain_col: str | None = None,
+    domain_floor_ppm: int | None = None,
+    lm_kind: str = "bigram",
 ) -> tuple[DataFrame, dict]:
     """Run the pipeline over docs(doc_id, text[, lang]); returns
     (packed DataFrame, stage-count stats). Deterministic end to end.
@@ -56,7 +59,19 @@ def build_corpus(
     a DSIR selection stage after PII redaction — hashed-ngram
     importance weights toward the target-language slice, keeping the
     top ceil(dsir_keep_frac * n) docs by (weight desc, doc_id), a
-    distributed TakeOrdered."""
+    distributed TakeOrdered.
+
+    domain_col + domain_floor_ppm: when both set, insert a DOMAIN
+    Wilson gate after the per-doc quality gates — the per-doc
+    pass/fail outcome of stage 3 is rolled up per domain_col value
+    (diagnostics.wilson_domain_rollup) and every doc from a domain
+    whose Wilson lower bound is below domain_floor_ppm is dropped,
+    the RefinedWeb-style curation move: a domain whose evidence says
+    it mostly ships junk loses even its lucky survivors.
+
+    lm_kind: 'bigram' (add-k, the default) or 'kn' (interpolated
+    Kneser-Ney) — which LM scores the surviving corpus in stage 5;
+    both emit the same (n_bigrams, logprob_micronat) schema."""
     from sandcrawler_spark.functions.pii import redact_pii_col
     from sandcrawler_spark.functions.repetition import gopher_repetition
     from sandcrawler_spark.functions.textstats import quality_score_col, word_count_col
@@ -143,6 +158,24 @@ def build_corpus(
     )
     stats["after_quality_gates"] = d3.count()
 
+    # 3.5 (optional) domain-level Wilson gate: judge DOMAINS by their
+    # stage-3 outcomes, then drop whole domains below the floor
+    if domain_col is not None and domain_floor_ppm is not None and domain_col in docs.columns:
+        from sandcrawler_spark.operators.diagnostics import wilson_domain_rollup
+
+        verdicts = d2.select("doc_id", F.col(domain_col).alias("_dom")).join(
+            d3.select("doc_id", F.lit(True).alias("_pass")), on="doc_id", how="left"
+        ).select("_dom", F.coalesce("_pass", F.lit(False)).alias("passed"))
+        bad_domains = (
+            wilson_domain_rollup(verdicts, "_dom", "passed")
+            .filter(F.col("wilson_lb_ppm") < int(domain_floor_ppm))
+            .select(F.col("domain").alias(domain_col))
+        )
+        d3 = d3.join(bad_domains, on=domain_col, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        stats["after_domain_gate"] = d3.count()
+
     # 4. PII redaction (byte-level, deterministic)
     d4 = d3.withColumn("text", redact_pii_col(F.col("text")))
 
@@ -166,8 +199,16 @@ def build_corpus(
 
     # 5. LM scoring over the surviving corpus (attached, not a gate —
     # downstream consumers pick their own perplexity cut)
-    bi, uni, vocab = train_bigram_lm(d4)
-    scored = lm_score_docs(d4, bi, uni, vocab)
+    if lm_kind == "kn":
+        from sandcrawler_spark.operators.lm import kn_score_docs, train_kneser_ney
+
+        kbi, kctx, kcont, kglob = train_kneser_ney(d4)
+        scored = kn_score_docs(d4, kbi, kctx, kcont, kglob).withColumnRenamed(
+            "kn_micronat", "logprob_micronat"
+        )
+    else:
+        bi, uni, vocab = train_bigram_lm(d4)
+        scored = lm_score_docs(d4, bi, uni, vocab)
     d5 = d4.join(scored, on="doc_id").withColumn(
         "n_tokens", word_count_col(F.col("text")).cast("long")
     )
@@ -216,13 +257,24 @@ def main() -> None:
         help="collapse repeated lines within each doc (boilerplate) "
         "before the repetition gate",
     )
+    ap.add_argument(
+        "--domain-floor-ppm", type=int, default=None,
+        help="enable the domain Wilson gate: drop every doc from a "
+        "'source' domain whose Wilson lower bound of passing the "
+        "quality gates is below this (ppm)",
+    )
+    ap.add_argument(
+        "--lm-kind", choices=["bigram", "kn"], default="bigram",
+        help="stage-5 LM: add-k bigram or interpolated Kneser-Ney",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
     from sandcrawler_spark.session import get_spark
 
     spark = get_spark("build_corpus", master=f"local[{args.cpus}]")
-    cols = ["doc_id", "text", "lang"] + (["source"] if args.strip_boilerplate else [])
+    need_source = args.strip_boilerplate or args.domain_floor_ppm is not None
+    cols = ["doc_id", "text", "lang"] + (["source"] if need_source else [])
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(*cols)
     out, stats = build_corpus(
         spark, docs, token_budget=args.token_budget, min_quality=args.min_quality,
@@ -230,6 +282,9 @@ def main() -> None:
         fix_encoding=not args.no_fix_encoding,
         dedupe_lines=args.dedupe_lines,
         strip_host_col="source" if args.strip_boilerplate else None,
+        domain_col="source" if args.domain_floor_ppm is not None else None,
+        domain_floor_ppm=args.domain_floor_ppm,
+        lm_kind=args.lm_kind,
     )
     out.write.mode("overwrite").parquet(os.path.join(args.out, "corpus"))
     stats["out"] = args.out

@@ -176,3 +176,31 @@ def test_build_corpus_strip_boilerplate_stage(spark):
     # stripped docs carry no template chrome into the pack
     for r in out_on.collect():
         assert "navigation menu" not in r.text and "powered by" not in r.text
+
+
+def test_build_corpus_domain_gate_and_kn_lm(spark):
+    """Domain Wilson gate: a 'source' domain whose docs mostly fail
+    the quality gates loses even its survivors; lm_kind='kn' swaps
+    stage 5 to Kneser-Ney with the same output schema. Both runs
+    deterministic."""
+    from build_corpus import build_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base, bstats = build_corpus(spark, docs, token_budget=50_000, lm_kind="kn")
+    assert "logprob_micronat" in base.columns and bstats["packed_docs"] > 0
+    # an aggressive floor (80%) must engage the gate
+    gated, gstats = build_corpus(
+        spark, docs, token_budget=50_000,
+        domain_col="source", domain_floor_ppm=800_000,
+    )
+    assert "after_domain_gate" in gstats
+    assert gstats["after_domain_gate"] <= gstats["after_quality_gates"]
+    # determinism
+    _, gstats2 = build_corpus(
+        spark, docs, token_budget=50_000,
+        domain_col="source", domain_floor_ppm=800_000,
+    )
+    assert gstats == gstats2
