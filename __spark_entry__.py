@@ -6725,6 +6725,47 @@ def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_feeds(pages, "html", "url", keep_cols=["o_orderkey"])
 
 
+def q_link_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link-rot transition matrix (first-capture status vs last-capture
+    # status per URL): death/resurrection accounting the recrawler and
+    # seen-set read — two struct extrema per URL, no per-URL window
+    from sandcrawler_spark.operators.recrawl import link_rot
+
+    return link_rot(_captures(spark, sf_dir))
+
+
+def q_purge_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deletion-compliance receipt: one takedown list (doc_id % 17)
+    # propagated across documents, embeddings, and a derived packed
+    # subset — broadcast semi-joins, n_before = n_purged + n_after
+    from sandcrawler_spark.operators.denylist import purge_propagation
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    purge = d.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").cast("long").alias("key")
+    )
+    packed = d.filter(F.col("doc_id") % 3 != 0)
+    return purge_propagation(
+        {
+            "documents": (d.withColumn("doc_id", F.col("doc_id").cast("long")), "doc_id"),
+            "embeddings": (e.withColumn("vec_id", F.col("vec_id").cast("long")), "vec_id"),
+            "packed": (packed.withColumn("doc_id", F.col("doc_id").cast("long")), "doc_id"),
+        },
+        purge,
+    ).orderBy("table_name")
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe temporal split with an embargo gap (train <
+    # 1995-10-03, gap dropped, test >= 1996-01-01) over order dates —
+    # string-range predicates the parquet scan prunes on
+    from sandcrawler_spark.operators.sampling import temporal_split
+
+    o = _t(spark, sf_dir, "orders")
+    return temporal_split(o, "o_orderdate", "1995-10-03", "1996-01-01").orderBy("split")
+
+
 def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
     # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
@@ -6741,6 +6782,7 @@ _STALE_FIRST = [
     # round-5 session-B additions — never driver-checked, sample first
     "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
     "domain_quality", "cdx_collapse", "feed_discovery",
+    "link_rot", "purge_propagation", "temporal_split",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -6972,6 +7014,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "cdx_collapse": q_cdx_collapse,
         "feed_discovery": q_feed_discovery,
+        "link_rot": q_link_rot,
+        "purge_propagation": q_purge_propagation,
+        "temporal_split": q_temporal_split,
         "oai_harvest": q_oai_harvest,
         "sentence_stats": q_sentence_stats,
         "robots_cache": q_robots_cache,
@@ -10535,6 +10580,57 @@ f AS (SELECT url, bucket, min(datetime) AS datetime,
       FROM b GROUP BY url, bucket)
 SELECT f.url, f.bucket, f.datetime, b.status_code, b.mimetype, f.n_collapsed
 FROM f JOIN b ON b.url = f.url AND b.datetime = f.datetime
+""",
+        "link_rot": f"""
+WITH {_CAPTURES_CTE.strip()},
+fl AS (
+  SELECT url, min(datetime) AS fdt, max(datetime) AS ldt
+  FROM captures GROUP BY url
+),
+pairs AS (
+  SELECT cf.status_code AS first_status, cl.status_code AS last_status
+  FROM fl
+  JOIN captures cf ON cf.url = fl.url AND cf.datetime = fl.fdt
+  JOIN captures cl ON cl.url = fl.url AND cl.datetime = fl.ldt
+),
+agg AS (
+  SELECT first_status, last_status, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM pairs GROUP BY first_status, last_status
+)
+SELECT first_status, last_status, n_urls,
+       CAST(1000000 * n_urls // (SELECT SUM(n_urls) FROM agg) AS BIGINT) AS share_ppm
+FROM agg
+""",
+        "purge_propagation": """
+WITH purge AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents WHERE doc_id % 17 = 0),
+t_docs AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents),
+t_emb AS (SELECT CAST(vec_id AS BIGINT) AS k FROM embeddings),
+t_packed AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents WHERE doc_id % 3 <> 0),
+rows_out AS (
+  SELECT 'documents' AS table_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_docs) AS n_before,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_docs WHERE k IN (SELECT k FROM purge)) AS n_purged
+  UNION ALL
+  SELECT 'embeddings',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_emb),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_emb WHERE k IN (SELECT k FROM purge))
+  UNION ALL
+  SELECT 'packed',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_packed),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM t_packed WHERE k IN (SELECT k FROM purge))
+)
+SELECT table_name, n_before, n_purged,
+       CAST(n_before - n_purged AS BIGINT) AS n_after
+FROM rows_out ORDER BY table_name
+""",
+        "temporal_split": """
+SELECT CASE WHEN CAST(o_orderdate AS VARCHAR) < '1995-10-03' THEN 'train'
+            WHEN CAST(o_orderdate AS VARCHAR) >= '1996-01-01' THEN 'test'
+            ELSE 'embargo' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       min(CAST(o_orderdate AS VARCHAR)) AS min_ts,
+       max(CAST(o_orderdate AS VARCHAR)) AS max_ts
+FROM orders GROUP BY 1 ORDER BY split
 """,
         "feed_discovery": f"""
 WITH {_URLS_CTE.strip()},

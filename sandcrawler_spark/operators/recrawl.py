@@ -340,3 +340,43 @@ SELECT url, lam_micro, n_steps, f_per_210d,
          (1000000 * f_per_210d + 210 * lam_micro) END AS freshness_micro
 FROM _fa_per_url
 """.strip()
+
+
+def link_rot(
+    captures: DataFrame,
+    url_col: str = "url",
+    dt_col: str = "datetime",
+    status_col: str = "status_code",
+) -> DataFrame:
+    """Link-rot transition matrix over a capture index: per URL, the
+    FIRST and LAST capture's status (archive-science's death/
+    resurrection accounting — a 200->404 row is a dead link the
+    recrawler can stop visiting; 404->200 is a resurrection the
+    seen-set must not suppress). Returns one row per
+    (first_status, last_status) pair with n_urls and share_ppm of the
+    URL universe.
+
+    Scale shape: one groupBy(url) with min/max(struct(datetime,
+    status)) — plain aggregates with map-side partials, NO window
+    over per-URL history (a million-capture URL costs two partial
+    structs); then a transition-pair count and a broadcast 1-row
+    total for the ppm share. (url, datetime) unique (CDX invariant)
+    makes the struct extrema deterministic."""
+    per_url = captures.groupBy(F.col(url_col).alias("url")).agg(
+        F.min(F.struct(F.col(dt_col), F.col(status_col))).alias("_f"),
+        F.max(F.struct(F.col(dt_col), F.col(status_col))).alias("_l"),
+    )
+    pairs = per_url.select(
+        F.col(f"_f.{status_col}").alias("first_status"),
+        F.col(f"_l.{status_col}").alias("last_status"),
+    )
+    agg = pairs.groupBy("first_status", "last_status").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    total = agg.agg(F.sum("n_urls").alias("_t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "first_status",
+        "last_status",
+        "n_urls",
+        F.expr("CAST(1000000 AS BIGINT) * n_urls div _t").alias("share_ppm"),
+    )

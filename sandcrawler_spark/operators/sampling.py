@@ -278,3 +278,37 @@ def mixture_epochs(
             "source", "n_docs", "n_tokens", "weight_ppm", "alloc_tokens", "epochs_milli"
         )
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    embargo_start: str,
+    test_start: str,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap —
+    the time-series counterpart of leakage_safe_split above: train
+    takes rows strictly before embargo_start, test takes rows at or
+    after test_start, and the [embargo_start, test_start) window is
+    DROPPED so near-duplicate re-crawls of the same story straddling
+    the boundary cannot leak train content into test (the embargo-gap
+    discipline of financial backtesting, applied to capture dates).
+
+    ISO date strings compare lexicographically, so both bounds are
+    pushdown-friendly string predicates. Returns one receipt row per
+    split: (split, n_rows, min_ts, max_ts)."""
+    ts = F.col(ts_col).cast("string")
+    split = (
+        F.when(ts < embargo_start, F.lit("train"))
+        .when(ts >= test_start, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return (
+        df.select(split.alias("split"), ts.alias("_ts"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("_ts").alias("min_ts"),
+            F.max("_ts").alias("max_ts"),
+        )
+    )

@@ -382,3 +382,51 @@ def test_feed_discovery_attribute_order_and_resolution(spark):
         "https://b.com/p/x": ("https://b.com/feed", "atom"),
         "https://c.com/dir/page": ("https://c.com/dir/r.xml", "rss"),
     }
+
+
+def test_link_rot_transitions(spark):
+    from sandcrawler_spark.operators.recrawl import link_rot
+
+    rows = [
+        ("u1", "20200101000000", 200),
+        ("u1", "20200601000000", 404),   # died
+        ("u2", "20200101000000", 404),
+        ("u2", "20200601000000", 200),   # resurrected
+        ("u3", "20200101000000", 200),   # single capture: first == last
+    ]
+    df = spark.createDataFrame(rows, ["url", "datetime", "status_code"])
+    out = {
+        (r["first_status"], r["last_status"]): (r["n_urls"], r["share_ppm"])
+        for r in link_rot(df).collect()
+    }
+    assert out[(200, 404)] == (1, 333333)
+    assert out[(404, 200)] == (1, 333333)
+    assert out[(200, 200)] == (1, 333333)
+
+
+def test_purge_propagation_invariant(spark):
+    from sandcrawler_spark.operators.denylist import purge_propagation
+
+    a = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(0, 20, 2)], ["id"])
+    purge = spark.createDataFrame([(0,), (2,), (99,)], ["key"])
+    out = {r["table_name"]: r for r in purge_propagation(
+        {"a": (a, "k"), "b": (b, "id")}, purge
+    ).collect()}
+    assert (out["a"]["n_before"], out["a"]["n_purged"], out["a"]["n_after"]) == (10, 2, 8)
+    assert (out["b"]["n_before"], out["b"]["n_purged"], out["b"]["n_after"]) == (10, 2, 8)
+
+
+def test_temporal_split_embargo_gap(spark):
+    from sandcrawler_spark.operators.sampling import temporal_split
+
+    rows = [("2020-01-01",), ("2020-06-30",), ("2020-07-01",),
+            ("2020-09-30",), ("2020-10-01",), ("2021-01-01",)]
+    df = spark.createDataFrame(rows, ["d"])
+    out = {r["split"]: r for r in temporal_split(df, "d", "2020-07-01", "2020-10-01").collect()}
+    assert out["train"]["n_rows"] == 2 and out["train"]["max_ts"] == "2020-06-30"
+    # the embargo window is identified (callers drop it), bounds honored:
+    # embargo start inclusive, test start exclusive from embargo
+    assert out["embargo"]["n_rows"] == 2
+    assert out["embargo"]["min_ts"] == "2020-07-01"
+    assert out["test"]["n_rows"] == 2 and out["test"]["min_ts"] == "2020-10-01"
