@@ -44,7 +44,14 @@ _ETAL_PAT = r"(?i)\b(et al)\."
 _ABBR_PAT = r"\b(Dr|Mr|Mrs|Ms|Prof|Fig|Eq|Vol|No|pp|cf|Jr|Sr|St|vs)\."
 _INIT_PAT = r"\b([A-Z])\."
 _BOUND_PAT = "([.!?]+)\\s+([A-Z0-9\"(])"
-_WORD_PAT = r"[A-Za-z0-9]+"
+# CJK terminators (。！？) end a sentence with no case signal to
+# require — mark when more text follows (a trailing terminator adds
+# no boundary: n_sentences is bounds+1). Literal chars in the class
+# keep the pattern byte-identical across Java/RE2/Python re.
+_CJK_BOUND_PAT = "([。！？]+)\\s*(\\S)"
+# a "word" is an alnum run OR one CJK ideograph (the standard
+# char-as-word convention for unsegmented scripts)
+_WORD_PAT = "[A-Za-z0-9]+|[一-鿿]"
 
 
 def marked_sentences_col(text: Column) -> Column:
@@ -57,7 +64,8 @@ def marked_sentences_col(text: Column) -> Column:
     s = F.regexp_replace(s, _ETAL_PAT, f"$1{_DOT}")
     s = F.regexp_replace(s, _ABBR_PAT, f"$1{_DOT}")
     s = F.regexp_replace(s, _INIT_PAT, f"$1{_DOT}")
-    return F.regexp_replace(s, _BOUND_PAT, f"$1{_SEP}$2")
+    s = F.regexp_replace(s, _BOUND_PAT, f"$1{_SEP}$2")
+    return F.regexp_replace(s, _CJK_BOUND_PAT, f"$1{_SEP}$2")
 
 
 def with_sentence_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -101,13 +109,15 @@ marked AS (
                regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(text, '{_DEC_PAT}', '\\1{d}\\2', 'g'),
-                     '{_EG_PAT}', '\\1{d}\\2{d}', 'g'),
-                   '{_IE_PAT}', '\\1{d}\\2{d}', 'g'),
-                 '{_ETAL_PAT}', '\\1{d}', 'g'),
-               '{_ABBR_PAT}', '\\1{d}', 'g'),
-             '{_INIT_PAT}', '\\1{d}', 'g'),
-           '([.!?]+)\\s+([A-Z0-9"(])', '\\1{sep}\\2', 'g') AS m
+                     regexp_replace(
+                       regexp_replace(text, '{_DEC_PAT}', '\\1{d}\\2', 'g'),
+                       '{_EG_PAT}', '\\1{d}\\2{d}', 'g'),
+                     '{_IE_PAT}', '\\1{d}\\2{d}', 'g'),
+                   '{_ETAL_PAT}', '\\1{d}', 'g'),
+                 '{_ABBR_PAT}', '\\1{d}', 'g'),
+               '{_INIT_PAT}', '\\1{d}', 'g'),
+             '([.!?]+)\\s+([A-Z0-9"(])', '\\1{sep}\\2', 'g'),
+           '([。！？]+)\\s*(\\S)', '\\1{sep}\\2', 'g') AS m
   FROM docs
 ),
 counted AS (

@@ -261,6 +261,7 @@ def _sentence_stats_py(text: str) -> tuple[int, int, int]:
     s = re.sub(S._ABBR_PAT, "\\1\x11", s)
     s = re.sub(S._INIT_PAT, "\\1\x11", s)
     s = re.sub(S._BOUND_PAT, "\\1\x1e\\2", s)
+    s = re.sub(S._CJK_BOUND_PAT, "\\1\x1e\\2", s)
     n_words = len(re.findall(S._WORD_PAT, text))
     n_bounds = s.count("\x1e")
     n_sent = n_bounds + 1 if n_words > 0 else 0
@@ -278,6 +279,7 @@ def test_sentence_stats_spark_vs_python_re(spark):
         "Hello.", "World!", "what?", "End. Start", "x.y", "...", "!?",
         "U.S.", "lower. upper", "Cap Next", '"Quoted', "(paren",
         "12. Items", "a.b.c.", "St. Mary", "OK.   Then",
+        "你好。世界", "深度学习！很好", "问题？答案。", "中文 and English.",
     ]
     texts = [
         " ".join(rng.choice(frags) for _ in range(rng.randint(0, 25)))

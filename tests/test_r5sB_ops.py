@@ -430,3 +430,17 @@ def test_temporal_split_embargo_gap(spark):
     assert out["embargo"]["n_rows"] == 2
     assert out["embargo"]["min_ts"] == "2020-07-01"
     assert out["test"]["n_rows"] == 2 and out["test"]["min_ts"] == "2020-10-01"
+
+
+def test_sentence_cjk_terminators(spark):
+    # CJK sentences split on 。！？ with no case requirement; one CJK
+    # ideograph counts as one word; a trailing terminator adds no
+    # empty sentence
+    r = _stats(spark, "你好世界。深度学习很好！这是什么？最后一句。")
+    assert r["n_sentences"] == 4
+    assert r["n_words"] == 18
+    r2 = _stats(spark, "你好。")
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 2
+    # mixed script: Latin boundary + CJK boundary both fire
+    r3 = _stats(spark, "First sentence. Then 中文句子。再一句")
+    assert r3["n_sentences"] == 3
