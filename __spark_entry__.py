@@ -6766,6 +6766,73 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_split(o, "o_orderdate", "1995-10-03", "1996-01-01").orderBy("split")
 
 
+def q_cdxj_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDXJ (pywb/OutbackCDX JSON-block index lines) build -> parse
+    # roundtrip over the capture stream; the oracle derives the rows
+    # relationally from events and never touches the line format
+    from sandcrawler_spark.functions.cdxfmt import build_cdxj_line, parse_cdxj_lines
+
+    c = _captures(spark, sf_dir)
+    surt = F.concat(
+        F.lit("org,example,stream)/u/"),
+        F.regexp_extract(F.col("url"), r"/u/(\d+)$", 1),
+    )
+    lines = c.select(
+        build_cdxj_line(
+            surt, F.col("datetime"), F.col("url"), F.col("mimetype"),
+            F.col("status_code"), F.col("sha1hex"),
+            F.col("warc_csize"), (F.col("event_id") % 100000).cast("long"),
+            F.col("warc_path"),
+        ).alias("value")
+    )
+    return parse_cdxj_lines(lines)
+
+
+def q_warc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC 1.1 record segmentation (ISO 28500 WARC-Segment-*):
+    # payloads split in thirds, reassembled in segment order with
+    # declared-length and 1..n-contiguity validation; planted defects
+    # exercise both failure arms (doc_id%13 -> gap, %17 -> mismatch)
+    from sandcrawler_spark.sources.warcfmt import reassemble_segments
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    L = F.length("text")
+    third = F.floor(L / 3).cast("int")
+    segs = None
+    for i, (start, ln) in enumerate(
+        [(F.lit(1), third), (third + 1, third), (2 * third + 1, L)], start=1
+    ):
+        part = d.select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("origin_id"),
+            F.lit(i).alias("segment_number"),
+            F.substring(F.col("text"), start, ln).alias("payload"),
+            (
+                F.when(
+                    F.col("doc_id") % 17 == 0, F.octet_length("text") + 1
+                ).otherwise(F.octet_length("text")).cast("long")
+                if i == 3
+                else F.lit(None).cast("long")
+            ).alias("segment_total_length"),
+            F.col("doc_id"),
+        )
+        if i == 2:
+            part = part.filter(F.col("doc_id") % 13 != 0)
+        segs = part if segs is None else segs.unionByName(part)
+    return reassemble_segments(segs.drop("doc_id"))
+
+
+def q_timemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFC 7089 Memento TimeMap per URL: link-format serialization with
+    # first/last/interior rel values and integer-arithmetic
+    # IMF-fixdates (no JVM formatter, no locale) — per-URL sorted
+    # collect, the lookup_best group shape
+    from sandcrawler_spark.functions.memento import timemap_export
+
+    return timemap_export(_captures(spark, sf_dir))
+
+
 def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
     # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
@@ -6783,6 +6850,7 @@ _STALE_FIRST = [
     "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
     "domain_quality", "cdx_collapse", "feed_discovery",
     "link_rot", "purge_propagation", "temporal_split",
+    "cdxj_roundtrip", "warc_segments", "timemap",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -7017,6 +7085,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rot": q_link_rot,
         "purge_propagation": q_purge_propagation,
         "temporal_split": q_temporal_split,
+        "cdxj_roundtrip": q_cdxj_roundtrip,
+        "warc_segments": q_warc_segments,
+        "timemap": q_timemap,
         "oai_harvest": q_oai_harvest,
         "sentence_stats": q_sentence_stats,
         "robots_cache": q_robots_cache,
@@ -8596,6 +8667,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from sandcrawler_spark.operators.budget import budget_oracle_sql, gini_oracle_sql
     from sandcrawler_spark.operators.dsir import dsir_oracle_sql
+    from sandcrawler_spark.functions.memento import timemap_oracle_sql
     from sandcrawler_spark.functions.sentences import sentence_stats_oracle_sql
     from sandcrawler_spark.operators.diagnostics import wilson_rollup_oracle_sql
     from sandcrawler_spark.operators.lm import kn_oracle_sql, lm_oracle_sql, sb_oracle_sql
@@ -10581,6 +10653,45 @@ f AS (SELECT url, bucket, min(datetime) AS datetime,
 SELECT f.url, f.bucket, f.datetime, b.status_code, b.mimetype, f.n_collapsed
 FROM f JOIN b ON b.url = f.url AND b.datetime = f.datetime
 """,
+        "cdxj_roundtrip": f"""
+WITH {_CAPTURES_CTE.strip()}
+SELECT 'org,example,stream)/u/' || regexp_extract(url, '/u/(\\d+)$', 1) AS surt,
+       datetime, url, mimetype,
+       CAST(status_code AS INT) AS http_status,
+       sha1hex AS sha1b32,
+       CAST(warc_csize AS BIGINT) AS warc_csize,
+       CAST(event_id % 100000 AS BIGINT) AS warc_offset,
+       warc_path
+FROM captures
+""",
+        "warc_segments": """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         strlen(text) AS bl, length(text) AS L,
+         CAST(floor(length(text) / 3) AS INT) AS t
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         substr(text, 1, t) AS a,
+         substr(text, t + 1, t) AS b,
+         substr(text, 2 * t + 1, L) AS c,
+         bl, (doc_id % 13 = 0) AS gap, (doc_id % 17 = 0) AS mm
+  FROM d
+)
+SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS origin_id,
+       CAST(CASE WHEN gap THEN 2 ELSE 3 END AS BIGINT) AS n_segments,
+       CASE WHEN gap THEN a || c ELSE a || b || c END AS payload,
+       CAST(bl + CASE WHEN mm THEN 1 ELSE 0 END AS BIGINT) AS total_declared,
+       CAST(strlen(CASE WHEN gap THEN a || c ELSE a || b || c END) AS BIGINT) AS total_actual,
+       CASE WHEN gap THEN 'gap'
+            WHEN mm THEN 'length_mismatch'
+            ELSE 'complete' END AS status
+FROM parts
+""",
+        "timemap": timemap_oracle_sql(
+            f"WITH {_CAPTURES_CTE.strip()} SELECT url, datetime FROM captures"
+        ),
         "link_rot": f"""
 WITH {_CAPTURES_CTE.strip()},
 fl AS (

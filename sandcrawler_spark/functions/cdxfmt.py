@@ -133,3 +133,62 @@ def cdx_dt_col(ts: Column) -> Column:
 def ts_from_cdx_col(dt_str: Column) -> Column:
     """14-digit CDX string -> timestamp, JVM-side."""
     return F.to_timestamp(dt_str, "yyyyMMddHHmmss")
+
+
+# ---------------------------------------------------------------------------
+# CDXJ — the JSON-block CDX variant pywb/OutbackCDX index with
+# (SURT, 14-digit timestamp, one JSON object per line). The classic
+# 11-field lines above are what Hadoop-era jobs read; CDXJ is what a
+# modern replay stack serves, so the engine speaks both. Field order
+# in the JSON block follows pywb's writer (url, mime, status, digest,
+# length, offset, filename) — byte-stable output for the roundtrip.
+# Parsing stays in the shared Java/RE2 regexp subset; values are
+# URL/metadata strings that never contain raw '"' (URLs percent-encode
+# them), which is what makes per-key regexp extraction exact here.
+# ---------------------------------------------------------------------------
+
+
+def build_cdxj_line(
+    surt: Column, dt: Column, url: Column, mime: Column, status: Column,
+    digest: Column, length: Column, offset: Column, filename: Column,
+) -> Column:
+    return F.concat(
+        surt, F.lit(" "), dt, F.lit(' {"url": "'), url,
+        F.lit('", "mime": "'), mime,
+        F.lit('", "status": "'), status.cast("string"),
+        F.lit('", "digest": "'), digest,
+        F.lit('", "length": "'), length.cast("string"),
+        F.lit('", "offset": "'), offset.cast("string"),
+        F.lit('", "filename": "'), filename, F.lit('"}'),
+    )
+
+
+_CDXJ_HEAD_PAT = r"^(\S+) (\d{14}) (\{.*\})$"
+
+
+def _cdxj_field(block: Column, key: str) -> Column:
+    return F.regexp_extract(block, f'"{key}": "([^"]*)"', 1)
+
+
+def parse_cdxj_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Raw CDXJ text lines -> typed capture rows (surt, datetime, url,
+    mimetype, http_status, sha1b32, warc_csize, warc_offset,
+    warc_path). Lines whose head doesn't match (surt, 14-digit ts,
+    JSON block) or that lack a url are dropped, the parse_cdx_lines
+    contract. Narrow codegen regexp scan — no JSON parser crossing."""
+    raw = F.col(value_col)
+    surt = F.regexp_extract(raw, _CDXJ_HEAD_PAT, 1)
+    dt = F.regexp_extract(raw, _CDXJ_HEAD_PAT, 2)
+    block = F.regexp_extract(raw, _CDXJ_HEAD_PAT, 3)
+    out = lines.select(
+        surt.alias("surt"),
+        dt.alias("datetime"),
+        _cdxj_field(block, "url").alias("url"),
+        _cdxj_field(block, "mime").alias("mimetype"),
+        _cdxj_field(block, "status").cast("int").alias("http_status"),
+        _cdxj_field(block, "digest").alias("sha1b32"),
+        _cdxj_field(block, "length").cast("long").alias("warc_csize"),
+        _cdxj_field(block, "offset").cast("long").alias("warc_offset"),
+        _cdxj_field(block, "filename").alias("warc_path"),
+    )
+    return out.filter((F.col("surt") != "") & (F.col("url") != ""))

@@ -213,3 +213,57 @@ def wat_record_col(url, date_iso, payload_json):
         payload_json,
         F.lit("\r\n\r\n"),
     )
+
+
+def reassemble_segments(
+    segments: DataFrame,
+    origin_col: str = "origin_id",
+    segno_col: str = "segment_number",
+    payload_col: str = "payload",
+    total_len_col: str = "segment_total_length",
+) -> DataFrame:
+    """WARC 1.1 record segmentation (ISO 28500 §5.18-5.20 /
+    WARC-Segment-* headers): a payload too large for one record is
+    split across a first record (WARC-Segment-Number: 1) and
+    continuation records carrying WARC-Segment-Origin-ID; the LAST
+    continuation declares WARC-Segment-Total-Length. This reassembles:
+    per origin id, payloads concatenated in segment order, validated
+    against the declared total and for 1..n contiguity.
+
+      (origin_id, n_segments, payload, total_declared, total_actual,
+       status)   status in ('complete', 'length_mismatch', 'gap')
+
+    Scale shape: one groupBy(origin) with a sorted collect of the
+    segment structs — bounded by segments-per-record (a storage
+    policy constant, not corpus size), so the collect_list is
+    per-group tiny; length math is exact octet counts."""
+    g = segments.groupBy(F.col(origin_col).alias("origin_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(segno_col).alias("n"), F.col(payload_col).alias("p")))
+        ).alias("_segs"),
+        F.max(F.col(total_len_col)).alias("total_declared"),
+        F.count("*").cast("long").alias("n_segments"),
+        F.min(F.col(segno_col)).cast("long").alias("_min_n"),
+        F.max(F.col(segno_col)).cast("long").alias("_max_n"),
+        F.count_distinct(F.col(segno_col)).cast("long").alias("_dist_n"),
+    )
+    payload = F.array_join(F.transform(F.col("_segs"), lambda s: s["p"]), "")
+    actual = F.octet_length(payload).cast("long")
+    contiguous = (
+        (F.col("_min_n") == 1)
+        & (F.col("_max_n") == F.col("n_segments"))
+        & (F.col("_dist_n") == F.col("n_segments"))
+    )
+    status = (
+        F.when(~contiguous, F.lit("gap"))
+        .when(F.col("total_declared") != actual, F.lit("length_mismatch"))
+        .otherwise(F.lit("complete"))
+    )
+    return g.select(
+        "origin_id",
+        "n_segments",
+        payload.alias("payload"),
+        F.col("total_declared").cast("long").alias("total_declared"),
+        actual.alias("total_actual"),
+        status.alias("status"),
+    )

@@ -444,3 +444,76 @@ def test_sentence_cjk_terminators(spark):
     # mixed script: Latin boundary + CJK boundary both fire
     r3 = _stats(spark, "First sentence. Then 中文句子。再一句")
     assert r3["n_sentences"] == 3
+
+
+def test_cdxj_parse_golden_line(spark):
+    from sandcrawler_spark.functions.cdxfmt import parse_cdxj_lines
+
+    line = ('com,example)/path 20200315123456 {"url": "https://example.com/path", '
+            '"mime": "text/html", "status": "200", "digest": "ABCDEF", '
+            '"length": "1043", "offset": "334", "filename": "x.warc.gz"}')
+    bad = ["no json here", "com,example)/ nodate {}", ""]
+    df = spark.createDataFrame([(line,)] + [(b,) for b in bad], ["value"])
+    rows = parse_cdxj_lines(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["surt"] == "com,example)/path" and r["datetime"] == "20200315123456"
+    assert r["http_status"] == 200 and r["warc_csize"] == 1043
+    assert r["warc_offset"] == 334 and r["warc_path"] == "x.warc.gz"
+
+
+def test_cdxj_build_parse_roundtrip(spark):
+    from sandcrawler_spark.functions.cdxfmt import build_cdxj_line, parse_cdxj_lines
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("com,a)/", "20200101000000", "https://a.com/", "text/html", 200,
+          "DIG", 10, 0, "f.warc.gz")],
+        ["surt", "dt", "url", "mime", "status", "digest", "length", "offset", "fn"],
+    )
+    lines = df.select(build_cdxj_line(
+        F.col("surt"), F.col("dt"), F.col("url"), F.col("mime"), F.col("status"),
+        F.col("digest"), F.col("length"), F.col("offset"), F.col("fn")).alias("value"))
+    r = parse_cdxj_lines(lines).collect()[0]
+    assert (r["surt"], r["url"], r["http_status"], r["warc_csize"]) == (
+        "com,a)/", "https://a.com/", 200, 10)
+
+
+def test_warc_segment_reassembly(spark):
+    from sandcrawler_spark.sources.warcfmt import reassemble_segments
+
+    rows = [
+        ("r1", 1, "hello ", None), ("r1", 2, "world", 11),       # complete
+        ("r2", 1, "ab", None), ("r2", 3, "cd", 4),               # gap (no seg 2)
+        ("r3", 1, "xy", None), ("r3", 2, "z", 4),                # declared 4 != 3
+    ]
+    df = spark.createDataFrame(
+        rows, ["origin_id", "segment_number", "payload", "segment_total_length"]
+    )
+    out = {r["origin_id"]: r for r in reassemble_segments(df).collect()}
+    assert out["r1"]["status"] == "complete" and out["r1"]["payload"] == "hello world"
+    assert out["r2"]["status"] == "gap"
+    assert out["r3"]["status"] == "length_mismatch"
+    assert out["r3"]["total_actual"] == 3 and out["r3"]["total_declared"] == 4
+
+
+def test_timemap_rfc7089_shape(spark):
+    from sandcrawler_spark.functions.memento import timemap_export
+
+    # 2001-03-21 was a Wednesday — the RFC 7089 example-era date
+    df = spark.createDataFrame(
+        [("http://a.example/", "20010321000000"),
+         ("http://a.example/", "20100621074154"),
+         ("http://a.example/", "20050101120000"),
+         ("http://solo.example/", "20200229000000")],   # leap day, single
+        ["url", "datetime"],
+    )
+    out = {r["url"]: r for r in timemap_export(df).collect()}
+    tm = out["http://a.example/"]["timemap"]
+    assert out["http://a.example/"]["n_mementos"] == 3
+    assert '<http://a.example/>; rel="original"' in tm
+    assert 'rel="first memento"; datetime="Wed, 21 Mar 2001 00:00:00 GMT"' in tm
+    assert 'rel="memento"; datetime="Sat, 01 Jan 2005 12:00:00 GMT"' in tm
+    assert 'rel="last memento"; datetime="Mon, 21 Jun 2010 07:41:54 GMT"' in tm
+    solo = out["http://solo.example/"]["timemap"]
+    assert 'rel="first last memento"; datetime="Sat, 29 Feb 2020 00:00:00 GMT"' in solo
