@@ -6833,6 +6833,30 @@ def q_timemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timemap_export(_captures(spark, sf_dir))
 
 
+def q_arc2warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ARC -> WARC migration (the archive-ops job that moved pre-2008
+    # holdings): every legacy record re-framed as a WARC/1.0 resource
+    # record with ISO date + deterministic digest id; the receipt is
+    # the per-record migration table (sizes prove the re-framing)
+    from sandcrawler_spark.sources.warcfmt import arc2warc_record_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://site"), (did % 10).cast("string"),
+                   F.lit(".example.com/doc/"), did.cast("string"))
+    date14 = F.concat(F.lit("20200101"), F.lpad((did % 240000).cast("string"), 6, "0"))
+    payload = F.concat(F.lit("HTTP/1.1 200 OK\n\n"), F.col("text"))
+    rec = arc2warc_record_col(url, date14, F.lit("text/html"), payload)
+    return d.select(
+        did.cast("long").alias("doc_id"),
+        url.alias("url"),
+        F.regexp_extract(rec, r"WARC-Date: (\S+)", 1).alias("warc_date"),
+        F.regexp_extract(rec, r"WARC-Record-ID: <([^>]*)>", 1).alias("record_id"),
+        F.octet_length(payload).cast("long").alias("content_length"),
+        F.octet_length(rec).cast("long").alias("record_len"),
+    )
+
+
 def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
     # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
@@ -6850,7 +6874,7 @@ _STALE_FIRST = [
     "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
     "domain_quality", "cdx_collapse", "feed_discovery",
     "link_rot", "purge_propagation", "temporal_split",
-    "cdxj_roundtrip", "warc_segments", "timemap",
+    "cdxj_roundtrip", "warc_segments", "timemap", "arc2warc",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -7088,6 +7112,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdxj_roundtrip": q_cdxj_roundtrip,
         "warc_segments": q_warc_segments,
         "timemap": q_timemap,
+        "arc2warc": q_arc2warc,
         "oai_harvest": q_oai_harvest,
         "sentence_stats": q_sentence_stats,
         "robots_cache": q_robots_cache,
@@ -10652,6 +10677,45 @@ f AS (SELECT url, bucket, min(datetime) AS datetime,
       FROM b GROUP BY url, bucket)
 SELECT f.url, f.bucket, f.datetime, b.status_code, b.mimetype, f.n_collapsed
 FROM f JOIN b ON b.url = f.url AND b.datetime = f.datetime
+""",
+        "arc2warc": """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id < 200
+),
+f AS (
+  SELECT doc_id,
+         'https://site' || CAST(CAST(doc_id % 10 AS INT) AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         '20200101' || lpad(CAST(CAST(doc_id % 240000 AS INT) AS VARCHAR), 6, '0') AS date14,
+         'HTTP/1.1 200 OK' || chr(10) || chr(10) || text AS payload
+  FROM d
+),
+g AS (
+  SELECT doc_id, url, payload,
+         substr(date14,1,4) || '-' || substr(date14,5,2) || '-' || substr(date14,7,2)
+           || 'T' || substr(date14,9,2) || ':' || substr(date14,11,2)
+           || ':' || substr(date14,13,2) || 'Z' AS iso
+  FROM f
+),
+h AS (
+  SELECT doc_id, url, iso, payload,
+         'urn:md5:' || md5(url || ' ' || iso) AS rid,
+         CAST(strlen(payload) AS BIGINT) AS cl
+  FROM g
+)
+SELECT doc_id, url, iso AS warc_date, rid AS record_id, cl AS content_length,
+       CAST(strlen(
+         'WARC/1.0' || chr(13) || chr(10)
+         || 'WARC-Type: resource' || chr(13) || chr(10)
+         || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+         || 'WARC-Date: ' || iso || chr(13) || chr(10)
+         || 'WARC-Record-ID: <' || rid || '>' || chr(13) || chr(10)
+         || 'Content-Type: text/html' || chr(13) || chr(10)
+         || 'Content-Length: ' || CAST(cl AS VARCHAR) || chr(13) || chr(10)
+         || chr(13) || chr(10) || payload
+         || chr(13) || chr(10) || chr(13) || chr(10)
+       ) AS BIGINT) AS record_len
+FROM h
 """,
         "cdxj_roundtrip": f"""
 WITH {_CAPTURES_CTE.strip()}

@@ -267,3 +267,31 @@ def reassemble_segments(
         actual.alias("total_actual"),
         status.alias("status"),
     )
+
+
+def arc2warc_record_col(url, date14, mimetype, payload):
+    """ARC -> WARC migration record as a pure-Catalyst string column
+    (the classic archive-ops job: IA migrated pre-2008 ARC holdings to
+    WARC; arc2warc in the warctools lineage). The legacy record's
+    payload is carried verbatim as a WARC/1.0 'resource' record
+    (no HTTP envelope is synthesized that the ARC never had); the
+    14-digit ARC date becomes the WARC ISO form, and the record id is
+    the deterministic content digest (no UUIDs — replayable).
+
+    Mirrors wet_record_col's builder shape: Catalyst concat, lengths
+    in octets, CRLF framing."""
+    iso = F.concat(
+        F.substring(date14, 1, 4), F.lit("-"), F.substring(date14, 5, 2),
+        F.lit("-"), F.substring(date14, 7, 2), F.lit("T"),
+        F.substring(date14, 9, 2), F.lit(":"), F.substring(date14, 11, 2),
+        F.lit(":"), F.substring(date14, 13, 2), F.lit("Z"),
+    )
+    rid = F.concat(F.lit("urn:md5:"), F.md5(F.concat(url, F.lit(" "), iso)))
+    return F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "), url,
+        F.lit("\r\nWARC-Date: "), iso,
+        F.lit("\r\nWARC-Record-ID: <"), rid,
+        F.lit(">\r\nContent-Type: "), mimetype,
+        F.lit("\r\nContent-Length: "), F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )

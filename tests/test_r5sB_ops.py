@@ -517,3 +517,27 @@ def test_timemap_rfc7089_shape(spark):
     assert 'rel="last memento"; datetime="Mon, 21 Jun 2010 07:41:54 GMT"' in tm
     solo = out["http://solo.example/"]["timemap"]
     assert 'rel="first last memento"; datetime="Sat, 29 Feb 2020 00:00:00 GMT"' in solo
+
+
+def test_arc2warc_record_parses_back_through_warc_scanner(spark):
+    from pyspark.sql import functions as F
+    from sandcrawler_spark.sources.warcfmt import arc2warc_record_col, scan_warc_blobs
+
+    df = spark.createDataFrame(
+        [("https://a.com/x", "20200101123456", "text/html", "HTTP/1.1 200 OK\n\nbody")],
+        ["url", "d14", "mime", "payload"],
+    )
+    rec = df.select(
+        arc2warc_record_col(
+            F.col("url"), F.col("d14"), F.col("mime"), F.col("payload")
+        ).alias("r")
+    ).collect()[0]["r"]
+    blobs = spark.createDataFrame(
+        [("m.warc", bytearray(rec.encode()))], ["path", "content"]
+    )
+    rows = scan_warc_blobs(blobs).collect()
+    assert len(rows) == 1
+    out = rows[0]
+    assert out["target_uri"] == "https://a.com/x"
+    assert out["warc_date"] == "2020-01-01T12:34:56Z"
+    assert out["warc_type"] == "resource"
