@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # assignment/probe passes. Everything else must be keyed.
 ALLOW_BNLJ = {
     "cosine_knn", "ann_lsh", "ann_ivf",
+    # r5 session-B 1-row stat broadcasts: link_rot's share-ppm total,
+    # purge_propagation's per-table count pairs, kn's global-discount row
+    "link_rot", "purge_propagation", "kn_lm_scores",
     # single-row corpus-stat broadcasts (crossJoin of an agg'd
     # 1-row DF): the right plan — the "nested loop" runs once
     "bm25_search", "lm_doc_scores", "sb_lm_scores", "host_budget_alloc",
@@ -145,6 +148,11 @@ AUDIT = [
     "capture_drift", "outlink_resolved", "http_dates", "arc_roundtrip",
     "gopher_quality", "seen_compare", "nb_calibration", "anchor_search",
     "warc_revisit_write", "https_upgrade",
+    # r5 session-B
+    "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
+    "domain_quality", "cdx_collapse", "feed_discovery", "link_rot",
+    "purge_propagation", "temporal_split", "cdxj_roundtrip",
+    "warc_segments", "timemap", "arc2warc",
 ]
 
 
