@@ -504,3 +504,46 @@ def test_maxscore_prune_1e6_docs(spark):
         f"maxscore 1e6: scored {counters['n_scored']}/{counters['n_matching']} "
         f"({t_pruned:.1f}s) vs exact ({t_exact:.1f}s)"
     )
+
+
+def test_cdx_collapse_2e7_captures_hot_url(spark):
+    """Design-scale shape proof for collapse_captures: 2*10^7 captures
+    where ONE url holds 10M rows (the hot-URL case a per-URL window
+    would serialize into a single task). The min(struct) aggregate
+    must stay partition-parallel; exact expected bucket counts from
+    the generator's closed form."""
+    from sandcrawler_spark.operators.cdxslice import collapse_captures
+
+    n = 20_000_000
+    half = n // 2
+    df = spark.range(n).select(
+        F.when(F.col("id") < half, F.lit("https://hot.example.com/"))
+        .otherwise(
+            F.concat(F.lit("https://cold"), (F.col("id") % 1_000_000).cast("string"),
+                     F.lit(".example.com/"))
+        ).alias("url"),
+        F.concat(
+            F.lit("2020"),
+            F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"),
+            F.lpad(((F.col("id") % 28) + 1).cast("string"), 2, "0"),
+            F.lpad((F.col("id") % 86400).cast("string"), 6, "0"),
+        ).alias("datetime"),
+        F.lit(200).alias("status_code"),
+        F.lit("text/html").alias("mimetype"),
+    )
+    t0 = time.time()
+    out = collapse_captures(df.dropDuplicates(["url", "datetime"]), digits=8)
+    hot = out.filter(F.col("url") == "https://hot.example.com/")
+    n_hot_buckets = hot.count()
+    total_collapsed = hot.agg(F.sum("n_collapsed")).collect()[0][0]
+    wall = time.time() - t0
+    # (id%12, id%28) cycles with period lcm(12,28)=84: the hot url
+    # lands in exactly 84 distinct (month, day) buckets
+    assert n_hot_buckets == 84
+    # and its collapsed rows sum to its distinct (url, datetime) count
+    expect = (
+        df.filter(F.col("url") == "https://hot.example.com/")
+        .select("datetime").distinct().count()
+    )
+    assert total_collapsed == expect
+    print(f"\ncdx_collapse: {n:,} captures (10M on one url) in {wall:.1f}s")
