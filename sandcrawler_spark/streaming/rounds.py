@@ -661,7 +661,7 @@ class CrawlRunner:
         back as ingest requests too: the next round fetches the child
         sitemap and THIS hook parses it — the fetch loop is the
         recursion."""
-        from sandcrawler_spark.functions.feeds import parse_feed
+        from sandcrawler_spark.functions.feeds import discover_feeds, parse_feed
         from sandcrawler_spark.functions.sitemaps import parse_sitemap
 
         # try_validate_utf8: binary bodies (PDFs) come out NULL instead
@@ -680,8 +680,21 @@ class CrawlRunner:
             "xml",
             keep_cols=["src_url"],
         ).select(F.lit("feed").alias("link_source"), F.col("src_url"), F.col("link").alias("loc"))
+        # third channel: HTML pages advertising their feed via
+        # <link rel="alternate" type="application/rss+xml|atom+xml">
+        # (autodiscovery) — the feed URL itself becomes a request; the
+        # NEXT round fetches it and the fd branch above parses it
+        ad = discover_feeds(
+            xmlish.filter(F.col("xml").rlike(r"(?i)<link\b[^>]*alternate")),
+            html_col="xml",
+            url_col="src_url",
+        ).select(
+            F.lit("feed_autodiscovery").alias("link_source"),
+            F.col("url").alias("src_url"),
+            F.col("feed_url").alias("loc"),
+        )
         reqs = (
-            sm.unionByName(fd)
+            sm.unionByName(fd).unionByName(ad)
             .select(
                 "link_source",
                 F.col("src_url").alias("link_source_id"),

@@ -718,3 +718,62 @@ def test_ucb_prefers_rewarding_host(spark, corpus, corpus_pd, tmp_path):
                  str(tmp_path / f"pref/ucb_stats/round={len(trials) - 1}")).collect()}
     assert final[live_host][0] == 4 and final[live_host][1] >= 1
     assert final[dead] == (4, 0)
+
+
+def test_feed_autodiscovery_rounds(spark, corpus, corpus_pd, tmp_path):
+    """--discover third channel: an HTML page advertising its feed via
+    <link rel="alternate" type="application/rss+xml"> contributes the
+    FEED URL as a request; the next round fetches the feed and the
+    feed parser contributes the article — a 3-hop page -> feed ->
+    article chain through the loop."""
+    import base64
+    import hashlib
+
+    cdx_pd = corpus_pd["cdx"]
+    ok = cdx_pd[(cdx_pd.status_code == 200) & (cdx_pd.mimetype == "text/html")]
+    targets = sorted(u for u in ok["url"].unique()
+                     if "/articles/" in u and "?" not in u)[:1]
+    home_url = "https://autod.example.org/index.html"
+    feed_url = "https://autod.example.org/feed.xml"
+    bodies = {
+        home_url: ('<html><head><link rel="alternate" '
+                   f'type="application/rss+xml" href="{feed_url}">'
+                   "</head><body>home</body></html>"),
+        feed_url: ("<rss><channel><item><title>t</title>"
+                   f"<link>{targets[0]}</link></item></channel></rss>"),
+    }
+    ts = corpus_pd["pages"]["warc_ts"].iloc[0].to_pydatetime()
+    dtstr = ts.strftime("%Y%m%d%H%M%S")
+    page_rows, cdx_rows = [], []
+    for u, body in bodies.items():
+        digest = hashlib.sha1(body.encode()).digest()
+        page_rows.append((u, ts, bytearray(body.encode()), None, None))
+        cdx_rows.append((
+            "org,example,autod)/" + u.rsplit("/", 1)[1], dtstr, u, "text/html", 200,
+            base64.b32encode(digest).decode().rstrip("="), digest.hex(),
+            len(body), 0, "SC-TEST/SC-1.warc.gz", None,
+        ))
+    pages = corpus["pages"].unionByName(spark.createDataFrame(
+        page_rows, "url string, warc_ts timestamp, html binary, text string, lang string"))
+    cdx = corpus["cdx"].unionByName(spark.createDataFrame(
+        cdx_rows,
+        "surt string, datetime string, url string, mimetype string, status_code long, "
+        "sha1b32 string, sha1hex string, warc_csize long, warc_offset long, "
+        "warc_path string, redirect_url string"))
+    reqs = spark.createDataFrame(
+        [("seed", "s1", "html", home_url, 1, 0)],
+        "link_source string, link_source_id string, ingest_type string, "
+        "base_url string, priority long, link_depth long")
+    small = {"ingest_request": reqs, "cdx": cdx, "pages": pages,
+             "robots": corpus["robots"]}
+
+    runner = CrawlRunner(spark, small, str(tmp_path / "ad"), discover=True)
+    entries = runner.run(max_rounds=6)
+    by_round = {e["round"]: e for e in entries}
+    # r0 fetches the home page -> autodiscovers the feed URL
+    assert by_round[0]["discovered"] == 1
+    # r1 fetches the feed -> the feed parser discovers the article
+    assert by_round[1]["discovered"] == 1
+    # r2 fetches the article; then the frontier drains
+    assert by_round[2]["frontier"] == 1
+    assert entries[-1]["done"]
