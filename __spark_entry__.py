@@ -6857,6 +6857,18 @@ def q_arc2warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feed_poll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feed-polling cadence from observed publish rates (the policy
+    # layer over the feed discovery channel): entries/day in integer
+    # x100, poll interval = 24h / rate clamped to [1h, 168h] — one
+    # host-keyed aggregate, the dual of capture-based change rates
+    from sandcrawler_spark.operators.recrawl import feed_poll_schedule
+
+    u = _urls(spark, sf_dir).filter(F.col("site_id") < 10)
+    entries = u.select("host", F.col("o_orderdate").alias("published"))
+    return feed_poll_schedule(entries, as_of="1998-12-31")
+
+
 def q_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
     # Goodman 1999 §4, count-estimated discount D = N1/(N1+2*N2)):
@@ -6874,7 +6886,7 @@ _STALE_FIRST = [
     "oai_harvest", "sentence_stats", "robots_cache", "kn_lm_scores",
     "domain_quality", "cdx_collapse", "feed_discovery",
     "link_rot", "purge_propagation", "temporal_split",
-    "cdxj_roundtrip", "warc_segments", "timemap", "arc2warc",
+    "cdxj_roundtrip", "warc_segments", "timemap", "arc2warc", "feed_poll",
     # round-5 additions — never driver-checked, sample first
     "pq_codebook", "ivf_cell_profile",
     # round-4 session-16 additions — never driver-checked, sample first
@@ -7113,6 +7125,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_segments": q_warc_segments,
         "timemap": q_timemap,
         "arc2warc": q_arc2warc,
+        "feed_poll": q_feed_poll,
         "oai_harvest": q_oai_harvest,
         "sentence_stats": q_sentence_stats,
         "robots_cache": q_robots_cache,
@@ -10677,6 +10690,26 @@ f AS (SELECT url, bucket, min(datetime) AS datetime,
       FROM b GROUP BY url, bucket)
 SELECT f.url, f.bucket, f.datetime, b.status_code, b.mimetype, f.n_collapsed
 FROM f JOIN b ON b.url = f.url AND b.datetime = f.datetime
+""",
+        "feed_poll": f"""
+WITH {_URLS_CTE.strip()},
+agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_entries,
+         min(o_orderdate) AS mn, max(o_orderdate) AS mx
+  FROM urls WHERE site_id < 10 GROUP BY host
+),
+calc AS (
+  SELECT host, n_entries,
+         CAST(date_diff('day', mn, mx) + 1 AS BIGINT) AS span_days,
+         CAST(date_diff('day', mx, DATE '1998-12-31') AS BIGINT) AS newest_age_days
+  FROM agg
+)
+SELECT host, n_entries, span_days,
+       CAST((100 * n_entries) // span_days AS BIGINT) AS rate_x100,
+       newest_age_days,
+       CAST(LEAST(168, GREATEST(1, 2400 // GREATEST((100 * n_entries) // span_days, 1))) AS BIGINT) AS poll_hours
+FROM calc
 """,
         "arc2warc": """
 WITH d AS (

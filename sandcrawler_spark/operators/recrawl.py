@@ -380,3 +380,54 @@ def link_rot(
         "n_urls",
         F.expr("CAST(1000000 AS BIGINT) * n_urls div _t").alias("share_ppm"),
     )
+
+
+def feed_poll_schedule(
+    entries: DataFrame,
+    as_of: str,
+    host_col: str = "host",
+    date_col: str = "published",
+    min_hours: int = 1,
+    max_hours: int = 168,
+) -> DataFrame:
+    """Feed-polling cadence from observed publish rates — the policy
+    layer over the feed discovery channel (parse_feed /
+    discover_feeds): a feed that ships 10 entries/day deserves hourly
+    polls, one that ships monthly deserves the weekly floor. The dual
+    of change_rate_schedule (which reads CAPTURE deltas): feeds carry
+    explicit publish dates, so cadence needs no content diffing.
+
+      rate_x100   = 100 * n_entries / span_days   (integer fixed-point)
+      poll_hours  = clamp(min_hours, max_hours, 2400 / rate_x100)
+                    (i.e. 24h divided by entries/day, integer div)
+
+    Returns (host, n_entries, span_days, rate_x100, newest_age_days,
+    poll_hours). One host-keyed aggregate with map-side partials —
+    host-cardinality output, no windows."""
+    d = entries.select(
+        F.col(host_col).alias("host"), F.col(date_col).cast("date").alias("_d")
+    )
+    agg = d.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_entries"),
+        F.min("_d").alias("_min"),
+        F.max("_d").alias("_max"),
+    )
+    span = (F.datediff(F.col("_max"), F.col("_min")) + 1).cast("long")
+    poll = F.least(
+        F.lit(int(max_hours)).cast("long"),
+        F.greatest(
+            F.lit(int(min_hours)).cast("long"),
+            F.expr("2400 div greatest(rate_x100, 1)"),
+        ),
+    )
+    return (
+        agg.withColumn("span_days", span)
+        .withColumn("rate_x100", F.expr("(100 * n_entries) div span_days"))
+        .withColumn(
+            "newest_age_days",
+            F.datediff(F.lit(as_of).cast("date"), F.col("_max")).cast("long"),
+        )
+        .withColumn("poll_hours", poll)
+        .select("host", "n_entries", "span_days", "rate_x100",
+                "newest_age_days", "poll_hours")
+    )

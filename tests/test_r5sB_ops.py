@@ -541,3 +541,25 @@ def test_arc2warc_record_parses_back_through_warc_scanner(spark):
     assert out["target_uri"] == "https://a.com/x"
     assert out["warc_date"] == "2020-01-01T12:34:56Z"
     assert out["warc_type"] == "resource"
+
+
+def test_feed_poll_schedule_rates(spark):
+    from sandcrawler_spark.operators.recrawl import feed_poll_schedule
+
+    rows = (
+        # busy.com: 20 entries over 10 days -> 2/day -> poll every 12h
+        [("busy.com", f"2020-01-{d:02d}") for d in range(1, 11) for _ in range(2)]
+        # slow.com: 2 entries over 100 days -> 0.02/day -> weekly cap
+        + [("slow.com", "2020-01-01"), ("slow.com", "2020-04-09")]
+        # burst.com: 48 entries in one day -> floor(24/48)=0 -> 1h floor
+        + [("burst.com", "2020-01-01")] * 48
+    )
+    df = spark.createDataFrame(rows, ["host", "published"])
+    out = {r["host"]: r for r in feed_poll_schedule(df, as_of="2020-06-01").collect()}
+    busy = out["busy.com"]
+    assert busy["rate_x100"] == 200 and busy["poll_hours"] == 12
+    slow = out["slow.com"]
+    assert slow["rate_x100"] == 2 and slow["poll_hours"] == 168
+    burst = out["burst.com"]
+    assert burst["span_days"] == 1 and burst["poll_hours"] == 1
+    assert busy["newest_age_days"] == 143  # 2020-01-10 .. 2020-06-01
